@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+import graft.operators.JoinSearch
+import graft.oracle.SearchOracle
+import graft.oracle.SearchOracle.QuerySpec
+import graft.sources.IndexBuilder
+
+/** One registered query: a Spark implementation plus (usually) an
+  * equivalent DuckDB oracle SQL for the driver's hash compare.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Registry of the reference-surface queries (SURVEY §2 inventory).
+  * Extension modules (dedup / similarity / text / events / multimodal)
+  * contribute their own lists; [[SparkEntry]] concatenates all.
+  */
+object Queries {
+
+  // ---- deterministic query-table specs (scale-proportional samples) ----
+
+  val customerCols = Seq("c_name", "c_mktsegment")
+  val customerSpec = QuerySpec(
+    "SELECT c_name, c_mktsegment FROM customer WHERE c_custkey % 15 = 1",
+    customerCols)
+  def customerQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet").where("c_custkey % 15 = 1")
+
+  val ordersCols = Seq("o_orderstatus", "o_orderpriority")
+  val ordersSpec = QuerySpec(
+    "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 100 = 1",
+    ordersCols)
+  def ordersQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet").where("o_orderkey % 100 = 1")
+
+  val partCols = Seq("p_name", "p_brand", "p_type")
+  val partSpec = QuerySpec(
+    "SELECT p_name, p_brand, p_type FROM part WHERE p_partkey % 20 = 1",
+    partCols)
+  def partQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet").where("p_partkey % 20 = 1")
+
+  // keys exist in the corpus but never co-occur in one row -> empty.
+  val negativeCols = Seq("n_name", "r_name")
+  val negativeSpec = QuerySpec(
+    "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    negativeCols)
+  def negativeQuery(s: SparkSession, dir: String): DataFrame = {
+    val n = s.read.parquet(s"$dir/nation.parquet")
+    val r = s.read.parquet(s"$dir/region.parquet")
+    n.join(r, n("n_regionkey") === r("r_regionkey")).select("n_name", "r_name")
+  }
+
+  private def index(s: SparkSession, dir: String): DataFrame =
+    IndexBuilder.cached(s, dir)
+
+  private def maps(s: SparkSession, dir: String): DataFrame =
+    JoinSearch.mappings(
+      JoinSearch.prepareInput(customerQuery(s, dir), customerCols), customerCols)
+
+  // ---- F1: tokenizer parity (the everything-depends-on-it op) ----
+
+  private val f1 = Seq(
+    Q("f1_clean_customer",
+      (s, dir) => s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("id"),
+          Tokenize.clean(col("c_name")).as("cleaned"))
+        .orderBy("id"),
+      Some(s"""SELECT cast(c_custkey as bigint) AS id, ${Tokenize.cleanSql("c_name")} AS cleaned FROM customer ORDER BY id""")),
+    Q("f1_clean_part",
+      (s, dir) => s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").cast("long").as("id"),
+          Tokenize.clean(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))).as("cleaned"))
+        .orderBy("id"),
+      Some(s"""SELECT cast(p_partkey as bigint) AS id, ${Tokenize.cleanSql("p_name || ' ' || p_brand || ' ' || p_type")} AS cleaned FROM part ORDER BY id""")),
+    Q("f1_clean_documents",
+      (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"),
+          Tokenize.clean(col("text")).as("cleaned"))
+        .orderBy("id"),
+      Some(s"""SELECT cast(doc_id as bigint) AS id, ${Tokenize.cleanSql("text")} AS cleaned FROM documents ORDER BY id""")))
+
+  // ---- index build + probes (S3/S4/J5/U1) ----
+
+  private val segKeys =
+    Seq("building", "automobile", "machinery", "household", "furniture")
+
+  private val indexQs = Seq(
+    Q("idx_inverted_index",
+      (s, dir) => index(s, dir).orderBy("table_id", "column_id", "row_id"),
+      Some(SearchOracle.indexOnly(
+        "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id"))),
+    Q("s3_probe_inlist",
+      (s, dir) => index(s, dir)
+        .where(col("key").isin(segKeys: _*))
+        .orderBy("table_id", "column_id", "row_id"),
+      Some(SearchOracle.indexOnly(
+        s"""SELECT key, table_id, column_id, row_id FROM idxf WHERE key IN (${segKeys.map(k => s"'$k'").mkString(", ")}) ORDER BY table_id, column_id, row_id"""))),
+    Q("s4_probe_equality",
+      (s, dir) => index(s, dir)
+        .where(col("key") === "1 urgent")
+        .orderBy("table_id", "column_id", "row_id"),
+      Some(SearchOracle.indexOnly(
+        "SELECT key, table_id, column_id, row_id FROM idxf WHERE key = '1 urgent' ORDER BY table_id, column_id, row_id"))),
+    Q("j5_semijoin_probe",
+      (s, dir) => JoinSearch.probe(index(s, dir), maps(s, dir))
+        .orderBy("table_id", "column_id", "row_id"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT key, table_id, column_id, row_id FROM postings ORDER BY table_id, column_id, row_id"))),
+    Q("u1_union_per_column",
+      (s, dir) => {
+        val prep = JoinSearch.prepareInput(customerQuery(s, dir), customerCols)
+        customerCols
+          .map(c => index(s, dir).join(
+            broadcast(prep.select(col(c).as("key")).distinct()), Seq("key"), "left_semi"))
+          .reduce(_ unionByName _)
+          .orderBy("key", "table_id", "column_id", "row_id")
+      },
+      Some(SearchOracle.stage(customerSpec,
+        customerCols.map(c =>
+          s"""SELECT key, table_id, column_id, row_id FROM idxf WHERE key IN (SELECT "$c" FROM qclean)""")
+          .mkString("", "\nUNION ALL ", "\nORDER BY key, table_id, column_id, row_id")))))
+
+  // ---- search pipeline stages (P/G/W/J/A on the customer query) ----
+
+  private val stageQs = Seq(
+    Q("p_prepare_input",
+      (s, dir) => JoinSearch.prepareInput(customerQuery(s, dir), customerCols)
+        .orderBy(customerCols.map(col): _*),
+      Some(SearchOracle.stage(customerSpec,
+        """SELECT "c_name", "c_mktsegment" FROM qclean ORDER BY "c_name", "c_mktsegment""""))),
+    Q("g1_mappings_unpivot",
+      (s, dir) => maps(s, dir).orderBy("key", "map_key"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT key, map_key FROM maps ORDER BY key, map_key"))),
+    Q("w1_cooccurrence_reduce",
+      (s, dir) => JoinSearch.reduce(JoinSearch.probe(index(s, dir), maps(s, dir)), 2)
+        .orderBy("table_id", "row_id", "key"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT key, table_id, column_id, row_id FROM kept ORDER BY table_id, row_id, key"))),
+    Q("j1_mapkey_join",
+      (s, dir) => JoinSearch.joinMapped(
+        JoinSearch.reduce(JoinSearch.probe(index(s, dir), maps(s, dir)), 2), maps(s, dir))
+        .orderBy("table_id", "row_id", "key", "map_key"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT key, table_id, column_id, row_id, map_key FROM mapped ORDER BY table_id, row_id, key, map_key"))),
+    Q("w2_multiattr_matches",
+      (s, dir) => JoinSearch.matches(JoinSearch.joinMapped(
+        JoinSearch.reduce(JoinSearch.probe(index(s, dir), maps(s, dir)), 2), maps(s, dir)), 2)
+        .orderBy("table_id", "row_id", "key", "map_key"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT key, table_id, column_id, row_id, map_key FROM matches ORDER BY table_id, row_id, key, map_key"))),
+    Q("a1_column_scores",
+      (s, dir) => JoinSearch.columnScores(
+        JoinSearch.matches(JoinSearch.joinMapped(
+          JoinSearch.reduce(JoinSearch.probe(index(s, dir), maps(s, dir)), 2), maps(s, dir)), 2))
+        .orderBy("table_id", "column_id"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT table_id, column_id, join_score FROM col_scores ORDER BY table_id, column_id"))),
+    Q("w3_top_columns",
+      (s, dir) => JoinSearch.topColumns(JoinSearch.columnScores(
+        JoinSearch.matches(JoinSearch.joinMapped(
+          JoinSearch.reduce(JoinSearch.probe(index(s, dir), maps(s, dir)), 2), maps(s, dir)), 2)), 2)
+        .orderBy("table_id", "column_id"),
+      Some(SearchOracle.stage(customerSpec,
+        "SELECT table_id, column_id, join_score FROM top_cols ORDER BY table_id, column_id"))))
+
+  // ---- end-to-end searches ----
+
+  private val searchQs = Seq(
+    Q("search_customer_tables",
+      (s, dir) => JoinSearch.searchTables(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
+    Q("search_customer_columns",
+      (s, dir) => JoinSearch.searchColumns(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.columnScores(customerSpec))),
+    Q("search_orders_tables",
+      (s, dir) => JoinSearch.searchTables(index(s, dir), ordersQuery(s, dir), ordersCols),
+      Some(SearchOracle.tableScores(ordersSpec))),
+    Q("search_part_3attr",
+      (s, dir) => JoinSearch.searchTables(index(s, dir), partQuery(s, dir), partCols),
+      Some(SearchOracle.tableScores(partSpec))),
+    Q("search_negative_no_cooccur",
+      (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
+      Some(SearchOracle.tableScores(negativeSpec))),
+    Q("strategy_groupby_variant",
+      (s, dir) => JoinSearch.searchTablesViaGroupBy(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))))
+
+  // ---- J3/J4: (table,row) self-join for one key pair ----
+
+  private val selfJoinQs = Seq(
+    Q("j3_j4_selfjoin_pair",
+      (s, dir) => {
+        val idx = index(s, dir)
+        def side(k: String, kn: String, cn: String) = idx.where(col("key") === k)
+          .dropDuplicates()
+          .select(col("table_id"), col("row_id"),
+            col("key").as(kn), col("column_id").as(cn))
+        side("customer 000000003", "key_x", "col_x")
+          .join(side("building", "key_y", "col_y"), Seq("table_id", "row_id"))
+          .select("table_id", "key_x", "col_x", "row_id", "key_y", "col_y")
+          .orderBy("table_id", "row_id", "col_x", "col_y")
+      },
+      Some(SearchOracle.indexOnly(
+        """SELECT x.table_id, x.key AS key_x, x.column_id AS col_x, x.row_id, y.key AS key_y, y.column_id AS col_y
+FROM (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'customer 000000003') x
+JOIN (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'building') y
+  ON x.table_id = y.table_id AND x.row_id = y.row_id
+ORDER BY x.table_id, x.row_id, col_x, col_y"""))))
+
+  // ---- general relational surface (agg / join / window, exact
+  //      integer arithmetic via cents-as-bigint for float parity) ----
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  private val relationalQs = Seq(
+    Q("q1_pricing_summary",
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).cast("long").as("qty_cents"),
+          sum(cents(col("l_extendedprice"))).cast("long").as("price_cents"),
+          sum(cents(col("l_discount"))).cast("long").as("disc_cents"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) AS qty_cents,
+cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) AS price_cents,
+cast(sum(cast(round(l_discount*100) as bigint)) as bigint) AS disc_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+    Q("q3_building_revenue",
+      (s, dir) => {
+        val c = s.read.parquet(s"$dir/customer.parquet").where(col("c_mktsegment") === "BUILDING")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(o("o_orderkey").as("o_orderkey"))
+          .agg(sum(cents(l("l_extendedprice") * (lit(1) - l("l_discount")))).cast("long").as("revenue_cents"),
+            count(lit(1)).as("n"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) as bigint)) as bigint) AS revenue_cents, count(*) AS n
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 100""")),
+    Q("window_running_order_total",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            sum(cents(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long").as("running_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+cast(sum(cast(round(o_totalprice*100) as bigint)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
+FROM orders ORDER BY o_custkey, o_orderkey""")))
+
+  /** All reference-surface queries. */
+  val all: Seq[Q] =
+    f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs
+}

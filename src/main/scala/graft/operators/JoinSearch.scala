@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+
+/** Multi-attribute join search: given a query table with N chosen
+  * columns, find every corpus table whose rows join the query table on
+  * all N attributes simultaneously, ranked by joinability score.
+  *
+  * Relational formulation of the reference's Par-Search col-wise
+  * pipeline (`Par_Search.py:205-332`), generalized from the
+  * hard-coded 2 columns (`Par_Search.py:215`) to any N, with the
+  * stages exposed for testing and for the per-stage oracle queries:
+  *
+  *   prepareInput (P1-P5+F1) -> mappings (F2+G1) -> probe (J5, one
+  *   distributed semi-join replacing per-column IN-list SQL) ->
+  *   reduce (P6+W1) -> joinMapped (J1) -> matches (W2) ->
+  *   columnScores (A1) -> topColumns (W3) -> tableScores (A2+O2/O3)
+  *
+  * Deliberate, documented divergences from the reference (SURVEY §7.4):
+  *  - dedup-by-(table,row,key) keeps min(column_id), not an arbitrary
+  *    posting (`Par_Search.py:247` is nondeterministic);
+  *  - windows carry no orderBy on a partition-constant column — the
+  *    reference's RANGE-frame accident (`Par_Search.py:245,281`) is
+  *    re-expressed as plain whole-partition counts;
+  *  - ranking/limits always carry total-order tie-breakers.
+  *
+  * Scale posture: the query table is tiny next to the index, so
+  * mappings are broadcast (J1 never shuffles the postings side twice);
+  * the probe is a semi-join (map-side with broadcast); the two
+  * co-occurrence counts shuffle on (table_id, row_id) once — the
+  * second window reuses the first's clustering (map_key is a
+  * function of the join, not a new shuffle key).
+  */
+object JoinSearch {
+
+  /** P1-P5: project, distinct, drop nulls, NBSP-strip — then F1 clean.
+    * (`Par_Search.py:151-166`; NBSP uses seq's substring semantics,
+    * `Seq_Search.py:124`, per SURVEY §2.2 P5.)
+    */
+  def prepareInput(query: DataFrame, cols: Seq[String]): DataFrame = {
+    val projected = query.select(cols.map(col): _*).dropDuplicates().na.drop()
+    projected.select(cols.map(c =>
+      Tokenize.clean(regexp_replace(col(c), "\u00A0", "")).as(c)): _*)
+  }
+
+  /** F2+G1: cleaned query rows -> long-format `(key, map_key)` where
+    * map_key identifies the originating query row
+    * (`Par_Search.py:213-215`, generalized to N columns).
+    */
+  def mappings(cleanInput: DataFrame, cols: Seq[String]): DataFrame = {
+    val withKey = cleanInput.withColumn(
+      "map_key", concat_ws(" ", cols.map(col): _*))
+    val stackArgs = cols.map(c => s"`$c`, map_key").mkString(", ")
+    withKey.selectExpr(s"stack(${cols.size}, $stackArgs) as (key, map_key)")
+  }
+
+  /** J5: one distributed semi-join replaces the reference's per-column
+    * `WHERE tokenized IN (...)` literal-list SQL round-trips
+    * (`handlers.py:62-71`, `Par_Search.py:196-200`).
+    */
+  def probe(index: DataFrame, maps: DataFrame): DataFrame =
+    index.join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
+
+  /** P6+W1: one posting per (table,row,key), then keep only corpus
+    * rows hit by >= colCount distinct query keys
+    * (`Par_Search.py:244-250`).
+    */
+  def reduce(postings: DataFrame, colCount: Int): DataFrame = {
+    val dedup = postings
+      .groupBy("table_id", "row_id", "key")
+      .agg(min("column_id").as("column_id"))
+    val w = Window.partitionBy("table_id", "row_id")
+    dedup
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") >= colCount)
+      .drop("cnt")
+      .select("key", "table_id", "column_id", "row_id")
+  }
+
+  /** J1: attach each surviving posting to every query row (map_key)
+    * containing its key (`Par_Search.py:265`). Mappings derive from
+    * the small query table -> broadcast hash join.
+    */
+  def joinMapped(reduced: DataFrame, maps: DataFrame): DataFrame =
+    reduced.join(broadcast(maps), Seq("key"))
+
+  /** W2: the multi-attribute conjunction — keep (table,row,map_key)
+    * groups where all colCount attributes matched
+    * (`Par_Search.py:280-285`).
+    */
+  def matches(mapped: DataFrame, colCount: Int): DataFrame = {
+    val w = Window.partitionBy("table_id", "row_id", "map_key")
+    mapped
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") >= colCount)
+      .drop("cnt")
+  }
+
+  /** A1: per-column join score (`Par_Search.py:312-316`). */
+  def columnScores(m: DataFrame): DataFrame =
+    m.groupBy("table_id", "column_id").agg(count(lit(1)).as("join_score"))
+
+  /** W3: top-colCount columns per table, deterministic tie-break
+    * (`Par_Search.py:318-322`).
+    */
+  def topColumns(colScores: DataFrame, colCount: Int): DataFrame = {
+    val w = Window.partitionBy("table_id")
+      .orderBy(col("join_score").desc, col("column_id").asc)
+    colScores
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= colCount)
+      .drop("rn")
+  }
+
+  /** A2: table score = sum of its top-colCount column scores
+    * (`Par_Search.py:324-327`).
+    */
+  def tableScores(topCols: DataFrame): DataFrame =
+    topCols.groupBy("table_id")
+      .agg(sum("join_score").cast("long").as("join_score"))
+
+  /** End-to-end: ranked table scores (O2/O3, `Par_Search.py:324-330`). */
+  def searchTables(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val top = topColumns(
+      columnScores(matches(joinMapped(reduce(probe(index, m), cols.size), m), cols.size)),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  /** End-to-end: ranked column scores (`Par_Search.py:329`). */
+  def searchColumns(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val top = topColumns(
+      columnScores(matches(joinMapped(reduce(probe(index, m), cols.size), m), cols.size)),
+      cols.size)
+    top.orderBy(col("join_score").desc, col("table_id").asc, col("column_id").asc)
+      .limit(2 * maxTables)
+  }
+
+  /** Alternate physical strategy: the W1/W2 whole-partition window
+    * counts re-expressed as groupBy().count() + broadcast-able join —
+    * identical results, different plan (SURVEY §4 "rewrite with
+    * unordered windows or groupBy+join"). Serves as a built-in
+    * cross-check of the window formulation.
+    */
+  def searchTablesViaGroupBy(index: DataFrame, query: DataFrame,
+      cols: Seq[String], maxTables: Int = 20): DataFrame = {
+    val colCount = cols.size
+    val m = mappings(prepareInput(query, cols), cols)
+    val dedup = probe(index, m)
+      .groupBy("table_id", "row_id", "key")
+      .agg(min("column_id").as("column_id"))
+    val rowCounts = dedup.groupBy("table_id", "row_id")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
+    val kept = dedup.join(rowCounts.select("table_id", "row_id"),
+      Seq("table_id", "row_id"))
+    val mapped = kept.join(broadcast(m), Seq("key"))
+    val grpCounts = mapped.groupBy("table_id", "row_id", "map_key")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
+    val matched = mapped.join(
+      grpCounts.select("table_id", "row_id", "map_key"),
+      Seq("table_id", "row_id", "map_key"))
+    val top = topColumns(columnScores(matched), colCount)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+}

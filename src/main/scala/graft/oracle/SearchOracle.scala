@@ -1,0 +1,124 @@
+package graft.oracle
+
+import graft.functions.Tokenize
+import graft.sources.Corpus
+
+/** Generates the DuckDB oracle SQL for the index builder and every
+  * stage of the join-search pipeline. The SQL mirrors, stage for
+  * stage, what [[graft.sources.IndexBuilder]] and
+  * [[graft.operators.JoinSearch]] compute — same cleaning chain
+  * ([[Tokenize.cleanSql]]), same row-id expressions ([[Corpus]]),
+  * same deterministic tie-breakers — so the driver's hash compare is
+  * exact.
+  */
+object SearchOracle {
+
+  /** CTE list for the inverted index: `raw_idx` (unpivot) and `idx`
+    * (cleaned, non-empty). Mirrors [[graft.sources.IndexBuilder.build]].
+    */
+  def indexCtes: String = {
+    val branches = Corpus.tables.flatMap { t =>
+      t.textCols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT cast("$c" as varchar) AS raw, ${t.id} AS table_id, ${i + 1} AS column_id, cast(${t.rowIdExpr} as bigint) AS row_id FROM ${t.name}"""
+      }
+    }
+    val union = branches.mkString("\n    UNION ALL ")
+    s"""raw_idx AS (
+    ${union}
+  ),
+  idx AS (
+    SELECT ${Tokenize.cleanSql("raw")} AS key, table_id, column_id, row_id
+    FROM raw_idx WHERE raw IS NOT NULL
+  ),
+  idxf AS (SELECT * FROM idx WHERE key <> '')"""
+  }
+
+  /** A search query table: `fromSql` must yield the raw (uncleaned)
+    * columns `cols`.
+    */
+  final case class QuerySpec(fromSql: String, cols: Seq[String])
+
+  /** Stage CTEs mirroring [[graft.operators.JoinSearch]]:
+    * qraw -> qdedup (P1-P4) -> qclean (P5+F1) -> maps (F2+G1) ->
+    * postings (J5) -> reduced (P6) -> kept (W1) -> mapped (J1) ->
+    * matches (W2) -> col_scores (A1) -> top_cols (W3) -> tbl_scores (A2).
+    */
+  def searchCtes(q: QuerySpec): String = {
+    val n = q.cols.size
+    val colList = q.cols.map(c => s""""$c"""").mkString(", ")
+    val notNull = q.cols.map(c => s""""$c" IS NOT NULL""").mkString(" AND ")
+    val cleaned = q.cols.map { c =>
+      s"""${Tokenize.cleanSql(s"""replace("$c", chr(160), '')""")} AS "$c""""
+    }.mkString(",\n      ")
+    val mapKey = q.cols.map(c => s""""$c"""").mkString(" || ' ' || ")
+    val mapBranches = q.cols.map { c =>
+      s"""SELECT "$c" AS key, $mapKey AS map_key FROM qclean"""
+    }.mkString("\n    UNION ALL ")
+    s"""qraw AS (${q.fromSql}),
+  qdedup AS (SELECT DISTINCT $colList FROM qraw WHERE $notNull),
+  qclean AS (
+    SELECT $cleaned
+    FROM qdedup
+  ),
+  maps AS (
+    $mapBranches
+  ),
+  postings AS (
+    SELECT i.key, i.table_id, i.column_id, i.row_id FROM idxf i
+    WHERE i.key IN (SELECT key FROM maps)
+  ),
+  reduced AS (
+    SELECT key, table_id, min(column_id) AS column_id, row_id
+    FROM postings GROUP BY key, table_id, row_id
+  ),
+  kept AS (
+    SELECT key, table_id, column_id, row_id FROM (
+      SELECT r.*, count(*) OVER (PARTITION BY table_id, row_id) AS cnt
+      FROM reduced r
+    ) WHERE cnt >= $n
+  ),
+  mapped AS (
+    SELECT k.key, k.table_id, k.column_id, k.row_id, m.map_key
+    FROM kept k JOIN maps m USING (key)
+  ),
+  matches AS (
+    SELECT key, table_id, column_id, row_id, map_key FROM (
+      SELECT md.*, count(*) OVER (PARTITION BY table_id, row_id, map_key) AS cnt
+      FROM mapped md
+    ) WHERE cnt >= $n
+  ),
+  col_scores AS (
+    SELECT table_id, column_id, count(*) AS join_score
+    FROM matches GROUP BY table_id, column_id
+  ),
+  top_cols AS (
+    SELECT table_id, column_id, join_score FROM (
+      SELECT cs.*, row_number() OVER (
+        PARTITION BY table_id ORDER BY join_score DESC, column_id ASC) AS rn
+      FROM col_scores cs
+    ) WHERE rn <= $n
+  ),
+  tbl_scores AS (
+    SELECT table_id, cast(sum(join_score) AS bigint) AS join_score
+    FROM top_cols GROUP BY table_id
+  )"""
+  }
+
+  /** Full oracle statement selecting one stage, totally ordered. */
+  def stage(q: QuerySpec, finalSelect: String): String =
+    s"WITH ${indexCtes},\n  ${searchCtes(q)}\n$finalSelect"
+
+  /** Oracle for the end-to-end table-score search. */
+  def tableScores(q: QuerySpec, maxTables: Int = 20): String =
+    stage(q,
+      s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables")
+
+  /** Oracle for the end-to-end column-score search. */
+  def columnScores(q: QuerySpec, maxTables: Int = 20): String =
+    stage(q,
+      s"SELECT table_id, column_id, join_score FROM top_cols ORDER BY join_score DESC, table_id ASC, column_id ASC LIMIT ${2 * maxTables}")
+
+  /** Oracle over just the index CTEs (no search stages). */
+  def indexOnly(finalSelect: String): String =
+    s"WITH ${indexCtes}\n$finalSelect"
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinSearch
+import graft.sources.IndexBuilder
+
+/** Golden micro-corpus reproducing the reference's worked example
+  * (`Par_Search.py:217-302` comments; FIXTURES.md §1.2), adjusted
+  * where the reference's comments contradict its code — the code
+  * dedups (table,row,key) before the co-occurrence count
+  * (`Par_Search.py:247`), so a row whose only hits are the same key
+  * in two columns (table 127 below) must NOT match.
+  */
+class JoinSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val pirates = "pirates caribbean world''s end"
+
+  // (key, table_id, column_id, row_id)
+  lazy val index = Seq(
+    ("james cameron", 123, 1, 3L), ("avatar", 123, 2, 3L),
+    ("gore verbinski", 123, 1, 4L),
+    (pirates, 124, 2, 4L),
+    ("james cameron", 125, 1, 3L), ("avatar", 125, 2, 3L),
+    ("gore verbinski", 125, 1, 4L), (pirates, 125, 2, 4L),
+    ("avatar", 127, 1, 3L), ("avatar", 127, 2, 3L),
+    ("james cameron", 128, 2, 3L), ("avatar", 128, 1, 3L),
+    ("avatar", 128, 3, 3L))
+    .toDF("key", "table_id", "column_id", "row_id")
+
+  lazy val query = Seq(
+    ("James Cameron", "Avatar"),
+    ("Gore Verbinski", "Pirates of the Caribbean: At World's End"))
+    .toDF("director_name", "movie_title")
+
+  val cols = Seq("director_name", "movie_title")
+
+  test("table scores match the worked example (code semantics)") {
+    val got = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    // 125: rows 3 (jc+avatar) and 4 (gv+pirates) -> 4 match rows
+    // 123: row 3 -> 2; 128: row 3 (dedup avatar to col 1) -> 2
+    // 124: single-attribute only -> reduced away; 127: same-key two
+    // columns dedups to one posting -> fails the co-occurrence count.
+    assert(got == Seq((125, 4L), (123, 2L), (128, 2L)))
+  }
+
+  test("column scores match") {
+    val got = JoinSearch.searchColumns(index, query, cols)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((125, 1, 2L), (125, 2, 2L), (123, 1, 1L),
+      (123, 2, 1L), (128, 1, 1L), (128, 2, 1L)))
+  }
+
+  test("groupBy strategy variant produces identical scores") {
+    val a = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val b = JoinSearch.searchTablesViaGroupBy(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("stage W1 removes single-attribute and same-key-two-column rows") {
+    val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
+    val red = JoinSearch.reduce(JoinSearch.probe(index, m), 2)
+    val tables = red.select("table_id").distinct().as[Int].collect().toSet
+    assert(tables == Set(123, 125, 128))
+  }
+
+  test("duplicate-cell query row (quirk) requires two distinct corpus keys") {
+    // query row with both cells equal: mappings contains (x, "x x")
+    // twice; a corpus row holding 'x x'-key once in one column must
+    // not match (W1 dedup kills it), matching reference CODE.
+    val q = Seq(("BUILDING", "BUILDING")).toDF("a", "b")
+    val idx = Seq(("building", 1, 1, 1L), ("building", 1, 2, 1L))
+      .toDF("key", "table_id", "column_id", "row_id")
+    val got = JoinSearch.searchTables(idx, q, Seq("a", "b")).count()
+    assert(got == 0L)
+  }
+
+  test("end-to-end on real sf0.001: customer query ranks customer first") {
+    val idx = IndexBuilder.build(spark, sf0001)
+    val got = JoinSearch.searchTables(idx,
+      Queries.customerQuery(spark, sf0001), Queries.customerCols)
+      .as[(Int, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.head._1 == 1, s"customer (table 1) should rank first: ${got.toSeq}")
+    // each sampled customer row matches itself: score = 2 * #rows (10)
+    assert(got.head._2 == 20L, s"got ${got.toSeq}")
+  }
+
+  test("negative query (keys exist, never co-occur) returns empty") {
+    val idx = IndexBuilder.build(spark, sf0001)
+    val got = JoinSearch.searchTables(idx,
+      Queries.negativeQuery(spark, sf0001), Queries.negativeCols)
+    assert(got.count() == 0L)
+  }
+}
