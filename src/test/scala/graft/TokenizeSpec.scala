@@ -69,6 +69,26 @@ class TokenizeSpec extends SparkTestBase {
     }
   }
 
+  test("cleanFast equals cleanRef on goldens and random samples") {
+    for ((in, want) <- goldens)
+      assert(Tokenize.cleanFast(in) == want, s"input <$in>")
+    for (s <- samples(5000))
+      assert(Tokenize.cleanFast(s) == Tokenize.cleanRef(s), s"input <$s>")
+    assert(Tokenize.cleanFast(null) == null)
+  }
+
+  test("StaticInvoke clean equals the built-in expression chain") {
+    import spark.implicits._
+    val edge = goldens.map(_._1) ++ samples(500)
+    val all = edge.toDF("s")
+    val got = all
+      .select($"s", Tokenize.clean($"s").as("a"), Tokenize.cleanChain($"s").as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"input <${r.getString(0)}>")
+    }
+  }
+
   test("Spark Column clean equals cleanRef on goldens and corpus sample") {
     import spark.implicits._
     val edge = goldens.map(_._1) ++ Seq(
