@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators.Dedup
+import graft.oracle.DocOracle
+
+/** Registered queries for the deduplication family (LLM-pipeline
+  * extension beyond the reference surface — SURVEY §7.2 step 7).
+  */
+object DedupQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, dir) => Dedup.exact(s, dir),
+      Some(DocOracle.exactSql)),
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(s, dir),
+      Some(DocOracle.minhashLshSql())),
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(s, dir),
+      Some(DocOracle.ngramJaccardSql())),
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhash(s, dir),
+      Some(DocOracle.simhashSql)),
+    Q("dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(s, dir),
+      Some(DocOracle.simhashPairsSql)))
+}

@@ -279,7 +279,8 @@ row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS r
 cast(sum(cast(round(o_totalprice*100) as bigint)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
 FROM orders ORDER BY o_custkey, o_orderkey""")))
 
-  /** All reference-surface queries. */
+  /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
-    f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs
+    f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
+      DedupQueries.all
 }

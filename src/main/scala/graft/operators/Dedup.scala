@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+
+/** Document deduplication family over the `documents` table: exact
+  * (hash groups), MinHash-LSH banded near-dup, n-gram Jaccard with a
+  * document-frequency cap, and SimHash (32-bit) with byte-banded
+  * pair generation.
+  *
+  * Every stage is oracle-expressible: hashes are md5 (identical hex
+  * in Spark and DuckDB), MinHash minimizes the md5 hex string
+  * lexicographically (ASCII order is engine-independent), and all
+  * scores are exact integers (basis points via floor).
+  *
+  * Scale posture (100 TB):
+  *  - no all-pairs crossJoin anywhere — candidates come from LSH band
+  *    buckets (MinHash), df-capped shared shingles (Jaccard), or
+  *    byte bands (SimHash), each a distributed equi-join;
+  *  - shingling/hashing is one scan + one explode, combined map-side;
+  *  - the df cap bounds the quadratic blowup of degenerate hot
+  *    shingles (stopword-only 3-grams etc.);
+  *  - verification joins run per candidate pair, proportional to
+  *    |candidates|, not |docs|².
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: one group per distinct text hash; keeper = min id.
+    * (Picking a keeper per group IS the dedup decision — `copies > 1`
+    * marks rows to drop.)
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("copies"))
+      .orderBy("text_hash")
+
+  /** Distinct word 3-gram shingles per document: `(doc_id, s)`.
+    * Spark array indexing is 0-based (`w[i]`), so `sequence(1,
+    * size-2)` starts shingles at word 0 — mirrored 1-based in the
+    * DuckDB oracle.
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 3,
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .distinct()
+
+  /** Per-seed MinHash: lexicographic min of `md5(seed|shingle)` hex. */
+  def minhash(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame = {
+    val seeds = spark.range(0, numSeeds).select(col("id").cast("int").as("seed"))
+    shingles(spark, dir)
+      .crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
+        .cast("binary"))).as("mh"))
+  }
+
+  /** LSH bands of 2 minhashes each -> `(doc_id, band_id, bh)`. */
+  def bands(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame =
+    minhash(spark, dir, numSeeds)
+      .groupBy(col("doc_id"), expr("seed div 2").cast("int").as("band_id"))
+      .agg(md5(concat(
+        min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
+        min(when(col("seed") % 2 === 1, col("mh")))).cast("binary")).as("bh"))
+
+  /** Exact Jaccard verification of candidate pairs `(doc_x, doc_y)`:
+    * intersection/union over full shingle sets, keep jac >= minJacBp.
+    */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame, minJacBp: Int): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_x"), col("s")), Seq("doc_x"))
+      .join(sh.select(col("doc_id").as("doc_y"), col("s")), Seq("doc_y", "s"))
+      .groupBy("doc_x", "doc_y").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_x"), col("n").as("nx")), Seq("doc_x"))
+      .join(sizes.select(col("doc_id").as("doc_y"), col("n").as("ny")), Seq("doc_y"))
+      .withColumn("union_n", col("nx") + col("ny") - col("inter_n"))
+      .where(lit(10000.0) * col("inter_n") / col("union_n") >= minJacBp)
+      .select(col("doc_x"), col("doc_y"), col("inter_n"), col("union_n"),
+        floor(lit(10000.0) * col("inter_n") / col("union_n")).cast("long").as("jac_bp"))
+      .orderBy("doc_x", "doc_y")
+  }
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates + exact
+    * Jaccard verify (>= 50%).
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(spark, dir)
+    val cand = b.select(col("doc_id").as("doc_x"), col("band_id"), col("bh"))
+      .join(b.select(col("doc_id").as("doc_y"), col("band_id"), col("bh")),
+        Seq("band_id", "bh"))
+      .where(col("doc_x") < col("doc_y"))
+      .select("doc_x", "doc_y").distinct()
+    verifyJaccard(spark, dir, cand, 5000)
+  }
+
+  /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates share
+    * >= 3 rare shingles (document frequency <= maxDf), then exact
+    * Jaccard verify. The df cap bounds hot-shingle quadratic blowup.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+      maxDf: Int = 100, minShared: Int = 3): DataFrame = {
+    val sh = shingles(spark, dir)
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+        .select("s"),
+      Seq("s"))
+    val cand = rare.select(col("doc_id").as("doc_x"), col("s"))
+      .join(rare.select(col("doc_id").as("doc_y"), col("s")), Seq("s"))
+      .where(col("doc_x") < col("doc_y"))
+      .groupBy("doc_x", "doc_y").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select("doc_x", "doc_y")
+    verifyJaccard(spark, dir, cand, 5000)
+  }
+
+  /** Distinct word unigrams with a 32-bit token hash (first 8 md5 hex
+    * chars as an integer — portable to DuckDB via strpos arithmetic).
+    */
+  private def tokenHashes(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Tokenize.clean(col("text")).as("cleaned"))
+      .where(col("cleaned") =!= "")
+      .select(col("doc_id"), explode(split(col("cleaned"), " ")).as("t"))
+      .distinct()
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("h"))
+
+  /** 32-bit SimHash per document: bit b set iff sum over distinct
+    * tokens of (+1 if token-hash bit b else -1) >= 0.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bits = tokenHashes(spark, dir).groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"b$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    bits.select(col("doc_id"), sim.cast("long").as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the 4
+    * signature bytes (pigeonhole: guarantees recall of every pair at
+    * hamming distance <= 3), verified by exact hamming <= 3.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhash(spark, dir)
+    val bytes = sim.crossJoin(broadcast(
+        spark.range(0, 4).select(col("id").cast("int").as("byte_ix"))))
+      .select(col("doc_id"), col("simhash"), col("byte_ix"),
+        expr("shiftright(simhash, byte_ix * 8) % 256").as("byte_v"))
+    val cand = bytes.select(col("doc_id").as("doc_x"), col("simhash").as("sim_x"),
+        col("byte_ix"), col("byte_v"))
+      .join(bytes.select(col("doc_id").as("doc_y"), col("simhash").as("sim_y"),
+        col("byte_ix"), col("byte_v")), Seq("byte_ix", "byte_v"))
+      .where(col("doc_x") < col("doc_y"))
+      .select("doc_x", "doc_y", "sim_x", "sim_y").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sim_x ^ sim_y)").cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_x", "doc_y", "hamming")
+      .orderBy("doc_x", "doc_y")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.oracle
+
+import graft.functions.Tokenize
+
+/** DuckDB oracle SQL for the document pipeline families (dedup, text
+  * analysis). Mirrors [[graft.operators.Dedup]] /
+  * [[graft.operators.TextAnalysis]] stage for stage: same cleaning
+  * chain, same md5-based hashing, same integer (basis-point) scores.
+  *
+  * DuckDB list indexing is 1-based (`w[i]`); the Spark side indexes
+  * 0-based with a shifted `sequence`, producing identical shingles.
+  */
+object DocOracle {
+
+  /** `(strpos-arithmetic)` rendering of "first 8 md5 hex chars as a
+    * 32-bit integer" — DuckDB 1.0 has no hex->int conversion, so the
+    * oracle decodes positionally. Spark computes the same value via
+    * `conv(substr(md5(x),1,8),16,10)`.
+    */
+  def hex8IntSql(hexExpr: String): String = {
+    val terms = (1 to 8).map { p =>
+      val scale = 1L << (4 * (8 - p))
+      s"(strpos('0123456789abcdef', substr($hexExpr, $p, 1)) - 1) * ${scale}"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** Shared CTEs: cleaned docs, word arrays, distinct 3-gram
+    * shingles, per-doc shingle counts.
+    */
+  def shingleCtes: String =
+    s"""doc_clean AS (
+    SELECT doc_id, ${Tokenize.cleanSql("text")} AS cleaned FROM documents
+  ),
+  doc_words AS (SELECT doc_id, string_split(cleaned, ' ') AS w FROM doc_clean),
+  doc_shingles AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM doc_words
+  ),
+  shingle_sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id)"""
+
+  def exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS copies
+FROM documents GROUP BY md5(text) ORDER BY text_hash"""
+
+  /** Candidate CTE -> verified near-dup pairs (exact Jaccard >= 50%). */
+  private def verifySql(candCtes: String): String =
+    s"""WITH $shingleCtes,
+  $candCtes,
+  pair_inter AS (
+    SELECT c.doc_x, c.doc_y, count(*) AS inter_n
+    FROM cand c
+    JOIN doc_shingles sx ON sx.doc_id = c.doc_x
+    JOIN doc_shingles sy ON sy.doc_id = c.doc_y AND sy.s = sx.s
+    GROUP BY c.doc_x, c.doc_y
+  )
+SELECT p.doc_x, p.doc_y, p.inter_n,
+  nx.n + ny.n - p.inter_n AS union_n,
+  CAST(floor(10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n)) AS BIGINT) AS jac_bp
+FROM pair_inter p
+JOIN shingle_sizes nx ON nx.doc_id = p.doc_x
+JOIN shingle_sizes ny ON ny.doc_id = p.doc_y
+WHERE 10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n) >= 5000
+ORDER BY doc_x, doc_y"""
+
+  def minhashLshSql(numSeeds: Int = 8): String = verifySql(
+    s"""minh AS (
+    SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+    FROM doc_shingles, range(0, $numSeeds) t(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, seed // 2 AS band_id,
+      md5(min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+          min(CASE WHEN seed % 2 = 1 THEN mh END)) AS bh
+    FROM minh GROUP BY doc_id, seed // 2
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+  )""")
+
+  def ngramJaccardSql(maxDf: Int = 100, minShared: Int = 3): String = verifySql(
+    s"""rare AS (
+    SELECT doc_id, s FROM doc_shingles
+    WHERE s IN (SELECT s FROM doc_shingles GROUP BY s HAVING count(*) <= $maxDf)
+  ),
+  cand AS (
+    SELECT a.doc_id AS doc_x, b.doc_id AS doc_y
+    FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= $minShared
+  )""")
+
+  /** CTEs through per-doc 32-bit simhash. */
+  private def simhashCtes: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n      ")
+    val assemble = (0 until 32)
+      .map(b => s"CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""doc_clean AS (
+    SELECT doc_id, ${Tokenize.cleanSql("text")} AS cleaned FROM documents
+  ),
+  doc_tokens AS (
+    SELECT DISTINCT doc_id, unnest(string_split(cleaned, ' ')) AS t
+    FROM doc_clean WHERE cleaned <> ''
+  ),
+  tok_hash AS (SELECT doc_id, ${hex8IntSql("md5(t)")} AS h FROM doc_tokens),
+  bit_sums AS (
+    SELECT doc_id,
+      $bitSums
+    FROM tok_hash GROUP BY doc_id
+  ),
+  sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bit_sums)"""
+  }
+
+  def simhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sims ORDER BY doc_id"
+
+  def simhashPairsSql: String =
+    s"""WITH $simhashCtes,
+  sim_bytes AS (
+    SELECT doc_id, simhash, i AS byte_ix, (simhash >> (i * 8)) % 256 AS byte_v
+    FROM sims, range(0, 4) t(i)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y,
+      a.simhash AS sim_x, b.simhash AS sim_y
+    FROM sim_bytes a
+    JOIN sim_bytes b ON a.byte_ix = b.byte_ix AND a.byte_v = b.byte_v
+      AND a.doc_id < b.doc_id
+  )
+SELECT doc_x, doc_y, CAST(bit_count(xor(sim_x, sim_y)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_x, sim_y)) <= 3
+ORDER BY doc_x, doc_y"""
+}
