@@ -78,7 +78,9 @@ object Queries {
         .select(col("p_partkey").cast("long").as("id"),
           Tokenize.clean(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))).as("cleaned"))
         .orderBy("id"),
-      Some(s"""SELECT cast(p_partkey as bigint) AS id, ${Tokenize.cleanSql("p_name || ' ' || p_brand || ' ' || p_type")} AS cleaned FROM part ORDER BY id""")),
+      // concat_ws in BOTH engines: `||` is null-propagating in DuckDB
+      // while Spark's concat_ws null-skips (round-2 ADVICE).
+      Some(s"""SELECT cast(p_partkey as bigint) AS id, ${Tokenize.cleanSql("concat_ws(' ', p_name, p_brand, p_type)")} AS cleaned FROM part ORDER BY id""")),
     Q("f1_clean_documents",
       (s, dir) => s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("id"),
@@ -205,6 +207,10 @@ object Queries {
 
   // ---- J3/J4: (table,row) self-join for one key pair ----
 
+  // Key pair verified to co-occur in one (table,row) at every sf:
+  // customer 33's segment is HOUSEHOLD at sf0.001/0.01/0.1, so
+  // ('customer 000000033', 'household') share (customer, row 33) and
+  // the self-join is exercised on nonzero rows (round-2 VERDICT #6).
   private val selfJoinQs = Seq(
     Q("j3_j4_selfjoin_pair",
       (s, dir) => {
@@ -213,15 +219,15 @@ object Queries {
           .dropDuplicates()
           .select(col("table_id"), col("row_id"),
             col("key").as(kn), col("column_id").as(cn))
-        side("customer 000000003", "key_x", "col_x")
-          .join(side("building", "key_y", "col_y"), Seq("table_id", "row_id"))
+        side("customer 000000033", "key_x", "col_x")
+          .join(side("household", "key_y", "col_y"), Seq("table_id", "row_id"))
           .select("table_id", "key_x", "col_x", "row_id", "key_y", "col_y")
           .orderBy("table_id", "row_id", "col_x", "col_y")
       },
       Some(SearchOracle.indexOnly(
         """SELECT x.table_id, x.key AS key_x, x.column_id AS col_x, x.row_id, y.key AS key_y, y.column_id AS col_y
-FROM (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'customer 000000003') x
-JOIN (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'building') y
+FROM (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'customer 000000033') x
+JOIN (SELECT DISTINCT key, table_id, column_id, row_id FROM idxf WHERE key = 'household') y
   ON x.table_id = y.table_id AND x.row_id = y.row_id
 ORDER BY x.table_id, x.row_id, col_x, col_y"""))))
 

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Tokenize
+import graft.sources.DfCache
 
 /** Document deduplication family over the `documents` table: exact
   * (hash groups), MinHash-LSH banded near-dup, n-gram Jaccard with a
-  * document-frequency cap, and SimHash (32-bit) with byte-banded
+  * document-frequency cap, and SimHash (64-bit) with 16-bit-banded
   * pair generation.
   *
   * Every stage is oracle-expressible: hashes are md5 (identical hex
@@ -18,8 +19,12 @@ import graft.functions.Tokenize
   * Scale posture (100 TB):
   *  - no all-pairs crossJoin anywhere — candidates come from LSH band
   *    buckets (MinHash), df-capped shared shingles (Jaccard), or
-  *    byte bands (SimHash), each a distributed equi-join;
-  *  - shingling/hashing is one scan + one explode, combined map-side;
+  *    16-bit signature bands (SimHash), each a distributed equi-join;
+  *  - shingling/hashing is one scan + one explode, combined map-side,
+  *    and the shingle/signature sets are persisted once per session
+  *    and shared by every consumer (candidate generation AND
+  *    verification) — the round-2 bench showed the unpersisted
+  *    lineage re-executing ~7x per query;
   *  - the df cap bounds the quadratic blowup of degenerate hot
   *    shingles (stopword-only 3-grams etc.);
   *  - verification joins run per candidate pair, proportional to
@@ -43,16 +48,19 @@ object Dedup {
   /** Distinct word 3-gram shingles per document: `(doc_id, s)`.
     * Spark array indexing is 0-based (`w[i]`), so `sequence(1,
     * size-2)` starts shingles at word 0 — mirrored 1-based in the
-    * DuckDB oracle.
+    * DuckDB oracle. Persisted once per (session, corpus): consumed by
+    * MinHash, the Jaccard candidate join, and the verification stage.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(
-        when(size(col("w")) >= 3,
-          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-          .otherwise(array().cast("array<string>"))).as("s"))
-      .distinct()
+    DfCache.getOrPersist(spark, s"doc_shingles:$dir") {
+      docs(spark, dir)
+        .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("w"))
+        .select(col("doc_id"), explode(
+          when(size(col("w")) >= 3,
+            expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+            .otherwise(array().cast("array<string>"))).as("s"))
+        .distinct()
+    }
 
   /** Per-seed MinHash: lexicographic min of `md5(seed|shingle)` hex. */
   def minhash(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame = {
@@ -64,13 +72,17 @@ object Dedup {
         .cast("binary"))).as("mh"))
   }
 
-  /** LSH bands of 2 minhashes each -> `(doc_id, band_id, bh)`. */
+  /** LSH bands of 2 minhashes each -> `(doc_id, band_id, bh)`.
+    * Persisted: the candidate step self-joins both sides of this.
+    */
   def bands(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame =
-    minhash(spark, dir, numSeeds)
-      .groupBy(col("doc_id"), expr("seed div 2").cast("int").as("band_id"))
-      .agg(md5(concat(
-        min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
-        min(when(col("seed") % 2 === 1, col("mh")))).cast("binary")).as("bh"))
+    DfCache.getOrPersist(spark, s"doc_bands:$dir:$numSeeds") {
+      minhash(spark, dir, numSeeds)
+        .groupBy(col("doc_id"), expr("seed div 2").cast("int").as("band_id"))
+        .agg(md5(concat(
+          min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
+          min(when(col("seed") % 2 === 1, col("mh")))).cast("binary")).as("bh"))
+    }
 
   /** Exact Jaccard verification of candidate pairs `(doc_x, doc_y)`:
     * intersection/union over full shingle sets, keep jac >= minJacBp.
@@ -112,11 +124,13 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       maxDf: Int = 100, minShared: Int = 3): DataFrame = {
-    val sh = shingles(spark, dir)
-    val rare = sh.join(
-      sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-        .select("s"),
-      Seq("s"))
+    val rare = DfCache.getOrPersist(spark, s"doc_rare_shingles:$dir:$maxDf") {
+      val sh = shingles(spark, dir)
+      sh.join(
+        sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+          .select("s"),
+        Seq("s"))
+    }
     val cand = rare.select(col("doc_id").as("doc_x"), col("s"))
       .join(rare.select(col("doc_id").as("doc_y"), col("s")), Seq("s"))
       .where(col("doc_x") < col("doc_y"))
@@ -126,8 +140,10 @@ object Dedup {
     verifyJaccard(spark, dir, cand, 5000)
   }
 
-  /** Distinct word unigrams with a 32-bit token hash (first 8 md5 hex
-    * chars as an integer — portable to DuckDB via strpos arithmetic).
+  /** Distinct word unigrams with two 32-bit token hashes (md5 hex
+    * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
+    * arithmetic). Two positive 32-bit halves sidestep signed-64
+    * overflow in both engines.
     */
   private def tokenHashes(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -136,38 +152,65 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("cleaned"), " ")).as("t"))
       .distinct()
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("h"))
+        expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("h_lo"),
+        expr("cast(conv(substr(md5(cast(t as binary)), 9, 8), 16, 10) as bigint)").as("h_hi"))
 
-  /** 32-bit SimHash per document: bit b set iff sum over distinct
-    * tokens of (+1 if token-hash bit b else -1) >= 0.
+  /** 64-bit SimHash per document, materialized as two positive 32-bit
+    * halves `(sim_lo, sim_hi)`: bit b set iff sum over distinct tokens
+    * of (+1 if token-hash bit b else -1) >= 0. Persisted once per
+    * (session, corpus): [[simhash]] and both sides of
+    * [[simhashPairs]]' band self-join consume it.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b"))
-    val bits = tokenHashes(spark, dir).groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until 32).map(b =>
-      when(col(s"b$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
-    bits.select(col("doc_id"), sim.cast("long").as("simhash")).orderBy("doc_id")
-  }
+  def simhashHalves(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrPersist(spark, s"doc_simhash:$dir") {
+      val sums =
+        (0 until 32).map(b =>
+          sum(when(shiftright(col("h_lo"), b) % 2 === 1, 1).otherwise(-1)).as(s"lo$b")) ++
+        (0 until 32).map(b =>
+          sum(when(shiftright(col("h_hi"), b) % 2 === 1, 1).otherwise(-1)).as(s"hi$b"))
+      val bits = tokenHashes(spark, dir).groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      val lo = (0 until 32).map(b =>
+        when(col(s"lo$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+      val hi = (0 until 32).map(b =>
+        when(col(s"hi$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+      bits.select(col("doc_id"),
+        lo.cast("long").as("sim_lo"), hi.cast("long").as("sim_hi"))
+    }
+
+  /** Per-document 64-bit SimHash signature (both halves), ordered. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashHalves(spark, dir).orderBy("doc_id")
 
   /** SimHash near-dup pairs: candidates share at least one of the 4
-    * signature bytes (pigeonhole: guarantees recall of every pair at
-    * hamming distance <= 3), verified by exact hamming <= 3.
+    * disjoint 16-bit signature bands, verified by exact hamming <= 3.
+    *
+    * Pigeonhole recall argument: 4 disjoint bands cover all 64 bits,
+    * so any pair at hamming distance <= 3 has its differing bits in
+    * at most 3 bands — at least one band is bit-identical, and the
+    * band equi-join emits the pair. Bucket count per band is 2^16
+    * (vs 2^8 for the round-2 byte bands), so expected bucket
+    * population — and the quadratic within-bucket pair count — drops
+    * 256x at the same corpus size; band width is the knob that keeps
+    * bucket occupancy bounded as the corpus grows.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = simhash(spark, dir)
-    val bytes = sim.crossJoin(broadcast(
-        spark.range(0, 4).select(col("id").cast("int").as("byte_ix"))))
-      .select(col("doc_id"), col("simhash"), col("byte_ix"),
-        expr("shiftright(simhash, byte_ix * 8) % 256").as("byte_v"))
-    val cand = bytes.select(col("doc_id").as("doc_x"), col("simhash").as("sim_x"),
-        col("byte_ix"), col("byte_v"))
-      .join(bytes.select(col("doc_id").as("doc_y"), col("simhash").as("sim_y"),
-        col("byte_ix"), col("byte_v")), Seq("byte_ix", "byte_v"))
+    val sim = simhashHalves(spark, dir)
+    val bandIx = broadcast(
+      spark.range(0, 4).select(col("id").cast("int").as("band_ix")))
+    val bands = sim.crossJoin(bandIx)
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"), col("band_ix"),
+        expr("""CASE WHEN band_ix < 2 THEN shiftright(sim_lo, band_ix * 16) % 65536
+                     ELSE shiftright(sim_hi, (band_ix - 2) * 16) % 65536 END""").as("band_v"))
+    val cand = bands.select(col("doc_id").as("doc_x"), col("sim_lo").as("lo_x"),
+        col("sim_hi").as("hi_x"), col("band_ix"), col("band_v"))
+      .join(bands.select(col("doc_id").as("doc_y"), col("sim_lo").as("lo_y"),
+        col("sim_hi").as("hi_y"), col("band_ix"), col("band_v")),
+        Seq("band_ix", "band_v"))
       .where(col("doc_x") < col("doc_y"))
-      .select("doc_x", "doc_y", "sim_x", "sim_y").distinct()
+      .select("doc_x", "doc_y", "lo_x", "hi_x", "lo_y", "hi_y").distinct()
     cand
-      .withColumn("hamming", expr("bit_count(sim_x ^ sim_y)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(lo_x ^ lo_y) + bit_count(hi_x ^ hi_y)").cast("long"))
       .where(col("hamming") <= 3)
       .select("doc_x", "doc_y", "hamming")
       .orderBy("doc_x", "doc_y")

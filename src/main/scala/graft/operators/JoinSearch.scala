@@ -37,15 +37,30 @@ import graft.functions.Tokenize
   */
 object JoinSearch {
 
-  /** P1-P5: project, distinct, drop nulls, NBSP-strip — then F1 clean.
-    * (`Par_Search.py:151-166`; NBSP uses seq's substring semantics,
-    * `Seq_Search.py:124`, per SURVEY §2.2 P5.)
+  /** P1-P5: project, distinct, drop nulls, NBSP-strip — then F1 clean
+    * and dedup AGAIN post-clean. (`Par_Search.py:151-166`; NBSP uses
+    * seq's substring semantics, `Seq_Search.py:124`, per SURVEY §2.2
+    * P5.) The reference dedups raw rows only; distinct raws cleaning
+    * to the same row would then double-count scores — we adopt
+    * one-cleaned-query-row = one-match semantics (round-2 ADVICE),
+    * mirrored in the oracle's `qclean` DISTINCT.
     */
   def prepareInput(query: DataFrame, cols: Seq[String]): DataFrame = {
     val projected = query.select(cols.map(col): _*).dropDuplicates().na.drop()
     projected.select(cols.map(c =>
       Tokenize.clean(regexp_replace(col(c), "\u00A0", "")).as(c)): _*)
+      .dropDuplicates()
   }
+
+  /** Delimiter for assembling map_key from cleaned values. The
+    * reference uses a space (`Par_Search.py:213`), but cleaned values
+    * contain spaces, so query rows ('a','b c') and ('a b','c') would
+    * collapse to one map_key and merge their conjunction groups — a
+    * latent cross-row false match for the N-generalized engine
+    * (round-2 ADVICE). U+0001 cannot appear in cleaned output
+    * (charset is `[a-z0-9' ]`); mirrored in the oracle via `chr(1)`.
+    */
+  val MapKeyDelim = "\u0001"
 
   /** F2+G1: cleaned query rows -> long-format `(key, map_key)` where
     * map_key identifies the originating query row
@@ -53,7 +68,7 @@ object JoinSearch {
     */
   def mappings(cleanInput: DataFrame, cols: Seq[String]): DataFrame = {
     val withKey = cleanInput.withColumn(
-      "map_key", concat_ws(" ", cols.map(col): _*))
+      "map_key", concat_ws(MapKeyDelim, cols.map(col): _*))
     val stackArgs = cols.map(c => s"`$c`, map_key").mkString(", ")
     withKey.selectExpr(s"stack(${cols.size}, $stackArgs) as (key, map_key)")
   }
@@ -151,19 +166,28 @@ object JoinSearch {
     * identical results, different plan (SURVEY §4 "rewrite with
     * unordered windows or groupBy+join"). Serves as a built-in
     * cross-check of the window formulation.
+    *
+    * The count-filter + join shape consumes each subtree twice (the
+    * dedup feeds both the row counts and the kept join; ditto mapped)
+    * — without a persist the probe chain executed up to 4x and this
+    * query regressed to the #4 bench line in round 2. Both reused
+    * subtrees persist MEMORY_AND_DISK for the duration of the plan.
     */
   def searchTablesViaGroupBy(index: DataFrame, query: DataFrame,
       cols: Seq[String], maxTables: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val colCount = cols.size
     val m = mappings(prepareInput(query, cols), cols)
     val dedup = probe(index, m)
       .groupBy("table_id", "row_id", "key")
       .agg(min("column_id").as("column_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rowCounts = dedup.groupBy("table_id", "row_id")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
     val kept = dedup.join(rowCounts.select("table_id", "row_id"),
       Seq("table_id", "row_id"))
     val mapped = kept.join(broadcast(m), Seq("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val grpCounts = mapped.groupBy("table_id", "row_id", "map_key")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
     val matched = mapped.join(

@@ -94,13 +94,16 @@ ORDER BY doc_x, doc_y"""
     GROUP BY 1, 2 HAVING count(*) >= $minShared
   )""")
 
-  /** CTEs through per-doc 32-bit simhash. */
+  /** CTEs through the per-doc 64-bit simhash, materialized as two
+    * positive 32-bit halves (sidesteps signed-64 overflow when
+    * assembling bit 63 in either engine).
+    */
   private def simhashCtes: String = {
-    val bitSums = (0 until 32)
-      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
+    def bitSums(h: String, p: String) = (0 until 32)
+      .map(b => s"sum(CASE WHEN ($h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS $p$b")
       .mkString(",\n      ")
-    val assemble = (0 until 32)
-      .map(b => s"CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END")
+    def assemble(p: String) = (0 until 32)
+      .map(b => s"CASE WHEN $p$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""doc_clean AS (
     SELECT doc_id, ${Tokenize.cleanSql("text")} AS cleaned FROM documents
@@ -109,32 +112,44 @@ ORDER BY doc_x, doc_y"""
     SELECT DISTINCT doc_id, unnest(string_split(cleaned, ' ')) AS t
     FROM doc_clean WHERE cleaned <> ''
   ),
-  tok_hash AS (SELECT doc_id, ${hex8IntSql("md5(t)")} AS h FROM doc_tokens),
+  tok_hash AS (
+    SELECT doc_id, ${hex8IntSql("md5(t)")} AS h_lo,
+      ${hex8IntSql("substr(md5(t), 9, 8)")} AS h_hi
+    FROM doc_tokens
+  ),
   bit_sums AS (
     SELECT doc_id,
-      $bitSums
+      ${bitSums("h_lo", "lo")},
+      ${bitSums("h_hi", "hi")}
     FROM tok_hash GROUP BY doc_id
   ),
-  sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bit_sums)"""
+  sims AS (
+    SELECT doc_id, CAST(${assemble("lo")} AS BIGINT) AS sim_lo,
+      CAST(${assemble("hi")} AS BIGINT) AS sim_hi
+    FROM bit_sums
+  )"""
   }
 
   def simhashSql: String =
-    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sims ORDER BY doc_id"
+    s"WITH $simhashCtes\nSELECT doc_id, sim_lo, sim_hi FROM sims ORDER BY doc_id"
 
   def simhashPairsSql: String =
     s"""WITH $simhashCtes,
-  sim_bytes AS (
-    SELECT doc_id, simhash, i AS byte_ix, (simhash >> (i * 8)) % 256 AS byte_v
+  sim_bands AS (
+    SELECT doc_id, sim_lo, sim_hi, i AS band_ix,
+      CASE WHEN i < 2 THEN (sim_lo >> (i * 16)) % 65536
+           ELSE (sim_hi >> ((i - 2) * 16)) % 65536 END AS band_v
     FROM sims, range(0, 4) t(i)
   ),
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y,
-      a.simhash AS sim_x, b.simhash AS sim_y
-    FROM sim_bytes a
-    JOIN sim_bytes b ON a.byte_ix = b.byte_ix AND a.byte_v = b.byte_v
+      a.sim_lo AS lo_x, a.sim_hi AS hi_x, b.sim_lo AS lo_y, b.sim_hi AS hi_y
+    FROM sim_bands a
+    JOIN sim_bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v
       AND a.doc_id < b.doc_id
   )
-SELECT doc_x, doc_y, CAST(bit_count(xor(sim_x, sim_y)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sim_x, sim_y)) <= 3
+SELECT doc_x, doc_y,
+  CAST(bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) <= 3
 ORDER BY doc_x, doc_y"""
 }

@@ -50,14 +50,15 @@ object SearchOracle {
     val cleaned = q.cols.map { c =>
       s"""${Tokenize.cleanSql(s"""replace("$c", chr(160), '')""")} AS "$c""""
     }.mkString(",\n      ")
-    val mapKey = q.cols.map(c => s""""$c"""").mkString(" || ' ' || ")
+    // map_key delimiter = chr(1), mirroring JoinSearch.MapKeyDelim.
+    val mapKey = q.cols.map(c => s""""$c"""").mkString(" || chr(1) || ")
     val mapBranches = q.cols.map { c =>
       s"""SELECT "$c" AS key, $mapKey AS map_key FROM qclean"""
     }.mkString("\n    UNION ALL ")
     s"""qraw AS (${q.fromSql}),
   qdedup AS (SELECT DISTINCT $colList FROM qraw WHERE $notNull),
   qclean AS (
-    SELECT $cleaned
+    SELECT DISTINCT $cleaned
     FROM qdedup
   ),
   maps AS (
