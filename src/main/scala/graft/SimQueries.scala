@@ -1,0 +1,21 @@
+package graft
+
+import graft.operators.Similarity
+import graft.oracle.SimOracle
+
+/** Registered queries for the similarity-search family (LLM-pipeline
+  * extension beyond the reference surface — SURVEY §7.2 step 7).
+  */
+object SimQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("sim_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(s, dir),
+      Some(SimOracle.cosineTopKSql())),
+    Q("sim_lsh_bucketed",
+      (s, dir) => Similarity.lshPairs(s, dir),
+      Some(SimOracle.lshPairsSql())),
+    Q("sim_ivf_probe",
+      (s, dir) => Similarity.ivfProbe(s, dir),
+      Some(SimOracle.ivfProbeSql())))
+}

@@ -1,0 +1,111 @@
+package graft.oracle
+
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for the similarity family. Mirrors
+  * [[graft.operators.Similarity]] stage for stage: same integer
+  * quantization (`round(x * 10000)` per component), exact bigint dot
+  * products / squared norms, and the identical single float step
+  * `dot / (sqrt(na) * sqrt(nb))` — IEEE correctly-rounded in both
+  * engines, so rankings and `floor(cos * 10000)` basis points match
+  * bit for bit (see the Similarity object doc).
+  *
+  * DuckDB's `range(a, b)` is a list in scalar position and lists are
+  * 1-indexed; `list_sum` over BIGINT widens to HUGEINT, so sums are
+  * cast back down.
+  */
+object SimOracle {
+
+  private val S = Similarity.QuantScale
+  private val D = Similarity.Dim
+
+  /** Shared CTEs: quantized vectors + exact squared norms. */
+  private def baseCtes: String =
+    s"""qbase AS (
+    SELECT vec_id,
+      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $S) AS BIGINT)) AS q
+    FROM embeddings
+  ),
+  nb AS (
+    SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
+    FROM qbase
+  )"""
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${D + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  def cosineTopKSql(k: Int = 10, probeMod: Int = 50): String =
+    s"""WITH $baseCtes,
+  probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  pairs AS (
+    SELECT p.qid, c.vec_id, ${dotSql("p.pq", "c.q")} AS dot_q, c.nq, p.pnq
+    FROM probes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  scored AS (
+    SELECT qid, vec_id, dot_q, ${cosSql("dot_q", "nq", "pnq")} AS cosd FROM pairs
+  ),
+  ranked AS (
+    SELECT qid, vec_id, dot_q, CAST(floor(cosd * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM scored
+  )
+SELECT qid, rank, vec_id, dot_q, cos_bp FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  def lshPairsSql(minCosBp: Int = 3000): String = {
+    val nBands = Similarity.NumBands
+    val bBits = Similarity.BandBits
+    s"""WITH $baseCtes,
+  bands AS (
+    SELECT vec_id, b AS band_ix,
+      CAST(list_sum(list_transform(range(0, $bBits),
+        j -> CASE WHEN q[b * $bBits + j + 1] >= 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS band_v
+    FROM nb, range(0, $nBands) t(b)
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_x, b.vec_id AS vec_y
+    FROM bands a
+    JOIN bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v AND a.vec_id < b.vec_id
+  ),
+  verified AS (
+    SELECT c.vec_x, c.vec_y, ${dotSql("x.q", "y.q")} AS dot_q, x.nq AS nx, y.nq AS ny
+    FROM cand c JOIN nb x ON x.vec_id = c.vec_x JOIN nb y ON y.vec_id = c.vec_y
+  )
+SELECT vec_x, vec_y, dot_q,
+  CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) AS cos_bp
+FROM verified
+WHERE CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) >= $minCosBp
+ORDER BY vec_x, vec_y"""
+  }
+
+  def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
+    s"""WITH $baseCtes,
+  cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  probes AS (
+    SELECT n.vec_id AS qid, n.q AS pq, n.nq AS pnq, c.cell_id
+    FROM nb n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id % $probeMod = 0
+  ),
+  scored AS (
+    SELECT p.qid, p.cell_id, n.vec_id, ${dotSql("p.pq", "n.q")} AS dot_q, n.nq, p.pnq
+    FROM probes p JOIN cells c ON c.cell_id = p.cell_id JOIN nb n ON n.vec_id = c.vec_id
+    WHERE n.vec_id <> p.qid
+  ),
+  ranked AS (
+    SELECT qid, cell_id, vec_id, dot_q,
+      CAST(floor(${cosSql("dot_q", "nq", "pnq")} * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY
+        ${cosSql("dot_q", "nq", "pnq")} DESC, vec_id ASC) AS rank
+    FROM scored
+  )
+SELECT qid, cell_id, rank, vec_id, dot_q, cos_bp
+FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+}

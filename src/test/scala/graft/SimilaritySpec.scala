@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Invariant checks for the similarity family on sf0.001 (the DuckDB
+  * oracle parity is the driver's correctness gate; these cover the
+  * structural properties the oracle cannot see).
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine top-k: k rows per probe, rank-monotone scores, no self") {
+    val tk = Similarity.cosineTopK(spark, sf0001, k = 5, probeMod = 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byQ = tk.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 5)
+      assert(rows.forall(_._3 != q), "probe must not match itself")
+      val ranked = rows.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq == (1L to 5L), "ranks dense from 1")
+      // cos_bp non-increasing with rank
+      assert(ranked.map(_._5).toSeq == ranked.map(_._5).sortBy(-_).toSeq)
+    }
+  }
+
+  test("lsh pairs are verified above threshold and candidate-sound") {
+    val pairs = Similarity.lshPairs(spark, sf0001, minCosBp = 3000)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.forall(_._4 >= 3000))
+    assert(pairs.forall(p => p._1 < p._2), "canonical (x < y) orientation")
+    // every emitted pair must actually share a sign band (soundness)
+    val bands = Similarity.signBands(spark, sf0001)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(b => (b._2, b._3)).toSet).toMap
+    assert(pairs.forall(p => bands(p._1).intersect(bands(p._2)).nonEmpty))
+  }
+
+  test("ivf: every vector lands in exactly one cell; probe stays in-cell") {
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val cells = Similarity.ivfCells(spark, sf0001)
+    assert(cells.count() == n)
+    assert(cells.select("vec_id").distinct().count() == n)
+    val cellOf = cells.as[(Long, Long)].collect().toMap
+    val probe = Similarity.ivfProbe(spark, sf0001, k = 3, probeMod = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(probe.nonEmpty)
+    assert(probe.forall(r => cellOf(r._1) == r._2 && cellOf(r._4) == r._2),
+      "probe and hit share the probe's cell")
+  }
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev iteration only;
+the driver runs its own copy). Usage:
+
+  python3 tools/compare.py <sfDir> <outDir> [query ...]
+
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each oracle in DuckDB against the
+parquet tables in <sfDir>, and compares rows / schema / value-hash
+with columns sorted by name (the driver's documented semantics).
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    ok = True
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: MISSING spark output")
+            ok = False
+            continue
+        spark_df = norm(pq.read_table(files[0]).to_pandas())
+        try:
+            duck_df = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            ok = False
+            continue
+        rows = len(spark_df) == len(duck_df)
+        schema = list(spark_df.columns) == list(duck_df.columns)
+        # dtype-insensitive value compare (driver hashes values)
+        hmatch = False
+        if rows and schema:
+            hmatch = value_hash(spark_df) == value_hash(duck_df)
+            if not hmatch:
+                # retry with numeric normalization (int32 vs int64 etc.)
+                s2 = spark_df.astype(object).where(pd.notnull(spark_df), None)
+                d2 = duck_df.astype(object).where(pd.notnull(duck_df), None)
+                hmatch = value_hash(s2) == value_hash(d2)
+        status = "OK" if (rows and schema and hmatch) else "FAIL"
+        if status == "FAIL":
+            ok = False
+        print(f"{name}: {status} spark_rows={len(spark_df)} oracle_rows={len(duck_df)} "
+              f"rows={rows} schema={schema} hash={hmatch}")
+        if status == "FAIL" and rows and schema:
+            merged = spark_df.compare(duck_df) if spark_df.shape == duck_df.shape else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
