@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.oracle.TextOracle
+
+/** Registered queries for the text-analysis family (LLM-pipeline
+  * extension beyond the reference surface — SURVEY §7.2 step 7).
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("text_stats",
+      (s, dir) => TextAnalysis.stats(s, dir),
+      Some(TextOracle.statsSql)),
+    Q("text_quality_flags",
+      (s, dir) => TextAnalysis.qualityFlags(s, dir),
+      Some(TextOracle.qualityFlagsSql())),
+    Q("text_langid",
+      (s, dir) => TextAnalysis.langId(s, dir),
+      Some(TextOracle.langIdSql())),
+    Q("text_source_profile",
+      (s, dir) => TextAnalysis.sourceProfile(s, dir),
+      Some(TextOracle.sourceProfileSql())),
+    Q("text_top_terms",
+      (s, dir) => TextAnalysis.topTerms(s, dir),
+      Some(TextOracle.topTermsSql())),
+    Q("text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(s, dir),
+      Some(TextOracle.fingerprintsSql())))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+
+/** Text-analysis family over the `documents` table (LLM-pipeline
+  * extension — SURVEY §7.2 step 7): per-document statistics, token
+  * counting (whitespace + a BPE-ish regex), Gopher-style quality
+  * flags, a function-word language-ID heuristic, per-(lang, source)
+  * corpus profiles, top terms per language, and k-gram min-sampling
+  * document fingerprints.
+  *
+  * Numeric posture: every emitted value is an exact integer (counts,
+  * or basis points via `floor(10000 * a / b)` on exact integer a, b)
+  * — no float comparisons anywhere, so DuckDB oracle parity is exact.
+  *
+  * Scale posture (100 TB): every query is one documents scan ->
+  * per-row codegen'd expressions -> at most one aggregation shuffle
+  * keyed on (lang) / (lang, source) / (doc_id); no UDFs, no driver
+  * materialization, no joins except fingerprints' reuse of the
+  * persisted shingle set shared with the dedup family.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The engine's canonical English function-word list
+    * ([[Tokenize.Stopwords]]) rendered as an array literal — the
+    * profile used by both the stopword stats and the language-ID
+    * heuristic.
+    */
+  private val swArray: String =
+    Tokenize.Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Count of raw whitespace tokens that are English function words. */
+  private val swHits: Column =
+    expr(s"size(filter(split(lower(text), ' '), w -> array_contains($swArray, w)))")
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the shape of a
+    * byte-pair pre-tokenizer's coarsest split).
+    */
+  private val reTokens: Column =
+    expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+
+  private def bp(num: Column, den: Column): Column =
+    floor(lit(10000L) * num / greatest(den, lit(1L))).cast("long")
+
+  /** Per-document statistics: char length, whitespace / regex / clean
+    * token counts, alpha and digit char counts, function-word hits
+    * and their ratio in basis points.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        reTokens.cast("long").as("n_re_tokens"),
+        when(Tokenize.clean(col("text")) === "", 0L)
+          .otherwise(size(split(Tokenize.clean(col("text")), " ")))
+          .cast("long").as("n_clean_tokens"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+        swHits.cast("long").as("sw_hits"))
+      .withColumn("sw_bp", bp(col("sw_hits"), col("n_ws_tokens")))
+      .orderBy("doc_id")
+
+  /** Gopher-style quality flags (published web-corpus filter rules),
+    * integer-only: document length in range, mean word length in
+    * [3, 10] chars (compared via cross-multiplication — no division),
+    * and at least 2 function-word hits. `quality_pass` is their
+    * conjunction.
+    */
+  def qualityFlags(spark: SparkSession, dir: String,
+      minTokens: Int = 30, maxTokens: Int = 100000): DataFrame = {
+    val s = stats(spark, dir)
+    val flagLen = (col("n_ws_tokens") >= minTokens) && (col("n_ws_tokens") <= maxTokens)
+    // 3 <= n_alpha / n_ws_tokens <= 10, exactly, in integers
+    val flagAvgLen = (col("n_alpha") >= lit(3L) * col("n_ws_tokens")) &&
+      (col("n_alpha") <= lit(10L) * col("n_ws_tokens"))
+    val flagSw = col("sw_hits") >= 2
+    s.select(col("doc_id"),
+        when(flagLen, 1L).otherwise(0L).as("flag_len"),
+        when(flagAvgLen, 1L).otherwise(0L).as("flag_avg_word_len"),
+        when(flagSw, 1L).otherwise(0L).as("flag_stopwords"),
+        when(flagLen && flagAvgLen && flagSw, 1L).otherwise(0L).as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Function-word language-ID heuristic: predict `en` when the
+    * function-word ratio clears `minSwBp` basis points, else `und`.
+    * (The 1-gram degenerate of character-n-gram profile scoring; the
+    * synthetic corpus draws every lang label from one shared English
+    * vocabulary, so agreement with the label measures the data's
+    * separability, not the operator — `is_match` is emitted to make
+    * that auditable.)
+    */
+  def langId(spark: SparkSession, dir: String, minSwBp: Int = 400): DataFrame =
+    stats(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("sw_bp"),
+        when(col("sw_bp") >= minSwBp, "en").otherwise("und").as("predicted"),
+        col("lang"),
+        when((when(col("sw_bp") >= minSwBp, "en").otherwise("und")) === col("lang"), 1L)
+          .otherwise(0L).as("is_match"))
+      .orderBy("doc_id")
+
+  /** Per-(lang, source) corpus profile: doc count, token/char sums,
+    * quality-pass count, mean tokens per doc in integer basis
+    * (floor(sum * 100 / n) = centi-tokens).
+    */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val s = stats(spark, dir).join(
+      qualityFlags(spark, dir).select("doc_id", "quality_pass"), Seq("doc_id"))
+      .join(docs(spark, dir).select("doc_id", "lang", "source"), Seq("doc_id"))
+    s.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").cast("long").as("sum_tokens"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        sum("quality_pass").cast("long").as("n_quality"),
+        expr("cast((sum(n_ws_tokens) * 100) div count(1) as bigint)").as("mean_tokens_c"))
+      .orderBy("lang", "source")
+  }
+
+  /** Top `k` cleaned terms per language by document frequency
+    * (distinct docs containing the term), deterministic
+    * (df desc, term asc) tie-break. One explode + one (lang, term)
+    * aggregation shuffle; the per-lang top-k window ranks only the
+    * aggregated term counts, not the raw postings.
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    val dfCounts = terms.groupBy("lang", "term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term").asc)
+    dfCounts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("term"), col("df"))
+      .orderBy("lang", "rank")
+  }
+
+  /** k-gram min-sampling fingerprint: the 4 lexicographically
+    * smallest `md5(shingle)` hashes per document, joined with `|`.
+    * The bag-level analog of winnowing's rolling-hash minimum — near
+    * -identical documents share most shingle hashes, so their
+    * fingerprints collide with high probability. Reuses the shingle
+    * set persisted by the dedup family ([[Dedup.shingles]]); docs
+    * with fewer than 3 words have no shingles and are absent, as in
+    * the oracle.
+    */
+  def fingerprints(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+    Dedup.shingles(spark, dir)
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, k)).as("fp"))
+      .orderBy("doc_id")
+}

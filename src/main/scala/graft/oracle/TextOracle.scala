@@ -1,0 +1,102 @@
+package graft.oracle
+
+import graft.functions.Tokenize
+
+/** DuckDB oracle SQL for the text-analysis family. Mirrors
+  * [[graft.operators.TextAnalysis]] stage for stage — same cleaning
+  * chain, same function-word list, same integer basis-point math —
+  * so the driver's hash compare is exact.
+  */
+object TextOracle {
+
+  private val swList: String =
+    Tokenize.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared per-document statistics CTE (the oracle twin of
+    * `TextAnalysis.stats`).
+    */
+  private def statsCte: String =
+    s"""tstats AS (
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+      CAST(CASE WHEN ${Tokenize.cleanSql("text")} = '' THEN 0
+        ELSE len(string_split(${Tokenize.cleanSql("text")}, ' ')) END AS BIGINT) AS n_clean_tokens,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      CAST(len(list_filter(string_split(lower(text), ' '),
+        w -> list_contains($swList, w))) AS BIGINT) AS sw_hits
+    FROM documents
+  ),
+  tstats_bp AS (
+    SELECT *, CAST(floor(10000 * sw_hits / greatest(n_ws_tokens, 1)) AS BIGINT) AS sw_bp
+    FROM tstats
+  )"""
+
+  def statsSql: String =
+    s"""WITH $statsCte
+SELECT doc_id, n_chars, n_ws_tokens, n_re_tokens, n_clean_tokens, n_alpha, n_digit,
+  sw_hits, sw_bp
+FROM tstats_bp ORDER BY doc_id"""
+
+  private def flagsCte(minTokens: Int, maxTokens: Int): String =
+    s"""tflags AS (
+    SELECT doc_id,
+      CASE WHEN n_ws_tokens >= $minTokens AND n_ws_tokens <= $maxTokens THEN 1 ELSE 0 END AS flag_len,
+      CASE WHEN n_alpha >= 3 * n_ws_tokens AND n_alpha <= 10 * n_ws_tokens THEN 1 ELSE 0 END AS flag_avg_word_len,
+      CASE WHEN sw_hits >= 2 THEN 1 ELSE 0 END AS flag_stopwords
+    FROM tstats_bp
+  )"""
+
+  def qualityFlagsSql(minTokens: Int = 30, maxTokens: Int = 100000): String =
+    s"""WITH $statsCte, ${flagsCte(minTokens, maxTokens)}
+SELECT doc_id, CAST(flag_len AS BIGINT) AS flag_len,
+  CAST(flag_avg_word_len AS BIGINT) AS flag_avg_word_len,
+  CAST(flag_stopwords AS BIGINT) AS flag_stopwords,
+  CAST(flag_len * flag_avg_word_len * flag_stopwords AS BIGINT) AS quality_pass
+FROM tflags ORDER BY doc_id"""
+
+  def langIdSql(minSwBp: Int = 400): String =
+    s"""WITH $statsCte
+SELECT s.doc_id, s.sw_bp,
+  CASE WHEN s.sw_bp >= $minSwBp THEN 'en' ELSE 'und' END AS predicted,
+  d.lang,
+  CAST(CASE WHEN (CASE WHEN s.sw_bp >= $minSwBp THEN 'en' ELSE 'und' END) = d.lang
+    THEN 1 ELSE 0 END AS BIGINT) AS is_match
+FROM tstats_bp s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.doc_id"""
+
+  def sourceProfileSql(minTokens: Int = 30, maxTokens: Int = 100000): String =
+    s"""WITH $statsCte, ${flagsCte(minTokens, maxTokens)}
+SELECT d.lang, d.source, count(*) AS n_docs,
+  CAST(sum(s.n_ws_tokens) AS BIGINT) AS sum_tokens,
+  CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(f.flag_len * f.flag_avg_word_len * f.flag_stopwords) AS BIGINT) AS n_quality,
+  CAST((sum(s.n_ws_tokens) * 100) // count(*) AS BIGINT) AS mean_tokens_c
+FROM tstats_bp s
+JOIN tflags f ON f.doc_id = s.doc_id
+JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source"""
+
+  def topTermsSql(k: Int = 10): String =
+    s"""WITH terms AS (
+    SELECT DISTINCT doc_id, lang, unnest(string_split(${Tokenize.cleanSql("text")}, ' ')) AS term
+    FROM documents
+  ),
+  dfc AS (
+    SELECT lang, term, count(*) AS df FROM terms WHERE term <> '' GROUP BY lang, term
+  ),
+  ranked AS (
+    SELECT lang, term, df,
+      row_number() OVER (PARTITION BY lang ORDER BY df DESC, term ASC) AS rank
+    FROM dfc
+  )
+SELECT lang, rank, term, df FROM ranked WHERE rank <= $k ORDER BY lang, rank"""
+
+  def fingerprintsSql(k: Int = 4): String =
+    s"""WITH ${DocOracle.shingleCtes},
+  hashed AS (SELECT doc_id, md5(s) AS h FROM doc_shingles)
+SELECT doc_id, array_to_string(list_sort(list(h))[1:$k], '|') AS fp
+FROM hashed GROUP BY doc_id ORDER BY doc_id"""
+}

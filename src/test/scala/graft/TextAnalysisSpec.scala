@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Invariant checks for the text-analysis family on sf0.001 (oracle
+  * parity is the driver's gate; these cover structural properties).
+  */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stats: ratios bounded, counts consistent") {
+    val s = TextAnalysis.stats(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(s.nonEmpty)
+    for ((_, nChars, nWs, nRe, nClean, nAlpha, nDigit, swHits, swBp) <- s) {
+      assert(swBp >= 0 && swBp <= 10000)
+      assert(swHits <= nWs)
+      assert(nAlpha + nDigit <= nChars)
+      assert(nRe >= nWs - 1, "regex tokens at least cover the words")
+      assert(nClean <= nWs, "cleaning never adds tokens")
+    }
+  }
+
+  test("quality_pass is the conjunction of its flags") {
+    val f = TextAnalysis.qualityFlags(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(f.forall { case (_, a, b, c, p) => p == a * b * c })
+    assert(f.exists(_._5 == 1L) && f.exists(_._5 == 0L), "thresholds split the corpus")
+  }
+
+  test("top terms: k per lang, df non-increasing") {
+    val t = TextAnalysis.topTerms(spark, sf0001, k = 5)
+      .as[(String, Long, String, Long)].collect()
+    val byLang = t.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    for ((_, rows) <- byLang) {
+      assert(rows.length == 5)
+      val ranked = rows.sortBy(_._2)
+      assert(ranked.map(_._4).toSeq == ranked.map(_._4).sortBy(-_).toSeq)
+    }
+  }
+
+  test("fingerprints: one per doc with >= 1 shingle, fixed arity") {
+    val fp = TextAnalysis.fingerprints(spark, sf0001).as[(Long, String)].collect()
+    assert(fp.nonEmpty)
+    assert(fp.map(_._1).distinct.length == fp.length)
+    // 4 hashes of 32 hex chars + 3 separators, when the doc has >= 4 shingles
+    assert(fp.count(_._2.length == 4 * 32 + 3) > fp.length / 2)
+  }
+}
