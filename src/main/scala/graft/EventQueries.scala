@@ -1,0 +1,18 @@
+package graft
+
+import graft.operators.Events
+import graft.oracle.EventOracle
+
+/** Registered queries for the batch event-time family (SURVEY §2.11
+  * extension; streaming twins in [[graft.streaming.EventStream]]).
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("events_tumbling_hourly",
+      (s, dir) => Events.tumblingHourly(s, dir),
+      Some(EventOracle.tumblingHourlySql)),
+    Q("events_sessionized",
+      (s, dir) => Events.sessionize(s, dir),
+      Some(EventOracle.sessionizeSql())))
+}

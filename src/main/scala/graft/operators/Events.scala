@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-time analytics over the `events` table (SURVEY §2.11's
+  * streaming-shaped extension): tumbling-window aggregation via the
+  * real `window()` operator and gap-based sessionization. The
+  * streaming formulations of the same computations live in
+  * [[graft.streaming.EventStream]]; these batch twins are the
+  * oracle-checkable surface.
+  *
+  * `events.parquet` stores TIMESTAMP(NANOS), which Spark reads as
+  * bigint nanos under `spark.sql.legacy.parquet.nanosAsLong` — the
+  * session-wide setting. Windowing converts to a real timestamp
+  * (micros — hour boundaries are integral micros, so bucketing is
+  * unaffected) to exercise the native operator; outputs carry epoch
+  * seconds / micros as exact bigints for oracle parity (micros is
+  * the precision DuckDB's TIMESTAMP retains from parquet nanos).
+  *
+  * Scale posture: one scan; the tumbling agg shuffles once on the
+  * (window, event_type) grouping with map-side partials. The
+  * sessionization's lag window, running sum, and per-session re-agg
+  * all cluster on `user_id` — the two windows share one sort, and
+  * the final groupBy's (user_id, session_ix) clustering is satisfied
+  * by the existing user_id hash partitioning, so the whole
+  * sessionize is ONE shuffle end to end.
+  */
+object Events {
+
+  val NanosPerHour: Long = 3600L * 1000L * 1000L * 1000L
+
+  val MicrosPerHour: Long = 3600L * 1000L * 1000L
+
+  /** Default session gap: 6 hours (the synthetic corpus averages
+    * ~11 h between events per user, so this yields a real mix of
+    * session lengths). Session timestamps are MICROSECONDS: DuckDB's
+    * TIMESTAMP truncates the parquet nanos to micros, so the oracle
+    * can only see micro precision — both engines therefore compute
+    * on `ts div 1000` and emit `_us` columns.
+    */
+  val DefaultGapUs: Long = 6 * MicrosPerHour
+
+  private def raw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Tumbling 1-hour windows per event type: event count, exact cents
+    * sum, distinct users. Uses the native `window()` operator over
+    * the nanos-derived timestamp.
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+        col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("vc").cast("long").as("value_cents"),
+        countDistinct("user_id").as("n_users"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("value_cents"), col("n_users"))
+      .orderBy("window_start_s", "event_type")
+
+  /** Gap-based sessionization: a session breaks when a user is idle
+    * longer than `gapNs`. Batch formulation of the classic
+    * lag -> new-session flag -> running sum -> per-session rollup.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+      gapUs: Long = DefaultGapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    raw(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_ix",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_ix")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"), max("tus").as("end_us"),
+        (max("tus") - min("tus")).as("duration_us"),
+        sum("vc").cast("long").as("value_cents"))
+      .orderBy("user_id", "session_ix")
+  }
+}

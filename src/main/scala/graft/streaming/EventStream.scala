@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming formulations of the event-time analytics
+  * whose batch twins live in [[graft.operators.Events]]: watermarked
+  * tumbling-window aggregation, and gap-based sessionization as
+  * custom state via `flatMapGroupsWithState`.
+  *
+  * Both transforms take an input Dataset/DataFrame rather than a
+  * path, so the identical pipeline runs from `readStream` (file /
+  * Kafka / rate source) in production and from `MemoryStream` in the
+  * spec. At cluster scale the stateful operators shard by the
+  * grouping key across executors with checkpointed state — exactly
+  * the sharding the batch twins express with their one user_id
+  * shuffle.
+  */
+object EventStream {
+
+  /** One event on the wire. `ts` is a real event-time timestamp (the
+    * streaming source's responsibility — e.g.
+    * `timestamp_micros(nanos div 1000)` for the parquet-nanos
+    * encoding used by the batch corpus).
+    */
+  final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+
+  /** A closed session emitted by the sessionizer. */
+  final case class Session(userId: Long, startMs: Long, endMs: Long,
+      nEvents: Long, valueCents: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(startMs: Long, endMs: Long,
+      nEvents: Long, valueCents: Long)
+
+  /** Watermarked tumbling 1-hour counts per event type. Streaming
+    * disallows exact count-distinct (state would be unbounded), so
+    * the user count is the HLL sketch `approx_count_distinct` — the
+    * scale answer on a real cluster too.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"), col("approx_users"))
+
+  /** Gap-based sessionization with explicit state: events group by
+    * user; each invocation folds the (unordered) new events into the
+    * open session, emitting every session that closes (next event
+    * further than `gapMs` away). An event-time timeout at
+    * `end + gapMs` flushes the final open session once the watermark
+    * passes it — state is bounded by (users with an open session).
+    *
+    * Semantics note (documented divergence from the batch twin):
+    * events older than the current open session's start are treated
+    * as late and folded by timestamp order within the delivered
+    * batch; events later than the watermark allowance should be
+    * dropped upstream by `withWatermark`.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final.
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startMs, s.endMs, s.nEvents, s.valueCents))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventType, e.value))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                    s.nEvents + 1, s.valueCents + cents))
+                case Some(s) =>
+                  closed += Session(userId, s.startMs, s.endMs, s.nEvents, s.valueCents)
+                  open = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  open = Some(SessionState(t, t, 1, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Drives the Structured-Streaming pipelines end to end through
+  * MemoryStream micro-batches, and checks the streaming tumbling agg
+  * agrees with its batch twin on the same data.
+  */
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Base offset of 100 hours: rows at event-time <= the initial
+  // watermark (epoch 0) would be dropped as late by the stateful
+  // operators, so the scenario must live well past it.
+  private val BaseMin = 6000L
+
+  private def ev(minute: Long, user: Long, typ: String, value: Double): Event =
+    Event(new Timestamp((BaseMin + minute) * 60000L), user, typ, value)
+
+  private def hourStartS(minute: Long): Long = ((BaseMin + minute) / 60) * 3600
+
+  private def ms(minute: Long): Long = (BaseMin + minute) * 60000L
+
+  test("watermarked tumbling counts match the batch window aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.tumblingCounts(
+        in.toDF().select(col("ts"), col("eventType").as("event_type"),
+          col("userId").as("user_id"), col("value")))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "click", 1.0), ev(2, 2, "click", 2.5),
+        ev(61, 1, "error", 0.5))
+      q.processAllAvailable()
+      // watermark (2h) far past the first hour -> both windows finalize
+      in.addData(ev(300, 3, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got.contains((hourStartS(1), "click", 2L, 350L)), s"hour-0 clicks: $got")
+      assert(got.contains((hourStartS(61), "error", 1L, 50L)), s"hour-1 errors: $got")
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 10-minute gap
+    val q = EventStream.sessionize(in.toDS(), gapMs = 10 * 60000L, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 1 min apart -> one open session
+      in.addData(ev(0, 1, "click", 1.0), ev(1, 1, "click", 2.0))
+      q.processAllAvailable()
+      // user 1 again 30 min later -> closes the first session
+      in.addData(ev(31, 1, "click", 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[Session].collect()
+      assert(afterGap.toSet == Set(Session(1L, ms(0), ms(1), 2L, 300L)), afterGap.toSeq)
+      // advance the watermark far past user 1's open session + gap
+      // -> event-time timeout flushes it without new data for user 1
+      in.addData(ev(600, 2, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(ev(1200, 2, "click", 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions").as[Session].collect()
+      assert(afterTimeout.exists(s => s.userId == 1L && s.startMs == ms(31)
+        && s.nEvents == 1L && s.valueCents == 400L), afterTimeout.toSeq)
+    } finally q.stop()
+  }
+
+  test("batch tumbling agrees with streaming on the parquet corpus") {
+    // batch twin over sf0.001, vs the streaming transform run in
+    // batch mode on the same converted input (Spark executes batch
+    // DataFrames through the same window operator).
+    val batch = Events.tumblingHourly(spark, sf0001)
+      .select("window_start_s", "event_type", "n", "value_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val viaStreamTransform = {
+      val e = spark.read.parquet(s"$sf0001/events.parquet")
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      EventStream.tumblingCounts(e)
+        .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
+    }
+    assert(batch == viaStreamTransform)
+  }
+}
