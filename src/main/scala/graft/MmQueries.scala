@@ -1,0 +1,21 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.oracle.MmOracle
+
+/** Registered queries for the multimodal family (LLM-pipeline
+  * extension beyond the reference surface — SURVEY §7.2 step 7).
+  */
+object MmQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("mm_metadata",
+      (s, dir) => Multimodal.metadata(s, dir),
+      Some(MmOracle.metadataSql)),
+    Q("mm_frames",
+      (s, dir) => Multimodal.frames(s, dir),
+      Some(MmOracle.framesSql)),
+    Q("mm_type_rollup",
+      (s, dir) => Multimodal.typeRollup(s, dir),
+      Some(MmOracle.typeRollupSql)))
+}

@@ -288,5 +288,6 @@ FROM orders ORDER BY o_custkey, o_orderkey""")))
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
     f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
-      DedupQueries.all ++ SimQueries.all ++ TextQueries.all ++ EventQueries.all
+      DedupQueries.all ++ SimQueries.all ++ TextQueries.all ++ EventQueries.all ++
+      MmQueries.all
 }

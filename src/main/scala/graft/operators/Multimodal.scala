@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (LLM-pipeline extension — SURVEY §7.2
+  * step 7): media as opaque `binary` payloads with typed metadata,
+  * native metadata extraction, and a batched per-partition decode
+  * stage for the operations (image decode, audio resample, video
+  * frame-sample) that need a real codec library.
+  *
+  * The corpus has no true media files, so payloads derive
+  * deterministically from `documents.text` bytes and the DECODE step
+  * is a deterministic fake ([[FakeCodec]]) — clearly marked as the
+  * plug-in point. Everything around it is the real production shape:
+  *  - payloads are `BinaryType` columns; metadata is a typed struct
+  *    alongside, extracted by codegen'd native functions (no UDF);
+  *  - decode runs via `mapPartitions` so a real codec would be
+  *    initialized ONCE per partition (JNI/FFmpeg handles are
+  *    expensive) and fed rows in batch — the Scala analog of a
+  *    batched pandas-UDF decode, and the one legitimate
+  *    `mapPartitions` use in the engine (SURVEY §7.1 preference
+  *    order: compose > Expression > planner rule > mapPartitions);
+  *  - per-row fan-out (frames) happens inside the iterator —
+  *    no driver materialization, no shuffle.
+  *
+  * The fake decode is md5-derived, so the DuckDB oracle reproduces
+  * every output bit (`MmOracle`).
+  */
+object Multimodal {
+
+  /** One sampled frame emitted by the decode stage. */
+  final case class Frame(doc_id: Long, media_type: String, frame_ix: Long,
+      frame_md5: String, width: Long, height: Long)
+
+  /** The decode seam. A production build swaps this trait for a JNI /
+    * FFmpeg-backed implementation with the same batch contract:
+    * created once per partition, then fed each payload.
+    */
+  trait Codec extends Serializable {
+    /** Sampled-frame hashes + decoded dimensions for one payload. */
+    def decode(payload: Array[Byte]): (Seq[String], Long, Long)
+  }
+
+  /** Deterministic fake codec: dimensions and frame hashes derive
+    * from the payload md5, so decode output is reproducible in SQL.
+    * Frame count is 1 + (n_bytes mod 3); frame i's hash is
+    * `md5(md5hex(payload) + ":" + i)`.
+    */
+  object FakeCodec extends Codec {
+    private def md5hex(b: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+
+    def decode(payload: Array[Byte]): (Seq[String], Long, Long) = {
+      val h = md5hex(payload)
+      val w = 16 + (java.lang.Long.parseLong(h.substring(0, 8), 16) % 240)
+      val ht = 16 + (java.lang.Long.parseLong(h.substring(8, 16), 16) % 240)
+      val n = 1 + (payload.length % 3)
+      val frames = (0 until n).map(i =>
+        md5hex(s"$h:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (frames, w, ht)
+    }
+  }
+
+  /** The media table: documents' text bytes as an opaque binary
+    * payload plus a typed metadata struct. media_type assignment is
+    * deterministic (doc_id mod 3) to exercise all three modalities.
+    */
+  def media(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(expr("substring(payload, 1, 8)")).as("header_hex")))
+
+  /** Native (codegen'd) metadata extraction — no decode needed:
+    * byte size, content hash, leading-bytes hex "magic", and the
+    * md5-derived dimensions the fake codec will agree with.
+    */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.payload_md5").as("payload_md5"),
+        col("meta.header_hex").as("header_hex"),
+        (lit(16L) + expr("cast(conv(substr(meta.payload_md5, 1, 8), 16, 10) as bigint) % 240").cast("long")).as("width"),
+        (lit(16L) + expr("cast(conv(substr(meta.payload_md5, 9, 8), 16, 10) as bigint) % 240").cast("long")).as("height"))
+      .orderBy("doc_id")
+
+  /** Batched decode + frame sampling through the codec seam: one
+    * codec per partition, per-row fan-out inside the iterator.
+    */
+  def decodeFrames(spark: SparkSession, dir: String,
+      codec: Codec = FakeCodec): Dataset[Frame] = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        // production: codec/JNI handle initialized HERE, once per
+        // partition, then reused for every payload in the batch.
+        val c = codec
+        rows.flatMap { r =>
+          val (frames, w, h) = c.decode(r.getAs[Array[Byte]]("payload"))
+          frames.zipWithIndex.map { case (fh, i) =>
+            Frame(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+              i.toLong, fh, w, h)
+          }
+        }
+      }
+  }
+
+  /** Registered frame query: decode output in deterministic order. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    decodeFrames(spark, dir).toDF().orderBy("doc_id", "frame_ix")
+
+  /** Per-modality rollup over extracted metadata: one narrow scan +
+    * one 3-group aggregation.
+    */
+  def typeRollup(spark: SparkSession, dir: String): DataFrame =
+    metadata(spark, dir)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").cast("long").as("sum_bytes"),
+        max("n_bytes").cast("long").as("max_bytes"),
+        expr("cast((sum(width) * 100) div count(1) as bigint)").as("mean_width_c"),
+        expr("cast((sum(height) * 100) div count(1) as bigint)").as("mean_height_c"))
+      .orderBy("media_type")
+}
