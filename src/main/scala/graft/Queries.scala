@@ -203,7 +203,49 @@ object Queries {
       Some(SearchOracle.tableScores(negativeSpec))),
     Q("strategy_groupby_variant",
       (s, dir) => JoinSearch.searchTablesViaGroupBy(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
+    // Row-wise / cell-wise strategies (Seq_Search.py:143-166): same
+    // oracle as the col-wise pipeline — they are exact cross-checks.
+    Q("strategy_rowwise",
+      (s, dir) => JoinSearch.searchTablesRowWise(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
+    Q("strategy_cellwise",
+      (s, dir) => JoinSearch.searchTablesCellWise(index(s, dir), customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))))
+
+  // ---- S1/S2 CSV source + P2 row limit ----
+
+  /** Raw-column ORDER BY ... LIMIT for the deterministic P2 knob —
+    * NULLS FIRST mirrors Spark's asc default (customer has no nulls;
+    * the clause is there so the semantics is pinned, not lucky).
+    */
+  private val limitedSpec = QuerySpec(
+    """SELECT c_name, c_mktsegment FROM customer WHERE c_custkey % 15 = 1
+ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
+    customerCols)
+
+  private val sourceQs = Seq(
+    Q("csv_source_search",
+      (s, dir) => {
+        val name = new java.io.File(dir).getName
+        val path = s"${sys.props("user.dir")}/target/graft-csv/$name"
+        sources.CsvSource.write(
+          customerQuery(s, dir).select(customerCols.map(col): _*), path)
+        val schema = org.apache.spark.sql.types.StructType(
+          customerCols.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType)))
+        // the query table feeds several broadcast subtrees; persist
+        // the (tiny) CSV read so it parses once, not once per join.
+        val csvQ = sources.DfCache.getOrPersist(s, s"csvq:$path")(
+          sources.CsvSource.read(s, path, schema))
+        JoinSearch.searchTables(index(s, dir), csvQ, customerCols)
+      },
+      Some(SearchOracle.tableScores(customerSpec))),
+    Q("p_prepare_input_limited",
+      (s, dir) => JoinSearch.prepareInput(customerQuery(s, dir), customerCols, Some(7))
+        .orderBy(customerCols.map(col): _*),
+      Some(SearchOracle.stage(limitedSpec,
+        """SELECT "c_name", "c_mktsegment" FROM qclean ORDER BY "c_name", "c_mktsegment""""))))
 
   // ---- J3/J4: (table,row) self-join for one key pair ----
 
@@ -288,6 +330,6 @@ FROM orders ORDER BY o_custkey, o_orderkey""")))
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
     f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
-      DedupQueries.all ++ SimQueries.all ++ TextQueries.all ++ EventQueries.all ++
-      MmQueries.all
+      sourceQs ++ DedupQueries.all ++ SimQueries.all ++ TextQueries.all ++
+      EventQueries.all ++ MmQueries.all
 }

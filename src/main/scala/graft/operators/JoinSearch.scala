@@ -52,6 +52,20 @@ object JoinSearch {
       .dropDuplicates()
   }
 
+  /** P2 row-limit knob layered on [[prepareInput]]: the reference
+    * caps the query table at its first `lines` rows
+    * (`Par_Search.py:151-153` slices the CSV head). A distributed
+    * head is frame-dependent, so the deterministic re-expression
+    * takes the first `n` rows under the total order of the selected
+    * columns (nulls first, Spark's asc default — mirrored NULLS
+    * FIRST in the oracle).
+    */
+  def prepareInput(query: DataFrame, cols: Seq[String], limit: Option[Int]): DataFrame = {
+    val capped = limit.fold(query)(n =>
+      query.select(cols.map(col): _*).orderBy(cols.map(col): _*).limit(n))
+    prepareInput(capped, cols)
+  }
+
   /** Delimiter for assembling map_key from cleaned values. The
     * reference uses a space (`Par_Search.py:213`), but cleaned values
     * contain spaces, so query rows ('a','b c') and ('a b','c') would
@@ -159,6 +173,57 @@ object JoinSearch {
       cols.size)
     top.orderBy(col("join_score").desc, col("table_id").asc, col("column_id").asc)
       .limit(2 * maxTables)
+  }
+
+  /** Row-wise strategy (the reference's per-query-row traversal,
+    * `Seq_Search.py:143-166`, re-expressed relationally): skips the
+    * W1 co-occurrence pre-filter entirely — W2's per-(row, map_key)
+    * conjunction subsumes it, since a group reaching cnt = N proves
+    * the row carries N distinct query keys. Identical results to
+    * [[searchTables]] by construction; the plan trades W1's early
+    * narrowing (one window less) for a larger J1 input. Registered
+    * as a built-in cross-check against the col-wise pipeline.
+    */
+  def searchTablesRowWise(index: DataFrame, query: DataFrame,
+      cols: Seq[String], maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val dedup = probe(index, m)
+      .groupBy("table_id", "row_id", "key")
+      .agg(min("column_id").as("column_id"))
+      .select("key", "table_id", "column_id", "row_id")
+    val top = topColumns(
+      columnScores(matches(joinMapped(dedup, m), cols.size)), cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  /** Cell-wise strategy (the reference's per-cell probes,
+    * `Seq_Search.py:150-156`, where every query cell issues its own
+    * lookup): the probe becomes a union of per-column broadcast
+    * semi-joins, deduplicated back to the posting set — the same set
+    * [[probe]]'s single semi-join produces, but scanning the index
+    * once per query column. Downstream stages are shared. Identical
+    * results to [[searchTables]]; registered as a cross-check.
+    * (At scale the single-probe col-wise form wins — N-1 fewer index
+    * scans — which is exactly the comparison the reference draws
+    * between its seq and par engines.)
+    */
+  def searchTablesCellWise(index: DataFrame, query: DataFrame,
+      cols: Seq[String], maxTables: Int = 20): DataFrame = {
+    val prep = prepareInput(query, cols)
+    val m = mappings(prep, cols)
+    val probed = cols.map(c =>
+        index.join(broadcast(prep.select(col(c).as("key")).distinct()),
+          Seq("key"), "left_semi"))
+      .reduce(_ unionByName _)
+      .distinct()
+    val top = topColumns(
+      columnScores(matches(joinMapped(reduce(probed, cols.size), m), cols.size)),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
   }
 
   /** Alternate physical strategy: the W1/W2 whole-partition window

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S1/S2: CSV query-table source. The reference's only query-table
+  * input format is CSV (reference `main.py:6-7`,
+  * `Par_Search.py:147-148`, pandas `read_csv`); here it is a thin,
+  * explicit-schema wrapper over Spark's CSV reader.
+  *
+  * Design notes:
+  *  - the schema is REQUIRED: `inferSchema` scans the data twice and
+  *    guesses types per-file — a correctness and performance hazard
+  *    the engine does not expose;
+  *  - Spark range-splits uncompressed CSV, so the parallel read (S2)
+  *    is the default behavior and the reference's sequential read
+  *    (S1) is just the one-split degenerate case — no separate code
+  *    path needed;
+  *  - `multiLine` stays off (quoted newlines would force whole-file
+  *    parsing, killing split parallelism; the reference's query
+  *    tables have none).
+  */
+object CsvSource {
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, sep: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .csv(path)
+
+  /** Materialize a query table as a CSV dataset (fixture writer for
+    * the roundtrip query and specs).
+    */
+  def write(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.sinks.ConsoleSink
+import graft.sources.CsvSource
+
+/** CSV source roundtrip + console sink rendering. */
+class CsvSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("seg", StringType)))
+
+  test("csv write/read roundtrip preserves rows, schema is explicit") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-csv-spec"
+    val df = Seq(("Customer#1", "BUILDING"), ("Customer#2", "AUTO MOBILE"),
+      ("x,with,commas", "\"quoted\"")).toDF("name", "seg")
+    CsvSource.write(df, path)
+    val back = CsvSource.read(spark, path, schema)
+    assert(back.schema == schema)
+    assert(back.as[(String, String)].collect().toSet ==
+      df.as[(String, String)].collect().toSet)
+  }
+
+  test("console sink renders a deterministic fixed-width table") {
+    val df = Seq((1, "customer"), (2, "orders")).toDF("table_id", "name")
+      .orderBy("table_id")
+    val out = ConsoleSink.render(df)
+    val lines = out.split("\n")
+    assert(lines.length == 6, out) // sep, header, sep, 2 rows, sep
+    assert(lines(1).contains("table_id") && lines(1).contains("name"))
+    assert(lines(3).contains("1") && lines(3).contains("customer"))
+    assert(lines.map(_.length).distinct.length == 1, "ragged table:\n" + out)
+  }
+}

@@ -61,6 +61,28 @@ class JoinSearchSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("row-wise and cell-wise strategies produce identical scores") {
+    val a = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val r = JoinSearch.searchTablesRowWise(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val c = JoinSearch.searchTablesCellWise(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(a == r, "row-wise diverged")
+    assert(a == c, "cell-wise diverged")
+  }
+
+  test("prepareInput limit knob caps the raw rows deterministically") {
+    val q = Seq(("b", "1"), ("a", "1"), ("c", "1"), ("a", "2"))
+      .toDF("x", "y")
+    // sorted raw order: (a,1),(a,2),(b,1),(c,1) -> limit 2 keeps the a's
+    val got = JoinSearch.prepareInput(q, Seq("x", "y"), Some(2))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "1"), ("a", "2")))
+    // no limit passes through unchanged
+    assert(JoinSearch.prepareInput(q, Seq("x", "y"), None).count() == 4L)
+  }
+
   test("stage W1 removes single-attribute and same-key-two-column rows") {
     val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
     val red = JoinSearch.reduce(JoinSearch.probe(index, m), 2)
