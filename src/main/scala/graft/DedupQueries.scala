@@ -23,5 +23,8 @@ object DedupQueries {
       Some(DocOracle.simhashSql)),
     Q("dedup_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(s, dir),
-      Some(DocOracle.simhashPairsSql)))
+      Some(DocOracle.simhashPairsSql)),
+    Q("dedup_embedding_cosine",
+      (s, dir) => Dedup.embeddingCosine(s, dir),
+      Some(graft.oracle.SimOracle.embeddingCosineSql())))
 }

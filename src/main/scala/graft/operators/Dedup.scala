@@ -140,6 +140,28 @@ object Dedup {
     verifyJaccard(spark, dir, cand, 5000)
   }
 
+  /** Embedding-cosine near-dup pairs: the document-level face of
+    * [[Similarity.lshPairs]] — sign-LSH banded candidates over the
+    * embeddings table, exact quantized-cosine verification, then an
+    * inner join back to `documents` on `doc_id = vec_id` (documents
+    * without an embedding — the 5000-vs-2000 tail at sf0.1 — cannot
+    * participate, by construction). Adds `same_lang` so the output
+    * reads as a dedup decision over documents, not vectors.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String,
+      minCosBp: Int = 3000): DataFrame = {
+    val pairs = Similarity.lshPairs(spark, dir, minCosBp)
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_x"), col("lang").as("lang_x")),
+        pairs("vec_x") === col("doc_x"))
+      .join(d.select(col("doc_id").as("doc_y"), col("lang").as("lang_y")),
+        pairs("vec_y") === col("doc_y"))
+      .select(col("doc_x"), col("doc_y"), col("cos_bp"),
+        when(col("lang_x") === col("lang_y"), 1L).otherwise(0L).as("same_lang"))
+      .orderBy("doc_x", "doc_y")
+  }
+
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
     * arithmetic). Two positive 32-bit halves sidestep signed-64

@@ -80,6 +80,38 @@ WHERE CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) >= $minCosBp
 ORDER BY vec_x, vec_y"""
   }
 
+  /** Document-level embedding-cosine near-dup: the lshPairs pipeline
+    * joined back to `documents` (mirrors `Dedup.embeddingCosine`).
+    */
+  def embeddingCosineSql(minCosBp: Int = 3000): String = {
+    val nBands = Similarity.NumBands
+    val bBits = Similarity.BandBits
+    s"""WITH $baseCtes,
+  bands AS (
+    SELECT vec_id, b AS band_ix,
+      CAST(list_sum(list_transform(range(0, $bBits),
+        j -> CASE WHEN q[b * $bBits + j + 1] >= 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS band_v
+    FROM nb, range(0, $nBands) t(b)
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_x, b.vec_id AS vec_y
+    FROM bands a
+    JOIN bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v AND a.vec_id < b.vec_id
+  ),
+  verified AS (
+    SELECT c.vec_x, c.vec_y,
+      CAST(floor(${cosSql(dotSql("x.q", "y.q"), "x.nq", "y.nq")} * $S) AS BIGINT) AS cos_bp
+    FROM cand c JOIN nb x ON x.vec_id = c.vec_x JOIN nb y ON y.vec_id = c.vec_y
+  )
+SELECT dx.doc_id AS doc_x, dy.doc_id AS doc_y, v.cos_bp,
+  CAST(CASE WHEN dx.lang = dy.lang THEN 1 ELSE 0 END AS BIGINT) AS same_lang
+FROM verified v
+JOIN documents dx ON dx.doc_id = v.vec_x
+JOIN documents dy ON dy.doc_id = v.vec_y
+WHERE v.cos_bp >= $minCosBp
+ORDER BY doc_x, doc_y"""
+  }
+
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),

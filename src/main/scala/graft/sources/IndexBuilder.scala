@@ -25,6 +25,15 @@ import graft.functions.Tokenize
   *    semi-joins skip the big-side shuffle entirely; the local
   *    in-memory catalog cannot persist bucket metadata across JVMs,
   *    so the snapshot records clustering physically only.
+  *  - C2 (the reference's range pre-clustering of the main table,
+  *    `Par_Search.py:226-242`) is deliberately DROPPED, by
+  *    measurement (sf0.1, local[32], min of 3): probe on the
+  *    hash-clustered cached index 0.66 s vs 0.67 s after
+  *    `repartitionByRange(key)` — identical, because the probe is a
+  *    broadcast semi-join and never shuffles the big side — while
+  *    the range shuffle itself costs 1.9 s + a second persisted
+  *    copy. Range clustering would only pay on a sort-merge probe
+  *    path, which this engine never takes.
   */
 object IndexBuilder {
 
