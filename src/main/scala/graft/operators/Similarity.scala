@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorMath
 import graft.sources.DfCache
 
 /** Similarity search over the `embeddings` table (LLM-pipeline
@@ -50,11 +51,20 @@ object Similarity {
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"),
           expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))").as("q"))
-        .withColumn("nq", expr("aggregate(transform(q, v -> v * v), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", VectorMath.dotLong(col("q"), col("q")))
     }
 
-  /** Exact integer dot product of two quantized vector columns. */
+  /** Exact integer dot product of two quantized vector columns —
+    * the codegen'd [[graft.functions.DotLong]] (the HOF
+    * `aggregate∘zip_with` form is CodegenFallback; see VectorMath).
+    */
   private def dotExpr(a: String, b: String): Column =
+    VectorMath.dotLong(col(a), col(b))
+
+  /** The HOF formulation, kept as the property-test reference for
+    * [[dotExpr]] (and the form the oracle SQL mirrors literally).
+    */
+  private[graft] def dotHof(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (a, v) -> a + v)")
 
   /** `dot / (sqrt(na) * sqrt(nb))` — the single float step (see
