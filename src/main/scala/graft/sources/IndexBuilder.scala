@@ -103,6 +103,27 @@ object IndexBuilder {
     spark.read.parquet(path)
   }
 
+  /** S9 at cluster scale: the bucketed form of the snapshot. Writes
+    * the index `bucketBy(numBuckets, "key")` as a catalog table, so
+    * key-equi-joins (the probe, the J3 self-join, index-index
+    * co-location) read both sides pre-hashed and skip the big-side
+    * exchange entirely — the property [[snapshotPath]]'s plain
+    * snapshot can only approximate physically. Local caveat: the
+    * in-memory catalog keeps bucket metadata for the session only
+    * (a cluster metastore keeps it forever); BucketedIndexSpec
+    * asserts the no-exchange plan.
+    */
+  def writeBucketed(spark: SparkSession, dir: String,
+      numBuckets: Int = 32, table: String = "graft_index_bucketed"): String = {
+    build(spark, dir)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "key")
+      .sortBy("key")
+      .option("path", s"${snapshotPath(dir)}-bucketed")
+      .saveAsTable(table)
+    table
+  }
+
   /** One persisted index per (session, sfDir): Verify/Bench run many
     * queries against the same corpus — re-reading per query would
     * re-pay the scan.
