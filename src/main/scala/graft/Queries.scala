@@ -211,7 +211,18 @@ object Queries {
       Some(SearchOracle.tableScores(customerSpec))),
     Q("strategy_cellwise",
       (s, dir) => JoinSearch.searchTablesCellWise(index(s, dir), customerQuery(s, dir), customerCols),
-      Some(SearchOracle.tableScores(customerSpec))))
+      Some(SearchOracle.tableScores(customerSpec))),
+    // Hot-key guard: status keys 'o'/'f' are degenerate CROSS-TABLE —
+    // orders carries ~5k each but lineitem's l_linestatus adds ~30k,
+    // so their global df is ~35k. The 10000 cap (at sf0.01) drops
+    // them while keeping 'p' (df 5088, orders-only) and the
+    // priorities (~3k): a partial, re-ranked result that exercises
+    // the cap without zeroing the conjunction. (A fixed absolute cap
+    // is scale-relative by nature; production would set it as a
+    // corpus fraction.)
+    Q("search_orders_dfcap",
+      (s, dir) => JoinSearch.searchTablesCapped(index(s, dir), ordersQuery(s, dir), ordersCols, 10000L),
+      Some(SearchOracle.tableScoresCapped(ordersSpec, 10000L))))
 
   // ---- S1/S2 CSV source + P2 row limit ----
 

@@ -94,6 +94,41 @@ object JoinSearch {
   def probe(index: DataFrame, maps: DataFrame): DataFrame =
     index.join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
 
+  /** Hot-key guard (100 TB posture): drop probed postings whose key
+    * exceeds `maxDf` occurrences in the corpus. Degenerate
+    * low-cardinality query values (a status flag 'f', a one-letter
+    * token) carry O(corpus) postings each — at scale one such key
+    * turns the probe output into a near-full index scan and its
+    * (table,row) shuffle into the job's straggler. The df is
+    * computed on the probe output itself (the probe keeps every
+    * posting of a matching key, so the per-key window count IS the
+    * global df) — no extra pass over the index. Conjunction
+    * semantics make the effect all-or-nothing per query row: a row
+    * whose key set loses one member can never reach colCount, so
+    * capping rejects degenerate queries rather than silently
+    * re-ranking them ([[graft.JoinSearchSpec]] pins both sides).
+    */
+  def probeCapped(index: DataFrame, maps: DataFrame, maxDf: Long): DataFrame = {
+    val w = Window.partitionBy("key")
+    probe(index, maps)
+      .withColumn("kdf", count(lit(1)).over(w))
+      .where(col("kdf") <= maxDf)
+      .drop("kdf")
+  }
+
+  /** [[searchTables]] with the hot-key guard in the probe. */
+  def searchTablesCapped(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxDf: Long, maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val top = topColumns(
+      columnScores(matches(joinMapped(
+        reduce(probeCapped(index, m, maxDf), cols.size), m), cols.size)),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
   /** P6+W1: one posting per (table,row,key), then keep only corpus
     * rows hit by >= colCount distinct query keys
     * (`Par_Search.py:244-250`).

@@ -43,7 +43,13 @@ object SearchOracle {
     * postings (J5) -> reduced (P6) -> kept (W1) -> mapped (J1) ->
     * matches (W2) -> col_scores (A1) -> top_cols (W3) -> tbl_scores (A2).
     */
-  def searchCtes(q: QuerySpec): String = {
+  def searchCtes(q: QuerySpec): String = searchCtes(q, None)
+
+  /** As [[searchCtes]], optionally inserting the hot-key df cap
+    * between the probe and the reduction (mirrors
+    * `JoinSearch.probeCapped`).
+    */
+  def searchCtes(q: QuerySpec, maxDf: Option[Long]): String = {
     val n = q.cols.size
     val colList = q.cols.map(c => s""""$c"""").mkString(", ")
     val notNull = q.cols.map(c => s""""$c" IS NOT NULL""").mkString(" AND ")
@@ -64,9 +70,14 @@ object SearchOracle {
   maps AS (
     $mapBranches
   ),
-  postings AS (
+  postings_raw AS (
     SELECT i.key, i.table_id, i.column_id, i.row_id FROM idxf i
     WHERE i.key IN (SELECT key FROM maps)
+  ),
+  postings AS (${maxDf.fold("SELECT * FROM postings_raw")(cap =>
+    s"""SELECT key, table_id, column_id, row_id FROM (
+      SELECT p.*, count(*) OVER (PARTITION BY key) AS kdf FROM postings_raw p
+    ) WHERE kdf <= $cap""")}
   ),
   reduced AS (
     SELECT key, table_id, min(column_id) AS column_id, row_id
@@ -113,6 +124,11 @@ object SearchOracle {
   def tableScores(q: QuerySpec, maxTables: Int = 20): String =
     stage(q,
       s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables")
+
+  /** Oracle for the df-capped table-score search. */
+  def tableScoresCapped(q: QuerySpec, maxDf: Long, maxTables: Int = 20): String =
+    s"WITH ${indexCtes},\n  ${searchCtes(q, Some(maxDf))}\n" +
+      s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables"
 
   /** Oracle for the end-to-end column-score search. */
   def columnScores(q: QuerySpec, maxTables: Int = 20): String =

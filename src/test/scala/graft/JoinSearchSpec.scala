@@ -72,6 +72,19 @@ class JoinSearchSpec extends SparkTestBase {
     assert(a == c, "cell-wise diverged")
   }
 
+  test("df-capped search: generous cap is a no-op, tight cap rejects hot keys") {
+    val uncapped = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val noop = JoinSearch.searchTablesCapped(index, query, cols, 1000000L)
+      .as[(Int, Long)].collect().toSeq
+    assert(noop == uncapped)
+    // 'avatar' has df 5 in the golden index; capping at 4 removes it,
+    // so only the gore-verbinski/pirates query row can still match
+    val tight = JoinSearch.searchTablesCapped(index, query, cols, 4L)
+      .as[(Int, Long)].collect().toSeq
+    assert(tight == Seq((125, 2L)), s"got $tight")
+  }
+
   test("prepareInput limit knob caps the raw rows deterministically") {
     val q = Seq(("b", "1"), ("a", "1"), ("c", "1"), ("a", "2"))
       .toDF("x", "y")
