@@ -336,7 +336,33 @@ GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 100""")),
       Some("""SELECT o_custkey, o_orderkey,
 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
 cast(sum(cast(round(o_totalprice*100) as bigint)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
-FROM orders ORDER BY o_custkey, o_orderkey""")))
+FROM orders ORDER BY o_custkey, o_orderkey""")),
+    // JSON scalar surface: events.props is a JSON string column.
+    Q("events_props_json",
+      (s, dir) => s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+          min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""")),
+    // Date/time scalar surface: month-bucketed rollup (o_orderdate is
+    // a millis timestamp; session timezone UTC in both engines).
+    Q("orders_monthly_rollup",
+      (s, dir) => s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+count(*) AS n, cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
+FROM orders GROUP BY 1, 2 ORDER BY y, m""")))
 
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
