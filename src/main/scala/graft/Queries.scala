@@ -256,7 +256,13 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
       (s, dir) => JoinSearch.prepareInput(customerQuery(s, dir), customerCols, Some(7))
         .orderBy(customerCols.map(col): _*),
       Some(SearchOracle.stage(limitedSpec,
-        """SELECT "c_name", "c_mktsegment" FROM qclean ORDER BY "c_name", "c_mktsegment""""))))
+        """SELECT "c_name", "c_mktsegment" FROM qclean ORDER BY "c_name", "c_mktsegment""""))),
+    // Salted two-stage aggregation is result-invariant, so the oracle
+    // is the plain GROUP BY — parity proves the de-skew rewrite safe.
+    Q("idx_key_df_salted",
+      (s, dir) => operators.Skew.saltedKeyCounts(index(s, dir)),
+      Some(SearchOracle.indexOnly(
+        """SELECT key, count(*) AS df FROM idxf GROUP BY key ORDER BY df DESC, key ASC LIMIT 20"""))))
 
   // ---- J3/J4: (table,row) self-join for one key pair ----
 
