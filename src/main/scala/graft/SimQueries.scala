@@ -17,5 +17,8 @@ object SimQueries {
       Some(SimOracle.lshPairsSql())),
     Q("sim_ivf_probe",
       (s, dir) => Similarity.ivfProbe(s, dir),
-      Some(SimOracle.ivfProbeSql())))
+      Some(SimOracle.ivfProbeSql())),
+    Q("sim_lsh_recall",
+      (s, dir) => Similarity.lshRecall(s, dir),
+      Some(SimOracle.lshRecallSql())))
 }

@@ -165,6 +165,35 @@ object Similarity {
       .orderBy("vec_x", "vec_y")
   }
 
+  /** LSH recall audit ("measure, don't guess"): for each probe, the
+    * fraction of its exact top-k neighbors that share at least one
+    * sign band with it — the number the [[lshPairs]] scaladoc's
+    * recall formula predicts, computed from the data. Integer basis
+    * points; probes whose top-k the bands miss entirely appear with
+    * recall 0 (left join), so the metric cannot flatter itself by
+    * dropping failures.
+    */
+  def lshRecall(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50): DataFrame = {
+    val topk = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val bands = signBands(spark, dir)
+    val bandPairs = bands.select(col("vec_id").as("qid"), col("band_ix"), col("band_v"))
+      .join(bands.select(col("vec_id").as("vec_id"), col("band_ix"), col("band_v")),
+        Seq("band_ix", "band_v"))
+      .where(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    val hits = topk.join(bandPairs, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    topk.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(k.toLong).as("k"))
+      .withColumn("recall_bp",
+        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
+      .orderBy("qid")
+  }
+
   /** IVF cell assignment: each vector joins its argmax-cosine
     * centroid (the first `numCents` vectors seed the codebook; a
     * production build would k-means them — the assignment plumbing

@@ -80,6 +80,49 @@ WHERE CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) >= $minCosBp
 ORDER BY vec_x, vec_y"""
   }
 
+  /** LSH recall audit (mirrors `Similarity.lshRecall`). */
+  def lshRecallSql(k: Int = 10, probeMod: Int = 50): String = {
+    val nBands = Similarity.NumBands
+    val bBits = Similarity.BandBits
+    s"""WITH $baseCtes,
+  probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  scored AS (
+    SELECT p.qid, c.vec_id,
+      ${cosSql(dotSql("p.pq", "c.q"), "c.nq", "p.pnq")} AS cosd
+    FROM probes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  topk AS (
+    SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= $k
+  ),
+  bands AS (
+    SELECT vec_id, b AS band_ix,
+      CAST(list_sum(list_transform(range(0, $bBits),
+        j -> CASE WHEN q[b * $bBits + j + 1] >= 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS band_v
+    FROM nb, range(0, $nBands) t(b)
+  ),
+  band_pairs AS (
+    SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+    FROM bands a
+    JOIN bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v
+      AND a.vec_id <> b.vec_id
+  ),
+  hits AS (
+    SELECT t.qid, count(*) AS hits
+    FROM topk t JOIN band_pairs bp ON bp.qid = t.qid AND bp.vec_id = t.vec_id
+    GROUP BY t.qid
+  )
+SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  CAST($k AS BIGINT) AS k,
+  CAST(floor(10000 * coalesce(h.hits, 0) / $k) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM topk) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+  }
+
   /** Document-level embedding-cosine near-dup: the lshPairs pipeline
     * joined back to `documents` (mirrors `Dedup.embeddingCosine`).
     */
