@@ -252,6 +252,20 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
         JoinSearch.searchTables(index(s, dir), csvQ, customerCols)
       },
       Some(SearchOracle.tableScores(customerSpec))),
+    Q("json_source_search",
+      (s, dir) => {
+        val name = new java.io.File(dir).getName
+        val path = s"${sys.props("user.dir")}/target/graft-json/$name"
+        sources.JsonSource.write(
+          customerQuery(s, dir).select(customerCols.map(col): _*), path)
+        val schema = org.apache.spark.sql.types.StructType(
+          customerCols.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType)))
+        val jsonQ = sources.DfCache.getOrPersist(s, s"jsonq:$path")(
+          sources.JsonSource.read(s, path, schema))
+        JoinSearch.searchTables(index(s, dir), jsonQ, customerCols)
+      },
+      Some(SearchOracle.tableScores(customerSpec))),
     Q("p_prepare_input_limited",
       (s, dir) => JoinSearch.prepareInput(customerQuery(s, dir), customerCols, Some(7))
         .orderBy(customerCols.map(col): _*),
@@ -343,6 +357,18 @@ GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 100""")),
 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
 cast(sum(cast(round(o_totalprice*100) as bigint)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
 FROM orders ORDER BY o_custkey, o_orderkey""")),
+    // Filter-heavy aggregate whose range predicates all push to the
+    // parquet scan (PushdownSpec asserts PushedFilters non-empty):
+    // forecast-revenue shape over lineitem.
+    Q("q6_forecast_revenue",
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+            .cast("long").as("revenue_cents"),
+          count(lit(1)).as("n")),
+      Some("""SELECT cast(sum(cast(round(l_extendedprice*l_discount*100) as bigint)) as bigint) AS revenue_cents, count(*) AS n
+FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
     // JSON scalar surface: events.props is a JSON string column.
     Q("events_props_json",
       (s, dir) => s.read.parquet(s"$dir/events.parquet")

@@ -80,6 +80,33 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink: finalized windows land as files") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"${sys.props("java.io.tmpdir")}/graft-stream-sink-${System.nanoTime()}"
+    val in = MemoryStream[Event]
+    val q = EventStream.tumblingCounts(
+        in.toDF().select(col("ts"), col("eventType").as("event_type"),
+          col("userId").as("user_id"), col("value")))
+      .writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "click", 1.0), ev(2, 2, "click", 2.5))
+      q.processAllAvailable()
+      // advance watermark far past the first hour so its window flushes
+      in.addData(ev(400, 3, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(ev(800, 3, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/data")
+        .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(out.contains((hourStartS(1), "click", 2L, 350L)), s"sinked: $out")
+    } finally q.stop()
+  }
+
   test("batch tumbling agrees with streaming on the parquet corpus") {
     // batch twin over sf0.001, vs the streaming transform run in
     // batch mode on the same converted input (Spark executes batch

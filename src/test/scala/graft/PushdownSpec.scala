@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Asserts the plan properties the 100 TB posture depends on: range
+  * predicates reach the parquet scan as PushedFilters and the scan
+  * schema is pruned to the referenced columns.
+  */
+class PushdownSpec extends SparkTestBase {
+
+  // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+  // AdaptiveSparkPlanExec whose children aren't visible to collect.
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("q6 range filters push down to the lineitem scan; schema prunes") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf0001)
+    val scan = scans(df).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"), s"PushedFilters: $pushed")
+    // only the three referenced columns are read
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_quantity", "l_extendedprice", "l_discount"),
+      s"ReadSchema: $readCols")
+  }
+
+  test("query-table scans prune to the selected columns") {
+    val df = Queries.customerQuery(spark, sf0001)
+      .select("c_name", "c_mktsegment")
+    val scan = scans(df).head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("c_custkey", "c_name", "c_mktsegment"),
+      s"ReadSchema: $readCols")
+  }
+}
