@@ -20,5 +20,10 @@ object SimQueries {
       Some(SimOracle.ivfProbeSql())),
     Q("sim_lsh_recall",
       (s, dir) => Similarity.lshRecall(s, dir),
-      Some(SimOracle.lshRecallSql())))
+      Some(SimOracle.lshRecallSql())),
+    // bounded-aggregator form: same oracle as sim_cosine_topk proves
+    // the window -> partial-top-k rewrite exact.
+    Q("sim_cosine_topk_agg",
+      (s, dir) => Similarity.cosineTopKAgg(s, dir),
+      Some(SimOracle.cosineTopKSql())))
 }

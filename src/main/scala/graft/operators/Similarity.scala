@@ -165,6 +165,39 @@ object Similarity {
       .orderBy("vec_x", "vec_y")
   }
 
+  /** [[cosineTopK]] re-expressed with the bounded [[TopK]]
+    * aggregator instead of the per-probe window — the 100 TB form
+    * the window version's scaladoc points at: partial top-k state
+    * per partition, O(k) rows per probe over the shuffle, no group
+    * sort. Shares `sim_cosine_topk`'s exact output contract (same
+    * (score desc, id asc) ordering), so the cross-check oracle is
+    * the same SQL.
+    */
+  def cosineTopKAgg(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50): DataFrame = {
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val probes = base.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
+    val scored = base.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .select(col("qid"), col("cosd"), col("vec_id"), col("dot_q"))
+      .as[(Long, Double, Long, Long)]
+      .map { case (qid, cosd, vid, dot) => TopK.Scored(qid, cosd, vid, dot) }
+    scored.groupByKey(_.qid)
+      .agg(new TopK.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, (i + 1).toLong, s.id, s.payload,
+            math.floor(s.score * QuantScale).toLong)
+        }
+      }
+      .toDF("qid", "rank", "vec_id", "dot_q", "cos_bp")
+      .orderBy("qid", "rank")
+  }
+
   /** LSH recall audit ("measure, don't guess"): for each probe, the
     * fraction of its exact top-k neighbors that share at least one
     * sign band with it — the number the [[lshPairs]] scaladoc's
