@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session contract, used by [[Bench]],
+  * [[Verify]], the specs, and library users:
+  *  - shuffle partitions sized to the core count (the 200 default is
+  *    wrong for local mode; on a cluster, size to executors);
+  *  - UTC session timezone (oracle parity and sane timestamps);
+  *  - `nanosAsLong` for the corpus's TIMESTAMP(NANOS) parquet;
+  *  - AQE on (runtime coalescing + skew-join splitting).
+  */
+object GraftSession {
+
+  def local(cores: Int, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}
