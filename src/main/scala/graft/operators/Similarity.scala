@@ -210,7 +210,13 @@ object Similarity {
       k: Int = 10, probeMod: Int = 50): DataFrame = {
     val topk = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
     val bands = signBands(spark, dir)
-    val bandPairs = bands.select(col("vec_id").as("qid"), col("band_ix"), col("band_v"))
+    // probe-side bands only: the audit consumes pairs anchored at a
+    // probe, so building band pairs for every corpus vector would be
+    // O(n^2/2^bits) work for an O(probes) question. The probe band
+    // set is tiny -> broadcast; the result is identical because the
+    // downstream semi-join drops non-probe-anchored pairs anyway.
+    val probeBands = bands.where(col("vec_id") % probeMod === 0)
+    val bandPairs = probeBands.select(col("vec_id").as("qid"), col("band_ix"), col("band_v"))
       .join(bands.select(col("vec_id").as("vec_id"), col("band_ix"), col("band_v")),
         Seq("band_ix", "band_v"))
       .where(col("qid") =!= col("vec_id"))
