@@ -62,26 +62,44 @@ object Dedup {
         .distinct()
     }
 
-  /** Per-seed MinHash: lexicographic min of `md5(seed|shingle)` hex. */
+  /** All `numSeeds` MinHash minima in ONE aggregation: a wide row
+    * `(doc_id, mh0..mhN-1)` via conditional min aggregates. The
+    * earlier formulation crossJoined shingles with the seed range and
+    * shuffled numSeeds x |shingles| rows on (doc_id, seed); this
+    * shuffles the shingle set once with map-side partial mins — an
+    * 8x shuffle-volume cut at the default seed count.
+    */
+  private def minhashWide(spark: SparkSession, dir: String, numSeeds: Int): DataFrame = {
+    val mins = (0 until numSeeds).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"mh$i"))
+    shingles(spark, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Per-seed MinHash `(doc_id, seed, mh)`: lexicographic min of
+    * `md5(seed|shingle)` hex, unpivoted from [[minhashWide]].
+    */
   def minhash(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame = {
-    val seeds = spark.range(0, numSeeds).select(col("id").cast("int").as("seed"))
-    shingles(spark, dir)
-      .crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
-        .cast("binary"))).as("mh"))
+    val pairs = (0 until numSeeds)
+      .map(i => s"$i, mh$i").mkString(", ")
+    minhashWide(spark, dir, numSeeds)
+      .selectExpr("doc_id", s"stack($numSeeds, $pairs) as (seed, mh)")
   }
 
   /** LSH bands of 2 minhashes each -> `(doc_id, band_id, bh)`.
-    * Persisted: the candidate step self-joins both sides of this.
+    * Band hashes derive row-wise from the wide minhash row (band b
+    * pairs seeds 2b and 2b+1), so banding adds NO shuffle beyond the
+    * one minhash aggregation. Persisted: the candidate step
+    * self-joins both sides of this.
     */
   def bands(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame =
     DfCache.getOrPersist(spark, s"doc_bands:$dir:$numSeeds") {
-      minhash(spark, dir, numSeeds)
-        .groupBy(col("doc_id"), expr("seed div 2").cast("int").as("band_id"))
-        .agg(md5(concat(
-          min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
-          min(when(col("seed") % 2 === 1, col("mh")))).cast("binary")).as("bh"))
+      val bandStructs = (0 until numSeeds / 2).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
+            .cast("binary")).as("bh")))
+      minhashWide(spark, dir, numSeeds)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band_id").cast("int").as("band_id"), col("bd.bh"))
     }
 
   /** Exact Jaccard verification of candidate pairs `(doc_x, doc_y)`:
