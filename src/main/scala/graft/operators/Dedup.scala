@@ -108,7 +108,11 @@ object Dedup {
   private def verifyJaccard(spark: SparkSession, dir: String,
       cand: DataFrame, minJacBp: Int): DataFrame = {
     val sh = shingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // persisted: joined twice per verification (nx and ny) and used
+    // by both the MinHash-LSH and n-gram Jaccard queries.
+    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir") {
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_x"), col("s")), Seq("doc_x"))
       .join(sh.select(col("doc_id").as("doc_y"), col("s")), Seq("doc_y", "s"))
