@@ -10,7 +10,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     Q("text_stats",
-      (s, dir) => TextAnalysis.stats(s, dir),
+      (s, dir) => TextAnalysis.stats(s, dir).orderBy("doc_id"),
       Some(TextOracle.statsSql)),
     Q("text_quality_flags",
       (s, dir) => TextAnalysis.qualityFlags(s, dir),

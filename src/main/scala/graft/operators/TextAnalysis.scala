@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Tokenize
+import graft.sources.DfCache
 
 /** Text-analysis family over the `documents` table (LLM-pipeline
   * extension — SURVEY §7.2 step 7): per-document statistics, token
@@ -52,9 +53,15 @@ object TextAnalysis {
 
   /** Per-document statistics: char length, whitespace / regex / clean
     * token counts, alpha and digit char counts, function-word hits
-    * and their ratio in basis points.
+    * and their ratio in basis points. Persisted per (session,
+    * corpus): four registered queries consume it (and sourceProfile
+    * three times within one plan) — without the persist each re-ran
+    * the scan + two cleaning passes.
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrPersist(spark, s"doc_stats:$dir")(statsUncached(spark, dir))
+
+  private def statsUncached(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -67,7 +74,6 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
         swHits.cast("long").as("sw_hits"))
       .withColumn("sw_bp", bp(col("sw_hits"), col("n_ws_tokens")))
-      .orderBy("doc_id")
 
   /** Gopher-style quality flags (published web-corpus filter rules),
     * integer-only: document length in range, mean word length in
