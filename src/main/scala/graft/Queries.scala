@@ -201,6 +201,11 @@ object Queries {
     Q("search_negative_no_cooccur",
       (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
       Some(SearchOracle.tableScores(negativeSpec))),
+    // The staged windowed pipeline end-to-end — the anchored default's
+    // cross-check (same oracle, different physical strategy).
+    Q("strategy_windowed",
+      (s, dir) => JoinSearch.searchTablesWindowed(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
     Q("strategy_groupby_variant",
       (s, dir) => JoinSearch.searchTablesViaGroupBy(index(s, dir), customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))),

@@ -121,8 +121,7 @@ object JoinSearch {
       maxDf: Long, maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
-      columnScores(matches(joinMapped(
-        reduce(probeCapped(index, m, maxDf), cols.size), m), cols.size)),
+      columnScores(conjunctionAnchored(probeCapped(index, m, maxDf), m, cols.size)),
       cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
@@ -164,6 +163,79 @@ object JoinSearch {
       .drop("cnt")
   }
 
+  /** Anchored conjunction — the multi-attribute match (W1+J1+W2) as a
+    * prefix-filtered set-containment join, the 100 TB physical shape.
+    *
+    * The windowed form joins EVERY surviving posting to EVERY query
+    * row containing its key and then counts per (row, map_key) group:
+    * its intermediate is Σ_key df(key)·rows(key) — 4.2M rows for the
+    * 3-attribute part search at sf0.1 (60k postings), and
+    * Ω(corpus · query-rows-per-key) in general, because a
+    * low-selectivity attribute (a brand, a status flag) multiplies
+    * the whole corpus posting list by its query fan-out before
+    * anything narrows. This is the prefix-filter alternative (the
+    * public SSJoin/PPJoin technique re-expressed relationally): each
+    * query row joins the corpus through its RAREST key only, then the
+    * remaining attributes verify by map containment against the row's
+    * matched-key set. The blowup term becomes Σ_mapkey df(anchor) —
+    * proportional to the most selective attribute, not the least.
+    *
+    * Output is row-identical (multiset) to
+    * `matches(joinMapped(reduce(postings, n), maps), n)`:
+    *  - per-key df over the probe output IS the corpus df (the probe
+    *    keeps every posting of a matching key), so anchor choice
+    *    needs no second index pass;
+    *  - a (row, map_key) group survives the windowed count iff every
+    *    maps entry of map_key (WITH multiplicity — duplicate cleaned
+    *    values in one query row count twice) finds its key among the
+    *    row's distinct matched keys, and the row carries >= n distinct
+    *    matched keys (W1); both re-checked here literally;
+    *  - the recover step explodes the verified map_key's entry list,
+    *    restoring per-entry multiplicity and min-column attribution.
+    *
+    * Shuffle audit: one (table,row,key) dedup exchange shared by both
+    * consumers (ReuseExchange — identical subtree), one tiny
+    * (table,row) aggregation on top of it, broadcasts everywhere
+    * else. The windowed form's two full-width window exchanges over
+    * the joined blowup are gone.
+    */
+  def conjunctionAnchored(postings: DataFrame, maps: DataFrame,
+      colCount: Int): DataFrame = {
+    // corpus df per matched key, from the (cheap, exchange-free)
+    // probe output — the anchor-selection statistic.
+    val keyDf = postings.groupBy("key").agg(count(lit(1)).as("kdf"))
+    // per query row: its full entry list (multiplicity kept) and the
+    // rarest postings-bearing key as the join anchor (deterministic
+    // tie-break). Query-side: tiny, broadcast below.
+    val req = maps.groupBy("map_key").agg(collect_list("key").as("req"))
+    val aw = Window.partitionBy("map_key")
+      .orderBy(col("kdf").asc, col("key").asc)
+    val anchors = maps.select("key", "map_key").distinct()
+      .join(broadcast(keyDf), Seq("key"))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") === 1)
+      .select(col("map_key"), col("key"))
+      .join(req, Seq("map_key"))
+    val dedup = postings
+      .groupBy("table_id", "row_id", "key")
+      .agg(min("column_id").as("column_id"))
+    // per corpus row: matched keys with their min-column attribution.
+    val rowKeys = dedup
+      .groupBy("table_id", "row_id")
+      .agg(collect_list(struct(col("key"), col("column_id"))).as("kcs"))
+    val cand = dedup.join(broadcast(anchors), Seq("key"))
+      .select("table_id", "row_id", "map_key", "req")
+    cand.join(rowKeys, Seq("table_id", "row_id"))
+      .withColumn("kmap", map_from_entries(col("kcs")))
+      .where(size(col("kcs")) >= colCount &&
+        expr("forall(req, k -> map_contains_key(kmap, k))"))
+      .select(col("table_id"), col("row_id"), col("map_key"), col("kmap"),
+        explode(col("req")).as("key"))
+      .select(col("key"), col("table_id"),
+        expr("try_element_at(kmap, key)").cast("int").as("column_id"),
+        col("row_id"), col("map_key"))
+  }
+
   /** A1: per-column join score (`Par_Search.py:312-316`). */
   def columnScores(m: DataFrame): DataFrame =
     m.groupBy("table_id", "column_id").agg(count(lit(1)).as("join_score"))
@@ -187,8 +259,28 @@ object JoinSearch {
     topCols.groupBy("table_id")
       .agg(sum("join_score").cast("long").as("join_score"))
 
-  /** End-to-end: ranked table scores (O2/O3, `Par_Search.py:324-330`). */
+  /** End-to-end: ranked table scores (O2/O3, `Par_Search.py:324-330`).
+    * Default physical strategy is [[conjunctionAnchored]]; the staged
+    * windowed pipeline remains available as [[searchTablesWindowed]]
+    * and via the per-stage operators.
+    */
   def searchTables(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val top = topColumns(
+      columnScores(conjunctionAnchored(probe(index, m), m, cols.size)),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  /** The original staged windowed pipeline end-to-end (W1 window ->
+    * broadcast J1 -> W2 window) — result-identical to [[searchTables]],
+    * kept as a first-class registered cross-check of the anchored
+    * strategy and as the form whose stages the per-stage queries pin.
+    */
+  def searchTablesWindowed(index: DataFrame, query: DataFrame, cols: Seq[String],
       maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
@@ -204,7 +296,7 @@ object JoinSearch {
       maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
-      columnScores(matches(joinMapped(reduce(probe(index, m), cols.size), m), cols.size)),
+      columnScores(conjunctionAnchored(probe(index, m), m, cols.size)),
       cols.size)
     top.orderBy(col("join_score").desc, col("table_id").asc, col("column_id").asc)
       .limit(2 * maxTables)

@@ -72,6 +72,43 @@ class JoinSearchSpec extends SparkTestBase {
     assert(a == c, "cell-wise diverged")
   }
 
+  test("windowed strategy produces identical scores to the anchored default") {
+    val a = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val w = JoinSearch.searchTablesWindowed(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(a == w)
+  }
+
+  test("anchored conjunction emits the exact windowed match-row multiset") {
+    val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
+    val probed = JoinSearch.probe(index, m)
+    val anchored = JoinSearch.conjunctionAnchored(probed, m, cols.size)
+      .as[(String, Int, Int, Long, String)].collect().toSeq
+    val windowed = JoinSearch.matches(
+      JoinSearch.joinMapped(JoinSearch.reduce(probed, cols.size), m), cols.size)
+      .select("key", "table_id", "column_id", "row_id", "map_key")
+      .as[(String, Int, Int, Long, String)].collect().toSeq
+    assert(anchored.groupBy(identity).view.mapValues(_.size).toMap ==
+      windowed.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("duplicate-key query row: both strategies agree (multiplicity semantics)") {
+    // one query row whose two attributes clean to the SAME key: its
+    // map_key requires 'avatar' twice; a row with a single deduped
+    // 'avatar' posting still fails W1's >= 2 DISTINCT keys, while a
+    // row with avatar + another matched key satisfies the group count
+    // via the duplicated entry.
+    val dupQuery = Seq(("Avatar", "Avatar"), ("James Cameron", "Avatar"))
+      .toDF("director_name", "movie_title")
+    val a = JoinSearch.searchTables(index, dupQuery, cols)
+      .as[(Int, Long)].collect().toSeq
+    val w = JoinSearch.searchTablesWindowed(index, dupQuery, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(a == w)
+    assert(a.nonEmpty)
+  }
+
   test("df-capped search: generous cap is a no-op, tight cap rejects hot keys") {
     val uncapped = JoinSearch.searchTables(index, query, cols)
       .as[(Int, Long)].collect().toSeq
