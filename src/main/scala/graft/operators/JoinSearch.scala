@@ -363,23 +363,30 @@ object JoinSearch {
     * dedup feeds both the row counts and the kept join; ditto mapped)
     * — without a persist the probe chain executed up to 4x and this
     * query regressed to the #4 bench line in round 2. Both reused
-    * subtrees persist MEMORY_AND_DISK for the duration of the plan.
+    * subtrees persist MEMORY_AND_DISK, registered in [[DfCache]]
+    * under the plan's semanticHash: a bare per-call `.persist()`
+    * pins blocks in the SQL CacheManager forever (it holds a strong
+    * reference — the ContextCleaner never reaps them), so every
+    * invocation leaked two cached plans for the life of the session.
+    * Semantic keying dedups repeat invocations to one cached copy.
     */
   def searchTablesViaGroupBy(index: DataFrame, query: DataFrame,
       cols: Seq[String], maxTables: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    import graft.sources.DfCache
     val colCount = cols.size
     val m = mappings(prepareInput(query, cols), cols)
-    val dedup = probe(index, m)
+    val dedup0 = probe(index, m)
       .groupBy("table_id", "row_id", "key")
       .agg(min("column_id").as("column_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dedup = DfCache.getOrPersist(index.sparkSession,
+      s"gbv-dedup:${dedup0.semanticHash()}")(dedup0)
     val rowCounts = dedup.groupBy("table_id", "row_id")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
     val kept = dedup.join(rowCounts.select("table_id", "row_id"),
       Seq("table_id", "row_id"))
-    val mapped = kept.join(broadcast(m), Seq("key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mapped0 = kept.join(broadcast(m), Seq("key"))
+    val mapped = DfCache.getOrPersist(index.sparkSession,
+      s"gbv-mapped:${mapped0.semanticHash()}")(mapped0)
     val grpCounts = mapped.groupBy("table_id", "row_id", "map_key")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= colCount)
     val matched = mapped.join(
