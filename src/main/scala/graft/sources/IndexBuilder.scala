@@ -81,9 +81,18 @@ object IndexBuilder {
   }
 
   /** S9: write the index snapshot, hash-clustered by `key`. */
-  def writeSnapshot(spark: SparkSession, dir: String): String = {
-    val path = snapshotPath(dir)
-    build(spark, dir)
+  def writeSnapshot(spark: SparkSession, dir: String): String =
+    writeSnapshotAs(build(spark, dir), snapshotPath(dir))
+
+  /** The snapshot's physical form, for any postings source: one
+    * hash-cluster shuffle on `key` (matching keys co-locate in few
+    * files) then parquet. Exposed so the durability roundtrip can
+    * snapshot the already-persisted index without re-paying the
+    * 7-table rescan, and so incremental maintenance can write delta
+    * postings in the identical layout.
+    */
+  def writeSnapshotAs(postings: DataFrame, path: String): String = {
+    postings
       .repartition(col("key"))
       .write.mode("overwrite").parquet(path)
     path
