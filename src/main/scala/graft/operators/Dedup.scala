@@ -35,6 +35,22 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Docs spread across the session's full parallelism. The shingle /
+    * token-hash lineages are explode-then-hash pipelines whose heavy
+    * work (md5 per shingle x seed) runs BEFORE any aggregation
+    * exchange — at the parquet scan's split count. A small corpus
+    * file scans as one split and serializes all of it on one core.
+    * Repartitioning the narrow side (one row per doc, pre-explode)
+    * costs one pass over the compressed text — bounded by input size
+    * at any scale — and buys full-width hashing. At 100 TB the scan
+    * already has thousands of splits and the exchange is a cheap
+    * rebalance; locally it is the difference between 1 and 32 cores
+    * doing the hashing.
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Exact dedup: one group per distinct text hash; keeper = min id.
     * (Picking a keeper per group IS the dedup decision — `copies > 1`
     * marks rows to drop.)
@@ -53,13 +69,17 @@ object Dedup {
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrPersist(spark, s"doc_shingles:$dir") {
-      docs(spark, dir)
+      // dedup is per-document by construction (doc_id is part of the
+      // output key), so array_distinct BEFORE the explode gives the
+      // exact rows a post-explode global .distinct() would — without
+      // shuffling the full shingle set. Zero-exchange lineage:
+      // scan -> project -> explode.
+      docsSpread(spark, dir)
         .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("w"))
-        .select(col("doc_id"), explode(
+        .select(col("doc_id"), explode(array_distinct(
           when(size(col("w")) >= 3,
             expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-            .otherwise(array().cast("array<string>"))).as("s"))
-        .distinct()
+            .otherwise(array().cast("array<string>")))).as("s"))
     }
 
   /** All `numSeeds` MinHash minima in ONE aggregation: a wide row
@@ -190,11 +210,12 @@ object Dedup {
     * overflow in both engines.
     */
   private def tokenHashes(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select(col("doc_id"), Tokenize.clean(col("text")).as("cleaned"))
       .where(col("cleaned") =!= "")
-      .select(col("doc_id"), explode(split(col("cleaned"), " ")).as("t"))
-      .distinct()
+      // per-doc distinct via array_distinct: same rows as a global
+      // .distinct() (doc_id is in the key), no shuffle.
+      .select(col("doc_id"), explode(array_distinct(split(col("cleaned"), " "))).as("t"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("h_lo"),
         expr("cast(conv(substr(md5(cast(t as binary)), 9, 8), 16, 10) as bigint)").as("h_hi"))

@@ -139,11 +139,12 @@ object TextAnalysis {
     * aggregated term counts, not the raw postings.
     */
   def topTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // per-doc distinct via array_distinct: identical rows to a global
+    // post-explode .distinct() (doc_id is in the key), no shuffle.
     val terms = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+        explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
       .where(col("term") =!= "")
-      .distinct()
     val dfCounts = terms.groupBy("lang", "term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term").asc)
     dfCounts.withColumn("rank", row_number().over(w))
