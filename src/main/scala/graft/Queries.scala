@@ -112,6 +112,23 @@ object Queries {
       },
       Some(SearchOracle.indexOnly(
         "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id, key"))),
+    Q("idx_stream_delta_merge",
+      // Batch twin of graft.streaming.IndexStream: a slice of the
+      // postings plays the role of newly-arrived rows — written as a
+      // key-clustered delta (the maintenance sink's exact physical
+      // path), read back, and unioned with the base's complement.
+      // The merged index must hash-match the full build.
+      (s, dir) => {
+        val newRows = col("table_id") === 2 && col("row_id") % 5 === 0
+        val p = IndexBuilder.writeSnapshotAs(
+          index(s, dir).where(newRows),
+          IndexBuilder.snapshotPath(dir) + "-delta/batch=0")
+        index(s, dir).where(!newRows)
+          .unionByName(s.read.parquet(p))
+          .orderBy("table_id", "column_id", "row_id", "key")
+      },
+      Some(SearchOracle.indexOnly(
+        "SELECT key, table_id, column_id, row_id FROM idxf ORDER BY table_id, column_id, row_id, key"))),
     Q("s3_probe_inlist",
       (s, dir) => index(s, dir)
         .where(col("key").isin(segKeys: _*))

@@ -42,9 +42,12 @@ object IndexBuilder {
     */
   private val FormatVersion = 2
 
-  /** Unpivot one corpus table to `(raw, table_id, column_id, row_id)`. */
-  private def unpivot(spark: SparkSession, dir: String, t: Corpus.Table): DataFrame = {
-    val df = spark.read.parquet(s"$dir/${t.name}.parquet")
+  /** Unpivot rows of one catalog table to the raw wire format
+    * `(raw, table_id, column_id, row_id)`. Public so streaming
+    * maintenance ([[graft.streaming.IndexStream]]) unpivots arriving
+    * rows with the identical catalog semantics the batch build uses.
+    */
+  def unpivotRows(df: DataFrame, t: Corpus.Table): DataFrame = {
     val stackArgs = t.textCols.zipWithIndex
       .map { case (c, i) => s"${i + 1}, cast(`$c` as string)" }
       .mkString(", ")
@@ -54,18 +57,28 @@ object IndexBuilder {
       s"cast(${t.rowIdExpr} as bigint) as row_id")
   }
 
-  /** The full inverted index over all corpus tables in `dir`. */
-  def build(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Corpus.tables.map(unpivot(spark, dir, _))
-    parts.reduce(_ unionByName _)
+  /** Unpivot one corpus table to `(raw, table_id, column_id, row_id)`. */
+  private def unpivot(spark: SparkSession, dir: String, t: Corpus.Table): DataFrame =
+    unpivotRows(spark.read.parquet(s"$dir/${t.name}.parquet"), t)
+
+  /** Raw unpivoted cells -> postings: drop nulls, clean, drop empties,
+    * narrow the id types. The single definition of "what a posting
+    * is", shared by the batch build and streaming delta maintenance.
+    */
+  def postingsFromRaw(raw: DataFrame): DataFrame =
+    raw
       .where(col("raw").isNotNull)
       .select(
         Tokenize.clean(col("raw")).as("key"),
         col("table_id").cast("int").as("table_id"),
         col("column_id").cast("int").as("column_id"),
-        col("row_id"))
+        col("row_id").cast("long").as("row_id"))
       .where(col("key") =!= "")
-  }
+
+  /** The full inverted index over all corpus tables in `dir`. */
+  def build(spark: SparkSession, dir: String): DataFrame =
+    postingsFromRaw(
+      Corpus.tables.map(unpivot(spark, dir, _)).reduce(_ unionByName _))
 
   /** Snapshot location for a corpus dir: keyed by corpus name and a
     * fingerprint of (format version, catalog, stopword list) so a

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.{Corpus, IndexBuilder}
+
+/** Incremental maintenance of the inverted index with Structured
+  * Streaming: newly arriving corpus rows become postings continuously,
+  * appended as durable key-clustered parquet deltas beside the base
+  * snapshot, so searches always run against a fresh index without
+  * ever re-scanning the historical corpus.
+  *
+  * This is the streaming half of the reference's offline tokenize
+  * step (the corpus was pre-tokenized once into Vertica,
+  * `handlers.py:15`, `Par_Search.py:186-191` — any new corpus row
+  * required a full re-run). Spark-first re-expression:
+  *
+  *   readStream (file / Kafka source of new rows)
+  *     -> [[IndexBuilder.unpivotRows]] (same catalog, same colIds)
+  *     -> [[IndexBuilder.postingsFromRaw]] (same clean/filter)
+  *     -> foreachBatch: [[IndexBuilder.writeSnapshotAs]] into
+  *        `deltaDir/batch=<id>` (same key-clustered layout)
+  *
+  * Scale posture:
+  *  - the transform is stateless (no watermark, no aggregation
+  *    state) — postings derive row-locally, so the stream shards
+  *    trivially across executors at any rate;
+  *  - exactly-once lands on the idempotent per-batch overwrite: a
+  *    replayed micro-batch rewrites `batch=<id>` in place (the
+  *    standard foreachBatch idempotence pattern), and the checkpoint
+  *    pins the offset->batchId mapping;
+  *  - each delta is written through the snapshot's own physical form
+  *    (hash-clustered by key), so probe locality holds for deltas
+  *    exactly as for the base; a periodic compaction folding deltas
+  *    into the base is [[IndexBuilder.writeSnapshotAs]] over
+  *    [[loadWithDeltas]] — the same one call.
+  */
+object IndexStream {
+
+  /** Streaming rows of one catalog table -> streaming postings. */
+  def postings(rows: DataFrame, table: Corpus.Table): DataFrame =
+    IndexBuilder.postingsFromRaw(IndexBuilder.unpivotRows(rows, table))
+
+  /** Streaming postings in the raw wire format
+    * `(raw, table_id, column_id, row_id)` — for sources that already
+    * unpivot (e.g. a CDC feed of cell changes).
+    */
+  def postingsFromRaw(raw: DataFrame): DataFrame =
+    IndexBuilder.postingsFromRaw(raw)
+
+  /** Start the maintenance query: every micro-batch of derived
+    * postings lands as `deltaDir/batch=<id>`, key-clustered parquet,
+    * idempotently overwritten on replay.
+    */
+  def maintain(postings: DataFrame, deltaDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    postings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        IndexBuilder.writeSnapshotAs(batch.toDF(), s"$deltaDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The live index: base snapshot plus all accumulated deltas.
+    * Missing/empty delta dir degrades to the base snapshot alone.
+    */
+  def loadWithDeltas(spark: SparkSession, dir: String, deltaDir: String): DataFrame = {
+    val base = IndexBuilder.loadOrSnapshot(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      base.unionByName(spark.read.parquet(s"$deltaDir/batch=*"))
+    else base
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinSearch
+import graft.sources.{Corpus, IndexBuilder}
+import graft.streaming.IndexStream
+
+/** Incremental index maintenance end to end: new corpus rows arrive
+  * over two micro-batches (with a checkpointed restart between them),
+  * land as key-clustered parquet deltas, and the merged index serves
+  * the same searches the batch build would.
+  */
+object IndexStreamSpec {
+  final case class CRow(c_name: String, c_mktsegment: String, c_custkey: Long)
+}
+
+class IndexStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import IndexStreamSpec.CRow
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streamed rows become exact postings deltas; restart resumes offsets") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta"), tmp("graft-ckpt"))
+    val in = MemoryStream[CRow]
+    val customer = Corpus.byName("customer")
+
+    // AvailableNow snapshots the available offsets at START — data
+    // must be added before the query launches (matching a real
+    // incremental run over files/Kafka that arrived since last time).
+    in.addData(CRow("Zzyzx  Quarry", "nebula", 9000001L),
+      CRow(null, "nebula", 9000002L))
+    val q1 = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), customer), delta, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    in.addData(CRow("Zzyzx Quarry", "AUTOMOBILE", 9000003L))
+    val q2 = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), customer), delta, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$delta/batch=*")
+      .as[(String, Int, Int, Long)].collect().toSet
+    // null name drops its posting row; cleaning collapses whitespace
+    // and lowercases — identical to the batch builder's semantics.
+    val expected = Set(
+      ("zzyzx quarry", 1, 1, 9000001L), ("nebula", 1, 2, 9000001L),
+      ("nebula", 1, 2, 9000002L),
+      ("zzyzx quarry", 1, 1, 9000003L), ("automobile", 1, 2, 9000003L))
+    assert(got == expected)
+    // restart did not replay batch 0 into a new directory:
+    val dirs = new java.io.File(delta).list().toSet
+    assert(dirs == Set("batch=0", "batch=1"), s"delta dirs: $dirs")
+  }
+
+  test("merged base+delta index serves searches over rows the base never saw") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta2"), tmp("graft-ckpt2"))
+    val in = MemoryStream[CRow]
+    in.addData(
+      CRow("Customer#999900001", "NEBULA", 999900001L),
+      CRow("Customer#999900002", "NEBULA", 999900002L))
+    val q = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val merged = IndexStream.loadWithDeltas(spark, sf0001, delta)
+    val base = IndexBuilder.loadOrSnapshot(spark, sf0001)
+    assert(merged.count() == base.count() + 4)
+
+    // a 2-attribute query over the streamed-only rows: only the
+    // customer table (id 1) can satisfy the conjunction.
+    val query = Seq(("Customer#999900001", "NEBULA"), ("Customer#999900002", "NEBULA"))
+      .toDF("c_name", "c_mktsegment")
+    val hits = JoinSearch.searchTables(merged, query, Seq("c_name", "c_mktsegment"))
+      .as[(Int, Long)].collect().toSeq
+    assert(hits == Seq((1, 4L)), s"got $hits")
+    // and the base alone knows nothing of them:
+    val cold = JoinSearch.searchTables(base, query, Seq("c_name", "c_mktsegment"))
+      .as[(Int, Long)].collect().toSeq
+    assert(cold.isEmpty)
+  }
+}
