@@ -14,5 +14,8 @@ object EventQueries {
       Some(EventOracle.tumblingHourlySql)),
     Q("events_sessionized",
       (s, dir) => Events.sessionize(s, dir),
-      Some(EventOracle.sessionizeSql())))
+      Some(EventOracle.sessionizeSql())),
+    Q("events_asof_order",
+      (s, dir) => Events.asofLatestOrder(s, dir),
+      Some(EventOracle.asofLatestOrderSql)))
 }

@@ -85,4 +85,51 @@ object Events {
         sum("vc").cast("long").as("value_cents"))
       .orderBy("user_id", "session_ix")
   }
+
+  /** As-of join: each event picks the latest order of the same
+    * customer at-or-before the event time (the point-in-time lookup
+    * every feature/training pipeline needs — "state as of then", no
+    * leakage from the future).
+    *
+    * Spark has no asof operator; the naive range join
+    * (`e.user = o.cust AND o.date <= e.ts` + max-per-event) explodes
+    * to Ω(events x orders-per-user) before aggregating. This is the
+    * scale-correct union-window formulation instead: tag order rows 0
+    * and event rows 1, union, and take the running
+    * `last(order, ignoreNulls)` over (user, time, tag) — ONE shuffle
+    * on user_id, one sort, output exactly |events|. Orders sort
+    * before events at the same instant, so "at-or-before" includes
+    * equality; orders are pre-deduped to max(o_orderkey) per
+    * (customer, date) so the pick is deterministic under date ties.
+    * The DuckDB oracle is its native ASOF LEFT JOIN over the same
+    * deduped orders — an independent implementation of the same
+    * semantics.
+    *
+    * Timestamps are micros (`_us`), the established events-family
+    * precision contract (DuckDB sees parquet nanos as micros).
+    */
+  def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = raw(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("tus"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("order_us"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey").as("key"), expr("unix_micros(cast(o_orderdate as timestamp))").as("tus"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), expr("unix_micros(cast(o_orderdate as timestamp))").as("order_us"))
+    val w = Window.partitionBy("key").orderBy("tus", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("asof_order_us", last("order_us", ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("tus").as("ts_us"),
+        col("asof_orderkey").as("o_orderkey"),
+        col("asof_order_us").as("order_us"),
+        (col("tus") - col("asof_order_us")).as("staleness_us"))
+      .orderBy("event_id")
+  }
 }

@@ -21,6 +21,27 @@ SELECT (tns // ${Events.NanosPerHour}) * 3600 AS window_start_s, event_type,
   count(DISTINCT user_id) AS n_users
 FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** DuckDB's native ASOF LEFT JOIN — an independent implementation
+    * of the point-in-time semantics [[Events.asofLatestOrder]]
+    * expresses with the union-window trick. Orders pre-deduped to
+    * max(o_orderkey) per (customer, date) in both engines so date
+    * ties resolve identically.
+    */
+  def asofLatestOrderSql: String =
+    s"""WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  ),
+  o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
+      max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+  )
+SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey, o.order_us,
+  e.ts_us - o.order_us AS staleness_us
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts_us >= o.order_us
+ORDER BY e.event_id"""
+
   def sessionizeSql(gapUs: Long = Events.DefaultGapUs): String =
     s"""WITH e AS (
     SELECT user_id, event_id, epoch_us(ts) AS tus,
