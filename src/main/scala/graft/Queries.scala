@@ -420,7 +420,58 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
         .orderBy("y", "m"),
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
 count(*) AS n, cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
-FROM orders GROUP BY 1, 2 ORDER BY y, m""")))
+FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+    // Multi-dimensional aggregation surface (§2.4 breadth): one CUBE
+    // pass produces all 4 (status x priority) grouping combinations —
+    // Spark expands grouping sets inside a single shuffle (partial
+    // aggregation per set), vs 4 separate scans+shuffles for the
+    // UNION ALL formulation. grouping_id disambiguates subtotal rows
+    // from genuine NULL keys; identical operator exists in DuckDB.
+    Q("orders_status_priority_cube",
+      (s, dir) => s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+        .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+          col("n"), col("total_cents"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+o_orderstatus, o_orderpriority, count(*) AS n,
+cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    // Range join (§2.3 breadth): band each event's value by [lo, hi)
+    // containment against a tiny bands dimension. The scale shape is
+    // a broadcast nested-loop join — the big side never shuffles and
+    // streams once through 5 interval predicates; a shuffle-based
+    // range join would be wrong here by construction. Bands are
+    // half-open and cover the full domain, so the join is total
+    // (row counts preserved).
+    Q("events_value_banded",
+      (s, dir) => {
+        import s.implicits._
+        val bands = broadcast(valueBands.toDF("band", "lo", "hi"))
+        val e = s.read.parquet(s"$dir/events.parquet")
+        e.join(bands, e("value") >= bands("lo") && e("value") < bands("hi"))
+          .groupBy("band", "lo")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).cast("long").as("value_cents"))
+          .select(col("band"), col("n"), col("value_cents"))
+          .orderBy("band")
+      },
+      Some(s"""WITH bands(band, lo, hi) AS (VALUES ${valueBands.map {
+          case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")})
+SELECT band, count(*) AS n,
+cast(sum(cast(round(value*100) as bigint)) as bigint) AS value_cents
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band ORDER BY band""")))
+
+  /** Half-open [lo, hi) value bands covering the whole double domain
+    * (labels sort in band order for deterministic output).
+    */
+  private lazy val valueBands = Seq(
+    ("b1_micro", 0.0, 1.0), ("b2_small", 1.0, 10.0), ("b3_mid", 10.0, 50.0),
+    ("b4_large", 50.0, 200.0), ("b5_huge", 200.0, 1e18))
 
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
