@@ -303,13 +303,19 @@ object JoinSearch {
   }
 
   /** Row-wise strategy (the reference's per-query-row traversal,
-    * `Seq_Search.py:143-166`, re-expressed relationally): skips the
-    * W1 co-occurrence pre-filter entirely — W2's per-(row, map_key)
-    * conjunction subsumes it, since a group reaching cnt = N proves
-    * the row carries N distinct query keys. Identical results to
-    * [[searchTables]] by construction; the plan trades W1's early
-    * narrowing (one window less) for a larger J1 input. Registered
-    * as a built-in cross-check against the col-wise pipeline.
+    * `Seq_Search.py:143-166`, re-expressed relationally): no W1
+    * pre-filter — the conjunction narrows after the join instead of
+    * before it, trading early pruning for one fewer pre-join window.
+    *
+    * W2's per-(row, map_key) entry count subsumes W1's >= N
+    * DISTINCT-matched-keys floor only for distinct-keyed query rows:
+    * a duplicate-key query row (two attributes cleaning to the same
+    * value) reaches cnt = N through repeated maps entries of ONE key,
+    * which W1 would have rejected. The floor therefore still applies,
+    * computed post-join as the per-(table,row) distinct-key count
+    * over the mapped postings — the same set dedup carries, since
+    * every probed key is a maps key by construction. (Divergence
+    * found by the cross-strategy randomized property spec.)
     */
   def searchTablesRowWise(index: DataFrame, query: DataFrame,
       cols: Seq[String], maxTables: Int = 20): DataFrame = {
@@ -318,8 +324,16 @@ object JoinSearch {
       .groupBy("table_id", "row_id", "key")
       .agg(min("column_id").as("column_id"))
       .select("key", "table_id", "column_id", "row_id")
-    val top = topColumns(
-      columnScores(matches(joinMapped(dedup, m), cols.size)), cols.size)
+    val rowFloor = Window.partitionBy("table_id", "row_id")
+    // floor BEFORE the W2 group filter: W1 counts the row's distinct
+    // matched keys across ALL postings, including ones whose own
+    // map_key group fails the conjunction.
+    val mapped = joinMapped(dedup, m)
+      .withColumn("dk", size(collect_set("key").over(rowFloor)))
+    val conj = matches(mapped, cols.size)
+      .where(col("dk") >= cols.size)
+      .drop("dk")
+    val top = topColumns(columnScores(conj), cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
       .limit(maxTables)
