@@ -65,6 +65,17 @@ object IndexStream {
       }
       .start()
 
+  /** Fold base + accumulated deltas into one fresh key-clustered
+    * snapshot at `targetPath` (a NEW path — never the base being
+    * read: parquet sources cannot be overwritten mid-scan). The
+    * caller swaps the compacted snapshot in and clears the delta dir
+    * once the write commits; until then readers keep serving
+    * base+deltas — a zero-downtime compaction.
+    */
+  def compact(spark: SparkSession, dir: String, deltaDir: String,
+      targetPath: String): String =
+    IndexBuilder.writeSnapshotAs(loadWithDeltas(spark, dir, deltaDir), targetPath)
+
   /** The live index: base snapshot plus all accumulated deltas.
     * Missing/empty delta dir degrades to the base snapshot alone.
     */

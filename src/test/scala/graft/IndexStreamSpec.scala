@@ -85,5 +85,14 @@ class IndexStreamSpec extends SparkTestBase {
     val cold = JoinSearch.searchTables(base, query, Seq("c_name", "c_mktsegment"))
       .as[(Int, Long)].collect().toSeq
     assert(cold.isEmpty)
+
+    // compaction folds base+deltas into one snapshot with no loss.
+    val target = tmp("graft-compacted") + "/snap"
+    IndexStream.compact(spark, sf0001, delta, target)
+    val compacted = spark.read.parquet(target)
+    assert(compacted.count() == merged.count())
+    val hot = JoinSearch.searchTables(compacted, query, Seq("c_name", "c_mktsegment"))
+      .as[(Int, Long)].collect().toSeq
+    assert(hot == Seq((1, 4L)))
   }
 }
