@@ -15,6 +15,9 @@ object DedupQueries {
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some(DocOracle.minhashLshSql())),
+    Q("dedup_clusters",
+      (s, dir) => Dedup.clusters(s, dir),
+      Some(DocOracle.clustersSql())),
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(s, dir),
       Some(DocOracle.ngramJaccardSql())),

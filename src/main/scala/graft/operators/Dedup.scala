@@ -204,6 +204,61 @@ object Dedup {
       .orderBy("doc_x", "doc_y")
   }
 
+  /** Duplicate-cluster resolution: connected components over verified
+    * near-dup pairs — the step that turns pairwise similarity into a
+    * dedup DECISION (one keeper per cluster, everything else
+    * droppable). Transitivity matters: A~B and B~C put A,C in one
+    * cluster even when A,C were never a candidate pair.
+    *
+    * Label propagation to the minimum reachable doc_id: every member
+    * starts as its own label; each round takes the min of its own and
+    * its neighbors' labels; fixpoint = components. Rounds are
+    * tiny-data joins (the pair graph is O(|near-dups|), orders of
+    * magnitude smaller than the corpus); the sum of labels is
+    * monotone non-increasing, so an unchanged sum IS the fixpoint
+    * proof. Iterations are bounded by graph diameter — the standard
+    * distributed-CC formulation (at extreme diameters the same loop
+    * takes the large-star/small-star contraction form). Each round
+    * localCheckpoints: lineage stays O(1), blocks are
+    * reference-tracked (no CacheManager pinning), and the loop's
+    * only driver traffic is one aggregated long per round.
+    *
+    * Output: (doc_id, cluster_id, n_members, is_keeper) for every doc
+    * in a non-singleton cluster; keeper = the cluster's min doc_id.
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_x").as("s"), col("doc_y").as("d"))
+      .unionByName(pairs.select(col("doc_y").as("s"), col("doc_x").as("d")))
+      .localCheckpoint(true)
+    var labels: DataFrame = edges.select(col("s").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var curSum = labels.agg(sum("lbl")).as[Long].head()
+    var converged = false
+    while (!converged) {
+      val next = edges.join(labels.withColumnRenamed("v", "d"), Seq("d"))
+        .select(col("s").as("v"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("lbl")).as[Long].head()
+      converged = nextSum == curSum
+      labels = next; curSum = nextSum
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        col("n_members"),
+        when(col("v") === col("lbl"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** [[clustersFromPairs]] over the MinHash-LSH verified pairs. */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(minhashLsh(spark, dir).select("doc_x", "doc_y"))
+
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
     * arithmetic). Two positive 32-bit halves sidestep signed-64

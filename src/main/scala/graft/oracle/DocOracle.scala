@@ -45,9 +45,11 @@ object DocOracle {
     """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS copies
 FROM documents GROUP BY md5(text) ORDER BY text_hash"""
 
-  /** Candidate CTE -> verified near-dup pairs (exact Jaccard >= 50%). */
-  private def verifySql(candCtes: String): String =
-    s"""WITH $shingleCtes,
+  /** Candidate CTE -> verified near-dup pairs as a CTE chain ending
+    * in `verified(doc_x, doc_y, inter_n, union_n, jac_bp)`.
+    */
+  private def verifiedCtes(candCtes: String): String =
+    s"""$shingleCtes,
   $candCtes,
   pair_inter AS (
     SELECT c.doc_x, c.doc_y, count(*) AS inter_n
@@ -55,17 +57,48 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash"""
     JOIN doc_shingles sx ON sx.doc_id = c.doc_x
     JOIN doc_shingles sy ON sy.doc_id = c.doc_y AND sy.s = sx.s
     GROUP BY c.doc_x, c.doc_y
-  )
-SELECT p.doc_x, p.doc_y, p.inter_n,
-  nx.n + ny.n - p.inter_n AS union_n,
-  CAST(floor(10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n)) AS BIGINT) AS jac_bp
-FROM pair_inter p
-JOIN shingle_sizes nx ON nx.doc_id = p.doc_x
-JOIN shingle_sizes ny ON ny.doc_id = p.doc_y
-WHERE 10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n) >= 5000
+  ),
+  verified AS (
+    SELECT p.doc_x, p.doc_y, p.inter_n,
+      nx.n + ny.n - p.inter_n AS union_n,
+      CAST(floor(10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n)) AS BIGINT) AS jac_bp
+    FROM pair_inter p
+    JOIN shingle_sizes nx ON nx.doc_id = p.doc_x
+    JOIN shingle_sizes ny ON ny.doc_id = p.doc_y
+    WHERE 10000.0 * p.inter_n / (nx.n + ny.n - p.inter_n) >= 5000
+  )"""
+
+  /** Candidate CTE -> verified near-dup pairs (exact Jaccard >= 50%). */
+  private def verifySql(candCtes: String): String =
+    s"""WITH ${verifiedCtes(candCtes)}
+SELECT doc_x, doc_y, inter_n, union_n, jac_bp FROM verified
 ORDER BY doc_x, doc_y"""
 
-  def minhashLshSql(numSeeds: Int = 8): String = verifySql(
+  /** Transitive duplicate clusters over the MinHash-LSH verified
+    * pairs: the recursive closure labels every member with its
+    * minimum reachable doc_id — an independent (recursive-CTE)
+    * implementation of the label-propagation fixpoint
+    * [[graft.operators.Dedup.clustersFromPairs]] iterates.
+    */
+  def clustersSql(numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${verifiedCtes(minhashCandCtes(numSeeds))},
+  edges AS (
+    SELECT doc_x AS s, doc_y AS d FROM verified
+    UNION ALL SELECT doc_y, doc_x FROM verified
+  ),
+  reach(v, lbl) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+    UNION
+    SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.v
+  ),
+  labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+  csizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, c.n_members,
+  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM labels l JOIN csizes c ON c.cluster_id = l.cluster_id
+ORDER BY l.doc_id"""
+
+  private def minhashCandCtes(numSeeds: Int): String =
     s"""minh AS (
     SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
     FROM doc_shingles, range(0, $numSeeds) t(seed)
@@ -81,7 +114,10 @@ ORDER BY doc_x, doc_y"""
     SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y
     FROM bands a
     JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-  )""")
+  )"""
+
+  def minhashLshSql(numSeeds: Int = 8): String =
+    verifySql(minhashCandCtes(numSeeds))
 
   def ngramJaccardSql(maxDf: Int = 100, minShared: Int = 3): String = verifySql(
     s"""rare AS (

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Cluster resolution over hand-built pair graphs: transitive chains
+  * collapse to one cluster (even across pairs that were never
+  * candidates together), disjoint components stay separate, keeper =
+  * min doc_id. The sf0.01 oracle run cross-checks the full pipeline
+  * against an independent recursive-CTE implementation; this pins the
+  * graph semantics in isolation.
+  */
+class DedupClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("label propagation resolves transitive chains and disjoint components") {
+    // chain 1-2, 2-3, 3-4 (diameter 3: needs >1 round) + island 10-11.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_x", "doc_y")
+    val got = Dedup.clustersFromPairs(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, 1L), (2L, 1L, 4L, 0L), (3L, 1L, 4L, 0L), (4L, 1L, 4L, 0L),
+      (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
+  }
+
+  test("reversed-order chain converges to the same min label") {
+    val pairs = Seq((8L, 9L), (7L, 8L), (6L, 7L), (5L, 6L))
+      .toDF("doc_x", "doc_y")
+    val got = Dedup.clustersFromPairs(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).distinct == Seq(5L))
+    assert(got.filter(_._4 == 1L).map(_._1) == Seq(5L))
+  }
+}
