@@ -24,6 +24,9 @@ object TextQueries {
     Q("text_top_terms",
       (s, dir) => TextAnalysis.topTerms(s, dir),
       Some(TextOracle.topTermsSql())),
+    Q("text_tfidf_top",
+      (s, dir) => TextAnalysis.tfidfTop(s, dir),
+      Some(TextOracle.tfidfTopSql())),
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(s, dir),
       Some(TextOracle.fingerprintsSql())))

@@ -153,6 +153,41 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** TF-IDF-style top-`k` characteristic terms per document, in
+    * exact integer arithmetic (oracle parity needs no floats, and a
+    * libm `ln` would not be bit-identical across engines anyway):
+    * `score = tf * ((N * 1000) div df)` — term frequency times a
+    * milli-scaled inverse document frequency. Monotone in tf/df the
+    * same way tf*ln(N/df) is for ranking within a document.
+    *
+    * Shuffle audit: one (doc, term) tf aggregation, one term df
+    * aggregation over the (already aggregated) tf rows, broadcast of
+    * the df side back onto tf, one per-doc ranking window — the df
+    * table is |vocabulary|-sized (bounded, zipfian), never
+    * |corpus|-sized, so the broadcast holds at scale; N arrives as a
+    * broadcast 1-row aggregate, not a collected constant.
+    */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000) div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** k-gram min-sampling fingerprint: the 4 lexicographically
     * smallest `md5(shingle)` hashes per document, joined with `|`.
     * The bag-level analog of winnowing's rolling-hash minimum — near

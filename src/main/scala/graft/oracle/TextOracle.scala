@@ -94,6 +94,25 @@ GROUP BY d.lang, d.source ORDER BY d.lang, d.source"""
   )
 SELECT lang, rank, term, df FROM ranked WHERE rank <= $k ORDER BY lang, rank"""
 
+  def tfidfTopSql(k: Int = 3): String =
+    s"""WITH toks AS (
+    SELECT doc_id, unnest(string_split(${Tokenize.cleanSql("text")}, ' ')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+  dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  total AS (SELECT count(*) AS n_docs FROM documents),
+  scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df, t.tf * ((n.n_docs * 1000) // d.df) AS score
+    FROM tf t JOIN dfc d ON t.term = d.term CROSS JOIN total n
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+  )
+SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= $k
+ORDER BY doc_id, rank"""
+
   def fingerprintsSql(k: Int = 4): String =
     s"""WITH ${DocOracle.shingleCtes},
   hashed AS (SELECT doc_id, md5(s) AS h FROM doc_shingles)
