@@ -193,10 +193,12 @@ object JoinSearch {
     *  - the recover step explodes the verified map_key's entry list,
     *    restoring per-entry multiplicity and min-column attribution.
     *
-    * Shuffle audit: one (table,row,key) dedup exchange shared by both
-    * consumers (ReuseExchange — identical subtree), one tiny
-    * (table,row) aggregation on top of it, broadcasts everywhere
-    * else. The windowed form's two full-width window exchanges over
+    * Shuffle audit: ONE corpus lineage — the (table,row,key) posting
+    * dedup, re-clustered once to the per-row key set — and broadcasts
+    * everywhere else. Candidates derive from the per-row key set
+    * itself (explode + broadcast anchor join), so anchoring adds no
+    * second pass over the postings and no row-side verify join at
+    * all. The windowed form's two full-width window exchanges over
     * the joined blowup are gone.
     */
   def conjunctionAnchored(postings: DataFrame, maps: DataFrame,
@@ -214,18 +216,19 @@ object JoinSearch {
       .join(broadcast(keyDf), Seq("key"))
       .withColumn("rn", row_number().over(aw))
       .where(col("rn") === 1)
-      .select(col("map_key"), col("key"))
+      .select(col("map_key"), col("key").as("anchor_key"))
       .join(req, Seq("map_key"))
-    val dedup = postings
+    // per corpus row: matched keys with min-column attribution —
+    // the single materialization of the posting lineage.
+    val rowKeys = postings
       .groupBy("table_id", "row_id", "key")
       .agg(min("column_id").as("column_id"))
-    // per corpus row: matched keys with their min-column attribution.
-    val rowKeys = dedup
       .groupBy("table_id", "row_id")
       .agg(collect_list(struct(col("key"), col("column_id"))).as("kcs"))
-    val cand = dedup.join(broadcast(anchors), Seq("key"))
-      .select("table_id", "row_id", "map_key", "req")
-    cand.join(rowKeys, Seq("table_id", "row_id"))
+    rowKeys
+      .select(col("table_id"), col("row_id"), col("kcs"),
+        explode(col("kcs")).as("kc"))
+      .join(broadcast(anchors), col("kc.key") === col("anchor_key"))
       .withColumn("kmap", map_from_entries(col("kcs")))
       .where(size(col("kcs")) >= colCount &&
         expr("forall(req, k -> map_contains_key(kmap, k))"))
