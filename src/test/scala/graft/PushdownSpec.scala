@@ -34,4 +34,22 @@ class PushdownSpec extends SparkTestBase {
     assert(readCols == Set("c_custkey", "c_name", "c_mktsegment"),
       s"ReadSchema: $readCols")
   }
+
+  test("anchored search joins are all broadcast — the index side never shuffles for a join") {
+    val idx = graft.sources.IndexBuilder.build(spark, sf0001)
+    val df = graft.operators.JoinSearch.searchTables(
+      idx, Queries.customerQuery(spark, sf0001), Queries.customerCols)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "unexpected SortMergeJoin in:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in:\n" + plan)
+  }
+
+  test("range-band join is a broadcast nested loop — the events side never shuffles for it") {
+    val df = SparkEntry.queries("events_value_banded")(spark, sf0001)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "expected BroadcastNestedLoopJoin in:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "unexpected shuffle/cartesian join in:\n" + plan)
+  }
 }
