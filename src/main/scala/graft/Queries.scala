@@ -466,6 +466,23 @@ cast(sum(cast(round(value*100) as bigint)) as bigint) AS value_cents
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY band ORDER BY band""")))
 
+  /** Set-operation breadth (§2.7): EXCEPT compiles to a distributed
+    * left-anti hash join (broadcast-able small side under AQE) — the
+    * scale form of "ids in A, absent from B". Customers who placed
+    * orders but never produced an event.
+    */
+  private val setOpQs = Seq(
+    Q("custkeys_without_events",
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("id")).distinct()
+        val e = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id").as("id")).distinct()
+        o.except(e).orderBy("id")
+      },
+      Some("""SELECT DISTINCT o_custkey AS id FROM orders
+EXCEPT SELECT DISTINCT user_id AS id FROM events ORDER BY id""")))
+
   /** Half-open [lo, hi) value bands covering the whole double domain
     * (labels sort in band order for deterministic output).
     */
@@ -476,6 +493,6 @@ GROUP BY band ORDER BY band""")))
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
     f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
-      sourceQs ++ DedupQueries.all ++ SimQueries.all ++ TextQueries.all ++
-      EventQueries.all ++ MmQueries.all
+      setOpQs ++ sourceQs ++ DedupQueries.all ++ SimQueries.all ++
+      TextQueries.all ++ EventQueries.all ++ MmQueries.all
 }
