@@ -233,9 +233,13 @@ object Dedup {
     val edges = pairs.select(col("doc_x").as("s"), col("doc_y").as("d"))
       .unionByName(pairs.select(col("doc_y").as("s"), col("doc_x").as("d")))
       .localCheckpoint(true)
+    // coalesce: sum over an empty label set is NULL — a pair-free
+    // corpus must yield an empty result, not an encoder NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).as[Long].head()
     var labels: DataFrame = edges.select(col("s").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint(true)
-    var curSum = labels.agg(sum("lbl")).as[Long].head()
+    var curSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val next = edges.join(labels.withColumnRenamed("v", "d"), Seq("d"))
@@ -243,7 +247,7 @@ object Dedup {
         .unionByName(labels)
         .groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("lbl")).as[Long].head()
+      val nextSum = labelSum(next)
       converged = nextSum == curSum
       labels = next; curSum = nextSum
     }

@@ -23,6 +23,11 @@ class DedupClustersSpec extends SparkTestBase {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("empty pair set yields an empty result, not a crash") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_x", "doc_y")
+    assert(Dedup.clustersFromPairs(pairs).count() == 0)
+  }
+
   test("reversed-order chain converges to the same min label") {
     val pairs = Seq((8L, 9L), (7L, 8L), (6L, 7L), (5L, 6L))
       .toDF("doc_x", "doc_y")
