@@ -21,6 +21,9 @@ object SimQueries {
     Q("sim_lsh_recall",
       (s, dir) => Similarity.lshRecall(s, dir),
       Some(SimOracle.lshRecallSql())),
+    Q("sim_ivf_recall",
+      (s, dir) => Similarity.ivfRecall(s, dir),
+      Some(SimOracle.ivfRecallSql())),
     // bounded-aggregator form: same oracle as sim_cosine_topk proves
     // the window -> partial-top-k rewrite exact.
     Q("sim_cosine_topk_agg",

@@ -233,6 +233,35 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** IVF recall audit (the [[lshRecall]] twin for the cell path):
+    * per probe, the fraction of its exact top-k neighbors assigned
+    * to the probe's OWN cell — the recall an nprobe=1 [[ivfProbe]]
+    * actually achieves. Probes whose neighbors all live elsewhere
+    * appear with recall 0 (left join): the metric counts its
+    * failures. At scale this is the dial that chooses nprobe and
+    * codebook size from data rather than folklore.
+    */
+  def ivfRecall(spark: SparkSession, dir: String,
+      k: Int = 10, numCents: Int = 8, probeMod: Int = 50): DataFrame = {
+    val topk = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val cells = ivfCells(spark, dir, numCents)
+    val qcells = cells.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("cell_id").as("qcell"))
+    val hits = topk
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(qcells), Seq("qid"))
+      .where(col("cell_id") === col("qcell"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    topk.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(k.toLong).as("k"))
+      .withColumn("recall_bp",
+        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
+      .orderBy("qid")
+  }
+
   /** IVF cell assignment: each vector joins its argmax-cosine
     * centroid (the first `numCents` vectors seed the codebook; a
     * production build would k-means them — the assignment plumbing
