@@ -15,6 +15,9 @@ object MmQueries {
     Q("mm_frames",
       (s, dir) => Multimodal.frames(s, dir),
       Some(MmOracle.framesSql)),
+    Q("mm_resize_plan",
+      (s, dir) => Multimodal.resizePlan(s, dir),
+      Some(MmOracle.resizePlanSql())),
     Q("mm_type_rollup",
       (s, dir) => Multimodal.typeRollup(s, dir),
       Some(MmOracle.typeRollupSql)))

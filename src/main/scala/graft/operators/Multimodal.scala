@@ -120,6 +120,31 @@ object Multimodal {
   def frames(spark: SparkSession, dir: String): DataFrame =
     decodeFrames(spark, dir).toDF().orderBy("doc_id", "frame_ix")
 
+  /** Resize planning — the pure-arithmetic half of a media resize
+    * stage (the pixel work happens in the codec seam; WHAT size to
+    * emit is engine logic): fit the longer side within `maxDim`,
+    * preserve aspect ratio via integer scaling, never upscale. All
+    * exact integers (scale in basis points), so the oracle matches
+    * bit for bit; at scale this is a per-row codegen'd projection —
+    * no decode, no shuffle.
+    */
+  def resizePlan(spark: SparkSession, dir: String, maxDim: Long = 128): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val fits = longSide <= maxDim
+    metadata(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        when(fits, lit(10000L))
+          .otherwise(expr(s"(10000 * $maxDim) div greatest(width, height)"))
+          .cast("long").as("scale_bp"),
+        when(fits, col("width"))
+          .otherwise(expr(s"(width * $maxDim) div greatest(width, height)"))
+          .cast("long").as("out_w"),
+        when(fits, col("height"))
+          .otherwise(expr(s"(height * $maxDim) div greatest(width, height)"))
+          .cast("long").as("out_h"))
+      .orderBy("doc_id")
+  }
+
   /** Per-modality rollup over extracted metadata: one narrow scan +
     * one 3-group aggregation.
     */

@@ -44,4 +44,16 @@ SELECT media_type, count(*) AS n_media,
   CAST((sum(width) * 100) // count(*) AS BIGINT) AS mean_width_c,
   CAST((sum(height) * 100) // count(*) AS BIGINT) AS mean_height_c
 FROM mmeta GROUP BY media_type ORDER BY media_type"""
+
+  /** Mirrors `Multimodal.resizePlan` (fit-within, never upscale). */
+  def resizePlanSql(maxDim: Long = 128): String =
+    s"""WITH $metaCte
+SELECT doc_id, media_type, width, height,
+  CAST(CASE WHEN greatest(width, height) <= $maxDim THEN 10000
+       ELSE (10000 * $maxDim) // greatest(width, height) END AS BIGINT) AS scale_bp,
+  CAST(CASE WHEN greatest(width, height) <= $maxDim THEN width
+       ELSE (width * $maxDim) // greatest(width, height) END AS BIGINT) AS out_w,
+  CAST(CASE WHEN greatest(width, height) <= $maxDim THEN height
+       ELSE (height * $maxDim) // greatest(width, height) END AS BIGINT) AS out_h
+FROM mmeta ORDER BY doc_id"""
 }
