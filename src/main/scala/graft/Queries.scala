@@ -466,6 +466,66 @@ cast(sum(cast(round(value*100) as bigint)) as bigint) AS value_cents
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY band ORDER BY band""")))
 
+  /** Event-type vocabulary for the pivot (explicit value list: a
+    * pivot without one triggers a driver-side distinct collection —
+    * the wrong shape at scale, and nondeterministic column order).
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // Reshape breadth (§2.9): native pivot with a FIXED value list —
+  // one shuffle on the grouping key, wide counts per event type.
+  // The oracle is the equivalent conditional aggregation (DuckDB's
+  // PIVOT sugar expands to exactly this).
+  private val pivotQs = Seq(
+    Q("events_user_type_pivot",
+      (s, dir) => s.read.parquet(s"$dir/events.parquet")
+        .groupBy((col("user_id") % 10).cast("long").as("user_bucket"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, eventTypes)
+        .orderBy("user_bucket"),
+      Some(s"""SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+${eventTypes.map(t => s"""CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS "$t"""").mkString(",\n")}
+FROM events GROUP BY 1 ORDER BY user_bucket""")),
+    // Exact median (§2.5 window breadth) without percentile floats:
+    // the double-row_number formula — median = mean of the one or two
+    // middle-ranked values, kept integral by doubling (half-token
+    // units), so both engines emit exact integers.
+    Q("text_token_median_by_lang",
+      (s, dir) => {
+        val base = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), expr("size(split(trim(text), '\\\\s+'))").cast("long").as("n_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_tok").asc)
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .where(col("rn") === expr("(cnt + 1) div 2") ||
+            col("rn") === expr("cnt div 2 + 1"))
+          .groupBy("lang")
+          .agg(sum("n_tok").cast("long").as("median_2x_raw"),
+            count(lit(1)).as("mid_n"))
+          .select(col("lang"),
+            (col("median_2x_raw") * lit(2) / col("mid_n")).cast("long").as("median_2x"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (
+  SELECT lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT lang, n_tok,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tok ASC) AS rn,
+    count(*) OVER (PARTITION BY lang) AS cnt
+  FROM base
+)
+SELECT lang,
+  CAST(sum(n_tok) * 2 / count(*) AS BIGINT) AS median_2x
+FROM ranked
+WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+GROUP BY lang ORDER BY lang"""))
+  )
+
   /** Set-operation breadth (§2.7): EXCEPT compiles to a distributed
     * left-anti hash join (broadcast-able small side under AQE) — the
     * scale form of "ids in A, absent from B". Customers who placed
@@ -493,6 +553,6 @@ EXCEPT SELECT DISTINCT user_id AS id FROM events ORDER BY id""")))
   /** All registered queries: reference surface + extension families. */
   val all: Seq[Q] =
     f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
-      setOpQs ++ sourceQs ++ DedupQueries.all ++ SimQueries.all ++
+      pivotQs ++ setOpQs ++ sourceQs ++ DedupQueries.all ++ SimQueries.all ++
       TextQueries.all ++ EventQueries.all ++ MmQueries.all
 }
