@@ -17,5 +17,8 @@ object EventQueries {
       Some(EventOracle.sessionizeSql())),
     Q("events_asof_order",
       (s, dir) => Events.asofLatestOrder(s, dir),
+      Some(EventOracle.asofLatestOrderSql)),
+    Q("events_asof_catalyst",
+      (s, dir) => Events.asofLatestOrderCatalyst(s, dir),
       Some(EventOracle.asofLatestOrderSql)))
 }

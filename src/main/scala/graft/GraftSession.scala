@@ -15,6 +15,9 @@ object GraftSession {
   def local(cores: Int, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
+      // engine extensions: the as-of planner strategy (custom
+      // LogicalPlan -> custom SparkPlan; graft.plans.AsOfJoin).
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfStrategy))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -132,4 +132,27 @@ object Events {
         (col("tus") - col("asof_order_us")).as("staleness_us"))
       .orderBy("event_id")
   }
+
+  /** [[asofLatestOrder]] through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoin]]) instead of the union-window
+    * composition — same semantics, same oracle, different planner
+    * path (preference-ladder (c) vs (a)); registered as a
+    * cross-check of the custom operator against DuckDB's native
+    * ASOF JOIN.
+    */
+  def asofLatestOrderCatalyst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = raw(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("order_us"),
+        col("o_orderkey"))
+    graft.plans.AsOfJoin.joinLatest(ev, "user_id", "ts_us", ord, "o_custkey", "order_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey"), col("order_us"),
+        (col("ts_us") - col("order_us")).as("staleness_us"))
+      .orderBy("event_id")
+  }
 }
