@@ -166,16 +166,34 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       maxDf: Int = 100, minShared: Int = 3): DataFrame = {
-    val rare = DfCache.getOrPersist(spark, s"doc_rare_shingles:$dir:$maxDf") {
-      val sh = shingles(spark, dir)
-      sh.join(
-        sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-          .select("s"),
-        Seq("s"))
-    }
-    val cand = rare.select(col("doc_id").as("doc_x"), col("s"))
-      .join(rare.select(col("doc_id").as("doc_y"), col("s")), Seq("s"))
-      .where(col("doc_x") < col("doc_y"))
+    // Candidate generation in ONE shuffle: group postings by shingle
+    // and expand within-group doc pairs directly, with a bounded
+    // buffer — a group is abandoned the moment it exceeds maxDf
+    // (memory stays O(maxDf) per group even for stopword shingles
+    // with corpus-sized posting lists; a collect_list formulation
+    // would materialize those before any size filter could drop
+    // them). The equivalent rare-join-rare formulation shuffles the
+    // capped shingle set TWICE (both join inputs); this shuffles the
+    // posting set once and joins nothing.
+    import spark.implicits._
+    val cand = shingles(spark, dir)
+      .select(col("s"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          buf += it.next()._2
+          if (buf.size > maxDf) overflow = true
+        }
+        if (overflow || buf.size < 2) Iterator.empty
+        else buf.indices.iterator.flatMap { i =>
+          (i + 1 until buf.size).iterator.map { j =>
+            (math.min(buf(i), buf(j)), math.max(buf(i), buf(j)))
+          }
+        }
+      }
+      .toDF("doc_x", "doc_y")
       .groupBy("doc_x", "doc_y").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .select("doc_x", "doc_y")
