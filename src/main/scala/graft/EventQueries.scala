@@ -15,6 +15,9 @@ object EventQueries {
     Q("events_sessionized",
       (s, dir) => Events.sessionize(s, dir),
       Some(EventOracle.sessionizeSql())),
+    Q("events_session_window_native",
+      (s, dir) => Events.sessionizeNative(s, dir),
+      Some(EventOracle.sessionizeNativeSql())),
     Q("events_asof_order",
       (s, dir) => Events.asofLatestOrder(s, dir),
       Some(EventOracle.asofLatestOrderSql)),

@@ -133,6 +133,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Sessionization through the NATIVE `session_window` operator —
+    * the same grouping the lag formulation computes, via Spark's
+    * built-in merging session windows (one shuffle; also the exact
+    * shape Structured Streaming's session windows use, so batch and
+    * stream share the operator). Boundary semantics differ from the
+    * lag form at exactly-gap spacing: a session window spans
+    * `[ts, ts + gap)`, so an event landing exactly `gap` after the
+    * previous one starts a NEW session (strict <), where the lag
+    * form's `diff > gap` test keeps it (inclusive). The oracle
+    * mirrors the strict semantics explicitly.
+    */
+  def sessionizeNative(spark: SparkSession, dir: String,
+      gapUs: Long = DefaultGapUs): DataFrame =
+    raw(spark, dir)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .groupBy(col("user_id"),
+        session_window(col("ts_t"), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("vc").cast("long").as("value_cents"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("value_cents"))
+      .orderBy("user_id", "start_us")
+
   /** [[asofLatestOrder]] through the custom Catalyst operator
     * ([[graft.plans.AsOfJoin]]) instead of the union-window
     * composition — same semantics, same oracle, different planner

@@ -42,6 +42,31 @@ FROM e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts_us >= o.order_us
 ORDER BY e.event_id"""
 
+  /** Lag-form sessions under the native operator's STRICT boundary
+    * (new session when diff >= gap — `session_window`'s `[ts,
+    * ts+gap)` span), emitting window starts (mirrors
+    * `Events.sessionizeNative`).
+    */
+  def sessionizeNativeSql(gapUs: Long = Events.DefaultGapUs): String =
+    s"""WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tus,
+      CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+  ),
+  flagged AS (
+    SELECT *, CASE WHEN tus - lag(tus) OVER w >= $gapUs OR lag(tus) OVER w IS NULL
+      THEN 1 ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+  ),
+  numbered AS (
+    SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ix
+    FROM flagged
+  )
+SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
+  CAST(sum(vc) AS BIGINT) AS value_cents
+FROM numbered GROUP BY user_id, session_ix ORDER BY user_id, start_us"""
+
   def sessionizeSql(gapUs: Long = Events.DefaultGapUs): String =
     s"""WITH e AS (
     SELECT user_id, event_id, epoch_us(ts) AS tus,
