@@ -292,6 +292,20 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
         JoinSearch.searchTables(index(s, dir), jsonQ, customerCols)
       },
       Some(SearchOracle.tableScores(customerSpec))),
+    // Columnar non-parquet source: the same search from an ORC
+    // roundtrip of the query table (schema-preserving, splittable —
+    // the other columnar format a lake commonly carries). The oracle
+    // checks the search RESULT, which is format-independent.
+    Q("orc_source_search",
+      (s, dir) => {
+        val name = new java.io.File(dir).getName
+        val path = s"${sys.props("user.dir")}/target/graft-orc/$name"
+        customerQuery(s, dir).select(customerCols.map(col): _*)
+          .write.mode("overwrite").orc(path)
+        val orcQ = sources.DfCache.getOrPersist(s, s"orcq:$path")(s.read.orc(path))
+        JoinSearch.searchTables(index(s, dir), orcQ, customerCols)
+      },
+      Some(SearchOracle.tableScores(customerSpec))),
     Q("p_prepare_input_limited",
       (s, dir) => JoinSearch.prepareInput(customerQuery(s, dir), customerCols, Some(7))
         .orderBy(customerCols.map(col): _*),
@@ -487,6 +501,28 @@ GROUP BY band ORDER BY band""")))
       Some(s"""SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
 ${eventTypes.map(t => s"""CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS "$t"""").mkString(",\n")}
 FROM events GROUP BY 1 ORDER BY user_bucket""")),
+    // ntile quartiles (§2.5 window breadth): equal-height buckets per
+    // status with a total tie-break order, rolled up to quartile
+    // stats — ntile's bucket-boundary arithmetic is engine-identical
+    // given the same total order.
+    Q("orders_value_quartiles",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("o_orderstatus", "quartile")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+          .orderBy("o_orderstatus", "quartile")
+      },
+      Some("""SELECT o_orderstatus, CAST(q AS BIGINT) AS quartile, count(*) AS n,
+cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
+FROM (SELECT o_orderstatus, o_totalprice,
+  ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS q
+  FROM orders)
+GROUP BY o_orderstatus, q ORDER BY o_orderstatus, quartile""")),
     // Exact median (§2.5 window breadth) without percentile floats:
     // the double-row_number formula — median = mean of the one or two
     // middle-ranked values, kept integral by doubling (half-token
