@@ -62,7 +62,14 @@ object TextAnalysis {
     DfCache.getOrPersist(spark, s"doc_stats:$dir")(statsUncached(spark, dir))
 
   private def statsUncached(spark: SparkSession, dir: String): DataFrame =
+    // spread the narrow doc rows first: the stats projection is five
+    // regex/clean passes per document computed BEFORE any exchange —
+    // at the scan's split count, which for one small file is a single
+    // core (same rationale as the dedup pipelines' spread; at scale
+    // the scan is already thousands of splits and this is a cheap
+    // rebalance bounded by input size).
     docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
