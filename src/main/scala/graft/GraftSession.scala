@@ -26,4 +26,31 @@ object GraftSession {
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
+
+  /** Cluster-mode builder: the same engine contract with deployment
+    * left to spark-submit (master, executors, memory). Differences
+    * from [[local]] that matter at scale, encoded here so a library
+    * user gets them by default:
+    *  - shuffle partitions ~2-3x total executor cores (pass via
+    *    `extra`; AQE coalesces down at runtime, so erring high is
+    *    cheap — the 32 hardwired locally would throttle a real
+    *    cluster);
+    *  - `spark.sql.files.maxPartitionBytes` left at 128m (right for
+    *    the corpus parquet; lower it only for heavily-computed
+    *    narrow scans);
+    *  - the index snapshot should be the `bucketBy(key)` catalog
+    *    table ([[graft.sources.IndexBuilder.writeBucketed]]) so probe
+    *    equi-joins skip the big-side exchange;
+    *  - same extensions (as-of strategy), UTC, nanos handling, AQE
+    *    (incl. skew-join splitting) as local.
+    */
+  def cluster(extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfStrategy))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
 }
