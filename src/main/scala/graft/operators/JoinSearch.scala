@@ -121,7 +121,8 @@ object JoinSearch {
       maxDf: Long, maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
-      columnScores(conjunctionAnchored(probeCapped(index, m, maxDf), m, cols.size)),
+      columnScores(conjunctionAnchored(probeCapped(index, m, maxDf), m, cols.size,
+        Some(indexKeyStats(index)))),
       cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
@@ -201,11 +202,40 @@ object JoinSearch {
     * all. The windowed form's two full-width window exchanges over
     * the joined blowup are gone.
     */
+  /** Per-key posting counts over an index, session-cached: the
+    * anchor-selection statistic as a BUILD-TIME artifact rather than
+    * a per-query pass. Without it every anchored search scans the
+    * index twice (once under the anchor-statistic lineage, once
+    * under the row key sets); with it, once — the stats scan
+    * amortizes over every query in the session. On a cluster this
+    * table is written beside the snapshot (vocabulary-sized, thin)
+    * exactly like an ANALYZE artifact.
+    */
+  def indexKeyStats(index: DataFrame): DataFrame = {
+    import graft.sources.DfCache
+    DfCache.getOrPersist(index.sparkSession,
+      s"idxstats:${index.semanticHash()}")(
+      index.groupBy("key").agg(count(lit(1)).as("kdf")))
+  }
+
+  /** As [[conjunctionAnchored]] with the anchor statistic supplied
+    * (normally [[indexKeyStats]]) instead of recomputed from the
+    * probe output. Anchor choice cannot change results — a
+    * conjunction row contains EVERY key of its map_key, any anchor
+    * included — so any posting-count statistic is correct; supplying
+    * the session-cached one removes the second index scan.
+    */
   def conjunctionAnchored(postings: DataFrame, maps: DataFrame,
-      colCount: Int): DataFrame = {
-    // corpus df per matched key, from the (cheap, exchange-free)
-    // probe output — the anchor-selection statistic.
-    val keyDf = postings.groupBy("key").agg(count(lit(1)).as("kdf"))
+      colCount: Int, stats: Option[DataFrame]): DataFrame = {
+    // corpus df per matched key: the supplied build-time statistic,
+    // or (self-contained fallback) one pass over the probe output.
+    val keyDf = stats.getOrElse(
+      postings.groupBy("key").agg(count(lit(1)).as("kdf")))
+    // narrow the statistic to the query's keys FIRST (broadcast
+    // semi-join: the stats table is vocabulary-sized at scale and
+    // must never itself be the broadcast side).
+    val queryKeyDf = keyDf.join(
+      broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
     // per query row: its full entry list (multiplicity kept) and the
     // rarest postings-bearing key as the join anchor (deterministic
     // tie-break). Query-side: tiny, broadcast below.
@@ -213,7 +243,7 @@ object JoinSearch {
     val aw = Window.partitionBy("map_key")
       .orderBy(col("kdf").asc, col("key").asc)
     val anchors = maps.select("key", "map_key").distinct()
-      .join(broadcast(keyDf), Seq("key"))
+      .join(broadcast(queryKeyDf), Seq("key"))
       .withColumn("rn", row_number().over(aw))
       .where(col("rn") === 1)
       .select(col("map_key"), col("key").as("anchor_key"))
@@ -238,6 +268,11 @@ object JoinSearch {
         expr("try_element_at(kmap, key)").cast("int").as("column_id"),
         col("row_id"), col("map_key"))
   }
+
+  /** Self-contained form: anchor statistic from the probe output. */
+  def conjunctionAnchored(postings: DataFrame, maps: DataFrame,
+      colCount: Int): DataFrame =
+    conjunctionAnchored(postings, maps, colCount, None)
 
   /** A1: per-column join score (`Par_Search.py:312-316`). */
   def columnScores(m: DataFrame): DataFrame =
@@ -271,7 +306,8 @@ object JoinSearch {
       maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
-      columnScores(conjunctionAnchored(probe(index, m), m, cols.size)),
+      columnScores(conjunctionAnchored(probe(index, m), m, cols.size,
+        Some(indexKeyStats(index)))),
       cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
@@ -299,7 +335,8 @@ object JoinSearch {
       maxTables: Int = 20): DataFrame = {
     val m = mappings(prepareInput(query, cols), cols)
     val top = topColumns(
-      columnScores(conjunctionAnchored(probe(index, m), m, cols.size)),
+      columnScores(conjunctionAnchored(probe(index, m), m, cols.size,
+        Some(indexKeyStats(index)))),
       cols.size)
     top.orderBy(col("join_score").desc, col("table_id").asc, col("column_id").asc)
       .limit(2 * maxTables)
