@@ -45,4 +45,25 @@ class JoinSearchPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("anchor statistic choice is result-invariant (supplied stats vs probe-derived)") {
+    val rnd = new Random(7)
+    val alphabet = Vector("a", "b", "c", "d")
+    def key() = alphabet(rnd.nextInt(alphabet.size))
+    for (round <- 1 to 3) {
+      val index = Seq.fill(30 + rnd.nextInt(30))(
+        (key(), 1 + rnd.nextInt(3), 1 + rnd.nextInt(2), 1L + rnd.nextInt(4)))
+        .toDF("key", "table_id", "column_id", "row_id")
+      val query = Seq.fill(4)((key(), key())).toDF("qa", "qb")
+      val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
+      val probed = JoinSearch.probe(index, m)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, Int, Int, Long, String)].collect()
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val selfContained = rows(JoinSearch.conjunctionAnchored(probed, m, cols.size))
+      val withStats = rows(JoinSearch.conjunctionAnchored(probed, m, cols.size,
+        Some(JoinSearch.indexKeyStats(index))))
+      assert(selfContained == withStats, s"round $round diverged")
+    }
+  }
 }
