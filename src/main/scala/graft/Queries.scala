@@ -222,6 +222,12 @@ object Queries {
     Q("search_negative_no_cooccur",
       (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
       Some(SearchOracle.tableScores(negativeSpec))),
+    // The engine's spark.sql surface: the whole search as ONE SQL
+    // statement over temp views (F3/F4 done right) — same oracle.
+    Q("sql_api_search",
+      (s, dir) => operators.SqlSearch.searchTablesSql(
+        s, index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
     // The staged windowed pipeline end-to-end — the anchored default's
     // cross-check (same oracle, different physical strategy).
     Q("strategy_windowed",

@@ -161,6 +161,29 @@ object Tokenize {
     * anchored prefix/suffix strips replace at most once by
     * construction.
     */
+  /** Spark-SQL dialect of [[cleanSql]]: identical regexp chain, but
+    * Spark's `regexp_replace` replaces every match by default (its
+    * 4th argument is a position, not DuckDB's `'g'` flag). Used by
+    * the engine's `spark.sql` surface ([[graft.operators.SqlSearch]]);
+    * parity with [[clean]] is spec-pinned.
+    */
+  def cleanSqlSpark(expr: String): String = {
+    var x = s"lower($expr)"
+    // Spark SQL string literals process backslash escapes (unlike
+    // DuckDB's), so the regex needs a doubled backslash IN THE SQL
+    // TEXT to deliver \x00 to the regex engine.
+    x = s"regexp_replace($x, '[^\\\\x00-\\\\x7F]', '')"
+    x = s"regexp_replace($x, '[^a-z0-9]+', ' ')"
+    x = s"trim($x)"
+    x = s"regexp_replace($x, ' s ', '''''s ')"
+    for (w <- Stopwords) {
+      x = s"regexp_replace($x, ' $w ', ' ')"
+      x = s"regexp_replace($x, '^$w ', '')"
+      x = s"regexp_replace($x, ' $w$$', '')"
+    }
+    x
+  }
+
   def cleanSql(expr: String): String = {
     var x = s"lower($expr)"
     x = s"regexp_replace($x, '[^\\x00-\\x7F]', '', 'g')"
