@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.LongType
   * with O(1) state — the classic merge-join shape, specialized to
   * "latest right at-or-before left".
   *
+  * Measured (sf0.1, local[32], steady state): composition ~0.6s vs
+  * this exec ~1.1s — the union-window form stays the default on
+  * merit, not just ladder preference: it sorts the union ONCE inside
+  * whole-stage codegen, while this exec sorts both children and runs
+  * an interpreted merge. The gap is the cost of leaving codegen; the
+  * operator remains the template for semantics Spark genuinely
+  * cannot compose.
+  *
   * Scope: single bigint key and bigint event-time per side (what the
   * engine's corpus needs); generalizing to arbitrary key tuples swaps
   * the two long comparisons for an interpreted row ordering. Rows
