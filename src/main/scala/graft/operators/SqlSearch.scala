@@ -18,6 +18,13 @@ import graft.functions.Tokenize
   * same CTE chain the DuckDB oracle runs, in the Spark dialect —
   * [[Tokenize.cleanSqlSpark]]), so the registered query shares the
   * standard table-scores oracle verbatim.
+  *
+  * Cost note: this runs several seconds slower than the DataFrame
+  * forms at sf0.1 — almost entirely ANALYSIS time, because CTE
+  * inlining replicates the ~96-regex clean chain at every `maps`
+  * reference. That is the surface's price, paid once per statement;
+  * the DataFrame pipelines (which clean through one codegen'd
+  * static call) remain the perf path.
   */
 object SqlSearch {
 
