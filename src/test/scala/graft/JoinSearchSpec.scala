@@ -122,6 +122,27 @@ class JoinSearchSpec extends SparkTestBase {
     assert(tight == Seq((125, 2L)), s"got $tight")
   }
 
+  test("capped probe never shuffles postings by key (hot-key guard plan shape)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
+    val plan = JoinSearch.probeCapped(index, m, 4L).queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"per-key window re-creates the straggler the cap guards against:\n$plan")
+    // any exchange hash-partitioned on `key` must sit directly above a
+    // partial aggregate (map-side combine shrinks a hot key to one row
+    // per map partition) — never over raw postings
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("key") => e
+    }.foreach { e =>
+      assert(e.child.isInstanceOf[BaseAggregateExec] &&
+        e.child.asInstanceOf[BaseAggregateExec].aggregateExpressions
+          .forall(_.mode.toString == "Partial"),
+        s"key-partitioned exchange over non-partial child:\n$e")
+    }
+  }
+
   test("prepareInput limit knob caps the raw rows deterministically") {
     val q = Seq(("b", "1"), ("a", "1"), ("c", "1"), ("a", "2"))
       .toDF("x", "y")
