@@ -141,6 +141,15 @@ object Queries {
         .orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.indexOnly(
         "SELECT key, table_id, column_id, row_id FROM idxf WHERE key = '1 urgent' ORDER BY table_id, column_id, row_id, key"))),
+    // S4 generalized to real wildcards: the reference's probe template
+    // is LIKE-shaped (handlers.py:73-83) but only ever receives
+    // literals; this exercises the pattern form (ids 100-199 under the
+    // 9-digit zero-pad). DuckDB LIKE has identical %/_ semantics.
+    Q("s4_probe_like",
+      (s, dir) => JoinSearch.probeLike(index(s, dir), "customer 0000001%")
+        .orderBy("table_id", "column_id", "row_id", "key"),
+      Some(SearchOracle.indexOnly(
+        "SELECT key, table_id, column_id, row_id FROM idxf WHERE key LIKE 'customer 0000001%' ORDER BY table_id, column_id, row_id, key"))),
     Q("j5_semijoin_probe",
       (s, dir) => JoinSearch.probe(index(s, dir), maps(s, dir))
         .orderBy("table_id", "column_id", "row_id", "key"),
@@ -219,6 +228,12 @@ object Queries {
     Q("search_part_3attr",
       (s, dir) => JoinSearch.searchTables(index(s, dir), partQuery(s, dir), partCols),
       Some(SearchOracle.tableScores(partSpec))),
+    // Seq-parity scoring mode on the 3-attribute query — the one
+    // place A3 (top-2 column sum, Object.py:76-80) genuinely diverges
+    // from the par-mode A2∘W3 (top-N sum), plus seq's top-30 bound.
+    Q("search_part_seqparity",
+      (s, dir) => JoinSearch.searchTablesSeqParity(index(s, dir), partQuery(s, dir), partCols),
+      Some(SearchOracle.tableScoresSeqParity(partSpec))),
     Q("search_negative_no_cooccur",
       (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
       Some(SearchOracle.tableScores(negativeSpec))),
@@ -319,6 +334,25 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
           .write.mode("overwrite").orc(path))
         val orcQ = sources.DfCache.getOrPersist(s, s"orcq:$path")(s.read.orc(path))
         JoinSearch.searchTables(index(s, dir), orcQ, customerCols)
+      },
+      Some(SearchOracle.tableScores(customerSpec))),
+    // URL ingestion — the reference's only ingress (main.py:6 fetches
+    // the query CSV over HTTP; Par_Search.py:147 addFile(url)). The
+    // fixture is a single CSV file served through a file:// URL (the
+    // sandbox-safe stand-in; addFile handles http/https identically)
+    // and must produce the exact customer-search result.
+    Q("url_source_search",
+      (s, dir) => {
+        val name = new java.io.File(dir).getName
+        val path = s"${sys.props("user.dir")}/target/graft-url/$name"
+        fixtureOnce(path)(customerQuery(s, dir).select(customerCols.map(col): _*)
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(path))
+        val part = new java.io.File(path).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+          .minBy(_.getName)
+        val urlQ = sources.DfCache.getOrPersist(s, s"urlq:$path")(
+          sources.CsvSource.readUrl(s, part.toURI.toString, queryColSchema))
+        JoinSearch.searchTables(index(s, dir), urlQ, customerCols)
       },
       Some(SearchOracle.tableScores(customerSpec))),
     Q("p_prepare_input_limited",

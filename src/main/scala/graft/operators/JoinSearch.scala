@@ -94,6 +94,16 @@ object JoinSearch {
   def probe(index: DataFrame, maps: DataFrame): DataFrame =
     index.join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
 
+  /** S4 generalized: pattern probe. The reference routes every probe
+    * through a `LIKE` template (`handlers.py:73-83`) but never
+    * injects wildcards, so S4 pins the equality case; this is the
+    * real-wildcard form (`%`/`_`) a user exploring an index reaches
+    * for. A leading-literal pattern stays a scan-pushable
+    * StartsWith filter; equality patterns degrade to [[probe]].
+    */
+  def probeLike(index: DataFrame, pattern: String): DataFrame =
+    index.where(col("key").like(pattern))
+
   /** Hot-key guard (100 TB posture): drop probed postings whose key
     * exceeds `maxDf` occurrences in the corpus. Degenerate
     * low-cardinality query values (a status flag 'f', a one-letter
@@ -320,6 +330,30 @@ object JoinSearch {
       columnScores(conjunctionAnchored(probe(index, m), m, cols.size,
         Some(indexKeyStats(index)))),
       cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  /** Seq-parity mode (A3+O4 contract): the reference's sequential
+    * engine ranks tables by the sum of their TOP-2 column scores
+    * regardless of how many attributes the query carries
+    * (`Object.py:76-80` — `Counter.most_common(2)` — while par sums
+    * top-N, `Par_Search.py:318-327`), and keeps the top 30 tables
+    * (`Seq_Search.py:10` `MAX_OBJECTS`, `:258-270` bounded
+    * `bisect.insort`). Match semantics are unchanged — all N
+    * attributes must still conjoin — only the SCORE truncates at two
+    * columns, so for N > 2 this genuinely diverges from
+    * [[searchTables]] (A2∘W3) and the divergence is what the parity
+    * oracle pins. For N = 2 the two modes coincide by construction.
+    */
+  def searchTablesSeqParity(index: DataFrame, query: DataFrame,
+      cols: Seq[String], maxTables: Int = 30): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val top = topColumns(
+      columnScores(conjunctionAnchored(probe(index, m), m, cols.size,
+        Some(indexKeyStats(index)))),
+      2)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
       .limit(maxTables)

@@ -130,6 +130,21 @@ object SearchOracle {
     s"WITH ${indexCtes},\n  ${searchCtes(q, Some(maxDf))}\n" +
       s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables"
 
+  /** Oracle for the seq-parity search: A3 score — sum of the top-2
+    * column scores regardless of attribute count (`Object.py:76-80`)
+    * — and seq's top-30 table bound (`Seq_Search.py:10`).
+    */
+  def tableScoresSeqParity(q: QuerySpec, maxTables: Int = 30): String =
+    stage(q,
+      s"""SELECT table_id, join_score FROM (
+  SELECT table_id, cast(sum(join_score) AS bigint) AS join_score FROM (
+    SELECT cs.*, row_number() OVER (
+      PARTITION BY table_id ORDER BY join_score DESC, column_id ASC) AS rn
+    FROM col_scores cs
+  ) WHERE rn <= 2 GROUP BY table_id
+)
+ORDER BY join_score DESC, table_id ASC LIMIT $maxTables""")
+
   /** Oracle for the end-to-end column-score search. */
   def columnScores(q: QuerySpec, maxTables: Int = 20): String =
     stage(q,

@@ -35,4 +35,25 @@ object CsvSource {
     */
   def write(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** URL ingestion — the reference's only ingress for the query table
+    * is an HTTP CSV fetch (`main.py:6`, `Par_Search.py:147`
+    * `sc.addFile(url)` then a local read). Same mechanism here:
+    * `addFile` pulls the file once and ships it to every executor
+    * (http/https/ftp/file/hdfs schemes, exactly Spark's `addFile`
+    * surface), and the read targets the fetched local copy via
+    * `SparkFiles` — so a 1000-executor cluster reads a driver-fetched
+    * file without N redundant origin fetches. The query table is
+    * small by construction (it is the broadcast side of every search
+    * join); bulk corpus data still belongs in parquet on shared
+    * storage, not here.
+    */
+  def readUrl(spark: SparkSession, url: String, schema: StructType,
+      header: Boolean = true, sep: String = ","): DataFrame = {
+    val name = url.substring(url.lastIndexOf('/') + 1)
+    require(name.nonEmpty, s"URL has no file component: $url")
+    spark.sparkContext.addFile(url)
+    read(spark, "file://" + org.apache.spark.SparkFiles.get(name),
+      schema, header, sep)
+  }
 }

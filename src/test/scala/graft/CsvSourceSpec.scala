@@ -23,6 +23,27 @@ class CsvSourceSpec extends SparkTestBase {
       df.as[(String, String)].collect().toSet)
   }
 
+  test("readUrl ingests a single CSV file through addFile + SparkFiles") {
+    val f = java.io.File.createTempFile("graft-url-spec", ".csv")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      "name,seg\nCustomer#1,BUILDING\nCustomer#2,AUTOMOBILE\n".getBytes("UTF-8"))
+    val back = CsvSource.readUrl(spark, f.toURI.toString, schema)
+    assert(back.schema == schema)
+    assert(back.as[(String, String)].collect().toSet ==
+      Set(("Customer#1", "BUILDING"), ("Customer#2", "AUTOMOBILE")))
+  }
+
+  test("seq console format matches the reference's printed lines") {
+    // <table, score, column scores{col: n, ...}> per Object.py:100-104
+    val topCols = Seq((125, 1, 2L), (125, 2, 2L), (123, 1, 1L), (123, 2, 1L))
+      .toDF("table_id", "column_id", "join_score")
+    val out = ConsoleSink.renderSeqMatches(topCols)
+    assert(out ==
+      "<125, 4, column scores{1: 2, 2: 2}>\n<123, 2, column scores{1: 1, 2: 1}>",
+      out)
+  }
+
   test("console sink renders a deterministic fixed-width table") {
     val df = Seq((1, "customer"), (2, "orders")).toDF("table_id", "name")
       .orderBy("table_id")

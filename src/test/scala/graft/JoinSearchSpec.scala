@@ -122,6 +122,26 @@ class JoinSearchSpec extends SparkTestBase {
     assert(tight == Seq((125, 2L)), s"got $tight")
   }
 
+  test("seq-parity mode: A3 top-2 score diverges from par top-N at N=3") {
+    val cols3 = Seq("a", "b", "c")
+    val q3 = Seq(("Ka", "Kb", "Kc")).toDF("a", "b", "c")
+    val idx3 = (1L to 3L).flatMap(r =>
+      Seq(("ka", 1, 1, r), ("kb", 1, 2, r), ("kc", 1, 3, r)))
+      .toDF("key", "table_id", "column_id", "row_id")
+    val par = JoinSearch.searchTables(idx3, q3, cols3)
+      .as[(Int, Long)].collect().toSeq
+    val sq = JoinSearch.searchTablesSeqParity(idx3, q3, cols3)
+      .as[(Int, Long)].collect().toSeq
+    assert(par == Seq((1, 9L)), s"par top-3 sum: $par")
+    assert(sq == Seq((1, 6L)), s"seq top-2 sum: $sq")
+    // at N=2 the modes coincide by construction
+    val a = JoinSearch.searchTables(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    val sp = JoinSearch.searchTablesSeqParity(index, query, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(sp == a)
+  }
+
   test("capped probe never shuffles postings by key (hot-key guard plan shape)") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
