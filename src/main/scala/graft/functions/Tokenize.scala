@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *      with a single space                     (handlers.py:142)
   *   4. collapse spaces, strip                  (handlers.py:143)
   *   5. `" s "` -> `"''s "` possessive quirk    (handlers.py:146)
-  *   6. for each of 31 stopwords IN ORDER: replace all `" w "` with
+  *   6. for each of 32 stopwords IN ORDER: replace all `" w "` with
   *      `" "`, strip one leading `"w "`, strip one trailing `" w"`
   *      (handlers.py:148-153)
   *
@@ -110,7 +110,7 @@ object Tokenize {
 
   /** Optimized equivalent of [[cleanRef]]: steps 1-4 (lowercase, drop
     * non-ASCII, collapse non-alnum runs to single spaces, trim) fuse
-    * into one character pass; the possessive quirk and the 31-stopword
+    * into one character pass; the possessive quirk and the 32-stopword
     * sequential replacement use literal `indexOf` scans instead of
     * regex. A property test asserts `cleanFast == cleanRef` on
     * arbitrary input.

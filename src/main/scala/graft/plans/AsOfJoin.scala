@@ -38,9 +38,13 @@ import org.apache.spark.sql.types.LongType
   *
   * Scope: single bigint key and bigint event-time per side (what the
   * engine's corpus needs); generalizing to arbitrary key tuples swaps
-  * the two long comparisons for an interpreted row ordering. Rows
-  * with a NULL key or time are skipped (they cannot participate in
-  * an as-of relation). Right rows should be unique per (key, time) —
+  * the two long comparisons for an interpreted row ordering. A LEFT
+  * row with a NULL key or time emits with the null right side — true
+  * left-outer, matching both the composition form and the ASOF LEFT
+  * JOIN oracle on null-keyed corpora (round-5 ADVICE; dropping them
+  * silently made the two "same semantics" forms diverge). RIGHT rows
+  * with a NULL key or time are skipped — nothing can be at-or-before
+  * an unknown time. Right rows should be unique per (key, time) —
   * callers dedup, as the composition form documents — otherwise the
   * sort-last row wins nondeterministically.
   */
@@ -122,7 +126,8 @@ object AsOfJoin {
         var curKey = 0L
         lIt.flatMap { l =>
           val lkt = lProj(l)
-          if (lkt.isNullAt(0) || lkt.isNullAt(1)) Iterator.empty
+          if (lkt.isNullAt(0) || lkt.isNullAt(1))
+            Iterator.single(outProj(joined(l, nullRight)))
           else {
             val lKey = lkt.getLong(0); val lTime = lkt.getLong(1)
             if (cur != null && curKey != lKey) cur = null

@@ -77,14 +77,24 @@ object IndexStream {
     IndexBuilder.writeSnapshotAs(loadWithDeltas(spark, dir, deltaDir), targetPath)
 
   /** The live index: base snapshot plus all accumulated deltas.
-    * Missing/empty delta dir degrades to the base snapshot alone.
+    * Missing/empty delta dir degrades to the base snapshot alone —
+    * and "empty" means no `batch=*` entries specifically: a stray
+    * non-batch entry (e.g. a `_temporary` left by a failed
+    * foreachBatch write) must not turn the glob into a read error
+    * (round-5 ADVICE).
     */
   def loadWithDeltas(spark: SparkSession, dir: String, deltaDir: String): DataFrame = {
     val base = IndexBuilder.loadOrSnapshot(spark, dir)
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      base.unionByName(spark.read.parquet(s"$deltaDir/batch=*"))
+    val batches =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.toString)
+      else Array.empty[String]
+    if (batches.nonEmpty)
+      base.unionByName(spark.read.parquet(batches.toIndexedSeq: _*))
     else base
   }
 }

@@ -43,6 +43,33 @@ class AsOfJoinPlanSpec extends SparkTestBase {
       (2L, 300L, None)))      // key with no right rows
   }
 
+  test("null-keyed left rows emit with the null right side (true left-outer)") {
+    val nl = Seq((Option(1L), Option(100L)), (None, Option(7L)),
+      (Option(1L), None)).toDF("k", "t")
+    val got = AsOfJoin.joinLatest(nl, "k", "t", right, "rk", "rt")
+      .select("k", "t", "payload")
+      .as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+    // the null-keyed/null-timed rows survive with null match columns —
+    // same rows the composition and the ASOF LEFT JOIN oracle emit —
+    // while the valid row still matches.
+    assert(got == Set(
+      (Some(1L), Some(100L), Some(10L)),
+      (None, Some(7L), None),
+      (Some(1L), None, None)))
+  }
+
+  test("null-keyed RIGHT rows never match (nothing is at-or-before unknown)") {
+    val nr = Seq((Option(1L), Option(100L), Option(10L)),
+      (None, Option(1L), Option(55L)), (Option(1L), None, Option(66L)))
+      .toDF("rk", "rt", "payload")
+    val got = AsOfJoin.joinLatest(left, "k", "t", nr, "rk", "rt")
+      .select("k", "t", "payload")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 50L, None), (1L, 100L, Some(10L)), (1L, 250L, Some(10L)),
+      (2L, 300L, None)))
+  }
+
   test("agrees with the union-window composition on sf0.001") {
     val a = Events.asofLatestOrder(spark, sf0001)
       .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]

@@ -59,6 +59,16 @@ class IndexStreamSpec extends SparkTestBase {
     assert(dirs == Set("batch=0", "batch=1"), s"delta dirs: $dirs")
   }
 
+  test("stray non-batch entries in the delta dir degrade to the base, not an error") {
+    val delta = tmp("graft-delta-stray")
+    // a leftover _temporary from a failed foreachBatch write: the dir
+    // is non-empty but holds no batch=* data
+    assert(new java.io.File(delta, "_temporary").mkdirs())
+    val base = IndexBuilder.loadOrSnapshot(spark, sf0001)
+    val merged = IndexStream.loadWithDeltas(spark, sf0001, delta)
+    assert(merged.count() == base.count())
+  }
+
   test("merged base+delta index serves searches over rows the base never saw") {
     implicit val sqlCtx = spark.sqlContext
     val (delta, ckpt) = (tmp("graft-delta2"), tmp("graft-ckpt2"))
