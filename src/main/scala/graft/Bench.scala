@@ -5,15 +5,31 @@ package graft
   * registration order against `SPARK_GRAFT_SF_DIR` and prints ONE JSON
   * line `{"metric","value","unit","queries",...}`.
   *
-  * Hygiene (VERDICT r1): the index is forced (snapshot + persist +
-  * count) before timing and reported separately as `index_build`, so
-  * no query absorbs the one-time materialization; failures are NOT
-  * swallowed — a failing query times as -1 and lands in `errors`.
+  * Hygiene:
+  *  - (VERDICT r1) the index is forced (snapshot + persist + count)
+  *    before timing and reported separately as `index_build`, so no
+  *    query absorbs the one-time materialization; failures are NOT
+  *    swallowed — a failing query times as -1 and lands in `errors`.
+  *  - (VERDICT r5 #10) the whole set runs `SPARK_GRAFT_BENCH_REPS`
+  *    times (default 2) in ONE JVM and `queries` reports the
+  *    per-query MIN: steady state, with first-touch materialization
+  *    (session caches, codegen, shuffle files) separated out into
+  *    `cold_total` instead of polluting per-query numbers — this VM's
+  *    external load swings single cold timings up to 3×.
+  *  - (VERDICT r5 #8) `stages` carries the reference's per-stage
+  *    timing surface (`Par_Search.py:16-32` logs import / query /
+  *    join_discovery / scoring): steady-state seconds for the
+  *    flagship customer search's import (clean+unpivot mappings),
+  *    probe, conjunction, and full ranked scoring. Each stage times
+  *    its own action over the shared lineage, so numbers are
+  *    per-stage-inclusive (stage N re-derives its inputs), matching
+  *    how the reference's context-manager timers nest.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,9 +44,38 @@ object Bench {
     val (tIndex, indexErr) =
       timed { sources.IndexBuilder.cached(spark, sfDir).count() }
 
-    val results = SparkEntry.orderedQueries.map { case (name, fn) =>
-      val (t, err) = timed { fn(spark, sfDir).count() }
-      (name, t, err)
+    val runs = (1 to reps).map { _ =>
+      SparkEntry.orderedQueries.map { case (name, fn) =>
+        val (t, err) = timed { fn(spark, sfDir).count() }
+        (name, t, err)
+      }
+    }
+    // min over successful reps; error only if every rep failed.
+    val results = SparkEntry.orderedQueries.map { case (name, _) =>
+      val mine = runs.map(_.find(_._1 == name).get)
+      val ok = mine.map(_._2).filter(_ >= 0)
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, -1.0, mine.head._3)
+    }
+    val coldTotal = runs.head.map(_._2).filter(_ >= 0).sum
+
+    // per-stage surface for the flagship search (steady state: runs
+    // after the reps, so shared caches are warm like a live session).
+    val stages: Seq[(String, Double, Option[String])] = {
+      import graft.operators.JoinSearch
+      val idx = sources.IndexBuilder.cached(spark, sfDir)
+      val cols = Queries.customerCols
+      val q = Queries.customerQuery(spark, sfDir)
+      val m = JoinSearch.mappings(JoinSearch.prepareInput(q, cols), cols)
+      val probed = JoinSearch.probe(idx, m)
+      val conj = JoinSearch.conjunctionAnchored(probed, m, cols.size,
+        Some(JoinSearch.indexKeyStats(idx)))
+      Seq[(String, () => Unit)](
+        ("import", () => { m.count(); () }),
+        ("probe", () => { probed.count(); () }),
+        ("conjunction", () => { conj.count(); () }),
+        ("scoring", () => { JoinSearch.searchTables(idx, q, cols).count(); () }))
+        .map { case (n, f) => val (t, e) = timed(f()); (n, t, e) }
     }
 
     def jstr(s: String): String =
@@ -40,12 +85,15 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val st = stages.map { case (k, v, _) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val errs = (indexErr.map("index_build" -> _).toSeq ++
-      results.collect { case (k, _, Some(e)) => k -> e })
+      results.collect { case (k, _, Some(e)) => k -> e } ++
+      stages.collect { case (k, _, Some(e)) => s"stage_$k" -> e })
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(tIndex, 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","index_build":$tIndex,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","index_build":$tIndex,"reps":$reps,"cold_total":$coldTotal,"queries":$qs,"stages":$st,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

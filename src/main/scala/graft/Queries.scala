@@ -259,6 +259,11 @@ object Queries {
     Q("strategy_cellwise",
       (s, dir) => JoinSearch.searchTablesCellWise(index(s, dir), customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))),
+    // Hint-free degradation form (lines=0 / huge-query posture):
+    // Catalyst owns every join strategy. Same oracle.
+    Q("strategy_shuffled",
+      (s, dir) => JoinSearch.searchTablesShuffled(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
     // Hot-key guard: status keys 'o'/'f' are degenerate CROSS-TABLE —
     // orders carries ~5k each but lineitem's l_linestatus adds ~30k,
     // so their global df is ~35k. The 10000 cap (at sf0.01) drops

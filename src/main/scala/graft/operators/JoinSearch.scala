@@ -375,6 +375,30 @@ object JoinSearch {
       .limit(maxTables)
   }
 
+  /** Shuffle-degradation form: the windowed pipeline with NO
+    * broadcast hints. Every other strategy here force-broadcasts the
+    * query-derived sides — correct while the query table is small,
+    * which the reference does not guarantee (`lines=0` means "search
+    * with the whole file", `Par_Search.py:151-153`): above
+    * `autoBroadcastJoinThreshold` a forced broadcast is a driver
+    * OOM, not a slow plan. This form leaves every join strategy to
+    * Catalyst/AQE — small query tables still broadcast (threshold
+    * permitting), huge ones degrade to shuffled hash joins and the
+    * job completes. Result-identical to [[searchTables]];
+    * [[graft.JoinSearchSpec]] pins equality AND the no-broadcast
+    * plan under a disabled threshold.
+    */
+  def searchTablesShuffled(index: DataFrame, query: DataFrame,
+      cols: Seq[String], maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val probed = index.join(m.select("key").distinct(), Seq("key"), "left_semi")
+    val mapped = reduce(probed, cols.size).join(m, Seq("key"))
+    val top = topColumns(columnScores(matches(mapped, cols.size)), cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
   /** End-to-end: ranked column scores (`Par_Search.py:329`). */
   def searchColumns(index: DataFrame, query: DataFrame, cols: Seq[String],
       maxTables: Int = 20): DataFrame = {

@@ -163,6 +163,29 @@ class JoinSearchSpec extends SparkTestBase {
     }
   }
 
+  test("above-threshold degradation: shuffled form completes broadcast-free with identical results") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // every auto-broadcast forbidden
+    try {
+      val base = JoinSearch.searchTables(index, query, cols)
+        .as[(Int, Long)].collect().toSeq
+      val sdf = JoinSearch.searchTablesShuffled(index, query, cols)
+      val got = sdf.as[(Int, Long)].collect().toSeq
+      assert(got == base, s"shuffled degradation diverged: $got vs $base")
+      // sparkPlan, not executedPlan: AQE wraps stages into leaf nodes
+      // collect can't descend (and runtime SMJ->BHJ conversion also
+      // respects the disabled threshold).
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+      val bad = sdf.queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec => b
+        case n: BroadcastNestedLoopJoinExec => n
+      }
+      assert(bad.isEmpty,
+        s"hint-free form still plans broadcasts under a disabled threshold:\n${sdf.queryExecution.sparkPlan}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("prepareInput limit knob caps the raw rows deterministically") {
     val q = Seq(("b", "1"), ("a", "1"), ("c", "1"), ("a", "2"))
       .toDF("x", "y")
