@@ -29,5 +29,8 @@ object TextQueries {
       Some(TextOracle.tfidfTopSql())),
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(s, dir),
-      Some(TextOracle.fingerprintsSql())))
+      Some(TextOracle.fingerprintsSql())),
+    Q("text_repetition",
+      (s, dir) => TextAnalysis.repetition(s, dir),
+      Some(TextOracle.repetitionSql)))
 }

@@ -195,6 +195,50 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Gopher-style repetition signals (the published web-corpus
+    * repetition filters: fraction of the document made of its most
+    * frequent n-gram, and of all duplicated n-grams) over cleaned
+    * whitespace tokens, n in {2, 3}, exact-integer basis points.
+    * A high `top_bp` marks boilerplate (one phrase dominating); a
+    * high `dup_bp` marks template/spam text — both standard
+    * pre-training drop rules. Output: one row per (doc, n) with
+    * total/top/duplicated gram occurrence counts and their bp
+    * fractions; docs with fewer than n tokens have no n-grams and
+    * emit no row for that n, as in the oracle.
+    *
+    * Scale posture: grams derive per row (transform over the token
+    * array — no self-join, no window over positions), then ONE
+    * (doc, n, gram) aggregation shuffle with map-side partials and a
+    * second tiny (doc, n) rollup; memory per group is O(1). The
+    * gram domain never materializes globally — corpus-wide gram
+    * stats are [[topTerms]]' shape, deliberately not this one.
+    */
+  def repetitionOf(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
+      .where(expr("size(t) >= 2 AND t[0] != ''"))
+    def grams(k: Int) = base.where(size(col("t")) >= k)
+      .select(col("doc_id"), lit(k.toLong).as("n"),
+        explode(expr(s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(t, i + $j)").mkString(", ")}))"))
+          .as("gram"))
+    grams(2).unionByName(grams(3))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(sum("cnt").cast("long").as("n_grams"),
+        max("cnt").cast("long").as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .cast("long").as("dup_occ"))
+      .select(col("doc_id"), col("n"), col("n_grams"), col("top_cnt"), col("dup_occ"),
+        expr("cast((top_cnt * 10000) div greatest(n_grams, 1) as bigint)").as("top_bp"),
+        expr("cast((dup_occ * 10000) div greatest(n_grams, 1) as bigint)").as("dup_bp"))
+      .orderBy("doc_id", "n")
+  }
+
+  /** [[repetitionOf]] over the corpus `documents` table. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
   /** k-gram min-sampling fingerprint: the 4 lexicographically
     * smallest `md5(shingle)` hashes per document, joined with `|`.
     * The bag-level analog of winnowing's rolling-hash minimum — near

@@ -113,6 +113,31 @@ SELECT lang, rank, term, df FROM ranked WHERE rank <= $k ORDER BY lang, rank"""
 SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= $k
 ORDER BY doc_id, rank"""
 
+  def repetitionSql: String =
+    s"""WITH rt AS (
+    SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t
+    FROM documents
+    WHERE len(string_split(${Tokenize.cleanSql("text")}, ' ')) >= 2
+      AND string_split(${Tokenize.cleanSql("text")}, ' ')[1] <> ''
+  ),
+  g AS (
+    SELECT doc_id, 2 AS n,
+      unnest([t[x] || ' ' || t[x+1] for x in generate_series(1, len(t)-1)]) AS gram
+    FROM rt
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+      unnest([t[x] || ' ' || t[x+1] || ' ' || t[x+2] for x in generate_series(1, len(t)-2)]) AS gram
+    FROM rt
+  ),
+  cnts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram)
+SELECT doc_id, CAST(n AS BIGINT) AS n,
+  CAST(sum(cnt) AS BIGINT) AS n_grams,
+  CAST(max(cnt) AS BIGINT) AS top_cnt,
+  CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_occ,
+  CAST((max(cnt) * 10000) // greatest(sum(cnt), 1) AS BIGINT) AS top_bp,
+  CAST((coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) * 10000) // greatest(sum(cnt), 1) AS BIGINT) AS dup_bp
+FROM cnts GROUP BY doc_id, n ORDER BY doc_id, n"""
+
   def fingerprintsSql(k: Int = 4): String =
     s"""WITH ${DocOracle.shingleCtes},
   hashed AS (SELECT doc_id, md5(s) AS h FROM doc_shingles)

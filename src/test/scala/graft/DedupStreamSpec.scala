@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DedupStream
+
+/** Streaming ingest dedup end to end: in-window content replicas are
+  * dropped across micro-batches, distinct content passes, and state
+  * expiry re-admits content once the watermark has moved past its
+  * window — the documented semantic bound of the stream stage.
+  */
+object DedupStreamSpec {
+  final case class Doc(ts: Timestamp, docId: Long, text: String)
+}
+
+class DedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import DedupStreamSpec.Doc
+
+  // well past the initial epoch-0 watermark (same rationale as
+  // EventStreamSpec)
+  private val BaseMin = 6000L
+  private def doc(minute: Long, id: Long, text: String): Doc =
+    Doc(new Timestamp((BaseMin + minute) * 60000L), id, text)
+
+  test("in-window replicas drop; expiry re-admits content past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DedupStream.dedupExact(
+        in.toDF().select(col("ts"), col("docId").as("doc_id"), col("text")),
+        "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two replicas of 'alpha' plus a distinct 'beta'
+      in.addData(doc(0, 1, "alpha"), doc(1, 2, "alpha"), doc(1, 3, "beta"))
+      q.processAllAvailable()
+      // batch 2: another in-window 'alpha' replica -> dropped
+      in.addData(doc(2, 4, "alpha"))
+      q.processAllAvailable()
+      val mid = spark.table("dedup_stream").select("text").as[String]
+        .collect().toSeq
+      assert(mid.sorted == Seq("alpha", "beta"), s"got $mid")
+      // batch 3: advance the watermark far past alpha's expiry ...
+      in.addData(doc(60, 5, "gamma"))
+      q.processAllAvailable()
+      // batch 4: ... so a late re-crawl of 'alpha' is NEW state
+      in.addData(doc(100, 6, "alpha"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String]
+        .collect().toSeq
+      assert(texts.sorted == Seq("alpha", "alpha", "beta", "gamma"), s"got $texts")
+      // every emitted row carries the row-local hash
+      assert(spark.table("dedup_stream").where(length(col("content_hash")) === 32)
+        .count() == 4L)
+    } finally q.stop()
+  }
+}

@@ -40,6 +40,19 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("repetition: exact gram fractions on a hand-built doc") {
+    // cleaned tokens: x y x y z (x/y/z survive the stopword pass)
+    val d = Seq((1L, "x y x y z"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionOf(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 2-grams: {x y: 2, y x: 1, y z: 1} -> top 2/4, dup 2/4
+    // 3-grams: all 3 distinct -> top 1/3, dup 0
+    // doc 2: a single token -> no rows at all
+    assert(got == Seq(
+      (1L, 2L, 4L, 2L, 2L, 5000L, 5000L),
+      (1L, 3L, 3L, 1L, 0L, 3333L, 0L)), s"got $got")
+  }
+
   test("fingerprints: one per doc with >= 1 shingle, fixed arity") {
     val fp = TextAnalysis.fingerprints(spark, sf0001).as[(Long, String)].collect()
     assert(fp.nonEmpty)
