@@ -18,6 +18,9 @@ object DedupQueries {
     Q("dedup_clusters",
       (s, dir) => Dedup.clusters(s, dir),
       Some(DocOracle.clustersSql())),
+    Q("dedup_kept_corpus",
+      (s, dir) => Dedup.keptCorpus(s, dir),
+      Some(DocOracle.keptCorpusSql())),
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(s, dir),
       Some(DocOracle.ngramJaccardSql())),

@@ -289,6 +289,23 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(minhashLsh(spark, dir).select("doc_x", "doc_y"))
 
+  /** The deduplicated corpus view — [[clusters]]' decision APPLIED:
+    * every document except non-keeper cluster members (keepers and
+    * singletons survive). The drop list is O(|near-dups|), so the
+    * anti-join broadcasts it and the corpus streams through unshuffled
+    * — the materialization a training run actually reads, produced
+    * without ever clustering the corpus itself.
+    */
+  def keptCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val drop = clusters(spark, dir)
+      .where(col("is_keeper") === 0L).select("doc_id")
+    docs(spark, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
     * arithmetic). Two positive 32-bit halves sidestep signed-64

@@ -81,7 +81,18 @@ ORDER BY doc_x, doc_y"""
     * [[graft.operators.Dedup.clustersFromPairs]] iterates.
     */
   def clustersSql(numSeeds: Int = 8): String =
-    s"""WITH RECURSIVE ${verifiedCtes(minhashCandCtes(numSeeds))},
+    s"""WITH RECURSIVE ${labelCtes(numSeeds)},
+  csizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, c.n_members,
+  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM labels l JOIN csizes c ON c.cluster_id = l.cluster_id
+ORDER BY l.doc_id"""
+
+  /** Recursive closure chain ending in `labels(doc_id, cluster_id)`
+    * (shared by [[clustersSql]] and [[keptCorpusSql]]).
+    */
+  private def labelCtes(numSeeds: Int): String =
+    s"""${verifiedCtes(minhashCandCtes(numSeeds))},
   edges AS (
     SELECT doc_x AS s, doc_y AS d FROM verified
     UNION ALL SELECT doc_y, doc_x FROM verified
@@ -91,12 +102,17 @@ ORDER BY doc_x, doc_y"""
     UNION
     SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.v
   ),
-  labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
-  csizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
-SELECT l.doc_id, l.cluster_id, c.n_members,
-  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-FROM labels l JOIN csizes c ON c.cluster_id = l.cluster_id
-ORDER BY l.doc_id"""
+  labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)"""
+
+  /** The deduplicated corpus: documents minus non-keeper cluster
+    * members (the applied form of [[clustersSql]]'s decision).
+    */
+  def keptCorpusSql(numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${labelCtes(numSeeds)}
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id"""
 
   private def minhashCandCtes(numSeeds: Int): String =
     s"""minh AS (
