@@ -24,6 +24,11 @@ object SimQueries {
     Q("sim_ivf_recall",
       (s, dir) => Similarity.ivfRecall(s, dir),
       Some(SimOracle.ivfRecallSql())),
+    // the nprobe dial measured: recall at nprobe=2 vs the own-cell
+    // baseline above (same exact top-k ground truth).
+    Q("sim_ivf_recall_np2",
+      (s, dir) => Similarity.ivfRecallMulti(s, dir),
+      Some(SimOracle.ivfRecallMultiSql())),
     // bounded-aggregator form: same oracle as sim_cosine_topk proves
     // the window -> partial-top-k rewrite exact.
     Q("sim_cosine_topk_agg",

@@ -262,6 +262,49 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Multi-probe IVF recall: as [[ivfRecall]] but each probe counts a
+    * neighbor as reachable when the neighbor's cell is among the
+    * probe's top-`nprobe` cells by centroid cosine (nprobe=1 is
+    * exactly [[ivfRecall]]'s own-cell rule). This is THE standard IVF
+    * quality dial: recall lost to neighbors just across a cell
+    * boundary comes back at the cost of nprobe× candidate volume —
+    * measured here against the exact top-k, so codebook size and
+    * nprobe get chosen from data. Routing scores only the PROBES
+    * against the (broadcast) codebook — the corpus-wide assignment
+    * stays the session-cached [[ivfCells]].
+    */
+  def ivfRecallMulti(spark: SparkSession, dir: String,
+      k: Int = 10, numCents: Int = 8, probeMod: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val topk = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val cells = ivfCells(spark, dir, numCents)
+    val base = quantized(spark, dir)
+    val cents = broadcast(base.where(col("vec_id") < numCents)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("cnq")))
+    val rw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("cent_id").asc)
+    val routes = base.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q"), col("nq"))
+      .crossJoin(cents)
+      .withColumn("dot_q", dotExpr("q", "cq"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "cnq"))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("cent_id").as("qcell"))
+    val hits = topk
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(routes), Seq("qid"))
+      .where(col("cell_id") === col("qcell"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    topk.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(k.toLong).as("k"))
+      .withColumn("recall_bp",
+        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
+      .orderBy("qid")
+  }
+
   /** IVF cell assignment: each vector joins its argmax-cosine
     * centroid (the first `numCents` vectors seed the codebook; a
     * production build would k-means them — the assignment plumbing

@@ -197,6 +197,52 @@ FROM (SELECT DISTINCT qid FROM topk) q
 LEFT JOIN hits h ON h.qid = q.qid
 ORDER BY q.qid"""
 
+  /** Multi-probe recall (mirrors `Similarity.ivfRecallMulti`): a
+    * neighbor counts when its cell is among the probe's top-nprobe
+    * routed cells.
+    */
+  def ivfRecallMultiSql(k: Int = 10, numCents: Int = 8, probeMod: Int = 50,
+      nprobe: Int = 2): String =
+    s"""WITH $baseCtes,
+  probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  scored AS (
+    SELECT p.qid, c.vec_id,
+      ${cosSql(dotSql("p.pq", "c.q"), "c.nq", "p.pnq")} AS cosd
+    FROM probes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  topk AS (
+    SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= $k
+  ),
+  cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  qroutes AS (
+    SELECT vec_id AS qid, cent_id AS qcell FROM assign
+    WHERE vec_id % $probeMod = 0 AND rn <= $nprobe
+  ),
+  hits AS (
+    SELECT t.qid, count(*) AS hits
+    FROM topk t
+    JOIN cells c ON c.vec_id = t.vec_id
+    JOIN qroutes qr ON qr.qid = t.qid AND qr.qcell = c.cell_id
+    GROUP BY t.qid
+  )
+SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  CAST($k AS BIGINT) AS k,
+  CAST(floor(10000 * coalesce(h.hits, 0) / $k) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM topk) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
