@@ -1,0 +1,20 @@
+package graft
+
+import graft.operators.CorpusPrep
+import graft.oracle.PrepOracle
+
+/** Registered queries for the corpus-preparation family (LLM-pipeline
+  * extension beyond the reference surface — SURVEY §7.2 step 7).
+  */
+object PrepQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("prep_split_assign",
+      (s, dir) => CorpusPrep.splitAssign(s, dir),
+      Some(PrepOracle.splitAssignSql())),
+    // the distributed two-pass running sum vs the oracle's global
+    // window: hash equality proves the rewrite exact.
+    Q("prep_shard_packing",
+      (s, dir) => CorpusPrep.shardPacking(s, dir),
+      Some(PrepOracle.shardPackingSql())))
+}

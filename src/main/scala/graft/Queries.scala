@@ -644,5 +644,5 @@ EXCEPT SELECT DISTINCT user_id AS id FROM events ORDER BY id""")))
   val all: Seq[Q] =
     f1 ++ indexQs ++ stageQs ++ searchQs ++ selfJoinQs ++ relationalQs ++
       pivotQs ++ setOpQs ++ sourceQs ++ DedupQueries.all ++ SimQueries.all ++
-      TextQueries.all ++ EventQueries.all ++ MmQueries.all
+      TextQueries.all ++ EventQueries.all ++ MmQueries.all ++ PrepQueries.all
 }

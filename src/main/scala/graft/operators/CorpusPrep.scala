@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation family: the operations that turn an analyzed,
+  * deduplicated document set into training inputs — deterministic
+  * split assignment and token-budget shard planning. (LLM-pipeline
+  * extension beyond the reference surface, beside
+  * [[TextAnalysis]] / [[Dedup]].)
+  *
+  * Everything is content-deterministic (hash buckets, stable
+  * orderings) — re-running the pipeline on the same corpus yields
+  * byte-identical splits and shards, which is what makes training
+  * runs reproducible and the DuckDB oracle exact.
+  */
+object CorpusPrep {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic train/val/test assignment by hash bucket:
+    * `bucket = md5(doc_id)[0:8] % 100`, train below `pctTrain`, val
+    * below `pctTrain + pctVal`, test otherwise — the standard
+    * leakage-safe split (membership depends only on the document's
+    * identity, never on partitioning, row order, or cluster size).
+    * Emitted as the per-(split, lang) rollup; the per-doc form is
+    * the same projection without the groupBy.
+    *
+    * Scale: one scan, the hash is row-local codegen, one small
+    * aggregation shuffle.
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    docs(spark, dir)
+      .withColumn("split",
+        when(bucket < pctTrain, "train")
+          .when(bucket < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Token-budget shard planning: documents packed into shards of at
+    * most ~`budget` whitespace tokens in doc_id order —
+    * `shard_id = floor(tokens_before / budget)` (a document straddling
+    * a boundary belongs to the shard its first token falls in, the
+    * greedy packing rule).
+    *
+    * The running total is computed in the DISTRIBUTED two-pass form,
+    * not a global window: a single `Window.orderBy(doc_id)` is a
+    * one-reducer sort — the classic scale trap for running totals.
+    * Instead (1) docs bucket by `doc_id div bucketSize`; per-bucket
+    * prefix sums window WITHIN each bucket; (2) the per-bucket totals
+    * — a rows-per-bucket-fold smaller frame — prefix-sum on one
+    * reducer legitimately (thousands of buckets, not billions of
+    * docs) and broadcast back as offsets. Same numbers as the global
+    * window, shuffle-bounded by the bucket count. The DuckDB oracle
+    * runs the plain global running sum, proving the two forms equal.
+    */
+  def shardPacking(spark: SparkSession, dir: String,
+      budget: Long = 4096L, bucketSize: Long = 100L): DataFrame =
+    shardPackingOf(
+      docs(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget, bucketSize)
+
+  /** [[shardPacking]] over a prepared `(doc_id, n_tokens)` frame. */
+  def shardPackingOf(sized: DataFrame,
+      budget: Long, bucketSize: Long): DataFrame = {
+    val base = sized
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"doc_id div $bucketSize").as("bucket"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket")
+      .agg(sum("n_tokens").as("btotal"))
+      .withColumn("offset", coalesce(sum("btotal").over(acrossBuckets), lit(0L)))
+      .select("bucket", "offset")
+    base
+      .withColumn("within", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cast((within + offset) div $budget as bigint)").as("shard_id"))
+      .orderBy("doc_id")
+  }
+}
