@@ -509,6 +509,34 @@ o_orderstatus, o_orderpriority, count(*) AS n,
 cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    // Full outer join (§2.3 breadth — the one join category with no
+    // green query): daily order counts reconciled against daily event
+    // counts; days present on either side survive with the other side
+    // zero-filled. Compiles to one sort-merge full-outer over two
+    // pre-aggregated (small) sides — both inputs shrink to day grain
+    // BEFORE the join, so the shuffled frames are bounded by the
+    // calendar, not the fact tables.
+    Q("orders_events_daily_outer",
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n_orders"))
+        val e = s.read.parquet(s"$dir/events.parquet")
+          .groupBy(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+          .agg(count(lit(1)).as("n_events"))
+        o.join(e, Seq("d"), "full_outer")
+          .select(col("d").cast("string").as("d"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("d")
+      },
+      Some("""SELECT CAST(d AS VARCHAR) AS d,
+  coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events
+FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
+      count(*) AS n_events FROM events GROUP BY 1) e USING (d)
+ORDER BY d""")),
     // Range join (§2.3 breadth): band each event's value by [lo, hi)
     // containment against a tiny bands dimension. The scale shape is
     // a broadcast nested-loop join — the big side never shuffles and
