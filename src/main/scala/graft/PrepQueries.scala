@@ -12,6 +12,9 @@ object PrepQueries {
     Q("prep_split_assign",
       (s, dir) => CorpusPrep.splitAssign(s, dir),
       Some(PrepOracle.splitAssignSql())),
+    Q("prep_mixture",
+      (s, dir) => CorpusPrep.mixture(s, dir),
+      Some(PrepOracle.mixtureSql())),
     // the distributed two-pass running sum vs the oracle's global
     // window: hash equality proves the rewrite exact.
     Q("prep_shard_packing",

@@ -46,6 +46,36 @@ object CorpusPrep {
       .orderBy("split", "lang")
   }
 
+  /** Weighted source mixing: downsample each source to a target rate
+    * (parts-per-hundred) — the corpus-mixing step that reweights
+    * heterogeneous sources before training. Identity-hash
+    * deterministic like [[splitAssign]], but SALTED differently
+    * (`mix|` prefix): sampling with the split hash would correlate
+    * the two decisions and bias val/test composition. Sources
+    * without an explicit rate take `defaultRate`. Emitted as the
+    * per-source rollup (total, kept, kept chars) so the achieved mix
+    * is auditable against the requested one; the kept per-doc frame
+    * is the same predicate without the groupBy.
+    */
+  def mixture(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
+      defaultRate: Int = 75): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(concat('mix|', cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .withColumn("rate_pct", rate.cast("long"))
+      .withColumn("kept", when(bucket < col("rate_pct"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(max("rate_pct").as("rate_pct"),
+        count(lit(1)).as("n_total"),
+        sum("kept").cast("long").as("n_kept"),
+        sum(col("kept") * col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
   /** Token-budget shard planning: documents packed into shards of at
     * most ~`budget` whitespace tokens in doc_id order —
     * `shard_id = floor(tokens_before / budget)` (a document straddling

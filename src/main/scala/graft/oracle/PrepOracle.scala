@@ -24,6 +24,22 @@ object PrepOracle {
 SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM assigned GROUP BY split, lang ORDER BY split, lang"""
 
+  def mixtureSql(rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
+      defaultRate: Int = 75): String = {
+    val rateCase = rates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $defaultRate END")
+    s"""WITH b AS (
+    SELECT source, n_chars, $rateCase AS rate_pct,
+      CASE WHEN ${DocOracle.hex8IntSql("md5('mix|' || CAST(doc_id AS VARCHAR))")} % 100 < ($rateCase)
+        THEN 1 ELSE 0 END AS kept
+    FROM documents
+  )
+SELECT source, CAST(max(rate_pct) AS BIGINT) AS rate_pct, count(*) AS n_total,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+FROM b GROUP BY source ORDER BY source"""
+  }
+
   def shardPackingSql(budget: Long = 4096L): String =
     s"""WITH base AS (
     SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
