@@ -12,6 +12,9 @@ object EventQueries {
     Q("events_tumbling_hourly",
       (s, dir) => Events.tumblingHourly(s, dir),
       Some(EventOracle.tumblingHourlySql)),
+    Q("events_sliding_hourly",
+      (s, dir) => Events.slidingHourly(s, dir),
+      Some(EventOracle.slidingHourlySql)),
     Q("events_sessionized",
       (s, dir) => Events.sessionize(s, dir),
       Some(EventOracle.sessionizeSql())),

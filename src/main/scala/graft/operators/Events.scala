@@ -62,6 +62,28 @@ object Events {
         col("event_type"), col("n"), col("value_cents"), col("n_users"))
       .orderBy("window_start_s", "event_type")
 
+  /** Sliding 1-hour windows every 30 minutes per event type: the
+    * overlapping-window kind ([[tumblingHourly]] and the session
+    * forms cover the other two). The native `window()` with a slide
+    * replicates each event into the (size/slide)=2 windows containing
+    * it BEFORE the aggregation — map-side, no self-join — then one
+    * (window, event_type) shuffle with partial aggregation exactly
+    * like the tumbling form, at 2× the pre-combine row volume. The
+    * oracle derives the same two window starts arithmetically per
+    * event, so hash equality pins the native operator's assignment
+    * rule.
+    */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("vc").cast("long").as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("value_cents"))
+      .orderBy("window_start_s", "event_type")
+
   /** Gap-based sessionization: a session breaks when a user is idle
     * longer than `gapNs`. Batch formulation of the classic
     * lag -> new-session flag -> running sum -> per-session rollup.

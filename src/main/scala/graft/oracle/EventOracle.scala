@@ -21,6 +21,28 @@ SELECT (tns // ${Events.NanosPerHour}) * 3600 AS window_start_s, event_type,
   count(DISTINCT user_id) AS n_users
 FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Sliding windows derived arithmetically: an event at `tns`
+    * belongs to the two 30-minute-aligned hour windows with start
+    * `((tns - i*30min) // 1h)*1h + i*30min`, i in {0, 1} — the
+    * independent formulation of Spark's native slide assignment.
+    */
+  def slidingHourlySql: String = {
+    val nanos30 = Events.NanosPerHour / 2
+    s"""WITH e AS (
+    SELECT epoch_ns(ts) AS tns, event_type,
+      CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+  ),
+  g AS (
+    SELECT ((tns - i * $nanos30) // ${Events.NanosPerHour}) * 3600 + i * 1800 AS window_start_s,
+      event_type, vc
+    FROM e, range(0, 2) t(i)
+  )
+SELECT window_start_s, event_type, count(*) AS n,
+  CAST(sum(vc) AS BIGINT) AS value_cents
+FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** DuckDB's native ASOF LEFT JOIN — an independent implementation
     * of the point-in-time semantics [[Events.asofLatestOrder]]
     * expresses with the union-window trick. Orders pre-deduped to
