@@ -35,6 +35,14 @@ class PushdownSpec extends SparkTestBase {
       s"ReadSchema: $readCols")
   }
 
+  test("leading-literal LIKE probe pushes StartsWith to the snapshot scan") {
+    val idx = graft.sources.IndexBuilder.loadOrSnapshot(spark, sf0001)
+    val df = graft.operators.JoinSearch.probeLike(idx, "customer 0000001%")
+    val scan = scans(df).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("StringStartsWith(key"), s"PushedFilters: $pushed")
+  }
+
   test("anchored search joins are all broadcast — the index side never shuffles for a join") {
     val idx = graft.sources.IndexBuilder.build(spark, sf0001)
     val df = graft.operators.JoinSearch.searchTables(
