@@ -4,9 +4,10 @@ import scala.util.Random
 
 import graft.operators.JoinSearch
 
-/** Randomized cross-strategy equivalence: the five physical
+/** Randomized cross-strategy equivalence: the six physical
   * strategies (anchored default, windowed, groupBy-variant, row-wise,
-  * cell-wise) are independent plans for one semantics — on any input
+  * cell-wise, hint-free shuffled) are independent plans for one
+  * semantics — on any input
   * they must produce identical ranked scores. Random corpora use a
   * tiny key alphabet to force hot keys, multi-column collisions,
   * duplicate query rows, duplicate-key query rows, and nulls — the
@@ -17,7 +18,7 @@ class JoinSearchPropertySpec extends SparkTestBase {
 
   private val cols = Seq("qa", "qb")
 
-  test("all five strategies agree on random hot-key corpora (seed 42)") {
+  test("all six strategies agree on random hot-key corpora (seed 42)") {
     val rnd = new Random(42)
     val alphabet = Vector("a", "b", "c", "d", "e f", "g")
     def key() = alphabet(rnd.nextInt(alphabet.size))
@@ -38,7 +39,8 @@ class JoinSearchPropertySpec extends SparkTestBase {
         "anchored" -> JoinSearch.searchTables(index, query, cols),
         "groupBy" -> JoinSearch.searchTablesViaGroupBy(index, query, cols),
         "rowWise" -> JoinSearch.searchTablesRowWise(index, query, cols),
-        "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols))
+        "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols),
+        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols))
         .map { case (n, df) => n -> df.as[(Int, Long)].collect().toSeq }
       got.foreach { case (name, scores) =>
         assert(scores == ref, s"round $round: $name diverged from windowed")
