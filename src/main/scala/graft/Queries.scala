@@ -141,6 +141,25 @@ object Queries {
         .orderBy("table_id", "column_id", "row_id", "key"),
       Some(SearchOracle.indexOnly(
         "SELECT key, table_id, column_id, row_id FROM idxf WHERE key = '1 urgent' ORDER BY table_id, column_id, row_id, key"))),
+    // ANALYZE-style index statistics: per-(table, column) posting
+    // volume, key cardinality, and hottest-key df — the artifact a
+    // planner (or the anchored conjunction's anchor choice) consults;
+    // kdf aggregates once then rolls up, both levels map-side partial.
+    Q("idx_column_profile",
+      (s, dir) => index(s, dir)
+        .groupBy("table_id", "column_id", "key")
+        .agg(count(lit(1)).as("kdf"))
+        .groupBy("table_id", "column_id")
+        .agg(sum("kdf").cast("long").as("n_postings"),
+          count(lit(1)).as("n_keys"),
+          max("kdf").cast("long").as("max_key_df"))
+        .orderBy("table_id", "column_id"),
+      Some(SearchOracle.indexOnly(
+        """SELECT table_id, column_id, CAST(sum(kdf) AS BIGINT) AS n_postings,
+  count(*) AS n_keys, CAST(max(kdf) AS BIGINT) AS max_key_df
+FROM (SELECT table_id, column_id, key, count(*) AS kdf
+      FROM idxf GROUP BY table_id, column_id, key)
+GROUP BY table_id, column_id ORDER BY table_id, column_id"""))),
     // S4 generalized to real wildcards: the reference's probe template
     // is LIKE-shaped (handlers.py:73-83) but only ever receives
     // literals; this exercises the pattern form (ids 100-199 under the
