@@ -317,6 +317,17 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
   private def fixtureOnce(path: String)(write: => Unit): Unit =
     if (!new java.io.File(path, "_SUCCESS").exists()) write
 
+  /** Fixture path for `kind`, stamped with the source table's mtime:
+    * a regenerated corpus at the same sf dir invalidates the fixture
+    * automatically instead of silently serving stale query rows
+    * against a fresh oracle.
+    */
+  private def fixturePath(kind: String, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val stamp = new java.io.File(s"$dir/customer.parquet").lastModified()
+    s"${sys.props("user.dir")}/target/graft-$kind/$name-$stamp"
+  }
+
   private val queryColSchema = org.apache.spark.sql.types.StructType(
     customerCols.map(c => org.apache.spark.sql.types.StructField(
       c, org.apache.spark.sql.types.StringType)))
@@ -324,8 +335,7 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
   private val sourceQs = Seq(
     Q("csv_source_search",
       (s, dir) => {
-        val name = new java.io.File(dir).getName
-        val path = s"${sys.props("user.dir")}/target/graft-csv/$name"
+        val path = fixturePath("csv", dir)
         fixtureOnce(path)(sources.CsvSource.write(
           customerQuery(s, dir).select(customerCols.map(col): _*), path))
         // the query table feeds several broadcast subtrees; persist
@@ -337,8 +347,7 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
       Some(SearchOracle.tableScores(customerSpec))),
     Q("json_source_search",
       (s, dir) => {
-        val name = new java.io.File(dir).getName
-        val path = s"${sys.props("user.dir")}/target/graft-json/$name"
+        val path = fixturePath("json", dir)
         fixtureOnce(path)(sources.JsonSource.write(
           customerQuery(s, dir).select(customerCols.map(col): _*), path))
         val jsonQ = sources.DfCache.getOrPersist(s, s"jsonq:$path")(
@@ -352,8 +361,7 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
     // checks the search RESULT, which is format-independent.
     Q("orc_source_search",
       (s, dir) => {
-        val name = new java.io.File(dir).getName
-        val path = s"${sys.props("user.dir")}/target/graft-orc/$name"
+        val path = fixturePath("orc", dir)
         fixtureOnce(path)(customerQuery(s, dir).select(customerCols.map(col): _*)
           .write.mode("overwrite").orc(path))
         val orcQ = sources.DfCache.getOrPersist(s, s"orcq:$path")(s.read.orc(path))
@@ -367,8 +375,7 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
     // and must produce the exact customer-search result.
     Q("url_source_search",
       (s, dir) => {
-        val name = new java.io.File(dir).getName
-        val path = s"${sys.props("user.dir")}/target/graft-url/$name"
+        val path = fixturePath("url", dir)
         fixtureOnce(path)(customerQuery(s, dir).select(customerCols.map(col): _*)
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(path))
         val part = new java.io.File(path).listFiles()

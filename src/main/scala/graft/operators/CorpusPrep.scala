@@ -96,8 +96,12 @@ object CorpusPrep {
   def shardPacking(spark: SparkSession, dir: String,
       budget: Long = 4096L, bucketSize: Long = 100L): DataFrame =
     shardPackingOf(
+      // real whitespace tokenization (\s+ over trimmed text, the same
+      // rule as the token-median query) — split(" ") would count
+      // phantom tokens on runs of spaces and miss tabs/newlines,
+      // quietly bending the token budget the shards promise.
       docs(spark, dir).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
       budget, bucketSize)
 
   /** [[shardPacking]] over a prepared `(doc_id, n_tokens)` frame. */

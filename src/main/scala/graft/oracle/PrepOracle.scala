@@ -42,7 +42,8 @@ FROM b GROUP BY source ORDER BY source"""
 
   def shardPackingSql(budget: Long = 4096L): String =
     s"""WITH base AS (
-    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
     FROM documents
   ),
   cum AS (

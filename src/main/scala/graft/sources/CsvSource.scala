@@ -38,22 +38,35 @@ object CsvSource {
 
   /** URL ingestion — the reference's only ingress for the query table
     * is an HTTP CSV fetch (`main.py:6`, `Par_Search.py:147`
-    * `sc.addFile(url)` then a local read). Same mechanism here:
-    * `addFile` pulls the file once and ships it to every executor
-    * (http/https/ftp/file/hdfs schemes, exactly Spark's `addFile`
-    * surface), and the read targets the fetched local copy via
-    * `SparkFiles` — so a 1000-executor cluster reads a driver-fetched
-    * file without N redundant origin fetches. The query table is
-    * small by construction (it is the broadcast side of every search
-    * join); bulk corpus data still belongs in parquet on shared
-    * storage, not here.
+    * `sc.addFile(url)` then a local read). `addFile` fetches the file
+    * once (http/https/ftp/file/hdfs schemes, exactly Spark's
+    * `addFile` surface); the driver then reads the fetched copy's
+    * LINES and parses them through `DataFrameReader.csv(Dataset)`, so
+    * the data ships to executors inside the dataset itself. The
+    * obvious-looking alternative — `spark.read.csv(SparkFiles.get(
+    * name))`, which is literally what the reference does — embeds the
+    * DRIVER's local temp path in the scan and throws
+    * FileNotFoundException on any multi-machine cluster (each
+    * executor's SparkFiles root is its own). Driver-side lines are
+    * correct here BY CONTRACT: the query table is tiny — it is the
+    * broadcast side of every search join; bulk corpus data belongs
+    * in parquet on shared storage, not behind a URL.
     */
   def readUrl(spark: SparkSession, url: String, schema: StructType,
       header: Boolean = true, sep: String = ","): DataFrame = {
-    val name = url.substring(url.lastIndexOf('/') + 1)
+    // decoded URI path: addFile stores under the decoded basename,
+    // and query strings ("q.csv?token=x") are not part of the name.
+    val name = new java.io.File(new java.net.URI(url).getPath).getName
     require(name.nonEmpty, s"URL has no file component: $url")
     spark.sparkContext.addFile(url)
-    read(spark, "file://" + org.apache.spark.SparkFiles.get(name),
-      schema, header, sep)
+    val local = java.nio.file.Paths.get(org.apache.spark.SparkFiles.get(name))
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(local).asScala.toSeq
+    import spark.implicits._
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .csv(spark.createDataset(lines))
   }
 }

@@ -143,24 +143,23 @@ class JoinSearchSpec extends SparkTestBase {
   }
 
   test("capped probe never shuffles postings by key (hot-key guard plan shape)") {
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
-    val plan = JoinSearch.probeCapped(index, m, 4L).queryExecution.executedPlan
+    // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+    // AdaptiveSparkPlanExec leaf whose children collect can't see —
+    // collecting over it would make this test vacuously green.
+    val plan = JoinSearch.probeCapped(index, m, 4L).queryExecution.sparkPlan
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"per-key window re-creates the straggler the cap guards against:\n$plan")
-    // any exchange hash-partitioned on `key` must sit directly above a
-    // partial aggregate (map-side combine shrinks a hot key to one row
-    // per map partition) — never over raw postings
-    plan.collect {
-      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("key") => e
-    }.foreach { e =>
-      assert(e.child.isInstanceOf[BaseAggregateExec] &&
-        e.child.asInstanceOf[BaseAggregateExec].aggregateExpressions
-          .forall(_.mode.toString == "Partial"),
-        s"key-partitioned exchange over non-partial child:\n$e")
-    }
+    // the capped probe itself must carry NO exchange at all: the query
+    // side broadcasts, and the stats aggregation (whose own shuffle is
+    // partial-aggregated map-side) lives behind the session-cached
+    // InMemoryRelation, not in this plan. The postings never move.
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"capped probe should be exchange-free:\n$plan")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"expected the session-cached key stats under the guard:\n$plan")
   }
 
   test("above-threshold degradation: shuffled form completes broadcast-free with identical results") {
