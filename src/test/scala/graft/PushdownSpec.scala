@@ -36,8 +36,15 @@ class PushdownSpec extends SparkTestBase {
   }
 
   test("leading-literal LIKE probe pushes StartsWith to the snapshot scan") {
-    val idx = graft.sources.IndexBuilder.loadOrSnapshot(spark, sf0001)
-    val df = graft.operators.JoinSearch.probeLike(idx, "customer 0000001%")
+    // a private snapshot copy: the shared snapshot may already be
+    // session-cached by another suite, in which case CacheManager
+    // swaps the scan for an InMemoryRelation and there is no file
+    // scan to assert pushdown on (cold-scan behavior is the claim).
+    val p = graft.sources.IndexBuilder.writeSnapshotAs(
+      graft.sources.IndexBuilder.build(spark, sf0001),
+      java.nio.file.Files.createTempDirectory("graft-pushdown").toString + "/snap")
+    val df = graft.operators.JoinSearch.probeLike(
+      spark.read.parquet(p), "customer 0000001%")
     val scan = scans(df).head
     val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
     assert(pushed.contains("StringStartsWith(key"), s"PushedFilters: $pushed")
