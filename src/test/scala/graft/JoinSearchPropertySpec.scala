@@ -48,6 +48,34 @@ class JoinSearchPropertySpec extends SparkTestBase {
     }
   }
 
+  test("all six strategies agree on random 3-column queries (seed 11)") {
+    val cols3 = Seq("qa", "qb", "qc")
+    val rnd = new Random(11)
+    val alphabet = Vector("a", "b", "c", "d", "e f")
+    def key() = alphabet(rnd.nextInt(alphabet.size))
+    for (round <- 1 to 3) {
+      val index = Seq.fill(50 + rnd.nextInt(40))(
+        (key(), 1 + rnd.nextInt(4), 1 + rnd.nextInt(4), 1L + rnd.nextInt(4)))
+        .toDF("key", "table_id", "column_id", "row_id")
+      val query = Seq.fill(3 + rnd.nextInt(3)) {
+        val a = key()
+        (a, if (rnd.nextInt(3) == 0) a else key(), key())
+      }.toDF("qa", "qb", "qc")
+      val ref = JoinSearch.searchTablesWindowed(index, query, cols3)
+        .as[(Int, Long)].collect().toSeq
+      val got = Map(
+        "anchored" -> JoinSearch.searchTables(index, query, cols3),
+        "groupBy" -> JoinSearch.searchTablesViaGroupBy(index, query, cols3),
+        "rowWise" -> JoinSearch.searchTablesRowWise(index, query, cols3),
+        "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols3),
+        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols3))
+        .map { case (n, df) => n -> df.as[(Int, Long)].collect().toSeq }
+      got.foreach { case (name, scores) =>
+        assert(scores == ref, s"round $round: $name diverged from windowed at N=3")
+      }
+    }
+  }
+
   test("anchor statistic choice is result-invariant (supplied stats vs probe-derived)") {
     val rnd = new Random(7)
     val alphabet = Vector("a", "b", "c", "d")
