@@ -214,6 +214,19 @@ class JoinSearchSpec extends SparkTestBase {
     assert(got == 0L)
   }
 
+  test("degenerate inputs return empty results, not errors") {
+    val emptyQ = Seq.empty[(String, String)].toDF("director_name", "movie_title")
+    assert(JoinSearch.searchTables(index, emptyQ, cols).count() == 0L)
+    val nullQ = Seq((null: String, null: String)).toDF("director_name", "movie_title")
+    assert(JoinSearch.searchTables(index, nullQ, cols).count() == 0L)
+    val emptyIdx = Seq.empty[(String, Int, Int, Long)]
+      .toDF("key", "table_id", "column_id", "row_id")
+    assert(JoinSearch.searchTables(emptyIdx, query, cols).count() == 0L)
+    assert(JoinSearch.searchTablesCapped(emptyIdx, query, cols, 10L).count() == 0L)
+    assert(JoinSearch.searchTablesShuffled(emptyIdx, query, cols).count() == 0L)
+    assert(JoinSearch.searchTablesSeqParity(index, emptyQ, cols).count() == 0L)
+  }
+
   test("end-to-end on real sf0.001: customer query ranks customer first") {
     val idx = IndexBuilder.build(spark, sf0001)
     val got = JoinSearch.searchTables(idx,
