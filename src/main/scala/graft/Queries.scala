@@ -160,6 +160,14 @@ object Queries {
 FROM (SELECT table_id, column_id, key, count(*) AS kdf
       FROM idxf GROUP BY table_id, column_id, key)
 GROUP BY table_id, column_id ORDER BY table_id, column_id"""))),
+    // The durable key-stats artifact (the snapshot's ANALYZE
+    // companion): write-once, load-with-fallback, hash-matching the
+    // straight per-key aggregation — proving the persisted statistic
+    // IS the statistic the in-memory path computes.
+    Q("idx_key_stats_artifact",
+      (s, dir) => IndexBuilder.loadOrBuildKeyStats(s, dir).orderBy("key"),
+      Some(SearchOracle.indexOnly(
+        "SELECT key, count(*) AS kdf FROM idxf GROUP BY key ORDER BY key"))),
     // S4 generalized to real wildcards: the reference's probe template
     // is LIKE-shaped (handlers.py:73-83) but only ever receives
     // literals; this exercises the pattern form (ids 100-199 under the

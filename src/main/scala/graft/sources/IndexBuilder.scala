@@ -152,4 +152,33 @@ object IndexBuilder {
     */
   def cached(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrPersist(spark, s"index:$dir")(loadOrSnapshot(spark, dir))
+
+  /** The key-stats artifact's location, beside the snapshot (shares
+    * its fingerprint, so semantic changes invalidate both together).
+    */
+  def keyStatsPath(dir: String): String = snapshotPath(dir) + "-stats"
+
+  /** The durable ANALYZE companion of the snapshot: per-key posting
+    * counts, written once at build time with the same
+    * load-with-fallback contract as the snapshot itself. The anchored
+    * conjunction's anchor choice and the hot-key df cap consume this
+    * statistic per query
+    * ([[graft.operators.JoinSearch.indexKeyStats]] is its
+    * session-cached in-memory form); at 100 TB it is a
+    * vocabulary-sized thin table whose single corpus pass amortizes
+    * over every query ever run against the snapshot — exactly an
+    * ANALYZE artifact, and written key-clustered so stat lookups for
+    * a probe's keys touch few files.
+    */
+  def loadOrBuildKeyStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = keyStatsPath(dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.isFile(marker))
+      cached(spark, dir)
+        .groupBy("key").agg(count(lit(1)).as("kdf"))
+        .repartition(col("key"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 }
