@@ -50,6 +50,28 @@ class PushdownSpec extends SparkTestBase {
     assert(pushed.contains("StringStartsWith(key"), s"PushedFilters: $pushed")
   }
 
+  test("partitioned lake layout prunes partitions at the scan") {
+    // hive-style partitioned write + equality predicate on the
+    // partition column: the predicate must land in PartitionFilters
+    // (directory-level pruning — unmatched partitions are never
+    // listed, the 100 TB lake-layout contract), not as a row filter.
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .write.partitionBy("event_type").mode("overwrite").parquet(base)
+    val df = spark.read.parquet(base)
+      .where(col("event_type") === "click").select("event_id")
+    val scan = scans(df).head
+    val pf = scan.metadata.getOrElse("PartitionFilters", "[]")
+    assert(pf.contains("event_type"), s"PartitionFilters: $pf")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(!pushed.contains("event_type"),
+      s"partition predicate leaked into data filters: $pushed")
+    // and the pruned read still returns exactly the partition's rows
+    val expected = spark.read.parquet(s"$sf0001/events.parquet")
+      .where(col("event_type") === "click").count()
+    assert(df.count() == expected && expected > 0)
+  }
+
   test("anchored search joins are all broadcast — the index side never shuffles for a join") {
     val idx = graft.sources.IndexBuilder.build(spark, sf0001)
     val df = graft.operators.JoinSearch.searchTables(
