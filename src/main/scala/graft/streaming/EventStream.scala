@@ -51,6 +51,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"), col("approx_users"))
 
+  /** Watermarked SLIDING 1-hour counts every 30 minutes — the
+    * overlapping-window kind, completing the tumbling/sliding/session
+    * streaming trio. Identical operator mechanics to
+    * [[tumblingCounts]]: each event replicates map-side into its two
+    * containing windows; state per open window finalizes as the
+    * watermark passes window end. The batch twin is
+    * [[graft.operators.Events.slidingHourly]] (oracle-green), and the
+    * spec runs THIS transform in batch mode against it.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
   /** Gap-based sessionization with explicit state: events group by
     * user; each invocation folds the (unordered) new events into the
     * open session, emitting every session that closes (next event

@@ -107,6 +107,47 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarked sliding counts finalize both containing windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.slidingCounts(
+        in.toDF().select(col("ts"), col("eventType").as("event_type"),
+          col("userId").as("user_id"), col("value")))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      // minute 40 of its hour: containing windows start at :00 and :30
+      in.addData(ev(40, 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(ev(400, 2, "click", 1.0)) // advance watermark far past
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      val hourStart = hourStartS(40)
+      assert(got.contains((hourStart, "click", 1L, 100L)), s"aligned window: $got")
+      assert(got.contains((hourStart + 1800, "click", 1L, 100L)), s"offset window: $got")
+    } finally q.stop()
+  }
+
+  test("batch sliding agrees with the streaming transform on the parquet corpus") {
+    val batch = Events.slidingHourly(spark, sf0001)
+      .select("window_start_s", "event_type", "n", "value_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val viaStreamTransform = {
+      val e = spark.read.parquet(s"$sf0001/events.parquet")
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      EventStream.slidingCounts(e)
+        .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("value_cents"))
+        .as[(Long, String, Long, Long)].collect().toSet
+    }
+    assert(batch == viaStreamTransform)
+    assert(batch.nonEmpty)
+  }
+
   test("batch tumbling agrees with streaming on the parquet corpus") {
     // batch twin over sf0.001, vs the streaming transform run in
     // batch mode on the same converted input (Spark executes batch
