@@ -12,6 +12,11 @@ object PrepQueries {
     Q("prep_split_assign",
       (s, dir) => CorpusPrep.splitAssign(s, dir),
       Some(PrepOracle.splitAssignSql())),
+    // the capstone: quality ∘ dedup ∘ split composed in one query —
+    // the frame a training run actually reads.
+    Q("prep_training_corpus",
+      (s, dir) => CorpusPrep.trainingCorpus(s, dir),
+      Some(PrepOracle.trainingCorpusSql())),
     Q("prep_mixture",
       (s, dir) => CorpusPrep.mixture(s, dir),
       Some(PrepOracle.mixtureSql())),

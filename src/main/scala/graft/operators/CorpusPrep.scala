@@ -46,6 +46,33 @@ object CorpusPrep {
       .orderBy("split", "lang")
   }
 
+  /** The capstone composition — the final training corpus as ONE
+    * query: documents that (1) pass the Gopher quality flags,
+    * (2) survive near-dup cluster resolution (keepers and
+    * singletons), and (3) land in the train split, with real token
+    * counts. This is the frame a training run actually reads, and
+    * the proof the families COMPOSE: quality semi-join, broadcast
+    * anti-join against the O(near-dups) drop list, row-local hash
+    * bucket — the corpus streams through once, unshuffled, all
+    * filters stacked on the same scan.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String,
+      pctTrain: Int = 80): DataFrame = {
+    val quality = TextAnalysis.qualityFlags(spark, dir)
+      .where(col("quality_pass") === 1L).select("doc_id")
+    val dropDups = Dedup.clusters(spark, dir)
+      .where(col("is_keeper") === 0L).select("doc_id")
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    docs(spark, dir)
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(broadcast(dropDups), Seq("doc_id"), "left_anti")
+      .where(bucket < pctTrain)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted source mixing: downsample each source to a target rate
     * (parts-per-hundred) — the corpus-mixing step that reweights
     * heterogeneous sources before training. Identity-hash

@@ -91,7 +91,7 @@ ORDER BY l.doc_id"""
   /** Recursive closure chain ending in `labels(doc_id, cluster_id)`
     * (shared by [[clustersSql]] and [[keptCorpusSql]]).
     */
-  private def labelCtes(numSeeds: Int): String =
+  private[oracle] def labelCtes(numSeeds: Int): String =
     s"""${verifiedCtes(minhashCandCtes(numSeeds))},
   edges AS (
     SELECT doc_x AS s, doc_y AS d FROM verified

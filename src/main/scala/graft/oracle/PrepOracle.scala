@@ -40,6 +40,24 @@ SELECT source, CAST(max(rate_pct) AS BIGINT) AS rate_pct, count(*) AS n_total,
 FROM b GROUP BY source ORDER BY source"""
   }
 
+  /** The capstone composition's oracle: quality CTEs (TextOracle),
+    * the recursive dedup closure (DocOracle), and the split bucket in
+    * one statement.
+    */
+  def trainingCorpusSql(pctTrain: Int = 80, minTokens: Int = 30,
+      maxTokens: Int = 100000, numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${DocOracle.labelCtes(numSeeds)},
+  ${TextOracle.statsCte},
+  ${TextOracle.flagsCte(minTokens, maxTokens)}
+SELECT d.doc_id, d.lang, d.source,
+  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN tflags f ON f.doc_id = d.doc_id
+WHERE f.flag_len * f.flag_avg_word_len * f.flag_stopwords = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+  AND ${DocOracle.hex8IntSql("md5(CAST(d.doc_id AS VARCHAR))")} % 100 < $pctTrain
+ORDER BY d.doc_id"""
+
   def shardPackingSql(budget: Long = 4096L): String =
     s"""WITH base AS (
     SELECT doc_id,

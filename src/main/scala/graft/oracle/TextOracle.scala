@@ -15,7 +15,7 @@ object TextOracle {
   /** Shared per-document statistics CTE (the oracle twin of
     * `TextAnalysis.stats`).
     */
-  private def statsCte: String =
+  private[oracle] def statsCte: String =
     s"""tstats AS (
     SELECT doc_id,
       CAST(length(text) AS BIGINT) AS n_chars,
@@ -40,7 +40,7 @@ SELECT doc_id, n_chars, n_ws_tokens, n_re_tokens, n_clean_tokens, n_alpha, n_dig
   sw_hits, sw_bp
 FROM tstats_bp ORDER BY doc_id"""
 
-  private def flagsCte(minTokens: Int, maxTokens: Int): String =
+  private[oracle] def flagsCte(minTokens: Int, maxTokens: Int): String =
     s"""tflags AS (
     SELECT doc_id,
       CASE WHEN n_ws_tokens >= $minTokens AND n_ws_tokens <= $maxTokens THEN 1 ELSE 0 END AS flag_len,
