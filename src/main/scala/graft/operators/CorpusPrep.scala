@@ -20,6 +20,19 @@ object CorpusPrep {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The identity-hash bucket in [0, 100): md5 of (salt + doc_id),
+    * first 8 hex chars as an integer, mod 100. ONE definition for
+    * every sampling decision in this module — split assignment and
+    * the training-corpus composition share the unsalted form (their
+    * membership must agree by construction), mixing salts with
+    * `"mix|"` so its decision is independent of the split's.
+    */
+  private def hashBucket(salt: String): org.apache.spark.sql.Column = {
+    val keyed = if (salt.isEmpty) "cast(doc_id as string)"
+      else s"concat('$salt', cast(doc_id as string))"
+    expr(s"cast(conv(substr(md5(cast($keyed as binary)), 1, 8), 16, 10) as bigint) % 100")
+  }
+
   /** Deterministic train/val/test assignment by hash bucket:
     * `bucket = md5(doc_id)[0:8] % 100`, train below `pctTrain`, val
     * below `pctTrain + pctVal`, test otherwise — the standard
@@ -33,8 +46,7 @@ object CorpusPrep {
     */
   def splitAssign(spark: SparkSession, dir: String,
       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
-    val bucket = expr(
-      "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    val bucket = hashBucket("")
     docs(spark, dir)
       .withColumn("split",
         when(bucket < pctTrain, "train")
@@ -57,17 +69,14 @@ object CorpusPrep {
     * filters stacked on the same scan.
     */
   def trainingCorpus(spark: SparkSession, dir: String,
-      pctTrain: Int = 80): DataFrame = {
-    val quality = TextAnalysis.qualityFlags(spark, dir)
+      pctTrain: Int = 80, minTokens: Int = 30,
+      maxTokens: Int = 100000): DataFrame = {
+    val quality = TextAnalysis.qualityFlags(spark, dir, minTokens, maxTokens)
       .where(col("quality_pass") === 1L).select("doc_id")
-    val dropDups = Dedup.clusters(spark, dir)
-      .where(col("is_keeper") === 0L).select("doc_id")
-    val bucket = expr(
-      "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) % 100")
     docs(spark, dir)
       .join(quality, Seq("doc_id"), "left_semi")
-      .join(broadcast(dropDups), Seq("doc_id"), "left_anti")
-      .where(bucket < pctTrain)
+      .join(broadcast(Dedup.dropList(spark, dir)), Seq("doc_id"), "left_anti")
+      .where(hashBucket("") < pctTrain)
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
@@ -87,8 +96,7 @@ object CorpusPrep {
   def mixture(spark: SparkSession, dir: String,
       rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
       defaultRate: Int = 75): DataFrame = {
-    val bucket = expr(
-      "cast(conv(substr(md5(cast(concat('mix|', cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    val bucket = hashBucket("mix|")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc)
     }

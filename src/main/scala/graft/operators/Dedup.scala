@@ -289,6 +289,14 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(minhashLsh(spark, dir).select("doc_x", "doc_y"))
 
+  /** The near-dup drop list: every non-keeper cluster member's
+    * doc_id — THE definition of "dropped by dedup", shared by
+    * [[keptCorpus]] and the training-corpus composition so the
+    * keeper rule lives in exactly one place.
+    */
+  def dropList(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir).where(col("is_keeper") === 0L).select("doc_id")
+
   /** The deduplicated corpus view — [[clusters]]' decision APPLIED:
     * every document except non-keeper cluster members (keepers and
     * singletons survive). The drop list is O(|near-dups|), so the
@@ -296,15 +304,12 @@ object Dedup {
     * — the materialization a training run actually reads, produced
     * without ever clustering the corpus itself.
     */
-  def keptCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val drop = clusters(spark, dir)
-      .where(col("is_keeper") === 0L).select("doc_id")
+  def keptCorpus(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(broadcast(dropList(spark, dir)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
-  }
 
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos

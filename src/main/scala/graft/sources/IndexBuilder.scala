@@ -159,26 +159,37 @@ object IndexBuilder {
   def keyStatsPath(dir: String): String = snapshotPath(dir) + "-stats"
 
   /** The durable ANALYZE companion of the snapshot: per-key posting
-    * counts, written once at build time with the same
-    * load-with-fallback contract as the snapshot itself. The anchored
-    * conjunction's anchor choice and the hot-key df cap consume this
-    * statistic per query
-    * ([[graft.operators.JoinSearch.indexKeyStats]] is its
-    * session-cached in-memory form); at 100 TB it is a
+    * counts in the snapshot's own physical form
+    * ([[writeSnapshotAs]] — key-clustered, so stat lookups for a
+    * probe's keys touch few files). At 100 TB this is a
     * vocabulary-sized thin table whose single corpus pass amortizes
-    * over every query ever run against the snapshot — exactly an
-    * ANALYZE artifact, and written key-clustered so stat lookups for
-    * a probe's keys touch few files.
+    * over every query ever run against the snapshot. The SESSION
+    * path computes the same statistic in memory
+    * ([[graft.operators.JoinSearch.indexKeyStats]], what
+    * `searchTables` consumes); a cluster deployment loads this
+    * artifact instead and hands it to the pipeline explicitly:
+    * `conjunctionAnchored(probed, maps, n, Some(loadOrBuildKeyStats(
+    * spark, dir)))` — the `stats` parameter exists for exactly that.
+    *
+    * Staleness: the artifact rebuilds whenever the snapshot's
+    * `_SUCCESS` is NEWER than the stats' — a compaction or forced
+    * re-snapshot at the same path invalidates the stats
+    * automatically, not just the fingerprinted semantic changes.
     */
   def loadOrBuildKeyStats(spark: SparkSession, dir: String): DataFrame = {
     val path = keyStatsPath(dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.isFile(marker))
-      cached(spark, dir)
-        .groupBy("key").agg(count(lit(1)).as("kdf"))
-        .repartition(col("key"))
-        .write.mode("overwrite").parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsMarker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = statsMarker.getFileSystem(conf)
+    val snapMarker = new org.apache.hadoop.fs.Path(s"${snapshotPath(dir)}/_SUCCESS")
+    val fresh = fs.isFile(statsMarker) &&
+      (!fs.isFile(snapMarker) ||
+        fs.getFileStatus(statsMarker).getModificationTime >=
+          fs.getFileStatus(snapMarker).getModificationTime)
+    if (!fresh)
+      writeSnapshotAs(
+        cached(spark, dir).groupBy("key").agg(count(lit(1)).as("kdf")),
+        path)
     spark.read.parquet(path)
   }
 }

@@ -58,7 +58,7 @@ class JoinSearchPropertySpec extends SparkTestBase {
         (key(), 1 + rnd.nextInt(4), 1 + rnd.nextInt(4), 1L + rnd.nextInt(4)))
         .toDF("key", "table_id", "column_id", "row_id")
       val query = Seq.fill(3 + rnd.nextInt(3)) {
-        val a = key()
+        val a = if (rnd.nextInt(10) == 0) null else key()
         (a, if (rnd.nextInt(3) == 0) a else key(), key())
       }.toDF("qa", "qb", "qc")
       val ref = JoinSearch.searchTablesWindowed(index, query, cols3)

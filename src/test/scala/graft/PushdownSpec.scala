@@ -35,16 +35,20 @@ class PushdownSpec extends SparkTestBase {
       s"ReadSchema: $readCols")
   }
 
-  test("leading-literal LIKE probe pushes StartsWith to the snapshot scan") {
-    // a private snapshot copy: the shared snapshot may already be
-    // session-cached by another suite, in which case CacheManager
-    // swaps the scan for an InMemoryRelation and there is no file
-    // scan to assert pushdown on (cold-scan behavior is the claim).
-    val p = graft.sources.IndexBuilder.writeSnapshotAs(
-      graft.sources.IndexBuilder.build(spark, sf0001),
+  // a private snapshot copy, built once per suite: the shared
+  // snapshot may already be session-cached by another suite, in which
+  // case CacheManager swaps the scan for an InMemoryRelation and
+  // there is no file scan to assert pushdown on (cold-scan behavior
+  // is the claim). Sources the existing disk snapshot — no corpus
+  // rebuild.
+  private lazy val privateSnapshot: String =
+    graft.sources.IndexBuilder.writeSnapshotAs(
+      graft.sources.IndexBuilder.loadOrSnapshot(spark, sf0001),
       java.nio.file.Files.createTempDirectory("graft-pushdown").toString + "/snap")
+
+  test("leading-literal LIKE probe pushes StartsWith to the snapshot scan") {
     val df = graft.operators.JoinSearch.probeLike(
-      spark.read.parquet(p), "customer 0000001%")
+      spark.read.parquet(privateSnapshot), "customer 0000001%")
     val scan = scans(df).head
     val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
     assert(pushed.contains("StringStartsWith(key"), s"PushedFilters: $pushed")
