@@ -46,6 +46,9 @@ object CorpusPrep {
     */
   def splitAssign(spark: SparkSession, dir: String,
       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"split percentages must be non-negative with pctTrain+pctVal <= 100, " +
+        s"got pctTrain=$pctTrain pctVal=$pctVal")
     val bucket = hashBucket("")
     docs(spark, dir)
       .withColumn("split",
@@ -63,19 +66,25 @@ object CorpusPrep {
     * (2) survive near-dup cluster resolution (keepers and
     * singletons), and (3) land in the train split, with real token
     * counts. This is the frame a training run actually reads, and
-    * the proof the families COMPOSE: quality semi-join, broadcast
-    * anti-join against the O(near-dups) drop list, row-local hash
-    * bucket — the corpus streams through once, unshuffled, all
-    * filters stacked on the same scan.
+    * the proof the families COMPOSE: quality semi-join, anti-join
+    * against the O(near-dups) drop list, row-local hash bucket —
+    * all filters stacked on the same corpus scan.
+    *
+    * Like [[Dedup.keptCorpus]], the drop-list anti-join is
+    * deliberately hint-free: at web-crawl dup-rates the drop list is
+    * corpus-proportional and a forced broadcast is an OOM, not a slow
+    * plan. AQE still broadcasts it when it measures small.
     */
   def trainingCorpus(spark: SparkSession, dir: String,
       pctTrain: Int = 80, minTokens: Int = 30,
       maxTokens: Int = 100000): DataFrame = {
+    require(pctTrain >= 0 && pctTrain <= 100,
+      s"pctTrain must be in [0,100], got $pctTrain")
     val quality = TextAnalysis.qualityFlags(spark, dir, minTokens, maxTokens)
       .where(col("quality_pass") === 1L).select("doc_id")
     docs(spark, dir)
       .join(quality, Seq("doc_id"), "left_semi")
-      .join(broadcast(Dedup.dropList(spark, dir)), Seq("doc_id"), "left_anti")
+      .join(Dedup.dropList(spark, dir), Seq("doc_id"), "left_anti")
       .where(hashBucket("") < pctTrain)
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))

@@ -299,14 +299,23 @@ object Dedup {
 
   /** The deduplicated corpus view — [[clusters]]' decision APPLIED:
     * every document except non-keeper cluster members (keepers and
-    * singletons survive). The drop list is O(|near-dups|), so the
-    * anti-join broadcasts it and the corpus streams through unshuffled
-    * — the materialization a training run actually reads, produced
-    * without ever clustering the corpus itself.
+    * singletons survive) — the materialization a training run
+    * actually reads, produced without ever clustering the corpus
+    * itself.
+    *
+    * The anti-join carries NO broadcast hint on purpose: the drop
+    * list is O(|near-dups|), which is tiny at fixture dup-rates but
+    * corpus-PROPORTIONAL at web-crawl dup-rates (30-50% near-dup),
+    * where a forced broadcast is a driver/executor OOM rather than a
+    * slow plan. AQE broadcasts small sides at runtime anyway, so the
+    * hint only removed the safe degradation path — `DedupShuffledSpec`
+    * proves the plan completes hash-equal with
+    * `autoBroadcastJoinThreshold=0` (the shuffled form a 100 TB run
+    * would take).
     */
   def keptCorpus(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .join(broadcast(dropList(spark, dir)), Seq("doc_id"), "left_anti")
+      .join(dropList(spark, dir), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
