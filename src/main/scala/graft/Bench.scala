@@ -24,6 +24,11 @@ package graft
   *    its own action over the shared lineage, so numbers are
   *    per-stage-inclusive (stage N re-derives its inputs), matching
   *    how the reference's context-manager timers nest.
+  *  - (VERDICT r6 #6) totals are emitted at the END of the JSON line
+  *    (the driver keeps only the tail), and two totals are labeled:
+  *    `value` is the per-query-min composite (+ index_build) used by
+  *    the round tallies; `best_rep_total` is the fastest single
+  *    whole-set run — a number one run actually achieved.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +63,10 @@ object Bench {
       else (name, -1.0, mine.head._3)
     }
     val coldTotal = runs.head.map(_._2).filter(_ >= 0).sum
+    // best single-rep whole-set total: min over reps of the per-rep
+    // sum — a total some one run actually achieved, alongside the
+    // per-query-min composite (`value`) which no single run did.
+    val bestRepTotal = runs.map(_.map(_._2).filter(_ >= 0).sum).min
 
     // per-stage surface for the flagship search (steady state: runs
     // after the reps, so shared caches are warm like a live session).
@@ -93,7 +102,11 @@ object Bench {
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(tIndex, 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","index_build":$tIndex,"reps":$reps,"cold_total":$coldTotal,"queries":$qs,"stages":$st,"errors":$errs,"sf":"$sfDir"}""")
+    // totals LAST: the driver keeps only the tail of this line, so the
+    // headline numbers (value = per-query-min composite + index_build;
+    // best_rep_total = fastest whole run; cold_total = rep 1) must
+    // survive truncation — `queries` is the big map and goes first.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$st,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"value":$total}""")
     spark.stop()
   }
 }

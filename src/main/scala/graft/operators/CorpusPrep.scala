@@ -17,6 +17,42 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
+  /** The token-counting seam for shard budgets, mirroring
+    * [[Multimodal.Codec]]: shard budgets are BPE-token budgets in a
+    * real training pipeline, and the tokenizer is a swappable
+    * dependency, not a property of the packing algorithm. An
+    * implementation maps a text Column to a LongType count Column —
+    * Column-to-Column so the default stays whole-stage codegen and
+    * oracle-portable; a JNI/external tokenizer plugs in here (its
+    * mapPartitions form pays the codegen exit ONLY when chosen).
+    * [[shardPacking]] takes the counter as a parameter and the
+    * packing math never changes.
+    */
+  trait TokenCounter extends Serializable {
+    def count(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+
+  /** Default: real whitespace tokenization (`\s+` over trimmed text,
+    * the same rule as the token-median query) — `split(" ")` would
+    * count phantom tokens on runs of spaces and miss tabs/newlines,
+    * quietly bending the token budget the shards promise.
+    */
+  object WhitespaceCounter extends TokenCounter {
+    def count(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      size(split(trim(text), "\\s+")).cast("long")
+  }
+
+  /** A deterministic BPE-shaped stand-in: each whitespace word costs
+    * ceil(len/4) subword tokens (~4 chars/token, the usual BPE rule
+    * of thumb). Still pure Column arithmetic — proves the seam admits
+    * a counter with different numbers without touching the packing.
+    */
+  object SubwordCounter extends TokenCounter {
+    def count(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(split(trim(text), "\\s+"), lit(0L),
+        (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -136,16 +172,21 @@ object CorpusPrep {
     * docs) and broadcast back as offsets. Same numbers as the global
     * window, shuffle-bounded by the bucket count. The DuckDB oracle
     * runs the plain global running sum, proving the two forms equal.
+    *
+    * Sizing rule: the across-bucket pass puts ONE thin row per bucket
+    * on a single reducer, so `bucketSize` must scale as ~sqrt(N) to
+    * keep both passes bounded (10^9 docs -> bucketSize ~3*10^4 ->
+    * ~3*10^4 offset rows); at the default 100 a 10^9-doc corpus would
+    * put 10^7 rows on that reducer. Beyond sqrt-sizing, the two-pass
+    * recurses: the offset frame is itself a `(doc_id=bucket,
+    * n_tokens=btotal)` input to the same algorithm.
     */
   def shardPacking(spark: SparkSession, dir: String,
-      budget: Long = 4096L, bucketSize: Long = 100L): DataFrame =
+      budget: Long = 4096L, bucketSize: Long = 100L,
+      counter: TokenCounter = WhitespaceCounter): DataFrame =
     shardPackingOf(
-      // real whitespace tokenization (\s+ over trimmed text, the same
-      // rule as the token-median query) — split(" ") would count
-      // phantom tokens on runs of spaces and miss tabs/newlines,
-      // quietly bending the token budget the shards promise.
       docs(spark, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        counter.count(col("text")).as("n_tokens")),
       budget, bucketSize)
 
   /** [[shardPacking]] over a prepared `(doc_id, n_tokens)` frame. */

@@ -26,8 +26,11 @@ FROM assigned GROUP BY split, lang ORDER BY split, lang"""
 
   def mixtureSql(rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
       defaultRate: Int = 75): String = {
-    val rateCase = rates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
-      .mkString("CASE ", " ", s" ELSE $defaultRate END")
+    // escape embedded quotes: the Spark side binds source names as
+    // Column parameters, but here they land inside SQL literals.
+    val rateCase = rates.map { case (s, r) =>
+      s"WHEN source = '${s.replace("'", "''")}' THEN $r"
+    }.mkString("CASE ", " ", s" ELSE $defaultRate END")
     s"""WITH b AS (
     SELECT source, n_chars, $rateCase AS rate_pct,
       CASE WHEN ${DocOracle.hex8IntSql("md5('mix|' || CAST(doc_id AS VARCHAR))")} % 100 < ($rateCase)

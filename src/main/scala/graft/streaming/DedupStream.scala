@@ -34,11 +34,19 @@ object DedupStream {
   /** Distinct-by-content view of a streaming `documents` frame.
     * `docs` must carry `text` and an event-time column `eventTimeCol`
     * (TimestampType). Emits the input columns plus `content_hash`.
+    *
+    * Null-text rows have no content to deduplicate on — md5(NULL) is
+    * NULL, and `dropDuplicatesWithinWatermark` treats NULL keys as
+    * EQUAL, which would silently collapse every null-text document
+    * inside the watermark to one survivor. They get a per-row unique
+    * hash instead, so each passes through; rejecting them is the
+    * caller's policy, not this operator's.
     */
   def dedupExact(docs: DataFrame, eventTimeCol: String,
       delay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("content_hash",
+        coalesce(md5(col("text").cast("binary")), concat(lit("null-text:"), uuid())))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -29,4 +29,30 @@ class CorpusPrepSpec extends SparkTestBase {
     // exactly the doc that straddles it (greedy rule)
     assert(got.map(_._3).distinct.sorted == got.map(_._3).distinct)
   }
+
+  test("token-counter seam: a non-default counter re-prices the same packing") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta"),            // ws: 2 tokens, subword: ceil(5/4)+ceil(4/4)=3
+      (2L, "internationalization"),  // ws: 1,        subword: ceil(20/4)=5
+      (3L, "a  b\tc"))               // ws: 3,        subword: 1+1+1=3
+      .toDF("doc_id", "text")
+    val ws = CorpusPrep.WhitespaceCounter.count(col("text")).as("n")
+    val sub = CorpusPrep.SubwordCounter.count(col("text")).as("n")
+    assert(docs.select(col("doc_id"), ws).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (3L, 3L)))
+    assert(docs.select(col("doc_id"), sub).as[(Long, Long)].collect().toSet ==
+      Set((1L, 3L), (2L, 5L), (3L, 3L)))
+    // same packing algorithm, different budget consumption: with
+    // budget 5, subword pricing pushes doc 3 into shard 1 while
+    // whitespace pricing keeps all three in shard 0.
+    def shards(counter: CorpusPrep.TokenCounter): Seq[(Long, Long)] =
+      CorpusPrep.shardPackingOf(
+          docs.select(col("doc_id"), counter.count(col("text")).as("n_tokens")),
+          budget = 5L, bucketSize = 2L)
+        .select(col("doc_id"), col("shard_id"))
+        .as[(Long, Long)].collect().toSeq
+    assert(shards(CorpusPrep.WhitespaceCounter) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(shards(CorpusPrep.SubwordCounter) == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
 }

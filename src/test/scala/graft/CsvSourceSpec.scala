@@ -23,7 +23,7 @@ class CsvSourceSpec extends SparkTestBase {
       df.as[(String, String)].collect().toSet)
   }
 
-  test("readUrl ingests a single CSV file through addFile + SparkFiles") {
+  test("readUrl ingests a single CSV file via a per-call capped fetch") {
     val f = java.io.File.createTempFile("graft-url-spec", ".csv")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
@@ -32,6 +32,30 @@ class CsvSourceSpec extends SparkTestBase {
     assert(back.schema == schema)
     assert(back.as[(String, String)].collect().toSet ==
       Set(("Customer#1", "BUILDING"), ("Customer#2", "AUTOMOBILE")))
+  }
+
+  test("readUrl re-fetch sees changed contents (no stale session cache)") {
+    val f = java.io.File.createTempFile("graft-url-stale", ".csv")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      "name,seg\nCustomer#1,BUILDING\n".getBytes("UTF-8"))
+    assert(CsvSource.readUrl(spark, f.toURI.toString, schema).count() == 1L)
+    // same URL, new contents: addFile would serve the first copy
+    java.nio.file.Files.write(f.toPath,
+      "name,seg\nCustomer#1,BUILDING\nCustomer#2,AUTOMOBILE\n".getBytes("UTF-8"))
+    assert(CsvSource.readUrl(spark, f.toURI.toString, schema).count() == 2L)
+  }
+
+  test("readUrl refuses oversized files with a diagnosis instead of an OOM") {
+    val f = java.io.File.createTempFile("graft-url-big", ".csv")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("name,seg\n" + "Customer#1,BUILDING\n" * 100).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      CsvSource.readUrl(spark, f.toURI.toString, schema, maxBytes = 128L)
+    }
+    assert(e.getMessage.contains("size cap"), e.getMessage)
+    assert(e.getMessage.contains("parquet"), e.getMessage)
   }
 
   test("seq console format matches the reference's printed lines") {

@@ -58,4 +58,31 @@ class DedupStreamSpec extends SparkTestBase {
         .count() == 4L)
     } finally q.stop()
   }
+
+  test("null-text documents all pass through instead of collapsing to one") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DedupStream.dedupExact(
+        in.toDF().select(col("ts"), col("docId").as("doc_id"), col("text")),
+        "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_null")
+      .outputMode("append").start()
+    try {
+      // md5(NULL) is NULL and dropDuplicatesWithinWatermark treats
+      // NULL keys as equal — without the per-row fallback hash these
+      // three would collapse to one survivor.
+      in.addData(doc(0, 1, null), doc(1, 2, null), doc(1, 3, "alpha"))
+      q.processAllAvailable()
+      in.addData(doc(2, 4, null))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream_null")
+        .select(col("doc_id")).as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+      // null-text rows carry the marked fallback hash, never NULL
+      assert(spark.table("dedup_stream_null")
+        .where(col("content_hash").isNull).count() == 0L)
+      assert(spark.table("dedup_stream_null")
+        .where(col("content_hash").startsWith("null-text:")).count() == 3L)
+    } finally q.stop()
+  }
 }
