@@ -301,7 +301,17 @@ GROUP BY table_id, column_id ORDER BY table_id, column_id"""))),
     // corpus fraction.)
     Q("search_orders_dfcap",
       (s, dir) => JoinSearch.searchTablesCapped(index(s, dir), ordersQuery(s, dir), ordersCols, 10000L),
-      Some(SearchOracle.tableScoresCapped(ordersSpec, 10000L))))
+      Some(SearchOracle.tableScoresCapped(ordersSpec, 10000L))),
+    // Sketch pre-filtered search: the table-pruning pre-filter is
+    // provably conservative, so BOTH pruned forms hash against the
+    // UNPRUNED oracles — the equality is the point. The part query
+    // exercises colCount=3 breadth pruning.
+    Q("search_pruned_tables",
+      (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
+    Q("search_part_pruned",
+      (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), partQuery(s, dir), partCols),
+      Some(SearchOracle.tableScores(partSpec))))
 
   // ---- S1/S2 CSV source + P2 row limit ----
 

@@ -33,5 +33,20 @@ object SimQueries {
     // the window -> partial-top-k rewrite exact.
     Q("sim_cosine_topk_agg",
       (s, dir) => Similarity.cosineTopKAgg(s, dir),
-      Some(SimOracle.cosineTopKSql())))
+      Some(SimOracle.cosineTopKSql())),
+    // the trained-codebook build itself, pinned: per centroid, final
+    // member count + exact squared norm of the sum-vector — any
+    // drift in any Lloyd round moves this row.
+    Q("sim_ivf_codebook",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sizes = Similarity.ivfCells(s, dir)
+          .groupBy(col("cell_id").as("cent_id"))
+          .agg(count(lit(1)).as("n_members"))
+        Similarity.ivfCodebook(s, dir)
+          .join(sizes, Seq("cent_id"))
+          .select(col("cent_id"), col("n_members"), col("cnq"))
+          .orderBy("cent_id")
+      },
+      Some(SimOracle.ivfCodebookSql())))
 }

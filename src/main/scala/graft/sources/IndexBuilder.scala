@@ -176,20 +176,51 @@ object IndexBuilder {
     * re-snapshot at the same path invalidates the stats
     * automatically, not just the fingerprinted semantic changes.
     */
-  def loadOrBuildKeyStats(spark: SparkSession, dir: String): DataFrame = {
-    val path = keyStatsPath(dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val statsMarker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = statsMarker.getFileSystem(conf)
-    val snapMarker = new org.apache.hadoop.fs.Path(s"${snapshotPath(dir)}/_SUCCESS")
-    val fresh = fs.isFile(statsMarker) &&
-      (!fs.isFile(snapMarker) ||
-        fs.getFileStatus(statsMarker).getModificationTime >=
-          fs.getFileStatus(snapMarker).getModificationTime)
-    if (!fresh)
+  def loadOrBuildKeyStats(spark: SparkSession, dir: String): DataFrame =
+    loadOrBuildArtifact(spark, dir, keyStatsPath(dir)) {
       writeSnapshotAs(
         cached(spark, dir).groupBy("key").agg(count(lit(1)).as("kdf")),
-        path)
+        keyStatsPath(dir))
+    }
+
+  /** The table-sketch artifact's location, beside the snapshot (same
+    * fingerprint + staleness contract as the key stats).
+    */
+  def tableSketchPath(dir: String): String = snapshotPath(dir) + "-sketch"
+
+  /** The durable form of [[graft.operators.JoinSearch.tableKeySketch]]
+    * — the per-(table,column) distinct-key bucket sketch the search
+    * pre-filter checks queries against. Like the key stats, a thin
+    * build-time companion (#(table,column) rows × ≤4 KiB) whose one
+    * aggregation pass amortizes over every query against the
+    * snapshot; a cluster deployment loads this instead of
+    * recomputing: `prunedTables(loadOrBuildTableSketch(spark, dir),
+    * maps, n)`. No key clustering — the whole artifact is a handful
+    * of rows read in one footprint.
+    */
+  def loadOrBuildTableSketch(spark: SparkSession, dir: String): DataFrame =
+    loadOrBuildArtifact(spark, dir, tableSketchPath(dir)) {
+      graft.operators.JoinSearch.tableKeySketch(cached(spark, dir))
+        .write.mode("overwrite").parquet(tableSketchPath(dir))
+    }
+
+  /** Shared staleness gate for snapshot-companion artifacts: rebuild
+    * whenever the snapshot's `_SUCCESS` is NEWER than the artifact's
+    * — a compaction or forced re-snapshot at the same path
+    * invalidates companions automatically, not just the
+    * fingerprinted semantic changes.
+    */
+  private def loadOrBuildArtifact(spark: SparkSession, dir: String,
+      path: String)(build: => Unit): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val artMarker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = artMarker.getFileSystem(conf)
+    val snapMarker = new org.apache.hadoop.fs.Path(s"${snapshotPath(dir)}/_SUCCESS")
+    val fresh = fs.isFile(artMarker) &&
+      (!fs.isFile(snapMarker) ||
+        fs.getFileStatus(artMarker).getModificationTime >=
+          fs.getFileStatus(snapMarker).getModificationTime)
+    if (!fresh) build
     spark.read.parquet(path)
   }
 }

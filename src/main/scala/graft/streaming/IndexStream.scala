@@ -85,16 +85,46 @@ object IndexStream {
     */
   def loadWithDeltas(spark: SparkSession, dir: String, deltaDir: String): DataFrame = {
     val base = IndexBuilder.loadOrSnapshot(spark, dir)
+    val batches = deltaBatches(spark, deltaDir)
+    if (batches.nonEmpty)
+      base.unionByName(spark.read.parquet(batches: _*))
+    else base
+  }
+
+  /** The committed `batch=*` delta directories under `deltaDir`
+    * (empty when the dir is missing or holds only stray entries).
+    */
+  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batches =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map(_.getPath.toString)
-      else Array.empty[String]
-    if (batches.nonEmpty)
-      base.unionByName(spark.read.parquet(batches.toIndexedSeq: _*))
-    else base
+    if (fs.exists(p))
+      fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString).toIndexedSeq
+    else Seq.empty
+  }
+
+  /** Key stats of the LIVE index — the base snapshot's durable
+    * key-stats artifact incrementally merged with per-key counts of
+    * the accumulated deltas. Row-for-row equal to recomputing
+    * `groupBy(key).count` over [[loadWithDeltas]] (IndexStreamSpec
+    * proves it), WITHOUT re-scanning the base: the merge pass touches
+    * only the vocabulary-sized artifact plus the deltas, so serving
+    * can refresh it per batch. This is what the df-cap
+    * ([[graft.operators.JoinSearch.probeCapped]]) must consume when
+    * the served index includes deltas — base-only stats undercount
+    * any key that went hot via ingest, exactly the key the guard
+    * exists for.
+    */
+  def keyStatsWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = IndexBuilder.loadOrBuildKeyStats(spark, dir)
+    val batches = deltaBatches(spark, deltaDir)
+    if (batches.isEmpty) base
+    else base.unionByName(
+        spark.read.parquet(batches: _*)
+          .groupBy("key").agg(count(lit(1)).as("kdf")))
+      .groupBy("key").agg(sum("kdf").cast("long").as("kdf"))
   }
 }

@@ -105,4 +105,43 @@ class IndexStreamSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toSeq
     assert(hot == Seq((1, 4L)))
   }
+
+  test("merged key stats equal recomputed; delta-hot keys hit the df cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta3"), tmp("graft-ckpt3"))
+    // a key that exists in the base BELOW the cap and goes hot purely
+    // via ingest — the exact case base-only stats get wrong.
+    val baseKey = IndexBuilder.loadOrBuildKeyStats(spark, sf0001)
+      .where(col("kdf") <= 3).orderBy(col("key")).limit(1)
+      .as[(String, Long)].collect().head
+    val in = MemoryStream[CRow]
+    in.addData((1 to 12).map(i =>
+      CRow(baseKey._1, s"SEG$i", 999910000L + i)): _*)
+    val q = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // (1) incremental merge == recompute over the served index.
+    val merged = IndexStream.keyStatsWithDeltas(spark, sf0001, delta)
+      .as[(String, Long)].collect().toSet
+    val recomputed = IndexStream.loadWithDeltas(spark, sf0001, delta)
+      .groupBy("key").agg(count(lit(1)).as("kdf"))
+      .as[(String, Long)].collect().toSet
+    assert(merged == recomputed)
+    val liveDf = merged.collect { case (k, n) if k == baseKey._1 => n }
+    assert(liveDf == Set(baseKey._2 + 12), s"merged df $liveDf")
+
+    // (2) the guard, cap 10: stale base-only stats still see df <= 3
+    // and sail the now-hot key through; the merged stats cap it.
+    val live = IndexStream.loadWithDeltas(spark, sf0001, delta)
+    val probeMaps = Seq((baseKey._1, "m")).toDF("key", "map_key")
+    val probeStale = JoinSearch.probeCapped(live, probeMaps, 10L,
+        IndexBuilder.loadOrBuildKeyStats(spark, sf0001))
+      .select("key").distinct().as[String].collect().toSet
+    val probeLive = JoinSearch.probeCapped(live, probeMaps, 10L,
+        IndexStream.keyStatsWithDeltas(spark, sf0001, delta))
+      .select("key").distinct().as[String].collect().toSet
+    assert(probeStale == Set(baseKey._1), s"got $probeStale")
+    assert(probeLive.isEmpty, s"got $probeLive")
+  }
 }

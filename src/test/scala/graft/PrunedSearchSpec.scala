@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinSearch
+import graft.sources.IndexBuilder
+
+/** The table-pruning pre-filter: results must be EXACTLY
+  * [[JoinSearch.searchTables]]'s (the prune is conservative by
+  * construction), and on a corpus where most tables share only part
+  * of the query's vocabulary the posting-level pipeline must see a
+  * fraction of the postings the unpruned probe feeds it.
+  */
+class PrunedSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val cols = Seq("a", "b")
+
+  // 50 one-column tables all containing the query key "common" but
+  // never "rare" (coverage prune), one two-row table whose columns
+  // both hit but never in one conjunction (kept by the sketch, scored
+  // zero by the pipeline — the sketch is a TABLE-level filter), and
+  // table 125 with the genuine conjunction.
+  lazy val wideIndex = {
+    val noise = (1 to 50).map(t => ("common", t, 1, 1L))
+    val sameColPair = Seq(("common", 200, 1, 1L), ("rare", 200, 1, 2L))
+    val hit = Seq(("common", 125, 1, 3L), ("rare", 125, 2, 3L))
+    (noise ++ sameColPair ++ hit).toDF("key", "table_id", "column_id", "row_id")
+  }
+  lazy val wideQuery = Seq(("common", "rare")).toDF("a", "b")
+
+  test("pruned search equals unpruned on the wide fixture") {
+    val base = JoinSearch.searchTables(wideIndex, wideQuery, cols)
+      .as[(Int, Long)].collect().toSeq
+    val pruned = JoinSearch.searchTablesPruned(wideIndex, wideQuery, cols)
+      .as[(Int, Long)].collect().toSeq
+    assert(base == Seq((125, 2L)))
+    assert(pruned == base)
+  }
+
+  test("sketch prunes tables that cannot conjoin, before the posting level") {
+    val m = JoinSearch.mappings(
+      JoinSearch.prepareInput(wideQuery, cols), cols)
+    val allowed = JoinSearch.prunedTables(
+        JoinSearch.tableKeySketch(wideIndex), m, cols.size)
+      .as[Int].collect().toSeq
+    // coverage kills the 50 "common"-only tables; breadth (>= 2
+    // hitting columns) kills table 200 even though both keys appear.
+    assert(allowed == Seq(125), s"got $allowed")
+    val plainPostings = JoinSearch.probe(wideIndex, m).count()
+    val prunedPostings = JoinSearch.probe(wideIndex, m)
+      .join(broadcast(allowed.toDF("table_id")), Seq("table_id"), "left_semi")
+      .count()
+    assert(plainPostings == 54L, s"got $plainPostings") // 50 noise + 2 (t200) + 2 (t125)
+    assert(prunedPostings == 2L, s"got $prunedPostings")
+  }
+
+  test("pruned search hash-equals unpruned on every sf0.001 search family") {
+    val idx = IndexBuilder.cached(spark, sf0001)
+    val families = Seq(
+      (Queries.customerQuery(spark, sf0001), Queries.customerCols),
+      (Queries.ordersQuery(spark, sf0001), Queries.ordersCols),
+      (Queries.partQuery(spark, sf0001), Queries.partCols),
+      (Queries.negativeQuery(spark, sf0001), Queries.negativeCols))
+    families.foreach { case (q, qcols) =>
+      val base = JoinSearch.searchTables(idx, q, qcols)
+        .as[(Int, Long)].collect().toSeq
+      val pruned = JoinSearch.searchTablesPruned(idx, q, qcols)
+        .as[(Int, Long)].collect().toSeq
+      assert(pruned == base, s"pruned diverged on $qcols: $pruned vs $base")
+    }
+  }
+
+  test("sketch artifact roundtrips beside the snapshot") {
+    val art = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
+      .select(col("table_id"), col("column_id"), col("bits"))
+      .as[(Int, Int, Seq[Int])].collect().toSet
+    val live = JoinSearch.tableKeySketch(IndexBuilder.cached(spark, sf0001))
+      .as[(Int, Int, Seq[Int])].collect().toSet
+    assert(art == live)
+    assert(art.nonEmpty)
+    // bounded: every column sketch fits the bit width
+    assert(art.forall(_._3.size <= JoinSearch.SketchBits))
+  }
+}
