@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPrep, Dedup, JoinSearch}
+import graft.sources.IndexBuilder
+
+/** Empirical scale-stress harness (round-7 verdict #2): synthesize a
+  * `factor`-times corpus by replicating every base table with shifted
+  * primary keys, then time the flagship families at BOTH scales in
+  * one JVM. This converts the "at 100 TB" scaladoc claims from
+  * argument to measurement: a query whose plan is truly
+  * linear-in-corpus should cost ~factor× at factor× the data —
+  * super-linear growth means a hidden quadratic term (the committed
+  * SCALE.md holds the numbers and the per-family verdicts).
+  *
+  * Generator notes:
+  *  - key shifting preserves each table's schema (the shifted pk is
+  *    cast back to its original type) and injectivity of the derived
+  *    row ids; replica i's keys live at `i * 10^8`;
+  *  - replicated documents keep their text verbatim, so the scaled
+  *    corpus has a >= (factor-1)/factor near-dup rate — deliberately
+  *    brutal for the dedup family: the drop list becomes
+  *    corpus-proportional, exactly the regime the hint-free anti-join
+  *    (round-7, Dedup.keptCorpus) exists for;
+  *  - query tables for the search families always come from the BASE
+  *    corpus: the experiment scales the corpus, not the query.
+  *
+  * Usage: `runMain graft.Scale [baseDir] [factor]`; prints one JSON
+  * line `{"families":{name:{"base_s":..,"scaled_s":..,"ratio":..}},
+  * "factor":..}` (ratio = scaled/base; linear iff ratio <~ factor).
+  */
+object Scale {
+
+  private val Offset = 100000000L
+
+  private val pkCol = Map(
+    "customer" -> "c_custkey", "documents" -> "doc_id",
+    "events" -> "event_id", "lineitem" -> "l_orderkey",
+    "nation" -> "n_nationkey", "orders" -> "o_orderkey",
+    "part" -> "p_partkey", "region" -> "r_regionkey",
+    "supplier" -> "s_suppkey", "embeddings" -> "vec_id")
+
+  /** Write the factor-times corpus under `workDir` (skipped when the
+    * last table's commit marker already exists).
+    */
+  def generate(spark: SparkSession, baseDir: String, workDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$workDir/embeddings.parquet/_SUCCESS")
+    if (marker.exists()) return
+    pkCol.toSeq.sortBy(_._1).foreach { case (t, pk) =>
+      val df = spark.read.parquet(s"$baseDir/$t.parquet")
+      val pkType = df.schema(pk).dataType
+      val scaled = (0 until factor).map(i =>
+          df.withColumn(pk, (col(pk) + lit(i * Offset)).cast(pkType)))
+        .reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$workDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val workDir = s"${sys.props("user.dir")}/target/graft-scale/" +
+      s"${new java.io.File(baseDir).getName}-x$factor"
+
+    val tGen = timed { generate(spark, baseDir, workDir, factor) }
+
+    // query tables pinned to the BASE corpus.
+    val custQ = Queries.customerQuery(spark, baseDir)
+    val partQ = Queries.partQuery(spark, baseDir)
+
+    val families: Seq[(String, String => DataFrame)] = Seq(
+      "search_customer" -> (d =>
+        JoinSearch.searchTables(IndexBuilder.cached(spark, d), custQ, Queries.customerCols)),
+      "search_part_3attr" -> (d =>
+        JoinSearch.searchTables(IndexBuilder.cached(spark, d), partQ, Queries.partCols)),
+      "search_customer_pruned" -> (d =>
+        JoinSearch.searchTablesPruned(IndexBuilder.cached(spark, d), custQ, Queries.customerCols)),
+      "dedup_exact" -> (d => Dedup.exact(spark, d)),
+      "dedup_minhash_lsh" -> (d => Dedup.minhashLsh(spark, d)),
+      "dedup_clusters" -> (d => Dedup.clusters(spark, d)),
+      "dedup_kept_corpus" -> (d => Dedup.keptCorpus(spark, d)),
+      "prep_training_corpus" -> (d => CorpusPrep.trainingCorpus(spark, d)))
+
+    // one-time index materialization per scale, reported apart so no
+    // family absorbs it (the Bench convention).
+    val idxBase = timed { IndexBuilder.cached(spark, baseDir).count() }
+    val idxScaled = timed { IndexBuilder.cached(spark, workDir).count() }
+
+    def run(dir: String): Seq[(String, Double)] =
+      families.map { case (name, fn) =>
+        val t = (1 to reps).map(_ => timed { fn(dir).count() }).min
+        (name, t)
+      }
+    val base = run(baseDir)
+    val scaled = run(workDir)
+
+    val rows = families.map(_._1).map { n =>
+      val b = base.find(_._1 == n).get._2
+      val s = scaled.find(_._1 == n).get._2
+      f"""${jstr(n)}:{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","factor":$factor,"reps":$reps,"gen_s":$tGen,""" +
+      s""""index_build_base_s":$idxBase,"index_build_scaled_s":$idxScaled,""" +
+      s""""families":$rows,"base":"$baseDir","scaled":"$workDir"}""")
+    spark.stop()
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def jstr(s: String): String = "\"" + s + "\""
+}
