@@ -66,7 +66,11 @@ object Bench {
     // best single-rep whole-set total: min over reps of the per-rep
     // sum — a total some one run actually achieved, alongside the
     // per-query-min composite (`value`) which no single run did.
-    val bestRepTotal = runs.map(_.map(_._2).filter(_ >= 0).sum).min
+    // Only COMPLETE reps qualify: a rep with an errored query would
+    // omit its time and report an artificially small "fastest run".
+    val completeReps = runs.filter(_.forall(_._2 >= 0))
+    val bestRepTotal =
+      if (completeReps.nonEmpty) completeReps.map(_.map(_._2).sum).min else -1.0
 
     // per-stage surface for the flagship search (steady state: runs
     // after the reps, so shared caches are warm like a live session).

@@ -47,11 +47,24 @@ object Scale {
     */
   def generate(spark: SparkSession, baseDir: String, workDir: String,
       factor: Int): Unit = {
-    val marker = new java.io.File(s"$workDir/embeddings.parquet/_SUCCESS")
+    // completion marker = the LAST table in write order (alphabetical
+    // -> supplier): a crash mid-generation must re-run, not serve a
+    // partial corpus.
+    val marker = new java.io.File(s"$workDir/supplier.parquet/_SUCCESS")
     if (marker.exists()) return
     pkCol.toSeq.sortBy(_._1).foreach { case (t, pk) =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
       val pkType = df.schema(pk).dataType
+      // injectivity guards: replica key ranges must not overlap, and
+      // the shifted key must fit the pk's type (a non-ANSI cast would
+      // silently wrap and collide row ids — corrupting the very
+      // timings this harness measures).
+      val maxKey = df.agg(max(col(pk).cast("long"))).head().getLong(0)
+      require(maxKey < Offset,
+        s"$t.$pk max $maxKey >= shift offset $Offset: replicas would collide")
+      if (pkType == org.apache.spark.sql.types.IntegerType)
+        require((factor - 1).toLong * Offset + maxKey <= Int.MaxValue,
+          s"$t.$pk is INT and factor=$factor overflows it; use a smaller factor")
       val scaled = (0 until factor).map(i =>
           df.withColumn(pk, (col(pk) + lit(i * Offset)).cast(pkType)))
         .reduce(_ unionByName _)

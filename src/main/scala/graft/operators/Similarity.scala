@@ -358,6 +358,14 @@ object Similarity {
           .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
           .select(col("cell_id").as("cent_id"),
             expr("transform(ps, c -> c.s)").as("cq"))
+          // signed components CAN cancel to the all-zero vector (two
+          // exactly-opposed members); its cosine is 0/0 = NaN, which
+          // Spark's max() orders GREATEST — one degenerate cell would
+          // swallow the whole corpus, and NaN ordering is the one
+          // place the oracle could diverge. Zero-norm centroids are
+          // directionless, so they drop like empty cells (the oracle
+          // mirrors this filter literally).
+          .where(VectorMath.dotLong(col("cq"), col("cq")) > 0)
       }
       cents.withColumn("cnq", VectorMath.dotLong(col("cq"), col("cq")))
     }

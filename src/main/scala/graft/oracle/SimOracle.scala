@@ -64,7 +64,13 @@ object SimOracle {
     CROSS JOIN range(0, $D) t(d)
     GROUP BY a.cent_id, t.d
   ),
-  cents$i AS (SELECT cent_id, list(s ORDER BY d) AS cq FROM sums$i GROUP BY cent_id)"""
+  cents$i AS (
+    -- zero-norm (all-cancelled) centroids drop like empty cells:
+    -- their cosine is 0/0 = NaN and NaN ordering is engine-specific.
+    SELECT cent_id, cq FROM (
+      SELECT cent_id, list(s ORDER BY d) AS cq FROM sums$i GROUP BY cent_id
+    ) WHERE ${dotSql("cq", "cq")} > 0
+  )"""
     }.mkString(",\n  ")
     s"""cents0 AS (SELECT vec_id AS cent_id, q AS cq FROM nb WHERE vec_id < $numCents),
   $rounds,

@@ -71,23 +71,35 @@ object CsvSource {
     // of the file name.
     val name = new java.io.File(uri.getPath).getName
     require(name.nonEmpty, s"URL has no file component: $url")
-    val local = uri.getScheme match {
+    import scala.jdk.CollectionConverters._
+    val lines = uri.getScheme match {
       case null | "file" | "http" | "https" | "ftp" =>
         val tmp = Files.createTempFile("graft-url-", s"-$name")
-        tmp.toFile.deleteOnExit()
-        val in = if (uri.getScheme == null) Files.newInputStream(Paths.get(url))
-          else uri.toURL.openStream()
-        try fetchCapped(in, tmp, maxBytes, url) finally in.close()
-        tmp
+        try {
+          val in = uri.getScheme match {
+            case null => Files.newInputStream(Paths.get(url))
+            case "file" => Files.newInputStream(Paths.get(uri))
+            case _ =>
+              // explicit timeouts: addFile's fetcher enforced
+              // spark.files.fetchTimeout; a raw openStream() would
+              // hang the driver forever on a stalled endpoint.
+              val conn = uri.toURL.openConnection()
+              conn.setConnectTimeout(FetchTimeoutMs)
+              conn.setReadTimeout(FetchTimeoutMs)
+              conn.getInputStream
+          }
+          try fetchCapped(in, tmp, maxBytes, url) finally in.close()
+          Files.readAllLines(tmp).asScala.toSeq
+        } finally Files.deleteIfExists(tmp)
+        // deleted eagerly: each call fetches fresh by design, so a
+        // long-lived serving driver must not accumulate temp copies.
       case _ =>
         // hdfs/s3a/...: Spark's fetcher knows these; session-cached.
         spark.sparkContext.addFile(url)
         val p = Paths.get(org.apache.spark.SparkFiles.get(name))
         require(Files.size(p) <= maxBytes, sizeMessage(url, maxBytes))
-        p
+        Files.readAllLines(p).asScala.toSeq
     }
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(local).asScala.toSeq
     import spark.implicits._
     spark.read
       .schema(schema)
@@ -95,6 +107,11 @@ object CsvSource {
       .option("sep", sep)
       .csv(spark.createDataset(lines))
   }
+
+  /** Connect/read timeout for direct URL fetches (the contract
+    * `spark.files.fetchTimeout` provided on the addFile path).
+    */
+  private val FetchTimeoutMs = 60000
 
   private def sizeMessage(url: String, maxBytes: Long): String =
     s"fetched file exceeds the query-table size cap ($maxBytes bytes): $url — " +
