@@ -168,6 +168,29 @@ GROUP BY table_id, column_id ORDER BY table_id, column_id"""))),
       (s, dir) => IndexBuilder.loadOrBuildKeyStats(s, dir).orderBy("key"),
       Some(SearchOracle.indexOnly(
         "SELECT key, count(*) AS kdf FROM idxf GROUP BY key ORDER BY key"))),
+    // Batch twin of IndexStream.keyStatsWithDeltas: genuinely-new
+    // postings (a shifted slice playing appended re-crawl rows) land
+    // as a key-clustered delta; the INCREMENTALLY merged stats
+    // (durable artifact + delta counts, no base re-scan) must
+    // hash-match the oracle's from-scratch aggregation over
+    // base ∪ delta — the statistic the delta-hot df cap consumes.
+    Q("idx_live_key_stats",
+      (s, dir) => {
+        val newRows = index(s, dir)
+          .where(col("table_id") === 2 && col("row_id") % 5 === 0)
+          .withColumn("row_id", col("row_id") + lit(1000000000L))
+        val deltaDir = IndexBuilder.snapshotPath(dir) + "-livedelta"
+        IndexBuilder.writeSnapshotAs(newRows, s"$deltaDir/batch=0")
+        graft.streaming.IndexStream.keyStatsWithDeltas(s, dir, deltaDir)
+          .orderBy("key")
+      },
+      Some(SearchOracle.indexOnly(
+        """, delta AS (
+    SELECT key, table_id, column_id, CAST(row_id + 1000000000 AS BIGINT) AS row_id
+    FROM idxf WHERE table_id = 2 AND row_id % 5 = 0
+  ),
+  live AS (SELECT * FROM idxf UNION ALL SELECT * FROM delta)
+SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     // S4 generalized to real wildcards: the reference's probe template
     // is LIKE-shaped (handlers.py:73-83) but only ever receives
     // literals; this exercises the pattern form (ids 100-199 under the

@@ -18,6 +18,11 @@ object SimQueries {
     Q("sim_ivf_probe",
       (s, dir) => Similarity.ivfProbe(s, dir),
       Some(SimOracle.ivfProbeSql())),
+    // the recall dial AS a search operator: candidates from each
+    // probe's top-2 routed cells (measured +700bp recall vs own-cell).
+    Q("sim_ivf_probe_np2",
+      (s, dir) => Similarity.ivfProbeMulti(s, dir),
+      Some(SimOracle.ivfProbeMultiSql())),
     Q("sim_lsh_recall",
       (s, dir) => Similarity.lshRecall(s, dir),
       Some(SimOracle.lshRecallSql())),

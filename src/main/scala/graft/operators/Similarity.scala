@@ -398,6 +398,45 @@ object Similarity {
         ivfCodebook(spark, dir, numCents))
     }
 
+  /** Multi-probe IVF search: each probe searches its top-`nprobe`
+    * cells by centroid cosine (nprobe=1 degenerates to [[ivfProbe]]'s
+    * own-cell rule) — the standard recall dial [[ivfRecallMulti]]
+    * measures, as the actual SEARCH operator: candidates from the
+    * routed cells, exact quantized cosine, per-probe top-k. A vector
+    * lives in exactly one cell, so routing to several cells never
+    * duplicates a candidate. Routing scores only the probes against
+    * the broadcast trained codebook; candidate lookup is the same
+    * equi-join on the session-cached assignment.
+    */
+  def ivfProbeMulti(spark: SparkSession, dir: String,
+      k: Int = 5, numCents: Int = 8, probeMod: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val base = quantized(spark, dir)
+    val cells = ivfCells(spark, dir, numCents)
+    val cents = broadcast(ivfCodebook(spark, dir, numCents)
+      .select(col("cent_id"), col("cq"), col("cnq")))
+    val rw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("cent_id").asc)
+    val routes = base.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
+      .crossJoin(cents)
+      .withColumn("dot_c", dotExpr("pq", "cq"))
+      .withColumn("cosd", cosExpr("dot_c", "pnq", "cnq"))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("pq"), col("pnq"), col("cent_id").as("cell_id"))
+    val w = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
+    cells.join(broadcast(routes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(base, Seq("vec_id"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
     * the candidate set shrinks by ~numCents vs brute force, the
     * 100 TB shape where the codebook has 2^12..2^16 cells and probes

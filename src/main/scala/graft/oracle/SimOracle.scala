@@ -304,6 +304,40 @@ FROM (SELECT DISTINCT qid FROM topk) q
 LEFT JOIN hits h ON h.qid = q.qid
 ORDER BY q.qid"""
 
+  /** Multi-probe search (mirrors `Similarity.ivfProbeMulti`):
+    * candidates come from each probe's top-nprobe routed cells.
+    */
+  def ivfProbeMultiSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50,
+      nprobe: Int = 2): String =
+    s"""WITH $baseCtes,
+  ${codebookCtes(numCents, Similarity.CodebookIters)},
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  probes AS (
+    SELECT n.vec_id AS qid, n.q AS pq, n.nq AS pnq, a.cent_id AS cell_id
+    FROM nb n JOIN assign a ON a.vec_id = n.vec_id
+    WHERE n.vec_id % $probeMod = 0 AND a.rn <= $nprobe
+  ),
+  scored AS (
+    SELECT p.qid, n.vec_id, ${dotSql("p.pq", "n.q")} AS dot_q, n.nq, p.pnq
+    FROM probes p JOIN cells c ON c.cell_id = p.cell_id JOIN nb n ON n.vec_id = c.vec_id
+    WHERE n.vec_id <> p.qid
+  ),
+  ranked AS (
+    SELECT qid, vec_id, dot_q,
+      CAST(floor(${cosSql("dot_q", "nq", "pnq")} * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY
+        ${cosSql("dot_q", "nq", "pnq")} DESC, vec_id ASC) AS rank
+    FROM scored
+  )
+SELECT qid, rank, vec_id, dot_q, cos_bp
+FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   ${codebookCtes(numCents, Similarity.CodebookIters)},
