@@ -122,8 +122,10 @@ object CorpusPrep {
       .join(quality, Seq("doc_id"), "left_semi")
       .join(Dedup.dropList(spark, dir), Seq("doc_id"), "left_anti")
       .where(hashBucket("") < pctTrain)
+      // ONE token-count definition ([[WhitespaceCounter]]) shared
+      // with shard packing, so corpus and shard budgets agree.
       .select(col("doc_id"), col("lang"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        WhitespaceCounter.count(col("text")).as("n_tokens"))
       .orderBy("doc_id")
   }
 

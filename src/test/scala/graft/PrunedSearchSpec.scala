@@ -71,6 +71,32 @@ class PrunedSearchSpec extends SparkTestBase {
     }
   }
 
+  test("pruned probe keeps the postings exchange-free (plan shape)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // every shuffle in the pruned probe must sit INSIDE a broadcast
+    // subtree (the sketch/query sides are tiny and may aggregate);
+    // the posting lineage itself never moves — same claim the capped
+    // probe makes.
+    def nonBroadcastShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeExec => Seq.empty
+      case s: ShuffleExchangeExec =>
+        s +: s.children.flatMap(nonBroadcastShuffles)
+      case other => other.children.flatMap(nonBroadcastShuffles)
+    }
+    val m = JoinSearch.mappings(
+      JoinSearch.prepareInput(wideQuery, cols), cols)
+    val allowed = JoinSearch.prunedTables(
+      JoinSearch.tableKeySketch(wideIndex), m, cols.size)
+    val probed = JoinSearch.probe(wideIndex, m)
+      .join(broadcast(allowed), Seq("table_id"), "left_semi")
+    // sparkPlan, not executedPlan: AQE wraps stages into leaves that
+    // collect can't descend.
+    val bad = nonBroadcastShuffles(probed.queryExecution.sparkPlan)
+    assert(bad.isEmpty,
+      s"pruned probe shuffles the postings:\n${probed.queryExecution.sparkPlan}")
+  }
+
   test("sketch artifact roundtrips beside the snapshot") {
     val art = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
       .select(col("table_id"), col("column_id"), col("bits"))
