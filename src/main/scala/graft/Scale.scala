@@ -72,6 +72,52 @@ object Scale {
     }
   }
 
+  /** The table-count experiment the 9-table corpus cannot express: a
+    * synthetic `tables`-table lake where EVERY table's first column
+    * carries the query's common key but only `viable` tables also
+    * hold the rare key — so the key semi-join alone prunes nothing,
+    * and the sketch pre-filter is the only thing standing between
+    * the conjunction and `tables * rows` useless 'common' postings.
+    * Returns (plain wall, pruned wall, plain probe postings, pruned
+    * probe postings), min-of-`reps` walls.
+    */
+  def sketchPruneBench(spark: SparkSession, tables: Int, rows: Int,
+      viable: Int, reps: Int): (Double, Double, Long, Long) = {
+    import graft.operators.JoinSearch
+    val n = tables.toLong * rows
+    val col1 = spark.range(n).selectExpr(
+      "'common' as key",
+      s"cast(id div $rows + 1 as int) as table_id",
+      "1 as column_id",
+      s"id % $rows as row_id")
+    val col2 = spark.range(n).selectExpr(
+      s"case when id div $rows < $viable and id % 2 = 0 then 'rare' " +
+        "else concat('tok', id) end as key",
+      s"cast(id div $rows + 1 as int) as table_id",
+      "2 as column_id",
+      s"id % $rows as row_id")
+    val idx = col1.unionByName(col2).persist()
+    idx.count()
+    val q = {
+      import spark.implicits._
+      Seq(("common", "rare")).toDF("qa", "qb")
+    }
+    val cols = Seq("qa", "qb")
+    val m = JoinSearch.mappings(JoinSearch.prepareInput(q, cols), cols)
+    val plainPost = JoinSearch.probe(idx, m).count()
+    val prunedPost = JoinSearch.probe(idx, m)
+      .join(org.apache.spark.sql.functions.broadcast(
+          JoinSearch.prunedTables(JoinSearch.tableKeySketchCached(idx), m, cols.size)),
+        Seq("table_id"), "left_semi")
+      .count()
+    val plain = (1 to reps).map(_ =>
+      timed { JoinSearch.searchTables(idx, q, cols).count() }).min
+    val pruned = (1 to reps).map(_ =>
+      timed { JoinSearch.searchTablesPruned(idx, q, cols).count() }).min
+    idx.unpersist()
+    (plain, pruned, plainPost, prunedPost)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -119,9 +165,16 @@ object Scale {
       val s = scaled.find(_._1 == n).get._2
       f"""${jstr(n)}:{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f}"""
     }.mkString("{", ",", "}")
+    // the data-lake geometry (many small tables) the 9-table corpus
+    // cannot express: 5000 tables x 100 rows, 5 viable.
+    val (pl, pr, plp, prp) = sketchPruneBench(spark,
+      tables = 5000, rows = 100, viable = 5, reps = reps)
     println(s"""{"metric":"scale","factor":$factor,"reps":$reps,"gen_s":$tGen,""" +
       s""""index_build_base_s":$idxBase,"index_build_scaled_s":$idxScaled,""" +
-      s""""families":$rows,"base":"$baseDir","scaled":"$workDir"}""")
+      s""""families":$rows,""" +
+      f""""sketch_prune_5000t":{"plain_s":$pl%.3f,"pruned_s":$pr%.3f,""" +
+      s""""plain_postings":$plp,"pruned_postings":$prp},""" +
+      s""""base":"$baseDir","scaled":"$workDir"}""")
     spark.stop()
   }
 

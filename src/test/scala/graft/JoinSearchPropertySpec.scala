@@ -4,10 +4,10 @@ import scala.util.Random
 
 import graft.operators.JoinSearch
 
-/** Randomized cross-strategy equivalence: the six physical
+/** Randomized cross-strategy equivalence: the seven physical
   * strategies (anchored default, windowed, groupBy-variant, row-wise,
-  * cell-wise, hint-free shuffled) are independent plans for one
-  * semantics — on any input
+  * cell-wise, hint-free shuffled, sketch-pruned) are independent
+  * plans for one semantics — on any input
   * they must produce identical ranked scores. Random corpora use a
   * tiny key alphabet to force hot keys, multi-column collisions,
   * duplicate query rows, duplicate-key query rows, and nulls — the
@@ -18,7 +18,7 @@ class JoinSearchPropertySpec extends SparkTestBase {
 
   private val cols = Seq("qa", "qb")
 
-  test("all six strategies agree on random hot-key corpora (seed 42)") {
+  test("all seven strategies agree on random hot-key corpora (seed 42)") {
     val rnd = new Random(42)
     val alphabet = Vector("a", "b", "c", "d", "e f", "g")
     def key() = alphabet(rnd.nextInt(alphabet.size))
@@ -40,7 +40,10 @@ class JoinSearchPropertySpec extends SparkTestBase {
         "groupBy" -> JoinSearch.searchTablesViaGroupBy(index, query, cols),
         "rowWise" -> JoinSearch.searchTablesRowWise(index, query, cols),
         "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols),
-        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols))
+        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols),
+        // random tiny alphabets maximize sketch-bucket sharing: the
+        // prune must stay conservative under arbitrary hash geometry
+        "pruned" -> JoinSearch.searchTablesPruned(index, query, cols))
         .map { case (n, df) => n -> df.as[(Int, Long)].collect().toSeq }
       got.foreach { case (name, scores) =>
         assert(scores == ref, s"round $round: $name diverged from windowed")
@@ -48,7 +51,7 @@ class JoinSearchPropertySpec extends SparkTestBase {
     }
   }
 
-  test("all six strategies agree on random 3-column queries (seed 11)") {
+  test("all seven strategies agree on random 3-column queries (seed 11)") {
     val cols3 = Seq("qa", "qb", "qc")
     val rnd = new Random(11)
     val alphabet = Vector("a", "b", "c", "d", "e f")
@@ -68,7 +71,8 @@ class JoinSearchPropertySpec extends SparkTestBase {
         "groupBy" -> JoinSearch.searchTablesViaGroupBy(index, query, cols3),
         "rowWise" -> JoinSearch.searchTablesRowWise(index, query, cols3),
         "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols3),
-        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols3))
+        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols3),
+        "pruned" -> JoinSearch.searchTablesPruned(index, query, cols3))
         .map { case (n, df) => n -> df.as[(Int, Long)].collect().toSeq }
       got.foreach { case (name, scores) =>
         assert(scores == ref, s"round $round: $name diverged from windowed at N=3")
