@@ -24,5 +24,10 @@ object PrepQueries {
     // window: hash equality proves the rewrite exact.
     Q("prep_shard_packing",
       (s, dir) => CorpusPrep.shardPacking(s, dir),
-      Some(PrepOracle.shardPackingSql())))
+      Some(PrepOracle.shardPackingSql())),
+    // benchmark n-gram decontamination: distinct 5-gram overlap of
+    // every training doc against the eval split's gram set.
+    Q("prep_decontaminate",
+      (s, dir) => CorpusPrep.decontaminate(s, dir),
+      Some(PrepOracle.decontaminateSql())))
 }

@@ -32,5 +32,10 @@ object TextQueries {
       Some(TextOracle.fingerprintsSql())),
     Q("text_repetition",
       (s, dir) => TextAnalysis.repetition(s, dir),
-      Some(TextOracle.repetitionSql)))
+      Some(TextOracle.repetitionSql)),
+    // BM25 ranked retrieval in exact bigint arithmetic (rationalized
+    // idf + tf saturation, per-term bp floor before the doc sum).
+    Q("text_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(s, dir),
+      Some(TextOracle.bm25TopKSql())))
 }

@@ -129,6 +129,71 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Distinct word `n`-grams per document over the canonical cleaned
+    * tokens — the unit of benchmark-overlap decontamination. Docs with
+    * fewer than `n` tokens (or an empty cleaning) have no n-grams and
+    * emit no row, as in [[TextAnalysis.repetitionOf]].
+    */
+  private def ngramsOf(documents: DataFrame, n: Int): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        split(graft.functions.Tokenize.clean(col("text")), " ").as("t"))
+      .where(expr(s"size(t) >= $n AND t[0] != ''"))
+    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    base.select(col("doc_id"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', $parts))")))
+        .as("gram"))
+  }
+
+  /** Benchmark decontamination: for every training document, how many
+    * of its distinct word `n`-grams also appear in the evaluation
+    * set — the standard pre-training hygiene step that stops a model
+    * from being graded on text it memorized (published as 13-gram
+    * overlap filtering in the GPT-3 appendix; `n` = 5 here because the
+    * synthetic corpus' documents are short). Emits EVERY training doc
+    * with its distinct-gram count, hit count, contamination in basis
+    * points, and a `flagged` indicator (any overlap), so the frame is
+    * stable even when the corpus is clean.
+    *
+    * Scale posture (100 TB): n-grams derive per row (transform over
+    * the token array — no self-join); each side is then ONE distinct
+    * gram frame; the overlap is a single equi-join on `gram` followed
+    * by a (doc_id)-keyed aggregation with map-side partials. The eval
+    * side is benchmark-sized (thousands of docs, not the corpus), so
+    * AQE broadcasts it when it measures small — the hint is
+    * deliberately omitted, like the dedup drop list: a pathological
+    * eval set must degrade to a shuffled join, not an OOM.
+    */
+  def decontaminateAgainst(train: DataFrame, evalDocs: DataFrame,
+      n: Int = 5): DataFrame = {
+    val evalG = ngramsOf(evalDocs, n).select("gram").distinct()
+      .withColumn("hit", lit(1L))
+    ngramsOf(train, n)
+      .join(evalG, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_doc_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("contam_bp",
+        expr("cast((n_hits * 10000) div greatest(n_doc_grams, 1) as bigint)"))
+      .withColumn("flagged", when(col("n_hits") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminateAgainst]] with the corpus split into train/eval by
+    * the deterministic identity hash `doc_id % evalMod` — the
+    * registered stand-in for an external benchmark table (in a real
+    * pipeline the eval side is the benchmark suite's own documents;
+    * the operator above takes any two frames).
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      n: Int = 5, evalMod: Int = 23): DataFrame = {
+    val d = docs(spark, dir)
+    decontaminateAgainst(
+      d.where(col("doc_id") % evalMod =!= 0),
+      d.where(col("doc_id") % evalMod === 0), n)
+  }
+
   /** Weighted source mixing: downsample each source to a target rate
     * (parts-per-hundred) — the corpus-mixing step that reweights
     * heterogeneous sources before training. Identity-hash

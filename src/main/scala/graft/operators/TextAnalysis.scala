@@ -195,6 +195,85 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 ranked retrieval (Okapi k1=1.2, b=0.75) of the top `k`
+    * documents for a query, in EXACT bigint arithmetic — the engine's
+    * standard posture (a libm `ln` is not bit-identical across
+    * engines, and float summation is order-dependent under a shuffle,
+    * so both are rationalized away):
+    *
+    *  - idf is the log-free rational inside BM25's log,
+    *    `(N - df + 0.5) / (df + 0.5)`, scaled by 2 to
+    *    `(2N - 2df + 1) / (2df + 1)` — exactly monotone in df the way
+    *    the log form is (log is monotone), which is all ranking uses;
+    *  - the tf saturation `tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`
+    *    multiplies through by `10·avgdl` into integers:
+    *    `22·tf·avgdl / (10·tf·avgdl + 3·avgdl + 9·dl)` with
+    *    `avgdl = Ltot div N` floored once (deterministic in both
+    *    engines);
+    *  - each per-term score is floored to basis points BEFORE the
+    *    per-doc sum, so the sum is an exact bigint in any order.
+    *
+    * The query is the first `qTerms` cleaned tokens of the minimum-
+    * doc_id document (query-by-example — deterministic and
+    * oracle-expressible; any term list plugs into the same core). `N`,
+    * `Ltot` count documents with ≥1 cleaned token, the frame the tf
+    * explode can ever see.
+    *
+    * Shuffle audit: tf is keyed (doc, term) AFTER a broadcast
+    * semi-filter to query terms (the probe prunes ~the whole corpus
+    * before the aggregation); df reduces the tf frame (query-term-
+    * sized); dl reuses the persisted [[stats]]; totals arrive as a
+    * broadcast 1-row aggregate; final ranking is a global
+    * top-k sort-limit on the query-term-matched docs only (TakeOrdered,
+    * not a full sort).
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      k: Int = 20, qTerms: Int = 8): DataFrame =
+    bm25Core(docs(spark, dir),
+      stats(spark, dir).where(col("n_clean_tokens") > 0)
+        .select(col("doc_id"), col("n_clean_tokens").as("dl")),
+      k, qTerms)
+
+  /** [[bm25TopK]] over an arbitrary documents frame (fixture seam —
+    * computes doc lengths inline instead of the persisted stats).
+    */
+  def bm25TopKOf(documents: DataFrame, k: Int = 20, qTerms: Int = 8): DataFrame =
+    bm25Core(documents,
+      documents.select(col("doc_id"),
+          when(Tokenize.clean(col("text")) === "", 0L)
+            .otherwise(size(split(Tokenize.clean(col("text")), " ")))
+            .cast("long").as("dl"))
+        .where(col("dl") > 0),
+      k, qTerms)
+
+  private def bm25Core(documents: DataFrame, dl: DataFrame,
+      k: Int, qTerms: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val qterms = documents.orderBy("doc_id").limit(1)
+      .select(explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms))
+        .as("term"))
+      .where(col("term") =!= "").distinct()
+    val tf = toks.join(broadcast(qterms), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
+      .withColumn("avgdl", expr("l_tot div n_docs"))
+    tf.join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_t").as("score"))
+      .select(col("doc_id"), col("n_terms"), col("score").cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Gopher-style repetition signals (the published web-corpus
     * repetition filters: fraction of the document made of its most
     * frequent n-gram, and of all duplicated n-grams) over cleaned

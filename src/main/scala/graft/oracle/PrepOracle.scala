@@ -61,6 +61,37 @@ WHERE f.flag_len * f.flag_avg_word_len * f.flag_stopwords = 1
   AND ${DocOracle.hex8IntSql("md5(CAST(d.doc_id AS VARCHAR))")} % 100 < $pctTrain
 ORDER BY d.doc_id"""
 
+  /** Decontamination oracle: the same distinct-n-gram overlap in
+    * DuckDB list comprehensions (the [[TextOracle.repetitionSql]]
+    * gram pattern generalized to width `n`).
+    */
+  def decontaminateSql(n: Int = 5, evalMod: Int = 23): String = {
+    val concat = (0 until n).map(j => s"t[x+$j]").mkString(" || ' ' || ")
+    val splitT = s"string_split(${graft.functions.Tokenize.cleanSql("text")}, ' ')"
+    s"""WITH rt AS (
+    SELECT doc_id, $splitT AS t FROM documents
+    WHERE len($splitT) >= $n AND ($splitT)[1] <> ''
+  ),
+  g AS (
+    SELECT DISTINCT doc_id,
+      unnest([$concat for x in generate_series(1, len(t) - ${n - 1})]) AS gram
+    FROM rt
+  ),
+  e AS (SELECT DISTINCT gram FROM g WHERE doc_id % $evalMod = 0),
+  tr AS (SELECT doc_id, gram FROM g WHERE doc_id % $evalMod <> 0),
+  agg AS (
+    SELECT tr.doc_id, count(*) AS n_doc_grams,
+      sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM tr LEFT JOIN e ON tr.gram = e.gram
+    GROUP BY tr.doc_id
+  )
+SELECT doc_id, CAST(n_doc_grams AS BIGINT) AS n_doc_grams,
+  CAST(n_hits AS BIGINT) AS n_hits,
+  CAST((n_hits * 10000) // greatest(n_doc_grams, 1) AS BIGINT) AS contam_bp,
+  CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM agg ORDER BY doc_id"""
+  }
+
   def shardPackingSql(budget: Long = 4096L): String =
     s"""WITH base AS (
     SELECT doc_id,

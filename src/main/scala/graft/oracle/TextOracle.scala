@@ -113,6 +113,46 @@ SELECT lang, rank, term, df FROM ranked WHERE rank <= $k ORDER BY lang, rank"""
 SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= $k
 ORDER BY doc_id, rank"""
 
+  /** BM25 oracle: the identical rationalized integer formula — same
+    * query-by-example term source, same floored avgdl, same per-term
+    * basis-point floor before the per-doc sum.
+    */
+  def bm25TopKSql(k: Int = 20, qTerms: Int = 8): String =
+    s"""WITH $statsCte,
+  qsrc AS (
+    SELECT string_split(${Tokenize.cleanSql("text")}, ' ')[1:$qTerms] AS ts
+    FROM documents ORDER BY doc_id LIMIT 1
+  ),
+  q AS (SELECT DISTINCT unnest(ts) AS term FROM qsrc),
+  qf AS (SELECT term FROM q WHERE term <> ''),
+  toks AS (
+    SELECT doc_id, unnest(string_split(${Tokenize.cleanSql("text")}, ' ')) AS term
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term <> '' AND term IN (SELECT term FROM qf)
+    GROUP BY doc_id, term
+  ),
+  dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),
+  tot AS (
+    SELECT count(*) AS n_docs, sum(dl) AS l_tot, sum(dl) // count(*) AS avgdl
+    FROM dl
+  ),
+  sc AS (
+    SELECT t.doc_id,
+      (10000 * (2 * n_docs - 2 * f.df + 1) * (22 * t.tf * avgdl)) //
+        ((2 * f.df + 1) * (10 * t.tf * avgdl + 3 * avgdl + 9 * d.dl)) AS score_t
+    FROM tf t
+    JOIN dfc f ON f.term = t.term
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN tot
+  ),
+  agg AS (SELECT doc_id, count(*) AS n_terms, sum(score_t) AS score FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score AS BIGINT) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT $k"""
+
   def repetitionSql: String =
     s"""WITH rt AS (
     SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
 
 /** Streaming ingest deduplication: drop exact-duplicate documents as
   * they arrive, BEFORE they reach storage — the streaming half of
@@ -49,4 +51,56 @@ object DedupStream {
         coalesce(md5(col("text").cast("binary")), concat(lit("null-text:"), uuid())))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** The full MinHash signature of a text column, computed entirely
+    * row-locally: distinct word 3-gram shingles (the exact
+    * [[graft.operators.Dedup.shingles]] formula, inlined as array
+    * expressions instead of an explode+groupBy) and, per seed `i`,
+    * the lexicographic minimum of `md5(i|shingle)` — the exact
+    * [[graft.operators.Dedup.minhash]] value — joined with `|`.
+    * Identical numbers to the batch family by construction
+    * (spec-proven), but with NO aggregation: legal and cheap inside a
+    * streaming micro-batch. Texts with fewer than 3 cleaned words
+    * have no shingles and get a per-row unique marker (the null-text
+    * rationale: signatureless rows must never collapse onto each
+    * other).
+    */
+  def minhashSignature(text: Column, numSeeds: Int = 8): Column = {
+    val w = split(Tokenize.clean(text), " ")
+    val sh = array_distinct(
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+    val mins = (0 until numSeeds).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i|"), x).cast("binary")))))
+    when(text.isNotNull && size(w) >= 3, concat_ws("|", mins: _*))
+      .otherwise(concat(lit("no-shingle:"), uuid()))
+  }
+
+  /** Streaming NEAR-duplicate suppression: drop documents whose full
+    * MinHash signature was already admitted inside the watermark
+    * window — the streaming counterpart of
+    * [[graft.operators.Dedup.minhashLsh]], with deliberately
+    * asymmetric semantics forced by the state operator:
+    * `dropDuplicatesWithinWatermark` keys state on ONE value per row,
+    * so banded any-band-matches candidacy (an OR across bands, then a
+    * verify join) cannot be expressed without a stateful join per
+    * band feeding a destructive decision. The stream therefore keys
+    * on the WHOLE signature: a false drop needs all `numSeeds`
+    * minhashes to collide, probability ~ J^numSeeds for true Jaccard
+    * J (< 1% even at J = 0.5, n = 8) — biased to over-KEEP, the safe
+    * side of a destructive operator. Identical-shingle-set replicas
+    * (re-crawls with boilerplate/whitespace/case edits — the dominant
+    * in-stream dup class, which [[dedupExact]]'s raw-byte hash
+    * misses) collapse at the door; lightly-edited near-dups pass
+    * through to the batch LSH pass, which remains the global
+    * guarantee. State: one row per distinct signature, expired at the
+    * watermark, sharded by signature hash.
+    */
+  def dedupNearSignature(docs: DataFrame, eventTimeCol: String,
+      delay: String = "10 minutes", numSeeds: Int = 8): DataFrame =
+    docs
+      .withColumn("minhash_sig", minhashSignature(col("text"), numSeeds))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("minhash_sig")
 }

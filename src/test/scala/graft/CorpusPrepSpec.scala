@@ -55,4 +55,20 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(shards(CorpusPrep.WhitespaceCounter) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
     assert(shards(CorpusPrep.SubwordCounter) == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
+
+  test("decontamination: exact 5-gram overlap on a hand-built eval set") {
+    val evalDocs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "one two three four five six"),   // verbatim eval copy: 2/2 grams hit
+      (11L, "zero one two three four five"),  // shares 1 of its 2 grams
+      (12L, "aa bb cc dd ee ff gg"),          // disjoint vocabulary: 0 hits
+      (13L, "short text only"))               // < 5 tokens: no grams, no row
+      .toDF("doc_id", "text")
+    val got = CorpusPrep.decontaminateAgainst(train, evalDocs, n = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, 10000L, 1L),
+      (11L, 2L, 1L, 5000L, 1L),
+      (12L, 3L, 0L, 0L, 0L)))
+  }
 }

@@ -85,4 +85,48 @@ class DedupStreamSpec extends SparkTestBase {
         .where(col("content_hash").startsWith("null-text:")).count() == 3L)
     } finally q.stop()
   }
+
+  test("row-local minhash signature equals the batch minhash family") {
+    // the streaming signature must be the batch numbers joined with
+    // '|' — proven against Dedup.minhash over the sf0.001 corpus.
+    val sig = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        DedupStream.minhashSignature(col("text")).as("sig"))
+      .where(!col("sig").startsWith("no-shingle:"))
+    val batch = graft.operators.Dedup.minhash(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(concat_ws("|", (0 until 8).map(i =>
+        max(when(col("seed") === i, col("mh")))): _*).as("sig"))
+    assert(sig.count() > 0)
+    assert(sig.join(batch, Seq("doc_id", "sig"), "left_anti").count() == 0L,
+      "every streaming signature matches its batch counterpart")
+    assert(sig.count() == batch.count(), "same covered documents")
+  }
+
+  test("near-dup stream: shingle-identical edits collapse, real edits pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DedupStream.dedupNearSignature(
+        in.toDF().select(col("ts"), col("docId").as("doc_id"), col("text")),
+        "ts", "10 minutes")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val base = "alpha beta gamma delta epsilon"
+      // doc 2 differs from doc 1 only in case + whitespace: raw bytes
+      // differ (dedupExact would keep both) but cleaned shingles are
+      // identical -> dropped. doc 3 has one word edited -> signature
+      // differs -> kept. doc 4 is too short for shingles -> kept.
+      in.addData(doc(0, 1, base), doc(1, 2, "Alpha  BETA gamma   delta epsilon"),
+        doc(1, 3, "alpha beta gamma delta zeta"), doc(1, 4, "tiny text"))
+      q.processAllAvailable()
+      in.addData(doc(2, 5, base)) // in-window verbatim re-crawl -> dropped
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").select("doc_id").as[Long]
+        .collect().toSeq.sorted
+      assert(got == Seq(1L, 3L, 4L), s"got $got")
+      assert(spark.table("neardup_stream")
+        .where(col("minhash_sig").isNull).count() == 0L)
+    } finally q.stop()
+  }
 }

@@ -60,4 +60,27 @@ class TextAnalysisSpec extends SparkTestBase {
     // 4 hashes of 32 hex chars + 3 separators, when the doc has >= 4 shingles
     assert(fp.count(_._2.length == 4 * 32 + 3) > fp.length / 2)
   }
+
+  test("bm25: tf raises and length-normalization lowers the rank") {
+    // query doc (min doc_id) supplies the terms: apple banana cherry
+    val d = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple apple apple banana cherry pear plum"),  // tf(apple)=3, dl=7
+      (2L, "apple banana cherry pear plum fig date"),     // tf=1 each,  dl=7
+      (3L, "apple banana cherry " + Seq.fill(20)("noise").mkString(" ")), // dl=23
+      (4L, "noise words only"))                           // no query term
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopKOf(d, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val score = got.map(g => g._1 -> g._3).toMap
+    // doc 4 matches no term and is absent; the others match all 3
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(got.filter(_._1 != 4L).forall(_._2 == 3L))
+    assert(score.values.forall(_ > 0L))
+    // same dl, higher tf wins; same tf, shorter dl wins
+    assert(score(1L) > score(2L), s"tf saturation: $score")
+    assert(score(2L) > score(3L), s"length normalization: $score")
+    // output is rank-ordered (score desc, doc_id asc)
+    assert(got == got.sortBy(g => (-g._3, g._1)))
+  }
 }
