@@ -32,5 +32,10 @@ object DedupQueries {
       Some(DocOracle.simhashPairsSql)),
     Q("dedup_embedding_cosine",
       (s, dir) => Dedup.embeddingCosine(s, dir),
-      Some(graft.oracle.SimOracle.embeddingCosineSql())))
+      Some(graft.oracle.SimOracle.embeddingCosineSql())),
+    // sub-document granularity: per-doc coverage by corpus-duplicated
+    // n-token spans (the suffix-array span-dedup signal at fixed n).
+    Q("dedup_span_coverage",
+      (s, dir) => Dedup.spanCoverage(s, dir),
+      Some(DocOracle.spanCoverageSql())))
 }

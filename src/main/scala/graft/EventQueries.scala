@@ -26,5 +26,13 @@ object EventQueries {
       Some(EventOracle.asofLatestOrderSql)),
     Q("events_asof_catalyst",
       (s, dir) => Events.asofLatestOrderCatalyst(s, dir),
-      Some(EventOracle.asofLatestOrderSql)))
+      Some(EventOracle.asofLatestOrderSql)),
+    // ordered view -> click -> purchase conversion funnel.
+    Q("events_funnel",
+      (s, dir) => Events.funnel(s, dir),
+      Some(EventOracle.funnelSql)),
+    // interval join: click -> purchase pairs within the window.
+    Q("events_attribution",
+      (s, dir) => Events.attribution(s, dir),
+      Some(EventOracle.attributionSql())))
 }

@@ -20,6 +20,11 @@ object PrepQueries {
     Q("prep_mixture",
       (s, dir) => CorpusPrep.mixture(s, dir),
       Some(PrepOracle.mixtureSql())),
+    // temperature sampling (alpha = 1/2): target shares ~ sqrt(n_s),
+    // realized by exact-integer downsampling rates.
+    Q("prep_alpha_mixture",
+      (s, dir) => CorpusPrep.alphaMixture(s, dir),
+      Some(PrepOracle.alphaMixtureSql())),
     // the distributed two-pass running sum vs the oracle's global
     // window: hash equality proves the rewrite exact.
     Q("prep_shard_packing",

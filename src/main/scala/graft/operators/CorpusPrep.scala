@@ -63,10 +63,10 @@ object CorpusPrep {
     * membership must agree by construction), mixing salts with
     * `"mix|"` so its decision is independent of the split's.
     */
-  private def hashBucket(salt: String): org.apache.spark.sql.Column = {
+  private def hashBucket(salt: String, mod: Int = 100): org.apache.spark.sql.Column = {
     val keyed = if (salt.isEmpty) "cast(doc_id as string)"
       else s"concat('$salt', cast(doc_id as string))"
-    expr(s"cast(conv(substr(md5(cast($keyed as binary)), 1, 8), 16, 10) as bigint) % 100")
+    expr(s"cast(conv(substr(md5(cast($keyed as binary)), 1, 8), 16, 10) as bigint) % $mod")
   }
 
   /** Deterministic train/val/test assignment by hash bucket:
@@ -218,6 +218,63 @@ object CorpusPrep {
       .groupBy("source")
       .agg(max("rate_pct").as("rate_pct"),
         count(lit(1)).as("n_total"),
+        sum("kept").cast("long").as("n_kept"),
+        sum(col("kept") * col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Temperature-balanced source mixing (the multilingual-pretraining
+    * upweighting rule, alpha = 1/2): each source's target share is
+    * proportional to `n_s^alpha` rather than `n_s`, flattening the
+    * head so rare sources aren't drowned (the mT5 / XLM-R sampling
+    * scheme; alpha = 1/2 here because sqrt has an EXACT integer form
+    * — `isqrt` — keeping every number engine-portable bigint, no
+    * float ever crossing the oracle boundary).
+    *
+    * Realized by pure downsampling: keep fraction
+    * `f_s = C * w_s / n_s` with `w_s = isqrt(n_s)` and
+    * `C = min_t n_t / w_t`, so the most-downweighted source keeps
+    * 100 % and every share lands proportional to `w_s`. The argmin is
+    * taken on the exact scaled integer `n*10^12 div w` (distinct
+    * rationals with denominators <= 10^5 differ by >= 10^2 at that
+    * scale, so the floor cannot collide), tie-broken by source name.
+    * isqrt = floor(sqrt(double)) corrected by +-1 in exact bigint —
+    * immune to any sqrt rounding.
+    *
+    * The keep decision is the module's identity-hash bucket at basis
+    * -point granularity, salted `alpha|` so it is independent of both
+    * the split and the plain mixture. Emitted as the per-source audit
+    * rollup (total, weight, realized rate, kept docs/chars).
+    *
+    * Scale posture (100 TB): the stats frame is O(|sources|) — two
+    * tiny self-derived frames (weights, the 1-row argmin) broadcast
+    * by construction; the corpus streams ONCE through a row-local
+    * hash and a source-keyed rollup with map-side partials.
+    */
+  def alphaMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val st = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val wt = st
+      .withColumn("w0", expr("cast(floor(sqrt(cast(n_total as double))) as bigint)"))
+      .withColumn("w1", col("w0") -
+        when(col("w0") * col("w0") > col("n_total"), 1L).otherwise(0L))
+      .withColumn("weight", col("w1") +
+        when((col("w1") + 1) * (col("w1") + 1) <= col("n_total"), 1L).otherwise(0L))
+      .select("source", "n_total", "weight")
+    val r = wt.withColumn("ratio", expr("(n_total * 1000000000000) div weight"))
+    val m = r.orderBy("ratio", "source").limit(1)
+      .select(col("n_total").as("n_m"), col("weight").as("w_m"))
+    // 1-row aggregate: broadcast is bounded by construction.
+    val rates = r.crossJoin(broadcast(m))
+      .withColumn("rate_bp", expr("(10000 * n_m * weight) div (w_m * n_total)"))
+      .select("source", "n_total", "weight", "rate_bp")
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bucket", hashBucket("alpha|", 10000))
+      .join(rates, Seq("source"))
+      .withColumn("kept", when(col("bucket") < col("rate_bp"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(max("n_total").as("n_total"), max("weight").as("weight"),
+        max("rate_bp").as("rate_bp"),
         sum("kept").cast("long").as("n_kept"),
         sum(col("kept") * col("n_chars")).cast("long").as("kept_chars"))
       .orderBy("source")

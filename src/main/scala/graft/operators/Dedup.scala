@@ -396,4 +396,68 @@ object Dedup {
       .select("doc_x", "doc_y", "hamming")
       .orderBy("doc_x", "doc_y")
   }
+
+  /** Duplicate-SPAN coverage: for every document, how much of it is
+    * covered by word `n`-grams that occur more than once ANYWHERE in
+    * the corpus (other documents or elsewhere in the same one) — the
+    * sub-document granularity of suffix-array span dedup ("any
+    * duplicated span of >= N tokens", Lee et al., *Deduplicating
+    * Training Data Makes Language Models Better*, ACL 2022),
+    * re-expressed at fixed n as pure relational algebra: whole-doc
+    * dedup above misses boilerplate (headers, licenses, templates)
+    * pasted into otherwise-unique pages, and this measures exactly
+    * that mass.
+    *
+    * Per doc: token count, span count, duplicated-span count, the
+    * number of token positions covered by at least one duplicated
+    * span (exact interval union: spans are fixed-length-`n` sorted
+    * intervals, so each contributes `least(n, start - prev_start)` —
+    * a per-doc window, no pairwise overlap join), and coverage in
+    * basis points. Every doc emits a row (0s when clean of dups) so
+    * the frame is stable on a clean corpus.
+    *
+    * Scale posture (100 TB): spans derive per row (transform over the
+    * token array — no self-join) and the lineage is persisted once,
+    * shared by the frequency count and the position join; the dup
+    * decision is ONE gram-keyed aggregation; the join back is a
+    * gram equi-join, deliberately hint-free (the dup-gram set is
+    * corpus-proportional at boilerplate-heavy crawls — the drop-list
+    * rule); the interval union is a doc-partitioned window, never a
+    * pairwise overlap product. Everything is linear in corpus
+    * tokens; all outputs exact integers.
+    */
+  def spanCoverage(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val base = docsSpread(spark, dir)
+      .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
+      .withColumn("n_tokens",
+        when(expr("size(t) = 0 OR t[0] = ''"), 0L)
+          .otherwise(expr("cast(size(t) as bigint)")))
+    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    val spans = DfCache.getOrPersist(spark, s"doc_spans:$n:$dir") {
+      base.where(col("n_tokens") >= n)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(t) - ${n - 1}),
+              i -> struct(cast(i as bigint) as start,
+                          concat_ws(' ', $parts) as gram))""")).as("sp"))
+        .select(col("doc_id"), col("sp.start").as("start"), col("sp.gram").as("gram"))
+    }
+    val dup = spans.groupBy("gram")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    val cov = spans.join(dup, Seq("gram"))
+      .withColumn("inc", coalesce(
+        least(lit(n.toLong), col("start") - lag(col("start"), 1).over(w)),
+        lit(n.toLong)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("inc").cast("long").as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (n - 1), lit(0L)).as("n_spans"))
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans", "covered_tokens"))
+      .withColumn("coverage_bp",
+        expr("cast((covered_tokens * 10000) div greatest(n_tokens, 1) as bigint)"))
+      .orderBy("doc_id")
+  }
 }

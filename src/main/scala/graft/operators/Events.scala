@@ -200,4 +200,95 @@ object Events {
         (col("ts_us") - col("order_us")).as("staleness_us"))
       .orderBy("event_id")
   }
+
+  /** Ordered conversion funnel (view -> click -> purchase): per user,
+    * the earliest `view`, the earliest `click` STRICTLY after it, and
+    * the earliest `purchase` strictly after that — the sequential
+    * pattern product analytics means by "funnel", which a plain
+    * per-type min cannot express (a click before any view must not
+    * count). Every user emits a row with the stage reached (0-3) and
+    * the nano timestamps of each completed stage (0 when absent), so
+    * drop-off per stage is a trivial rollup of this frame.
+    *
+    * Timestamps are microseconds (`ts div 1000`): DuckDB's TIMESTAMP
+    * reads the parquet nanos at micro precision, so micros are the
+    * finest engine-portable unit — both engines compare and emit the
+    * identical bigints.
+    *
+    * Scale posture (100 TB): three user-keyed aggregations, each with
+    * map-side partial `min`; every join is a user_id equi-join whose
+    * right side shrinks stage over stage (users-who-viewed ⊇
+    * users-who-clicked-after ⊇ ...). AQE handles the shrink; no
+    * window over the full event stream, no per-user event collection
+    * — state per user is three longs, the streaming-friendly shape.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = raw(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val u = e.select("user_id").distinct()
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id")).where(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).where(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    u.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("reached_stage",
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L))
+      .select(col("user_id"), col("reached_stage"),
+        coalesce(col("t1"), lit(0L)).as("t1_us"),
+        coalesce(col("t2"), lit(0L)).as("t2_us"),
+        coalesce(col("t3"), lit(0L)).as("t3_us"))
+      .orderBy("user_id")
+  }
+
+  /** Default attribution window: 24 h (the synthetic corpus averages
+    * ~11 h between events per user, so day-scale windows produce a
+    * real pair population).
+    */
+  val DefaultAttributionUs: Long = 24 * MicrosPerHour
+
+  /** Click->purchase attribution pairs: every (click, purchase) of
+    * the same user with the purchase STRICTLY after the click and
+    * within `windowUs` — the interval-join kind (vs [[funnel]]'s
+    * sequential-min and [[asofLatestOrder]]'s point-in-time kinds).
+    * Emits the pair ids and the exact lag so downstream attribution
+    * models (last-touch, time-decay) are rollups of this frame.
+    *
+    * Scale posture (100 TB): a user_id EQUI-join carries the time
+    * band as a residual predicate — the pair blowup is bounded by
+    * per-user window density, never |clicks| x |purchases| globally.
+    * A hot user (bot traffic) concentrates its pairs on one task;
+    * the fix at scale is banding the equi-key by coarse time bucket
+    * (click day d joins purchase days {d, d+1}) — same output, key
+    * cardinality x days — which is exactly the shape the streaming
+    * twin's watermarked state takes for free. Streaming twin:
+    * [[graft.streaming.EventStream.attribution]], spec-proven
+    * batch-equal.
+    */
+  def attribution(spark: SparkSession, dir: String,
+      windowUs: Long = DefaultAttributionUs): DataFrame = {
+    val e = raw(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("tus").as("click_us"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tus").as("purchase_us"))
+    c.join(p, Seq("user_id"))
+      .where(col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + windowUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("click_id", "purchase_id")
+  }
 }

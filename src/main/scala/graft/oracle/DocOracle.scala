@@ -204,4 +204,44 @@ SELECT doc_x, doc_y,
   CAST(bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) <= 3
 ORDER BY doc_x, doc_y"""
+
+  /** [[graft.operators.Dedup.spanCoverage]]: positions via zipped
+    * `unnest`s (DuckDB zips same-select unnests positionally), the
+    * identical fixed-length interval union via `lag`.
+    */
+  def spanCoverageSql(n: Int = 4): String = {
+    val concat = (0 until n).map(j => s"t[x+$j]").mkString(" || ' ' || ")
+    s"""WITH rt AS (
+    SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t
+    FROM documents
+  ),
+  base AS (
+    SELECT doc_id, t,
+      CASE WHEN len(t) = 0 OR t[1] = '' THEN 0 ELSE len(t) END AS n_tokens
+    FROM rt
+  ),
+  s AS (
+    SELECT doc_id,
+      unnest(generate_series(1, len(t) - ${n - 1})) AS start,
+      unnest([$concat for x in generate_series(1, len(t) - ${n - 1})]) AS gram
+    FROM base WHERE n_tokens >= $n
+  ),
+  dup AS (SELECT gram FROM s GROUP BY gram HAVING count(*) >= 2),
+  cv AS (
+    SELECT s.doc_id, s.start,
+      least($n, s.start - lag(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start)) AS inc
+    FROM s JOIN dup USING (gram)
+  ),
+  cov AS (
+    SELECT doc_id, count(*) AS n_dup_spans,
+      sum(coalesce(inc, $n)) AS covered
+    FROM cv GROUP BY doc_id
+  )
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(greatest(b.n_tokens - ${n - 1}, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(cov.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+  CAST((coalesce(cov.covered, 0) * 10000) // greatest(b.n_tokens, 1) AS BIGINT) AS coverage_bp
+FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id"""
+  }
 }

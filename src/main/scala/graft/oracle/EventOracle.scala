@@ -109,4 +109,41 @@ SELECT user_id, session_ix, count(*) AS n_events,
   min(tus) AS start_us, max(tus) AS end_us, max(tus) - min(tus) AS duration_us,
   CAST(sum(vc) AS BIGINT) AS value_cents
 FROM numbered GROUP BY user_id, session_ix ORDER BY user_id, session_ix"""
+
+  /** [[Events.funnel]]: the identical staged-min chain on micros. */
+  def funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+  u AS (SELECT DISTINCT user_id FROM e),
+  v AS (SELECT user_id, min(tus) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+  c AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY e.user_id),
+  p AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_stage,
+  CAST(coalesce(v.t1, 0) AS BIGINT) AS t1_us,
+  CAST(coalesce(c.t2, 0) AS BIGINT) AS t2_us,
+  CAST(coalesce(p.t3, 0) AS BIGINT) AS t3_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+  LEFT JOIN p USING (user_id)
+ORDER BY u.user_id"""
+
+  /** [[Events.attribution]]: the same banded self-join on micros. */
+  def attributionSql(windowUs: Long = Events.DefaultAttributionUs): String =
+    s"""WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+  ),
+  c AS (SELECT user_id, event_id AS click_id, tus AS click_us FROM e
+        WHERE event_type = 'click'),
+  p AS (SELECT user_id, event_id AS purchase_id, tus AS purchase_us FROM e
+        WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id,
+  CAST(p.purchase_us - c.click_us AS BIGINT) AS lag_us
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.purchase_us > c.click_us
+  AND p.purchase_us <= c.click_us + $windowUs
+ORDER BY c.click_id, p.purchase_id"""
 }

@@ -43,6 +43,35 @@ SELECT source, CAST(max(rate_pct) AS BIGINT) AS rate_pct, count(*) AS n_total,
 FROM b GROUP BY source ORDER BY source"""
   }
 
+  /** [[graft.operators.CorpusPrep.alphaMixture]]: identical exact
+    * integer pipeline — corrected isqrt, scaled-integer argmin,
+    * rational keep rate, bp-granularity md5 bucket.
+    */
+  def alphaMixtureSql(): String =
+    s"""WITH st AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+  w0 AS (SELECT source, n_total,
+    CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS w0 FROM st),
+  w1 AS (SELECT source, n_total,
+    w0 - CASE WHEN w0 * w0 > n_total THEN 1 ELSE 0 END AS w1 FROM w0),
+  wt AS (SELECT source, n_total,
+    w1 + CASE WHEN (w1 + 1) * (w1 + 1) <= n_total THEN 1 ELSE 0 END AS weight FROM w1),
+  r AS (SELECT *, (n_total * 1000000000000) // weight AS ratio FROM wt),
+  m AS (SELECT n_total AS n_m, weight AS w_m FROM r ORDER BY ratio, source LIMIT 1),
+  rates AS (SELECT r.source, r.n_total, r.weight,
+    (10000 * m.n_m * r.weight) // (m.w_m * r.n_total) AS rate_bp FROM r, m),
+  b AS (
+    SELECT d.source, d.n_chars, rt.n_total, rt.weight, rt.rate_bp,
+      CASE WHEN ${DocOracle.hex8IntSql("md5('alpha|' || CAST(d.doc_id AS VARCHAR))")} % 10000 < rt.rate_bp
+        THEN 1 ELSE 0 END AS kept
+    FROM documents d JOIN rates rt USING (source)
+  )
+SELECT source, CAST(max(n_total) AS BIGINT) AS n_total,
+  CAST(max(weight) AS BIGINT) AS weight,
+  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+FROM b GROUP BY source ORDER BY source"""
+
   /** The capstone composition's oracle: quality CTEs (TextOracle),
     * the recursive dedup closure (DocOracle), and the split bucket in
     * one statement.

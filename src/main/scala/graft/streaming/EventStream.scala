@@ -69,6 +69,40 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Stream-STREAM interval join — the attribution twin of
+    * [[graft.operators.Events.attribution]]: clicks and purchases
+    * arrive as two independent streams; each purchase joins every
+    * click of the same user strictly before it and at most
+    * `windowExpr` older. This is the canonical watermarked interval
+    * join: the time bound in the join condition plus both watermarks
+    * lets the engine EVICT buffered clicks once the purchase-side
+    * watermark passes `click_ts + window` (and vice versa), so
+    * per-executor state is bounded by window x arrival rate — the
+    * unbounded-state trap of a pure equi-join stream-stream join is
+    * structurally avoided. Inputs carry prefixed columns
+    * (`click_ts`/`purchase_ts`) because both sides must keep their
+    * own event-time column through the join.
+    *
+    * At cluster scale the join shards by `user_id` across executors
+    * with checkpointed buffered state — the streaming realization of
+    * the batch twin's banded equi-join. The spec proves batch
+    * agreement on identical rows and eviction via late-click drop.
+    */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+      windowExpr: String = "24 hours",
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    c.join(p,
+      expr(s"""click_user = purchase_user AND
+               purchase_ts > click_ts AND
+               purchase_ts <= click_ts + interval $windowExpr"""))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Gap-based sessionization with explicit state: events group by
     * user; each invocation folds the (unordered) new events into the
     * open session, emitting every session that closes (next event

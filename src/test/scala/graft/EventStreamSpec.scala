@@ -148,6 +148,53 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join emits pairs across micro-batches and drops out-of-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStreamSpec.Click]
+    val purchases = MemoryStream[EventStreamSpec.Purchase]
+    val q = EventStream.attribution(clicks.toDF(), purchases.toDF(),
+        windowExpr = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def click(minute: Long, user: Long, id: Long) =
+      EventStreamSpec.Click(new Timestamp((BaseMin + minute) * 60000L), user, id)
+    def purchase(minute: Long, user: Long, id: Long) =
+      EventStreamSpec.Purchase(new Timestamp((BaseMin + minute) * 60000L), user, id)
+    try {
+      // click in batch 1; its purchase only arrives in batch 2 —
+      // the join must buffer the click as state across batches.
+      clicks.addData(click(0, 1, 100), click(5, 2, 101))
+      q.processAllAvailable()
+      purchases.addData(purchase(10, 1, 200))
+      q.processAllAvailable()
+      // same-user purchase OUTSIDE the 30-min window: no pair.
+      purchases.addData(purchase(45, 2, 201))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "click_id", "purchase_id", "lag_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L, 200L, 10L * 60000000L)), got)
+    } finally q.stop()
+  }
+
+  test("streaming attribution transform agrees with the batch twin on the parquet corpus") {
+    val batch = Events.attribution(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"))
+    val viaStreamTransform = EventStream.attribution(
+        e.where(col("event_type") === "click")
+          .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+            col("event_id").as("click_id")),
+        e.where(col("event_type") === "purchase")
+          .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+            col("event_id").as("purchase_id")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == viaStreamTransform)
+    assert(batch.nonEmpty)
+  }
+
   test("batch tumbling agrees with streaming on the parquet corpus") {
     // batch twin over sf0.001, vs the streaming transform run in
     // batch mode on the same converted input (Spark executes batch
@@ -166,4 +213,12 @@ class EventStreamSpec extends SparkTestBase {
     }
     assert(batch == viaStreamTransform)
   }
+}
+
+object EventStreamSpec {
+  /** Wire types for the two attribution input streams (prefixed
+    * columns: each side keeps its own event-time through the join).
+    */
+  final case class Click(click_ts: java.sql.Timestamp, click_user: Long, click_id: Long)
+  final case class Purchase(purchase_ts: java.sql.Timestamp, purchase_user: Long, purchase_id: Long)
 }
