@@ -34,5 +34,11 @@ object PrepQueries {
     // every training doc against the eval split's gram set.
     Q("prep_decontaminate",
       (s, dir) => CorpusPrep.decontaminate(s, dir),
-      Some(PrepOracle.decontaminateSql())))
+      Some(PrepOracle.decontaminateSql())),
+    // per-source/domain cap via the bounded TopK aggregator (O(n)
+    // state per source over the shuffle); the oracle runs the window
+    // formulation — hash equality proves the rewrite exact.
+    Q("prep_source_cap",
+      (s, dir) => CorpusPrep.sourceCap(s, dir),
+      Some(PrepOracle.sourceCapSql())))
 }

@@ -334,4 +334,46 @@ object CorpusPrep {
         expr(s"cast((within + offset) div $budget as bigint)").as("shard_id"))
       .orderBy("doc_id")
   }
+
+  /** Per-source document cap: keep the `n` largest documents of each
+    * source (by `n_chars` desc, doc_id asc tie-break) — the per-domain
+    * cap every crawl pipeline applies so no single domain dominates
+    * the training mixture.
+    *
+    * Computed with the bounded [[TopK]] aggregator, NOT a per-source
+    * window: a window must co-locate and sort EVERY document of a
+    * source on one partition before discarding all but n — for a hot
+    * domain (the exact case the cap exists for) that is a straggler
+    * sort of the offender's full posting. The aggregator keeps O(n)
+    * state per source in each partition's partial, so the shuffle
+    * moves n rows per source regardless of domain skew. The DuckDB
+    * oracle runs the window formulation — hash equality proves the
+    * bounded rewrite exact (the same twin-proof contract as
+    * `sim_cosine_topk_agg` / `prep_shard_packing`).
+    */
+  def sourceCap(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    sourceCapOf(docs(spark, dir), n)
+
+  /** [[sourceCap]] over an arbitrary `(source, doc_id, n_chars)`
+    * frame (fixture seam).
+    */
+  def sourceCapOf(documents: DataFrame, n: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // score = n_chars: exact in Double far beyond any document size.
+    documents.select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .as[(String, Long, Long)]
+      .map { case (src, id, nc) => (src, TopK.Scored(0L, nc.toDouble, id, nc)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopK.TopKAggregator(n).toColumn.name("top"))
+      .flatMap { case (src, items) =>
+        items.iterator.zipWithIndex.map { case (s, i) =>
+          (src, (i + 1).toLong, s.id, s.payload)
+        }
+      }
+      .toDF("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+  }
 }

@@ -135,4 +135,17 @@ FROM agg ORDER BY doc_id"""
   )
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
+
+  /** [[graft.operators.CorpusPrep.sourceCap]]: the WINDOW formulation
+    * (rank per source, keep <= n) — the independent twin that proves
+    * the engine's bounded-aggregator rewrite exact.
+    */
+  def sourceCapSql(n: Int = 10): String =
+    s"""WITH ranked AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+  )
+SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, n_chars
+FROM ranked WHERE rk <= $n ORDER BY source, rank"""
 }

@@ -71,4 +71,33 @@ class CorpusPrepSpec extends SparkTestBase {
       (11L, 2L, 1L, 5000L, 1L),
       (12L, 3L, 0L, 0L, 0L)))
   }
+
+  test("source cap equals the window formulation on a skewed, tie-heavy corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    // one hot source (the case the cap exists for), several small
+    // ones, and deliberate n_chars ties to exercise the doc_id
+    // tie-break; sizes drawn from a narrow range so ties are common.
+    val rows = (0 until 500).map { i =>
+      val src = if (i < 400) "hot" else s"cold${i % 7}"
+      (src, i.toLong, (rng.nextInt(20) + 1).toLong)
+    }
+    val df = rows.toDF("source", "doc_id", "n_chars")
+    val n = 5
+    val got = CorpusPrep.sourceCapOf(df, n)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+      .select("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every source is capped; the hot source is actually cut
+    assert(got.groupBy(_._1).values.forall(_.size <= n))
+    assert(got.count(_._1 == "hot") == n)
+  }
 }
