@@ -287,6 +287,18 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_negative_no_cooccur",
       (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
       Some(SearchOracle.tableScores(negativeSpec))),
+    // Batched search service: three heterogeneous queries (2/2/3
+    // attributes) answered in ONE index pass — the oracle runs them
+    // one at a time, proving the shared-scan batching exact.
+    Q("search_batch_queries",
+      (s, dir) => JoinSearch.searchTablesBatch(index(s, dir), Seq(
+        ("customer", customerQuery(s, dir), customerCols),
+        ("orders", ordersQuery(s, dir), ordersCols),
+        ("part", partQuery(s, dir), partCols))),
+      Some(SearchOracle.tableScoresBatch(Seq(
+        "customer" -> customerSpec,
+        "orders" -> ordersSpec,
+        "part" -> partSpec)))),
     // The engine's spark.sql surface: the whole search as ONE SQL
     // statement over temp views (F3/F4 done right) — same oracle.
     Q("sql_api_search",

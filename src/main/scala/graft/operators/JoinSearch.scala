@@ -349,6 +349,50 @@ object JoinSearch {
       .limit(maxTables)
   }
 
+  /** Batched multi-query search: N query tables answered in ONE pass
+    * over the index. The reference's CLI runs one query per
+    * invocation (`main.py:6-22` — each run re-reads the whole
+    * `main_tokenized` postings table); a search SERVICE amortizes
+    * instead: the union of every query's keys drives a single probe
+    * semi-join, and the per-(table,row) key aggregation — the only
+    * stage that shuffles postings — appears once in the physical
+    * plan, shared by every query's conjunction via Spark's exchange
+    * reuse (the per-query branches are plan-identical up to that
+    * aggregation, so Catalyst materializes it once).
+    *
+    * Per-query results are EXACT — identical to running
+    * [[searchTables]] per query: foreign keys in a row's collected
+    * key set cannot create matches (the conjunction requires this
+    * query's `req` keys; extra map entries are ignored) and cannot
+    * change column attribution (min-column per (table,row,key)
+    * depends only on the index, not on which batch probed it).
+    * `BatchSearchSpec` pins both the parity and the shared-scan plan
+    * shape.
+    *
+    * Output: `(query_id, table_id, join_score)` — per-query
+    * top-`maxTables`, ordered (query_id, score desc, table_id).
+    */
+  def searchTablesBatch(index: DataFrame,
+      queries: Seq[(String, DataFrame, Seq[String])],
+      maxTables: Int = 20): DataFrame = {
+    val prepared = queries.map { case (qid, q, cols) =>
+      (qid, mappings(prepareInput(q, cols), cols), cols)
+    }
+    val allKeys = prepared.map(_._2.select("key")).reduce(_ unionByName _)
+      .distinct()
+    val probed = index.join(broadcast(allKeys), Seq("key"), "left_semi")
+    val stats = Some(indexKeyStats(index))
+    prepared.map { case (qid, m, cols) =>
+      tableScores(topColumns(
+          columnScores(conjunctionAnchored(probed, m, cols.size, stats)),
+          cols.size))
+        .orderBy(col("join_score").desc, col("table_id").asc)
+        .limit(maxTables)
+        .select(lit(qid).as("query_id"), col("table_id"), col("join_score"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("query_id"), col("join_score").desc, col("table_id"))
+  }
+
   /** Seq-parity mode (A3+O4 contract): the reference's sequential
     * engine ranks tables by the sum of their TOP-2 column scores
     * regardless of how many attributes the query carries

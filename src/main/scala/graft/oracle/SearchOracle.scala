@@ -153,4 +153,19 @@ ORDER BY join_score DESC, table_id ASC LIMIT $maxTables""")
   /** Oracle over just the index CTEs (no search stages). */
   def indexOnly(finalSelect: String): String =
     s"WITH ${indexCtes}\n$finalSelect"
+
+  /** Oracle for [[graft.operators.JoinSearch.searchTablesBatch]]: the
+    * UNION of the per-query end-to-end statements, each tagged with
+    * its query_id — deliberately the one-at-a-time formulation, so
+    * hash equality proves the engine's shared-scan batching exact.
+    */
+  def tableScoresBatch(qs: Seq[(String, QuerySpec)], maxTables: Int = 20): String = {
+    val branches = qs.zipWithIndex.map { case ((qid, q), i) =>
+      s"""SELECT '${qid.replace("'", "''")}' AS query_id, table_id, join_score
+  FROM (${tableScores(q, maxTables)}) AS b$i"""
+    }
+    branches.mkString("SELECT query_id, table_id, join_score FROM (\n",
+      "\n  UNION ALL\n",
+      "\n) AS u ORDER BY query_id, join_score DESC, table_id")
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+import graft.operators.JoinSearch
+import graft.sources.IndexBuilder
+
+/** The batched multi-query search must (1) return exactly what the
+  * one-at-a-time searches return, per query, and (2) actually share
+  * the postings-side work in ONE physical plan — the whole point of
+  * batching: the per-(table,row) key aggregation's exchanges appear
+  * once and every other query branch consumes them via ReusedExchange.
+  */
+class BatchSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def queryTriples(dir: String) = Seq(
+    ("customer", Queries.customerQuery(spark, dir), Queries.customerCols),
+    ("orders", Queries.ordersQuery(spark, dir), Queries.ordersCols),
+    ("part", Queries.partQuery(spark, dir), Queries.partCols))
+
+  test("batch search equals the one-at-a-time searches per query") {
+    val idx = IndexBuilder.cached(spark, sf0001)
+    val got = JoinSearch.searchTablesBatch(idx, queryTriples(sf0001))
+      .as[(String, Int, Long)].collect().toSeq
+    val expected = queryTriples(sf0001).flatMap { case (qid, q, cols) =>
+      JoinSearch.searchTables(idx, q, cols)
+        .as[(Int, Long)].collect().toSeq.map { case (t, s) => (qid, t, s) }
+    }.sortBy { case (qid, t, s) => (qid, -s, t) }
+    assert(got == expected)
+    assert(got.map(_._1).distinct.sorted == Seq("customer", "orders", "part"))
+  }
+
+  test("the batched plan shares the postings aggregation via exchange reuse") {
+    // ReuseExchange is a physical-prep rule visible in executedPlan
+    // only outside AQE (adaptive reuse happens at stage
+    // materialization, inside opaque query-stage leaves) — assert on
+    // the non-adaptive plan, where the shared subtree is explicit.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = JoinSearch.searchTablesBatch(
+        IndexBuilder.cached(spark, sf0001), queryTriples(sf0001))
+      val reused = df.queryExecution.executedPlan.collect {
+        case r: ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"no ReusedExchange in the batched plan:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
