@@ -34,5 +34,10 @@ object EventQueries {
     // interval join: click -> purchase pairs within the window.
     Q("events_attribution",
       (s, dir) => Events.attribution(s, dir),
-      Some(EventOracle.attributionSql())))
+      Some(EventOracle.attributionSql())),
+    // cohort retention matrix: first-seen-week cohorts x activity
+    // week offset, exact integer weeks and basis points.
+    Q("events_retention",
+      (s, dir) => Events.retention(s, dir),
+      Some(EventOracle.retentionSql)))
 }

@@ -291,4 +291,47 @@ object Events {
         (col("purchase_us") - col("click_us")).as("lag_us"))
       .orderBy("click_id", "purchase_id")
   }
+
+  /** Epoch week length in microseconds (weeks indexed from the epoch,
+    * not calendar-aligned — pure integer division, engine-portable).
+    */
+  val MicrosPerWeek: Long = 7L * 24 * MicrosPerHour
+
+  /** Cohort retention matrix: users bucketed by first-seen epoch week
+    * (their cohort), counted in each later week they were active —
+    * the third classic event-analytics kind beside [[funnel]]
+    * (sequential) and [[attribution]] (interval). Emits
+    * `(cohort_week, week_offset, n_users, cohort_size, retention_bp)`
+    * per (cohort, offset) cell; offset 0 is the cohort itself, so
+    * `n_users = cohort_size` there and retention_bp = 10000.
+    *
+    * Exactness: after the (user, week) distinct, a user contributes
+    * at most one row per (cohort, offset) cell, so the cell count is
+    * a plain `count(*)` — no second DISTINCT. All arithmetic is
+    * integer (epoch-week floor division, basis points via div).
+    *
+    * Scale posture (100 TB): one scan -> (user, week) distinct (the
+    * only event-volume shuffle, with map-side partials); cohorts are
+    * a user-keyed aggregation of that already-small frame; the join
+    * back is a user-keyed equi-join (AQE broadcasts the cohort side
+    * when small, shuffles when not — no hint, the drop-list rule);
+    * the cell rollup and the offset-0 self-join both operate on
+    * O(users x active-weeks) rows, orders below event volume.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = raw(spark, dir)
+      .select(col("user_id"),
+        expr(s"(ts div 1000) div $MicrosPerWeek").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cells = uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      .withColumn("retention_bp",
+        expr("cast((n_users * 10000) div cohort_size as bigint)"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

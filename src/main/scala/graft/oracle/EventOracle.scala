@@ -146,4 +146,27 @@ FROM c JOIN p ON c.user_id = p.user_id
   AND p.purchase_us > c.click_us
   AND p.purchase_us <= c.click_us + $windowUs
 ORDER BY c.click_id, p.purchase_id"""
+
+  /** [[Events.retention]]: identical epoch-week integer bucketing;
+    * cell counts are plain count(*) over the (user, week) distinct —
+    * the same no-second-DISTINCT argument.
+    */
+  def retentionSql: String =
+    s"""WITH uw AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // ${Events.MicrosPerWeek} AS week
+    FROM events
+  ),
+  cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+  cells AS (
+    SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+      count(*) AS n_users
+    FROM uw JOIN cohort c USING (user_id) GROUP BY 1, 2
+  ),
+  sizes AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+            WHERE week_offset = 0)
+SELECT cohort_week, week_offset, n_users,
+  CAST(cohort_size AS BIGINT) AS cohort_size,
+  CAST((n_users * 10000) // cohort_size AS BIGINT) AS retention_bp
+FROM cells JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset"""
 }
