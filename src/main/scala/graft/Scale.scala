@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusPrep, Dedup, JoinSearch}
+import graft.operators.{CorpusPrep, Dedup, Events, JoinSearch, TextAnalysis}
 import graft.sources.IndexBuilder
 
 /** Empirical scale-stress harness (round-7 verdict #2): synthesize a
@@ -145,7 +145,20 @@ object Scale {
       "dedup_minhash_lsh" -> (d => Dedup.minhashLsh(spark, d)),
       "dedup_clusters" -> (d => Dedup.clusters(spark, d)),
       "dedup_kept_corpus" -> (d => Dedup.keptCorpus(spark, d)),
-      "prep_training_corpus" -> (d => CorpusPrep.trainingCorpus(spark, d)))
+      "prep_training_corpus" -> (d => CorpusPrep.trainingCorpus(spark, d)),
+      // the three heaviest late-round-7 families. Verbatim replication
+      // is maximally brutal for span coverage (EVERY gram becomes
+      // corpus-duplicated -> the dup-gram join is full-corpus-sized)
+      // and for decontamination (every eval gram hits 10 replicas).
+      "dedup_span_coverage" -> (d => Dedup.spanCoverage(spark, d)),
+      "prep_decontaminate" -> (d => CorpusPrep.decontaminate(spark, d)),
+      "text_bm25_topk" -> (d => TextAnalysis.bm25TopK(spark, d)),
+      // event kinds: funnel is user-keyed mins (linear); attribution's
+      // true input is per-user click x purchase pair density, which
+      // replication inflates ~factor^2 by design (event_id shifts,
+      // user_id deliberately does not) — read it against pair count.
+      "events_funnel" -> (d => Events.funnel(spark, d)),
+      "events_attribution" -> (d => Events.attribution(spark, d)))
 
     // one-time index materialization per scale, reported apart so no
     // family absorbs it (the Bench convention).
