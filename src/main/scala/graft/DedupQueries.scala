@@ -12,6 +12,11 @@ object DedupQueries {
     Q("dedup_exact",
       (s, dir) => Dedup.exact(s, dir),
       Some(DocOracle.exactSql)),
+    // the C4-style normalized-exact rung: re-encodings / case /
+    // spacing edits collapse; content edits still need MinHash.
+    Q("dedup_exact_normalized",
+      (s, dir) => Dedup.exactNormalized(s, dir),
+      Some(DocOracle.exactNormalizedSql)),
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some(DocOracle.minhashLshSql())),

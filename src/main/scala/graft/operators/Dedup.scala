@@ -61,6 +61,21 @@ object Dedup {
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("copies"))
       .orderBy("text_hash")
 
+  /** Normalized exact dedup — the C4-style "fuzzy exact" rung between
+    * raw-hash dedup and MinHash: hash the CLEANED text (lowercase,
+    * punctuation stripped, whitespace collapsed — the engine's one
+    * [[Tokenize.clean]] definition), so re-encodings, case changes,
+    * and spacing edits of the same content collapse to one group
+    * that byte-exact hashing misses. Same output contract as
+    * [[exact]]; still one hash-group aggregation with map-side
+    * partials.
+    */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(Tokenize.clean(col("text")).cast("binary")).as("norm_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("copies"))
+      .orderBy("norm_hash")
+
   /** Distinct word 3-gram shingles per document: `(doc_id, s)`.
     * Spark array indexing is 0-based (`w[i]`), so `sequence(1,
     * size-2)` starts shingles at word 0 — mirrored 1-based in the

@@ -45,6 +45,14 @@ object DocOracle {
     """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS copies
 FROM documents GROUP BY md5(text) ORDER BY text_hash"""
 
+  /** [[graft.operators.Dedup.exactNormalized]]: hash of the cleaned
+    * text through the shared [[Tokenize.cleanSql]] chain.
+    */
+  def exactNormalizedSql: String =
+    s"""SELECT md5(${graft.functions.Tokenize.cleanSql("text")}) AS norm_hash,
+  min(doc_id) AS keeper_doc_id, count(*) AS copies
+FROM documents GROUP BY 1 ORDER BY norm_hash"""
+
   /** Candidate CTE -> verified near-dup pairs as a CTE chain ending
     * in `verified(doc_x, doc_y, inter_n, union_n, jac_bp)`.
     */
