@@ -40,5 +40,10 @@ object PrepQueries {
     // formulation — hash equality proves the rewrite exact.
     Q("prep_source_cap",
       (s, dir) => CorpusPrep.sourceCap(s, dir),
-      Some(PrepOracle.sourceCapSql())))
+      Some(PrepOracle.sourceCapSql())),
+    // reproducibility manifest: per-(split, source) counts and an
+    // order-independent exact-integer content checksum.
+    Q("prep_manifest",
+      (s, dir) => CorpusPrep.manifest(s, dir),
+      Some(PrepOracle.manifestSql())))
 }

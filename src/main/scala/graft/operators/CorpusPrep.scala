@@ -97,6 +97,43 @@ object CorpusPrep {
       .orderBy("split", "lang")
   }
 
+  /** Reproducibility manifest — the data-card artifact a corpus
+    * release ships: per (split, source), the document count, char
+    * sum, and an ORDER-INDEPENDENT content checksum, so two
+    * independently-produced copies of "the same" corpus can be
+    * compared cell-by-cell without sorting either one.
+    *
+    * Checksum: sum of `md5(doc_id|md5(text))[0:8]` as a 32-bit
+    * integer per document. Summing (not xor-folding through an
+    * aggregation order) keeps it exact-integer and portable to the
+    * DuckDB oracle; each term is < 2^32, so a BIGINT sum holds
+    * ~2^31 documents per cell before overflow — beyond any
+    * per-(split, source) cell of a real corpus, and the bound is
+    * documented rather than silent. Binding doc_id INTO the hash
+    * means a swapped id/text pairing changes the checksum even when
+    * the multiset of texts is unchanged.
+    *
+    * Scale posture: one scan, row-local codegen'd hashing, one
+    * small rollup shuffle with map-side partials.
+    */
+  def manifest(spark: SparkSession, dir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    val bucket = hashBucket("")
+    docs(spark, dir)
+      .withColumn("split",
+        when(bucket < pctTrain, "train")
+          .when(bucket < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .withColumn("term", expr(
+        """cast(conv(substr(md5(cast(concat(cast(doc_id as string), '|',
+           md5(cast(text as binary))) as binary)), 1, 8), 16, 10) as bigint)"""))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("term")).cast("long").as("checksum"))
+      .orderBy("split", "source")
+  }
+
   /** The capstone composition — the final training corpus as ONE
     * query: documents that (1) pass the Gopher quality flags,
     * (2) survive near-dup cluster resolution (keepers and

@@ -136,6 +136,28 @@ FROM agg ORDER BY doc_id"""
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
 
+  /** [[graft.operators.CorpusPrep.manifest]]: identical split bucket
+    * and order-independent checksum arithmetic (32-bit hash terms
+    * summed as BIGINT).
+    */
+  def manifestSql(pctTrain: Int = 80, pctVal: Int = 10): String = {
+    val bucket = DocOracle.hex8IntSql("md5(CAST(doc_id AS VARCHAR))")
+    val term = DocOracle.hex8IntSql(
+      "md5(CAST(doc_id AS VARCHAR) || '|' || md5(text))")
+    s"""WITH b AS (
+    SELECT source, n_chars,
+      CASE WHEN $bucket % 100 < $pctTrain THEN 'train'
+           WHEN $bucket % 100 < ${pctTrain + pctVal} THEN 'val'
+           ELSE 'test' END AS split,
+      $term AS term
+    FROM documents
+  )
+SELECT split, source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(term) AS BIGINT) AS checksum
+FROM b GROUP BY split, source ORDER BY split, source"""
+  }
+
   /** [[graft.operators.CorpusPrep.sourceCap]]: the WINDOW formulation
     * (rank per source, keep <= n) — the independent twin that proves
     * the engine's bounded-aggregator rewrite exact.
