@@ -20,6 +20,11 @@ object DedupQueries {
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some(DocOracle.minhashLshSql())),
+    // the incremental-crawl shape: a delta batch checked against the
+    // banded base (never base x base), per-delta-doc verdict rows.
+    Q("dedup_incremental",
+      (s, dir) => Dedup.incrementalNearDups(s, dir),
+      Some(DocOracle.incrementalSql())),
     Q("dedup_clusters",
       (s, dir) => Dedup.clusters(s, dir),
       Some(DocOracle.clustersSql())),

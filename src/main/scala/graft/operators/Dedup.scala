@@ -237,6 +237,56 @@ object Dedup {
       .orderBy("doc_x", "doc_y")
   }
 
+  /** Incremental near-dup dedup — the production crawl shape: a
+    * BATCH of newly-arrived documents (the delta) checked against
+    * the existing corpus (the base) plus earlier arrivals in the
+    * same batch, WITHOUT re-pairing the base against itself. Per
+    * delta doc: whether it near-dups anything it must defer to
+    * (any base doc, or a smaller-id delta doc — the same min-id
+    * keeper rule as [[clustersFromPairs]]), how many of its dups
+    * are in the base, and its strongest verified Jaccard.
+    *
+    * The delta is the registered stand-in split `doc_id % deltaMod
+    * = 0` (the [[graft.operators.CorpusPrep.decontaminate]]
+    * convention); in production the base's banded signatures are
+    * the persisted artifact (the [[bands]] DfCache here; durably,
+    * the same snapshot-companion pattern as the key-stats artifact)
+    * and only the delta's signatures are computed fresh.
+    *
+    * Scale posture (100 TB base, bounded delta): candidates come
+    * from the band equi-join of a DELTA-sized side against the
+    * banded base — never base × base; verification is O(candidates)
+    * shingle joins; every delta doc emits a row (left join), so a
+    * clean batch is an explicit all-zeros frame, not an absence.
+    * Complements [[graft.streaming.DedupStream.dedupNearSignature]]
+    * (row-local, signature-identical only) with the full banded
+    * recall at batch boundaries.
+    */
+  def incrementalNearDups(spark: SparkSession, dir: String,
+      deltaMod: Int = 11): DataFrame = {
+    val b = bands(spark, dir)
+    val other = b.select(col("doc_id").as("doc_x"), col("band_id"), col("bh"))
+    val dNew = b.where(col("doc_id") % deltaMod === 0)
+      .select(col("doc_id").as("doc_y"), col("band_id"), col("bh"))
+    val cand = dNew.join(other, Seq("band_id", "bh"))
+      .where(col("doc_x") =!= col("doc_y"))
+      .where((col("doc_x") % deltaMod =!= 0) || (col("doc_x") < col("doc_y")))
+      .select("doc_x", "doc_y").distinct()
+    val flags = verifyJaccard(spark, dir, cand, 5000)
+      .groupBy(col("doc_y").as("doc_id"))
+      .agg(count(lit(1)).as("dups"),
+        sum(when(col("doc_x") % deltaMod =!= 0, 1L).otherwise(0L)).as("base_dups"),
+        max("jac_bp").as("best_jac"))
+    docs(spark, dir).where(col("doc_id") % deltaMod === 0).select("doc_id")
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dups").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        coalesce(col("dups"), lit(0L)).as("n_dups"),
+        coalesce(col("base_dups"), lit(0L)).as("n_base_dups"),
+        coalesce(col("best_jac"), lit(0L)).as("max_jac_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs — the step that turns pairwise similarity into a
     * dedup DECISION (one keeper per cluster, everything else

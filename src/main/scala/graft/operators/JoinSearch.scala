@@ -375,6 +375,9 @@ object JoinSearch {
   def searchTablesBatch(index: DataFrame,
       queries: Seq[(String, DataFrame, Seq[String])],
       maxTables: Int = 20): DataFrame = {
+    require(queries.nonEmpty, "searchTablesBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query_ids: ${queries.map(_._1).mkString(", ")}")
     val prepared = queries.map { case (qid, q, cols) =>
       (qid, mappings(prepareInput(q, cols), cols), cols)
     }

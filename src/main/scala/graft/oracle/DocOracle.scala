@@ -122,7 +122,7 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
 ORDER BY d.doc_id"""
 
-  private def minhashCandCtes(numSeeds: Int): String =
+  private def minhashBandCtes(numSeeds: Int): String =
     s"""minh AS (
     SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
     FROM doc_shingles, range(0, $numSeeds) t(seed)
@@ -133,7 +133,10 @@ ORDER BY d.doc_id"""
       md5(min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
           min(CASE WHEN seed % 2 = 1 THEN mh END)) AS bh
     FROM minh GROUP BY doc_id, seed // 2
-  ),
+  )"""
+
+  private def minhashCandCtes(numSeeds: Int): String =
+    s"""${minhashBandCtes(numSeeds)},
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y
     FROM bands a
@@ -142,6 +145,38 @@ ORDER BY d.doc_id"""
 
   def minhashLshSql(numSeeds: Int = 8): String =
     verifySql(minhashCandCtes(numSeeds))
+
+  /** [[graft.operators.Dedup.incrementalNearDups]]: delta docs
+    * (doc_id % deltaMod = 0) paired against base docs (any) or
+    * smaller-id delta docs, verified, rolled up per delta doc with
+    * an all-rows left join.
+    */
+  def incrementalSql(deltaMod: Int = 11, numSeeds: Int = 8): String = {
+    val cand = s"""${minhashBandCtes(numSeeds)},
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_x, b.doc_id AS doc_y
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+      AND a.doc_id <> b.doc_id
+    WHERE b.doc_id % $deltaMod = 0
+      AND (a.doc_id % $deltaMod <> 0 OR a.doc_id < b.doc_id)
+  )"""
+    s"""WITH ${verifiedCtes(cand)},
+  flags AS (
+    SELECT doc_y AS doc_id, count(*) AS dups,
+      sum(CASE WHEN doc_x % $deltaMod <> 0 THEN 1 ELSE 0 END) AS base_dups,
+      max(jac_bp) AS best_jac
+    FROM verified GROUP BY doc_y
+  )
+SELECT d.doc_id,
+  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+  CAST(coalesce(f.dups, 0) AS BIGINT) AS n_dups,
+  CAST(coalesce(f.base_dups, 0) AS BIGINT) AS n_base_dups,
+  CAST(coalesce(f.best_jac, 0) AS BIGINT) AS max_jac_bp
+FROM documents d LEFT JOIN flags f USING (doc_id)
+WHERE d.doc_id % $deltaMod = 0
+ORDER BY d.doc_id"""
+  }
 
   def ngramJaccardSql(maxDf: Int = 100, minShared: Int = 3): String = verifySql(
     s"""rare AS (

@@ -36,4 +36,23 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got.map(_._2).distinct == Seq(5L))
     assert(got.filter(_._4 == 1L).map(_._1) == Seq(5L))
   }
+
+  test("incremental flags derive from the whole-corpus verified pairs") {
+    import org.apache.spark.sql.functions.col
+    // Same bands, same verify threshold — so a delta doc is flagged
+    // iff the whole-corpus pair set (doc_x < doc_y) contains a pair
+    // where it must defer: any pair with a BASE partner, or a
+    // delta-delta pair in which it is the larger id.
+    val mod = 11
+    def isDelta(id: Long) = id % mod == 0
+    val pairs = Dedup.minhashLsh(spark, sf0001)
+      .select("doc_x", "doc_y").as[(Long, Long)].collect().toSeq
+    val expected =
+      pairs.collect { case (_, y) if isDelta(y) => y }.toSet ++
+      pairs.collect { case (x, y) if isDelta(x) && !isDelta(y) => x }.toSet
+    val got = Dedup.incrementalNearDups(spark, sf0001, mod)
+      .where(col("is_dup") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
 }
