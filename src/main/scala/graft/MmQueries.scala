@@ -20,5 +20,10 @@ object MmQueries {
       Some(MmOracle.resizePlanSql())),
     Q("mm_type_rollup",
       (s, dir) => Multimodal.typeRollup(s, dir),
-      Some(MmOracle.typeRollupSql)))
+      Some(MmOracle.typeRollupSql)),
+    // media content-hash dedup: byte-identical payloads collapse —
+    // no decode, so no codec dependency.
+    Q("mm_dedup",
+      (s, dir) => Multimodal.dedupMedia(s, dir),
+      Some(MmOracle.dedupMediaSql)))
 }

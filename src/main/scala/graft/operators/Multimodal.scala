@@ -157,4 +157,20 @@ object Multimodal {
         expr("cast((sum(width) * 100) div count(1) as bigint)").as("mean_width_c"),
         expr("cast((sum(height) * 100) div count(1) as bigint)").as("mean_height_c"))
       .orderBy("media_type")
+
+  /** Media content-hash dedup — the universal first rung of any
+    * multimodal pipeline (identical images/audio re-crawled under
+    * different ids): one group per (media_type, payload md5),
+    * keeper = min doc_id, `copies > 1` marks droppables. The hash
+    * comes from the metadata struct, NOT a decode — byte-identity
+    * needs no codec, so this stays codegen'd row-local work plus one
+    * aggregation with map-side partials at any corpus size.
+    * (Perceptual near-dup — pHash over decoded frames — would ride
+    * the Codec seam; content-hash is the exact rung.)
+    */
+  def dedupMedia(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .groupBy(col("media_type"), col("meta.payload_md5").as("payload_md5"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("copies"))
+      .orderBy("media_type", "payload_md5")
 }

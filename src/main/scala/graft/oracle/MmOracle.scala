@@ -56,4 +56,12 @@ SELECT doc_id, media_type, width, height,
   CAST(CASE WHEN greatest(width, height) <= $maxDim THEN height
        ELSE (height * $maxDim) // greatest(width, height) END AS BIGINT) AS out_h
 FROM mmeta ORDER BY doc_id"""
+
+  /** Mirrors `Multimodal.dedupMedia` (content-hash groups). */
+  def dedupMediaSql: String =
+    s"""WITH $metaCte
+SELECT media_type, payload_md5, min(doc_id) AS keeper_doc_id,
+  count(*) AS copies
+FROM mmeta GROUP BY media_type, payload_md5
+ORDER BY media_type, payload_md5"""
 }
