@@ -117,9 +117,14 @@ object CorpusPrep {
     * small rollup shuffle with map-side partials.
     */
   def manifest(spark: SparkSession, dir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
+    manifestOf(docs(spark, dir), pctTrain, pctVal)
+
+  /** [[manifest]] over an arbitrary documents frame (fixture seam). */
+  def manifestOf(documents: DataFrame,
       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
     val bucket = hashBucket("")
-    docs(spark, dir)
+    documents
       .withColumn("split",
         when(bucket < pctTrain, "train")
           .when(bucket < pctTrain + pctVal, "val")

@@ -72,6 +72,32 @@ class CorpusPrepSpec extends SparkTestBase {
       (12L, 3L, 0L, 0L, 0L)))
   }
 
+  test("manifest checksum is order-independent but pairing-sensitive") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha", "en", "src0", 5L),
+      (2L, "beta", "en", "src0", 4L),
+      (3L, "gamma", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def sums(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Long, Long)] =
+      CorpusPrep.manifestOf(df)
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+    val base = sums(docs)
+    // row order cannot matter: the checksum is a sum, not a fold.
+    assert(sums(docs.orderBy(col("doc_id").desc)) == base)
+    // swapping which text belongs to which doc_id MUST change it,
+    // even though the text multiset (and so per-text hashes) did not.
+    val swapped = Seq(
+      (1L, "beta", "en", "src0", 5L),
+      (2L, "alpha", "en", "src0", 4L),
+      (3L, "gamma", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(sums(swapped).map(_._5) != base.map(_._5))
+    // counts and char sums are pairing-blind, as documented.
+    assert(sums(swapped).map(t => (t._1, t._2, t._3, t._4)) ==
+      base.map(t => (t._1, t._2, t._3, t._4)))
+  }
+
   test("source cap equals the window formulation on a skewed, tie-heavy corpus") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
