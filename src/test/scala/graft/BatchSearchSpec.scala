@@ -48,4 +48,18 @@ class BatchSearchSpec extends SparkTestBase {
         s"no ReusedExchange in the batched plan:\n${df.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("AQE also reuses the shared stages at runtime") {
+    // adaptive reuse happens at stage materialization: after
+    // execution, the final plan references the same ShuffleQueryStage
+    // id from multiple branches (and renders ReusedExchange nodes).
+    val df = JoinSearch.searchTablesBatch(
+      IndexBuilder.cached(spark, sf0001), queryTriples(sf0001))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(stageIds.size > stageIds.distinct.size,
+      s"no shuffle stage referenced twice in the adaptive plan:\n${plan.take(3000)}")
+  }
 }
