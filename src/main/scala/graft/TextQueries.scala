@@ -37,5 +37,11 @@ object TextQueries {
     // idf + tf saturation, per-term bp floor before the doc sum).
     Q("text_bm25_topk",
       (s, dir) => TextAnalysis.bm25TopK(s, dir),
-      Some(TextOracle.bm25TopKSql())))
+      Some(TextOracle.bm25TopKSql())),
+    // regex-tier HTML -> text extraction over constructed pages; the
+    // oracle runs the identical rules in RE2, pinning the
+    // cross-engine regex semantics (the risk of a regex extractor).
+    Q("text_html_extract",
+      (s, dir) => TextAnalysis.htmlExtract(s, dir),
+      Some(TextOracle.htmlExtractSql)))
 }

@@ -333,4 +333,64 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, k)).as("fp"))
       .orderBy("doc_id")
+
+  /** HTML -> text extraction, the C4/CCNet-style tag-strip rung of a
+    * crawl pipeline, as pure column expressions (row-local, codegen,
+    * no parser dependency). Documented approximation — this is the
+    * regex tier, not a DOM: (1) drop `<head>`, `<script>`, `<style>`
+    * BLOCKS wholesale (content and all; lazy match, no backreference
+    * — RE2-safe for the oracle), (2) strip remaining tags to spaces,
+    * (3) decode the five-entity subset (`&amp;` LAST so `&amp;lt;`
+    * decodes to the literal `&lt;`, not `<`), (4) collapse
+    * whitespace. Nested same-tag blocks and exotic entities are out
+    * of contract.
+    */
+  def htmlToText(html: Column): Column = {
+    val blocks = Seq("head", "script", "style").foldLeft(html)((c, t) =>
+      regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " "))
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The page `<title>` text (entity-decoded, trimmed); empty when
+    * absent.
+    */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(raw.cast("string")) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Registered demonstration over a deterministically-constructed
+    * page per document (title with an entity, a style block, a
+    * script block containing a bare `<` — the traps the rules must
+    * survive; the corpus has no HTML of its own). `matches_source`
+    * proves the round-trip: body extraction must return the original
+    * text exactly. The oracle builds the identical page and runs the
+    * identical rules in RE2, so this query pins the cross-engine
+    * regex semantics — the actual risk of a regex-tier extractor.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>doc &amp; "), col("doc_id").cast("string"),
+      lit("</title><style>.c{color:red}</style></head><body>"),
+      lit("<script>var x = 1 < 2;</script><p>"), col("text"),
+      lit("</p></body></html>"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), html.as("html"))
+      .select(col("doc_id"),
+        htmlTitle(col("html")).as("title"),
+        htmlToText(col("html")).as("extracted"),
+        col("text"))
+      .select(col("doc_id"), col("title"),
+        md5(col("extracted").cast("binary")).as("extracted_md5"),
+        length(col("extracted")).cast("long").as("n_chars_extracted"),
+        when(col("extracted") === col("text"), 1L).otherwise(0L).as("matches_source"))
+      .orderBy("doc_id")
+  }
 }

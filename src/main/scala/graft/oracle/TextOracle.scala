@@ -183,4 +183,40 @@ FROM cnts GROUP BY doc_id, n ORDER BY doc_id, n"""
   hashed AS (SELECT doc_id, md5(s) AS h FROM doc_shingles)
 SELECT doc_id, array_to_string(list_sort(list(h))[1:$k], '|') AS fp
 FROM hashed GROUP BY doc_id ORDER BY doc_id"""
+
+  /** [[graft.operators.TextAnalysis.htmlExtract]]: the identical page
+    * construction and extraction rules in RE2 (block drops are
+    * backreference-free on purpose — RE2 has no backreferences).
+    */
+  def htmlExtractSql: String = {
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+    def decode(x: String) = entities.foldLeft(x) { case (c, (e, v)) =>
+      s"replace($c, '$e', '$v')"
+    }
+    def collapse(x: String) =
+      s"trim(regexp_replace($x, '\\s+', ' ', 'g'))"
+    val blocks = Seq("head", "script", "style").foldLeft("html") { (c, t) =>
+      s"regexp_replace($c, '(?is)<$t[^>]*>.*?</$t>', ' ', 'g')"
+    }
+    val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
+    val extracted = collapse(decode(noTags))
+    val title = collapse(decode(
+      s"regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"))
+    s"""WITH h AS (
+    SELECT doc_id, text,
+      '<html><head><title>doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+      '</title><style>.c{color:red}</style></head><body>' ||
+      '<script>var x = 1 < 2;</script><p>' || text ||
+      '</p></body></html>' AS html
+    FROM documents
+  ),
+  e AS (
+    SELECT doc_id, text, $title AS title, $extracted AS extracted FROM h
+  )
+SELECT doc_id, title, md5(extracted) AS extracted_md5,
+  CAST(length(extracted) AS BIGINT) AS n_chars_extracted,
+  CAST(CASE WHEN extracted = text THEN 1 ELSE 0 END AS BIGINT) AS matches_source
+FROM e ORDER BY doc_id"""
+  }
 }
