@@ -141,6 +141,13 @@ object Scale {
         JoinSearch.searchTables(IndexBuilder.cached(spark, d), partQ, Queries.partCols)),
       "search_customer_pruned" -> (d =>
         JoinSearch.searchTablesPruned(IndexBuilder.cached(spark, d), custQ, Queries.customerCols)),
+      // the batched service: both queries above in ONE index pass —
+      // its ratio should track the single searches', with the probe
+      // paid once.
+      "search_batch" -> (d =>
+        JoinSearch.searchTablesBatch(IndexBuilder.cached(spark, d), Seq(
+          ("customer", custQ, Queries.customerCols),
+          ("part", partQ, Queries.partCols)))),
       "dedup_exact" -> (d => Dedup.exact(spark, d)),
       "dedup_minhash_lsh" -> (d => Dedup.minhashLsh(spark, d)),
       "dedup_clusters" -> (d => Dedup.clusters(spark, d)),
