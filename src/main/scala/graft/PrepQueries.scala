@@ -45,5 +45,11 @@ object PrepQueries {
     // order-independent exact-integer content checksum.
     Q("prep_manifest",
       (s, dir) => CorpusPrep.manifest(s, dir),
-      Some(PrepOracle.manifestSql())))
+      Some(PrepOracle.manifestSql())),
+    // the loader-ready packing view: per-doc sequence id, start
+    // offset, and boundary-spill flag from the SAME running total as
+    // shard packing.
+    Q("prep_sequence_map",
+      (s, dir) => CorpusPrep.sequenceMap(s, dir),
+      Some(PrepOracle.sequenceMapSql())))
 }

@@ -355,9 +355,11 @@ object CorpusPrep {
         counter.count(col("text")).as("n_tokens")),
       budget, bucketSize)
 
-  /** [[shardPacking]] over a prepared `(doc_id, n_tokens)` frame. */
-  def shardPackingOf(sized: DataFrame,
-      budget: Long, bucketSize: Long): DataFrame = {
+  /** The shared two-pass core: `(doc_id, n_tokens, tokens_before)`
+    * with the global running total computed distributed (per-bucket
+    * windows + a thin broadcast offset frame — see [[shardPacking]]).
+    */
+  private def packedOf(sized: DataFrame, bucketSize: Long): DataFrame = {
     val base = sized
       .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id div $bucketSize").as("bucket"))
@@ -373,9 +375,41 @@ object CorpusPrep {
       .withColumn("within", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
       .join(broadcast(offsets), Seq("bucket"))
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"cast((within + offset) div $budget as bigint)").as("shard_id"))
-      .orderBy("doc_id")
+        (col("within") + col("offset")).as("tokens_before"))
   }
+
+  /** [[shardPacking]] over a prepared `(doc_id, n_tokens)` frame. */
+  def shardPackingOf(sized: DataFrame,
+      budget: Long, bucketSize: Long): DataFrame =
+    packedOf(sized, bucketSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cast(tokens_before div $budget as bigint)").as("shard_id"))
+      .orderBy("doc_id")
+
+  /** The loader-ready face of the packing: where each document's
+    * tokens LAND inside its packed fixed-length training sequence —
+    * `seq_id` (= the shard), the 0-based `start_offset` within the
+    * sequence, and `spills` marking documents whose tokens cross the
+    * sequence boundary (the greedy rule assigns the doc to the
+    * sequence its first token falls in; a loader continues it into
+    * the next sequence or truncates — its policy, our map either
+    * way). Everything derives row-locally from the same
+    * `tokens_before` running total as [[shardPacking]], so the two
+    * views cannot disagree.
+    */
+  def sequenceMap(spark: SparkSession, dir: String,
+      budget: Long = 4096L, bucketSize: Long = 100L,
+      counter: TokenCounter = WhitespaceCounter): DataFrame =
+    packedOf(
+      docs(spark, dir).select(col("doc_id"),
+        counter.count(col("text")).as("n_tokens")),
+      bucketSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cast(tokens_before div $budget as bigint)").as("seq_id"),
+        expr(s"tokens_before % $budget").as("start_offset"),
+        expr(s"cast(case when tokens_before % $budget + n_tokens > $budget " +
+          "then 1 else 0 end as bigint)").as("spills"))
+      .orderBy("doc_id")
 
   /** Per-source document cap: keep the `n` largest documents of each
     * source (by `n_chars` desc, doc_id asc tie-break) — the per-domain

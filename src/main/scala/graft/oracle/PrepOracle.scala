@@ -136,6 +136,27 @@ FROM agg ORDER BY doc_id"""
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
 
+  /** [[graft.operators.CorpusPrep.sequenceMap]]: same plain global
+    * running sum, loader-facing projection.
+    */
+  def sequenceMapSql(budget: Long = 4096L): String =
+    s"""WITH base AS (
+    SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+  ),
+  cum AS (
+    SELECT doc_id, n_tokens,
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+    FROM base
+  )
+SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS seq_id,
+  CAST(tokens_before % $budget AS BIGINT) AS start_offset,
+  CAST(CASE WHEN tokens_before % $budget + n_tokens > $budget
+       THEN 1 ELSE 0 END AS BIGINT) AS spills
+FROM cum ORDER BY doc_id"""
+
   /** [[graft.operators.CorpusPrep.manifest]]: identical split bucket
     * and order-independent checksum arithmetic (32-bit hash terms
     * summed as BIGINT).

@@ -31,4 +31,38 @@ class SkewSpec extends SparkTestBase {
       .select("s").distinct().count()
     assert(shards == 16L, s"hot key used $shards of 16 shards")
   }
+
+  test("AQE skew-join splitting actually engages on a skewed shuffle join") {
+    // The session contract claims AQE skew handling; this proves the
+    // config path ENGAGES Spark's splitter rather than assuming it:
+    // with sort-merge forced (no broadcast escape) and the skew
+    // thresholds lowered to the fixture's scale, the final adaptive
+    // plan must mark the join's skewed side as split (isSkew=true
+    // partitions render as "skew=true" in the SMJ node).
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = (1 to 20000).map(i =>
+        (if (i % 10 != 0) "hot" else s"k$i", i.toLong))
+        .toDF("key", "v")
+      val dim = (Seq("hot") ++ (1 to 20000).map(i => s"k$i"))
+        .map((_, 1L)).toDF("key", "w")
+      val joined = big.join(dim, Seq("key"))
+      // execute THIS frame's QueryExecution (count() would plan a
+      // separate aggregate query and leave this one un-finalized).
+      assert(joined.collect().length == 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
