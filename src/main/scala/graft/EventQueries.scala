@@ -39,5 +39,10 @@ object EventQueries {
     // week offset, exact integer weeks and basis points.
     Q("events_retention",
       (s, dir) => Events.retention(s, dir),
-      Some(EventOracle.retentionSql)))
+      Some(EventOracle.retentionSql)),
+    // monitoring rung: hourly counts vs the trailing 24 observed
+    // buckets per type, exact rational basis points.
+    Q("events_hourly_deviation",
+      (s, dir) => Events.hourlyDeviation(s, dir),
+      Some(EventOracle.hourlyDeviationSql())))
 }

@@ -297,6 +297,42 @@ object Events {
     */
   val MicrosPerWeek: Long = 7L * 24 * MicrosPerHour
 
+  /** Hourly volume deviation — the monitoring rung over the window
+    * family: each (hour, event_type) bucket's count against the
+    * trailing `trail` OBSERVED buckets of the same type (row-frame,
+    * deliberately: empty hours emit no bucket, so the baseline is
+    * "recent observed traffic", robust to idle gaps), in exact basis
+    * points via the rational form `n * trail_n * 10000 div
+    * trail_sum`. Buckets with no history report the 10000 baseline
+    * (`trail_n` says how much history backs each number — 0 marks
+    * the convention rows).
+    *
+    * Scale posture (100 TB): one scan -> row-local hour bucketing ->
+    * one (hour, type) aggregation with map-side partials; the
+    * trailing window partitions by event_type — each partition is
+    * one type's hour SERIES (corpus-volume-independent: ~9k rows per
+    * type per decade), the legitimate single-partition series case,
+    * and the bucketed two-pass (shardPacking's) is the escape if a
+    * type's span ever outgrows it.
+    */
+  def hourlyDeviation(spark: SparkSession, dir: String,
+      trail: Int = 24): DataFrame = {
+    val hourly = raw(spark, dir)
+      .select(expr(s"(ts div $NanosPerHour) * 3600").as("hour_s"),
+        col("event_type"))
+      .groupBy("hour_s", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(-trail, -1)
+    hourly
+      .withColumn("trail_sum", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select(col("hour_s"), col("event_type"), col("n"), col("trail_n"),
+        expr("""cast(case when trail_sum > 0
+                then (n * trail_n * 10000) div trail_sum
+                else 10000 end as bigint)""").as("dev_bp"))
+      .orderBy("hour_s", "event_type")
+  }
+
   /** Cohort retention matrix: users bucketed by first-seen epoch week
     * (their cohort), counted in each later week they were active —
     * the third classic event-analytics kind beside [[funnel]]

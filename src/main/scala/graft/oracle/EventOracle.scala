@@ -147,6 +147,28 @@ FROM c JOIN p ON c.user_id = p.user_id
   AND p.purchase_us <= c.click_us + $windowUs
 ORDER BY c.click_id, p.purchase_id"""
 
+  /** [[Events.hourlyDeviation]]: identical hour bucketing, trailing
+    * row-frame window, rational basis points.
+    */
+  def hourlyDeviationSql(trail: Int = 24): String =
+    s"""WITH e AS (
+    SELECT (epoch_ns(ts) // ${Events.NanosPerHour}) * 3600 AS hour_s, event_type
+    FROM events
+  ),
+  h AS (SELECT hour_s, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+  t AS (
+    SELECT hour_s, event_type, n,
+      coalesce(sum(n) OVER w, 0) AS trail_sum,
+      count(*) OVER w AS trail_n
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
+      ROWS BETWEEN $trail PRECEDING AND 1 PRECEDING)
+  )
+SELECT hour_s, event_type, n, CAST(trail_n AS BIGINT) AS trail_n,
+  CAST(CASE WHEN trail_sum > 0 THEN (n * trail_n * 10000) // trail_sum
+       ELSE 10000 END AS BIGINT) AS dev_bp
+FROM t ORDER BY hour_s, event_type"""
+
   /** [[Events.retention]]: identical epoch-week integer bucketing;
     * cell counts are plain count(*) over the (user, week) distinct —
     * the same no-second-DISTINCT argument.
