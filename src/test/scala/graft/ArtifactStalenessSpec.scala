@@ -64,4 +64,30 @@ class ArtifactStalenessSpec extends SparkTestBase {
     assert((statsMarker.lastModified(), sketchMarker.lastModified()) == m1,
       "artifacts rebuilt although fresh")
   }
+
+  test("doc-signature artifact rebuilds when the documents source is newer") {
+    import graft.operators.Dedup
+    val dir = isolatedCorpus()
+    // first touch builds; artifact equals the live band computation.
+    val art0 = Dedup.loadOrBuildSignatures(spark, dir)
+      .collect().map(_.toString).toSet
+    val live = Dedup.bands(spark, dir).collect().map(_.toString).toSet
+    assert(art0 == live && art0.nonEmpty)
+    val marker = new java.io.File(s"${Dedup.signaturePath(dir)}/_SUCCESS")
+    assert(marker.isFile)
+
+    // back-date the ARTIFACT below the source (what a re-crawled
+    // corpus landing at the same path looks like to the gate): it
+    // must rebuild, landing at-or-after the source's mtime again.
+    val src = new java.io.File(s"$dir/documents.parquet")
+    assert(marker.setLastModified(src.lastModified() - 60000))
+    Dedup.loadOrBuildSignatures(spark, dir).count()
+    assert(marker.lastModified() >= src.lastModified(),
+      "signatures not rebuilt after falling behind the source")
+
+    // fresh artifact with an older source: served as-is.
+    val m1 = marker.lastModified()
+    Dedup.loadOrBuildSignatures(spark, dir).count()
+    assert(marker.lastModified() == m1, "signatures rebuilt although fresh")
+  }
 }
