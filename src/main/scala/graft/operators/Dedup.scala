@@ -240,10 +240,12 @@ object Dedup {
   /** The durable doc-signature artifact's location, beside the index
     * snapshot's companions (shares the snapshot fingerprint, so a
     * tokenizer/stopword change invalidates signatures too — shingles
-    * derive from the same cleaning chain).
+    * derive from the same cleaning chain). The seed count is part of
+    * the path: signatures at different band widths are different
+    * artifacts, never silently substituted.
     */
-  def signaturePath(dir: String): String =
-    graft.sources.IndexBuilder.snapshotPath(dir) + "-docsig"
+  def signaturePath(dir: String, numSeeds: Int = 8): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-docsig$numSeeds"
 
   /** Durable form of [[bands]]: the per-document MinHash band
     * signatures persisted once per corpus — the artifact an
@@ -258,7 +260,7 @@ object Dedup {
     */
   def loadOrBuildSignatures(spark: SparkSession, dir: String,
       numSeeds: Int = 8): DataFrame = {
-    val path = signaturePath(dir)
+    val path = signaturePath(dir, numSeeds)
     val conf = spark.sparkContext.hadoopConfiguration
     val art = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = art.getFileSystem(conf)
