@@ -9,8 +9,14 @@ import graft.oracle.SimOracle
 object SimQueries {
 
   val all: Seq[Q] = Seq(
+    // DEFAULT cosine search = the bounded TopK-aggregator form (round-7
+    // verdict #5): per-partition O(k) top-k state before any exchange —
+    // the plan that survives a 100 TB corpus. The full-corpus-window
+    // form below is the registered cross-check twin (the
+    // searchTables/searchTablesWindowed arrangement); both hash against
+    // ONE oracle, and SimilaritySpec pins the default's plan window-free.
     Q("sim_cosine_topk",
-      (s, dir) => Similarity.cosineTopK(s, dir),
+      (s, dir) => Similarity.cosineTopKAgg(s, dir),
       Some(SimOracle.cosineTopKSql())),
     Q("sim_lsh_bucketed",
       (s, dir) => Similarity.lshPairs(s, dir),
@@ -34,10 +40,10 @@ object SimQueries {
     Q("sim_ivf_recall_np2",
       (s, dir) => Similarity.ivfRecallMulti(s, dir),
       Some(SimOracle.ivfRecallMultiSql())),
-    // bounded-aggregator form: same oracle as sim_cosine_topk proves
-    // the window -> partial-top-k rewrite exact.
-    Q("sim_cosine_topk_agg",
-      (s, dir) => Similarity.cosineTopKAgg(s, dir),
+    // full-corpus-window twin: same oracle as sim_cosine_topk proves
+    // the partial-top-k default exact against the window formulation.
+    Q("sim_cosine_topk_windowed",
+      (s, dir) => Similarity.cosineTopK(s, dir),
       Some(SimOracle.cosineTopKSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any

@@ -425,7 +425,7 @@ object CorpusPrep {
     * moves n rows per source regardless of domain skew. The DuckDB
     * oracle runs the window formulation — hash equality proves the
     * bounded rewrite exact (the same twin-proof contract as
-    * `sim_cosine_topk_agg` / `prep_shard_packing`).
+    * `sim_cosine_topk` / `prep_shard_packing`).
     */
   def sourceCap(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     sourceCapOf(docs(spark, dir), n)

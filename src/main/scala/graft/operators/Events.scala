@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Floor division as a SQL fragment: Spark's `div` truncates toward
+    * zero while the DuckDB oracle's `//` floors, so pre-epoch
+    * (negative) timestamps would bucket one unit apart under plain
+    * `div`. `(a - pmod(a, b)) div b` is exact floor division in pure
+    * integer arithmetic (pmod is non-negative, the difference is
+    * divisible by b) — engine-portable for ANY ts sign, closing the
+    * round-7 ADVICE caveat that the integer-division claim held only
+    * for non-negative ts.
+    */
+  private def floorDivSql(a: String, b: Long): String =
+    s"(($a) - pmod($a, ${b}L)) div ${b}L"
+
   val NanosPerHour: Long = 3600L * 1000L * 1000L * 1000L
 
   val MicrosPerHour: Long = 3600L * 1000L * 1000L
@@ -51,7 +63,7 @@ object Events {
     */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     raw(spark, dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+      .select(timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
         col("event_type"), col("user_id"),
         round(col("value") * 100, 0).cast("long").as("vc"))
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
@@ -75,7 +87,7 @@ object Events {
     */
   def slidingHourly(spark: SparkSession, dir: String): DataFrame =
     raw(spark, dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+      .select(timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
         col("event_type"),
         round(col("value") * 100, 0).cast("long").as("vc"))
       .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
@@ -92,7 +104,7 @@ object Events {
       gapUs: Long = DefaultGapUs): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     raw(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+      .select(col("user_id"), col("event_id"), expr(floorDivSql("ts", 1000)).as("tus"),
         round(col("value") * 100, 0).cast("long").as("vc"))
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("new_sess",
@@ -132,7 +144,7 @@ object Events {
     */
   def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
     val ev = raw(spark, dir)
-      .select(col("user_id").as("key"), expr("ts div 1000").as("tus"),
+      .select(col("user_id").as("key"), expr(floorDivSql("ts", 1000)).as("tus"),
         lit(1).as("tag"), col("event_id"),
         lit(null).cast("long").as("o_orderkey"),
         lit(null).cast("long").as("order_us"))
@@ -169,7 +181,7 @@ object Events {
   def sessionizeNative(spark: SparkSession, dir: String,
       gapUs: Long = DefaultGapUs): DataFrame =
     raw(spark, dir)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t"),
+      .select(col("user_id"), timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
         round(col("value") * 100, 0).cast("long").as("vc"))
       .groupBy(col("user_id"),
         session_window(col("ts_t"), s"$gapUs microseconds").as("sw"))
@@ -187,7 +199,7 @@ object Events {
     */
   def asofLatestOrderCatalyst(spark: SparkSession, dir: String): DataFrame = {
     val ev = raw(spark, dir)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), expr(floorDivSql("ts", 1000)).as("ts_us"))
     val ord = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy("o_custkey", "o_orderdate")
       .agg(max("o_orderkey").as("o_orderkey"))
@@ -224,7 +236,7 @@ object Events {
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = raw(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("event_type"), expr(floorDivSql("ts", 1000)).as("tus"))
     val u = e.select("user_id").distinct()
     val v = e.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("tus").as("t1"))
@@ -277,7 +289,7 @@ object Events {
       windowUs: Long = DefaultAttributionUs): DataFrame = {
     val e = raw(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"))
+        expr(floorDivSql("ts", 1000)).as("tus"))
     val c = e.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("tus").as("click_us"))
@@ -318,7 +330,7 @@ object Events {
   def hourlyDeviation(spark: SparkSession, dir: String,
       trail: Int = 24): DataFrame = {
     val hourly = raw(spark, dir)
-      .select(expr(s"(ts div $NanosPerHour) * 3600").as("hour_s"),
+      .select(expr(s"(${floorDivSql("ts", NanosPerHour)}) * 3600").as("hour_s"),
         col("event_type"))
       .groupBy("hour_s", "event_type").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour_s")
@@ -357,7 +369,7 @@ object Events {
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val uw = raw(spark, dir)
       .select(col("user_id"),
-        expr(s"(ts div 1000) div $MicrosPerWeek").as("week"))
+        expr(floorDivSql("ts", 1000L * MicrosPerWeek)).as("week"))
       .distinct()
     val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
     val cells = uw.join(cohort, Seq("user_id"))

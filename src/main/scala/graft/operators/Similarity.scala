@@ -83,10 +83,12 @@ object Similarity {
     * the probe set broadcasts, so the corpus is scanned once with no
     * shuffle before the final per-probe top-k.
     *
-    * Scale note: the per-probe window ranks |corpus| rows per probe.
-    * At cluster scale the refinement is a per-partition bounded top-k
-    * pre-aggregation before the window; at bench scale AQE's
-    * coalescing already keeps the window stage fully parallel.
+    * Scale note: the per-probe window ranks |corpus| rows per probe —
+    * which is why this is NOT the registered default any more: the
+    * bounded [[cosineTopKAgg]] carries the `sim_cosine_topk` name
+    * (round-7 verdict #5) and this window form is its registered
+    * cross-check twin (`sim_cosine_topk_windowed`), hash-equal by the
+    * shared oracle.
     */
   def cosineTopK(spark: SparkSession, dir: String,
       k: Int = 10, probeMod: Int = 50): DataFrame = {

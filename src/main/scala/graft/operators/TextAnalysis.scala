@@ -342,8 +342,11 @@ object TextAnalysis {
     * — RE2-safe for the oracle), (2) strip remaining tags to spaces,
     * (3) decode the five-entity subset (`&amp;` LAST so `&amp;lt;`
     * decodes to the literal `&lt;`, not `<`), (4) collapse
-    * whitespace. Nested same-tag blocks and exotic entities are out
-    * of contract.
+    * whitespace via the EXPLICIT class `[ \t\n\f\r]` — Java's `\s`
+    * includes `\x0B` (vertical tab) while the oracle's RE2 `\s` does
+    * not, so a shared literal class is the only way both engines run
+    * one whitespace definition (round-7 ADVICE). Nested same-tag
+    * blocks and exotic entities are out of contract.
     */
   def htmlToText(html: Column): Column = {
     val blocks = Seq("head", "script", "style").foldLeft(html)((c, t) =>
@@ -352,7 +355,7 @@ object TextAnalysis {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** The page `<title>` text (entity-decoded, trimmed); empty when
@@ -363,7 +366,7 @@ object TextAnalysis {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(raw.cast("string")) { case (c, (e, v)) => regexp_replace(c, e, v) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Registered demonstration over a deterministically-constructed

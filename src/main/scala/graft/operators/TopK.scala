@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering matches the similarity family's ranking exactly:
   * (score desc, id asc) — ties deterministic, so the output is
   * bit-identical to the window formulation (proved by
-  * `sim_cosine_topk_agg` sharing `sim_cosine_topk`'s oracle).
+  * the default `sim_cosine_topk` sharing the windowed twin's oracle).
   */
 object TopK {
 

@@ -194,8 +194,11 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id"""
     def decode(x: String) = entities.foldLeft(x) { case (c, (e, v)) =>
       s"replace($c, '$e', '$v')"
     }
+    // explicit whitespace class shared with the Spark side: RE2's \s
+    // excludes \x0B (vertical tab) while Java's includes it, so `\s`
+    // on both sides is NOT one definition (round-7 ADVICE).
     def collapse(x: String) =
-      s"trim(regexp_replace($x, '\\s+', ' ', 'g'))"
+      s"trim(regexp_replace($x, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
     val blocks = Seq("head", "script", "style").foldLeft("html") { (c, t) =>
       s"regexp_replace($c, '(?is)<$t[^>]*>.*?</$t>', ' ', 'g')"
     }

@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall(p => bands(p._1).intersect(bands(p._2)).nonEmpty))
   }
 
+  test("default cosine search carries no full-corpus window (plan shape)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[SparkPlan] = p match {
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // the default (TopK-aggregator) form: zero window operators —
+    // per-probe top-k state is bounded per partition BEFORE any
+    // exchange, the round-7 verdict #5 requirement.
+    val agg = Similarity.cosineTopKAgg(spark, sf0001, k = 5, probeMod = 100)
+    assert(windows(agg.queryExecution.sparkPlan).isEmpty,
+      s"default cosine plan ranks through a window:\n${agg.queryExecution.sparkPlan}")
+    // the registered cross-check twin IS the window form.
+    val win = Similarity.cosineTopK(spark, sf0001, k = 5, probeMod = 100)
+    assert(windows(win.queryExecution.sparkPlan).nonEmpty)
+    // and the two are row-identical.
+    val a = agg.as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val w = win.as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(a == w)
+  }
+
   test("ivf: every vector lands in exactly one cell; probe stays in-cell") {
     val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
     val cells = Similarity.ivfCells(spark, sf0001)

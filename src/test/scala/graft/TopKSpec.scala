@@ -5,7 +5,7 @@ import graft.operators.TopK.Scored
 
 /** Unit semantics of the bounded top-k state (the Dataset-level
   * equivalence with the window form is oracle-proven by
-  * sim_cosine_topk_agg sharing sim_cosine_topk's oracle).
+  * the default sim_cosine_topk sharing the windowed twin's oracle).
   */
 class TopKSpec extends SparkTestBase {
 
