@@ -25,8 +25,15 @@ object DedupQueries {
     Q("dedup_incremental",
       (s, dir) => Dedup.incrementalNearDups(s, dir),
       Some(DocOracle.incrementalSql())),
+    // cluster resolution: star-contraction CC is the default (O(log n)
+    // rounds on any graph shape — round-8 change); label propagation
+    // stays registered as the cross-check twin. BOTH hash against the
+    // one recursive-CTE oracle.
     Q("dedup_clusters",
       (s, dir) => Dedup.clusters(s, dir),
+      Some(DocOracle.clustersSql())),
+    Q("dedup_clusters_labelprop",
+      (s, dir) => Dedup.clustersLabelProp(s, dir),
       Some(DocOracle.clustersSql())),
     Q("dedup_kept_corpus",
       (s, dir) => Dedup.keptCorpus(s, dir),

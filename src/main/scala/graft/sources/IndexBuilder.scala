@@ -125,6 +125,45 @@ object IndexBuilder {
     spark.read.parquet(path)
   }
 
+  /** The lake-layout snapshot's location, beside the merged one
+    * (shares its fingerprint, so semantic changes invalidate both).
+    */
+  def partitionedSnapshotPath(dir: String): String = snapshotPath(dir) + "-bytable"
+
+  /** S9 at lake scale: the snapshot hive-partitioned by `table_id`,
+    * key-clustered within each partition. This is the layout that
+    * makes the sketch pre-filter's win PHYSICAL: a literal
+    * `table_id IN (...)` predicate on this dataset lands in the
+    * scan's PartitionFilters, so pruned tables' files are never
+    * listed into the plan at all — the difference between touching
+    * 100 TB and touching the handful of tables sharing the query's
+    * vocabulary. (On the merged snapshot the same prune only shrinks
+    * the probe output; every table's bytes are still read —
+    * measured LOSING locally in round 7, SCALE.md.) Mirrors the
+    * per-table reality of a data lake, where each table is its own
+    * dataset and the "index" federates them.
+    */
+  def writePartitionedSnapshot(spark: SparkSession, dir: String): String = {
+    val path = partitionedSnapshotPath(dir)
+    build(spark, dir)
+      .repartition(col("key"))
+      .write.mode("overwrite").partitionBy("table_id").parquet(path)
+    path
+  }
+
+  /** S8 for the lake layout: load the partitioned snapshot if
+    * present, else build + write + load. `table_id` comes back as a
+    * partition column — same name, same int values, so every
+    * downstream operator (all column-name-addressed) is layout-blind.
+    */
+  def loadOrSnapshotPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = partitionedSnapshotPath(dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.isFile(marker)) writePartitionedSnapshot(spark, dir)
+    spark.read.parquet(path)
+  }
+
   /** S9 at cluster scale: the bucketed form of the snapshot. Writes
     * the index `bucketBy(numBuckets, "key")` as a catalog table, so
     * key-equi-joins (the probe, the J3 self-join, index-index
@@ -205,22 +244,14 @@ object IndexBuilder {
     }
 
   /** Shared staleness gate for snapshot-companion artifacts: rebuild
-    * whenever the snapshot's `_SUCCESS` is NEWER than the artifact's
-    * — a compaction or forced re-snapshot at the same path
-    * invalidates companions automatically, not just the
-    * fingerprinted semantic changes.
+    * whenever the snapshot's content listing changed since the
+    * artifact was stamped — a compaction or forced re-snapshot at the
+    * same path invalidates companions automatically, not just the
+    * fingerprinted semantic changes. Content-fingerprinted
+    * ([[Artifacts]]), not mtime-compared: a rewrite landing within
+    * one coarse mtime tick still invalidates (round-7 ADVICE).
     */
   private def loadOrBuildArtifact(spark: SparkSession, dir: String,
-      path: String)(build: => Unit): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val artMarker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = artMarker.getFileSystem(conf)
-    val snapMarker = new org.apache.hadoop.fs.Path(s"${snapshotPath(dir)}/_SUCCESS")
-    val fresh = fs.isFile(artMarker) &&
-      (!fs.isFile(snapMarker) ||
-        fs.getFileStatus(artMarker).getModificationTime >=
-          fs.getFileStatus(snapMarker).getModificationTime)
-    if (!fresh) build
-    spark.read.parquet(path)
-  }
+      path: String)(build: => Unit): DataFrame =
+    Artifacts.loadOrBuild(spark, path, Seq(snapshotPath(dir)))(build)
 }

@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import graft.operators.JoinSearch
 import graft.sources.IndexBuilder
 
-/** The snapshot-companion staleness gate, exercised at the FS level:
-  * both durable artifacts (key stats, table sketch) must rebuild when
-  * the snapshot's `_SUCCESS` becomes newer — a compaction or forced
-  * re-snapshot at the same path invalidates companions automatically.
+/** The artifact staleness gate, exercised at the FS level. Round 8
+  * moved the gate from `_SUCCESS` mtime comparison to a CONTENT
+  * fingerprint of the upstream's file listing
+  * ([[graft.sources.Artifacts]]): a rewrite landing within the same
+  * coarse mtime tick as the artifact must still invalidate it — the
+  * round-7 ADVICE failure the mtime gate could not see. Rebuilds are
+  * observed through part-file names (every Spark overwrite emits
+  * fresh random `part-<uuid>` names), which is mtime-blind by
+  * construction: no sleeps, no clock assumptions.
   * Runs against an isolated copy of the corpus so the shared sf0.001
   * snapshot other suites read stays untouched.
   */
@@ -23,49 +28,49 @@ class ArtifactStalenessSpec extends SparkTestBase {
     dir.toString
   }
 
-  test("companion artifacts rebuild when the snapshot becomes newer") {
+  private def partNames(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+
+  test("companion artifacts rebuild when the snapshot is rewritten") {
     val dir = isolatedCorpus()
     // first touch builds snapshot + both companions.
     IndexBuilder.loadOrBuildKeyStats(spark, dir).count()
     IndexBuilder.loadOrBuildTableSketch(spark, dir).count()
-    val statsMarker = new java.io.File(
-      s"${IndexBuilder.keyStatsPath(dir)}/_SUCCESS")
-    val sketchMarker = new java.io.File(
-      s"${IndexBuilder.tableSketchPath(dir)}/_SUCCESS")
-    val snapMarker = new java.io.File(
-      s"${IndexBuilder.snapshotPath(dir)}/_SUCCESS")
-    assert(statsMarker.isFile && sketchMarker.isFile && snapMarker.isFile)
+    val statsPath = IndexBuilder.keyStatsPath(dir)
+    val sketchPath = IndexBuilder.tableSketchPath(dir)
+    val stats0 = partNames(statsPath)
+    val sketch0 = partNames(sketchPath)
+    assert(stats0.nonEmpty && sketch0.nonEmpty)
 
-    // back-date the ARTIFACTS below the snapshot (what a compaction /
-    // re-snapshot at the same path looks like to the gate): both must
-    // rebuild, landing at-or-after the snapshot's mtime again.
-    val snapT = snapMarker.lastModified()
-    assert(statsMarker.setLastModified(snapT - 60000))
-    assert(sketchMarker.setLastModified(snapT - 60000))
+    // re-snapshot at the same path (what a compaction looks like to
+    // the gate): new part-<uuid> names change the snapshot's content
+    // fingerprint even when its mtime tick does not move — both
+    // companions must rebuild.
+    IndexBuilder.writeSnapshot(spark, dir)
     IndexBuilder.loadOrBuildKeyStats(spark, dir).count()
     IndexBuilder.loadOrBuildTableSketch(spark, dir).count()
-    assert(statsMarker.lastModified() >= snapT,
-      s"key stats not rebuilt: ${statsMarker.lastModified()} < $snapT")
-    assert(sketchMarker.lastModified() >= snapT,
-      s"sketch not rebuilt: ${sketchMarker.lastModified()} < $snapT")
+    val stats1 = partNames(statsPath)
+    val sketch1 = partNames(sketchPath)
+    assert(stats1 != stats0, "key stats not rebuilt after re-snapshot")
+    assert(sketch1 != sketch0, "sketch not rebuilt after re-snapshot")
 
-    // and the rebuilt artifacts still equal the live computation.
+    // and the rebuilt artifact still equals the live computation.
     val art = IndexBuilder.loadOrBuildTableSketch(spark, dir)
       .collect().toSet
     val live = JoinSearch.tableKeySketch(
       IndexBuilder.loadOrSnapshot(spark, dir)).collect().toSet
     assert(art == live)
 
-    // fresh artifacts with an OLDER snapshot are served as-is (no
-    // gratuitous rebuild): mtimes unchanged on a third touch.
-    val m1 = (statsMarker.lastModified(), sketchMarker.lastModified())
+    // fresh artifacts over an unchanged snapshot are served as-is
+    // (no gratuitous rebuild): part names unchanged on a third touch.
     IndexBuilder.loadOrBuildKeyStats(spark, dir).count()
     IndexBuilder.loadOrBuildTableSketch(spark, dir).count()
-    assert((statsMarker.lastModified(), sketchMarker.lastModified()) == m1,
+    assert(partNames(statsPath) == stats1 && partNames(sketchPath) == sketch1,
       "artifacts rebuilt although fresh")
   }
 
-  test("doc-signature artifact rebuilds when the documents source is newer") {
+  test("doc-signature artifact rebuilds when the documents source is rewritten") {
     import graft.operators.Dedup
     val dir = isolatedCorpus()
     // first touch builds; artifact equals the live band computation.
@@ -73,21 +78,24 @@ class ArtifactStalenessSpec extends SparkTestBase {
       .collect().map(_.toString).toSet
     val live = Dedup.bands(spark, dir).collect().map(_.toString).toSet
     assert(art0 == live && art0.nonEmpty)
-    val marker = new java.io.File(s"${Dedup.signaturePath(dir)}/_SUCCESS")
-    assert(marker.isFile)
+    val sigPath = Dedup.signaturePath(dir)
+    val names0 = partNames(sigPath)
+    assert(names0.nonEmpty)
 
-    // back-date the ARTIFACT below the source (what a re-crawled
-    // corpus landing at the same path looks like to the gate): it
-    // must rebuild, landing at-or-after the source's mtime again.
-    val src = new java.io.File(s"$dir/documents.parquet")
-    assert(marker.setLastModified(src.lastModified() - 60000))
+    // re-crawl: the documents source is rewritten in place (identical
+    // rows — localCheckpoint materializes before the overwrite). The
+    // fingerprint sees the new part names regardless of mtime ticks;
+    // the artifact must rebuild.
+    val src = s"$dir/documents.parquet"
+    spark.read.parquet(src).localCheckpoint(true)
+      .write.mode("overwrite").parquet(src)
     Dedup.loadOrBuildSignatures(spark, dir).count()
-    assert(marker.lastModified() >= src.lastModified(),
-      "signatures not rebuilt after falling behind the source")
+    val names1 = partNames(sigPath)
+    assert(names1 != names0,
+      "signatures not rebuilt after the source was rewritten")
 
-    // fresh artifact with an older source: served as-is.
-    val m1 = marker.lastModified()
+    // fresh artifact over an unchanged source: served as-is.
     Dedup.loadOrBuildSignatures(spark, dir).count()
-    assert(marker.lastModified() == m1, "signatures rebuilt although fresh")
+    assert(partNames(sigPath) == names1, "signatures rebuilt although fresh")
   }
 }

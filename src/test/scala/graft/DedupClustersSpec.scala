@@ -37,6 +37,44 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got.filter(_._4 == 1L).map(_._1) == Seq(5L))
   }
 
+  test("star contraction matches label propagation on every fixture shape") {
+    val fixtures = Seq(
+      // transitive chain + island (the existing label-prop fixture)
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)),
+      // reversed chain
+      Seq((8L, 9L), (7L, 8L), (6L, 7L), (5L, 6L)),
+      // clique + pendant + separate pair
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (20L, 30L)),
+      // star already
+      Seq((1L, 5L), (1L, 6L), (1L, 7L)),
+      // empty
+      Seq.empty[(Long, Long)])
+    fixtures.foreach { fx =>
+      val pairs = fx.toDF("doc_x", "doc_y")
+      val star = Dedup.clustersFromPairsStar(pairs)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val prop = Dedup.clustersFromPairs(pairs)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(star == prop, s"divergence on $fx: $star vs $prop")
+    }
+  }
+
+  test("star contraction rounds are logarithmic on a path graph") {
+    // the adversarial shape for label propagation: a 64-doc chain of
+    // pairwise near-dups (A~B~C~...), diameter 63. Label prop needs
+    // O(diameter) rounds; star contraction must stay within
+    // ~2*log2(n) + slack.
+    val n = 64
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_x", "doc_y")
+    val (labels, rounds) = Dedup.starComponents(pairs)
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"$rounds rounds > bound $bound on a $n-path")
+    // and the labels are the component minimum for every vertex.
+    val got = labels.as[(Long, Long)].collect().toSet
+    assert(got == (0 until n).map(i => (i.toLong, 0L)).toSet)
+  }
+
   test("incremental flags derive from the whole-corpus verified pairs") {
     import org.apache.spark.sql.functions.col
     // Same bands, same verify threshold — so a delta doc is flagged
