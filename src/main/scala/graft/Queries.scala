@@ -338,15 +338,34 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
       (s, dir) => JoinSearch.searchTablesCapped(index(s, dir), ordersQuery(s, dir), ordersCols, 10000L),
       Some(SearchOracle.tableScoresCapped(ordersSpec, 10000L))),
     // Sketch pre-filtered search: the table-pruning pre-filter is
-    // provably conservative, so BOTH pruned forms hash against the
+    // provably conservative, so ALL pruned forms hash against the
     // UNPRUNED oracles — the equality is the point. The part query
-    // exercises colCount=3 breadth pruning.
+    // exercises colCount=3 breadth pruning. Since round 8 the default
+    // pruned form runs against the table_id-PARTITIONED snapshot
+    // (hive layout): the sketch verdict becomes a literal partition
+    // predicate, so pruned tables' FILES are skipped, not just their
+    // postings (PrunedSearchSpec pins PartitionFilters + files-read).
     Q("search_pruned_tables",
-      (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), customerQuery(s, dir), customerCols),
+      (s, dir) => JoinSearch.searchTablesPartitionPruned(
+        IndexBuilder.loadOrSnapshotPartitioned(s, dir),
+        IndexBuilder.loadOrBuildTableSketch(s, dir),
+        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))),
     Q("search_part_pruned",
-      (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), partQuery(s, dir), partCols),
-      Some(SearchOracle.tableScores(partSpec))))
+      (s, dir) => JoinSearch.searchTablesPartitionPruned(
+        IndexBuilder.loadOrSnapshotPartitioned(s, dir),
+        IndexBuilder.loadOrBuildTableSketch(s, dir),
+        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        partQuery(s, dir), partCols),
+      Some(SearchOracle.tableScores(partSpec))),
+    // the merged-snapshot semi-join form stays registered as the
+    // cross-check twin (same oracle): the prune that shrinks postings
+    // when the index is one dataset and partition routing is not
+    // available (e.g. the session-cached in-memory index).
+    Q("search_pruned_semijoin",
+      (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))))
 
   // ---- S1/S2 CSV source + P2 row limit ----
 

@@ -685,4 +685,48 @@ object JoinSearch {
       .orderBy(col("join_score").desc, col("table_id").asc)
       .limit(maxTables)
   }
+
+  /** The sketch's allowed-table set as literal table ids — the
+    * routing step of [[searchTablesPartitionPruned]], exposed for the
+    * plan/metrics specs. The `.collect()` here is deliberate and is
+    * NOT a data collect: the sketch verdict is metadata-sized
+    * (bounded by the lake's table count, like the catalog listing
+    * itself), and static partition pruning requires plan-time
+    * literals — this is the same altitude as a query planner reading
+    * partition metadata. Every id is boxed through `Number` so int
+    * and long sketches both route.
+    */
+  def prunedTableIds(sketch: DataFrame, maps: DataFrame, colCount: Int): Seq[Int] =
+    prunedTables(sketch, maps, colCount)
+      .collect().map(_.getAs[Number]("table_id").intValue).toSeq.sorted
+
+  /** [[searchTablesPruned]] over a `table_id`-PARTITIONED snapshot
+    * ([[graft.sources.IndexBuilder.writePartitionedSnapshot]]) — the
+    * form where pruning skips FILES, not just postings. The sketch's
+    * allowed-table set (evaluated against the durable sketch artifact
+    * in milliseconds, touching no postings) becomes a literal
+    * `table_id IN (...)` predicate on the partitioned scan, which
+    * Catalyst turns into PartitionFilters: pruned tables' files are
+    * never listed into the plan, let alone read
+    * (`PrunedSearchSpec` pins the plan shape and the files-read
+    * count). Identical ranked output to [[searchTables]] — the prune
+    * is provably conservative ([[prunedTables]]) and the pipeline
+    * below the scan is the anchored default, fed by the durable
+    * key-stats artifact (`stats`) since the merged session index
+    * never materializes here.
+    */
+  def searchTablesPartitionPruned(partIndex: DataFrame, sketch: DataFrame,
+      stats: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val allowed = prunedTableIds(sketch, m, cols.size)
+    val probed = probe(
+      partIndex.where(col("table_id").isin(allowed: _*)), m)
+    val top = topColumns(
+      columnScores(conjunctionAnchored(probed, m, cols.size, Some(stats))),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
 }

@@ -127,4 +127,35 @@ object IndexStream {
           .groupBy("key").agg(count(lit(1)).as("kdf")))
       .groupBy("key").agg(sum("kdf").cast("long").as("kdf"))
   }
+
+  /** Table sketch of the LIVE index — the base snapshot's durable
+    * sketch artifact merged with a sketch of the accumulated deltas
+    * (bucket-set union per (table, column); sketch buckets are a pure
+    * per-posting function, so union-of-sketches IS
+    * sketch-of-union — `IndexStreamSpec` proves row equality with
+    * recomputing over [[loadWithDeltas]]). Same serving obligation as
+    * [[keyStatsWithDeltas]], but for CORRECTNESS, not just cost: the
+    * prune keeps a table only if the sketch covers some query row's
+    * keys, and key-bucket membership is one-sided only when the
+    * sketch describes every posting the index serves. A stale
+    * base-only sketch is blind to vocabulary that arrived via deltas
+    * and WRONGLY DROPS a now-viable table — silently missing results
+    * (the spec pins the failure and the fix). Anything calling
+    * [[graft.operators.JoinSearch.prunedTables]] (or the
+    * partition-pruned search routing) over a base+deltas index must
+    * consume THIS sketch.
+    */
+  def tableSketchWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = IndexBuilder.loadOrBuildTableSketch(spark, dir)
+    val batches = deltaBatches(spark, deltaDir)
+    if (batches.isEmpty) base
+    else base.unionByName(
+        graft.operators.JoinSearch.tableKeySketch(
+          spark.read.parquet(batches: _*)))
+      .select(col("table_id"), col("column_id"), explode(col("bits")).as("bit"))
+      .groupBy("table_id", "column_id")
+      .agg(sort_array(collect_set("bit")).as("bits"))
+  }
 }

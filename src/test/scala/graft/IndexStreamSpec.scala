@@ -106,6 +106,50 @@ class IndexStreamSpec extends SparkTestBase {
     assert(hot == Seq((1, 4L)))
   }
 
+  test("merged table sketch equals recomputed; stale base sketch wrongly prunes delta vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta4"), tmp("graft-ckpt4"))
+    val cols = Seq("c_name", "c_mktsegment")
+    // BOTH query keys arrive only via the delta: the base sketch has
+    // never seen this vocabulary, so its coverage check must (wrongly,
+    // if served live) drop the customer table.
+    val in = MemoryStream[CRow]
+    in.addData(
+      CRow("Xylophone Quartz", "METEORITE", 999920001L),
+      CRow("Xylophone Quartz", "METEORITE", 999920002L))
+    val q = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // (1) bucket-set union == sketch recomputed over the served index
+    // (union-of-sketches IS sketch-of-union).
+    val merged = IndexStream.tableSketchWithDeltas(spark, sf0001, delta)
+      .as[(Int, Int, Seq[Int])].collect().toSet
+    val recomputed = JoinSearch.tableKeySketch(
+        IndexStream.loadWithDeltas(spark, sf0001, delta))
+      .as[(Int, Int, Seq[Int])].collect().toSet
+    assert(merged == recomputed && merged.nonEmpty)
+
+    // (2) the failure mode and the fix: a query over the delta-only
+    // vocabulary. The stale base-only sketch drops table 1 — one-
+    // sidedness is LOST on stale sketches, this would silently return
+    // no results — while the merged sketch keeps it.
+    val query = Seq(("Xylophone Quartz", "METEORITE")).toDF(cols: _*)
+    val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
+    val stale = JoinSearch.prunedTableIds(
+      IndexBuilder.loadOrBuildTableSketch(spark, sf0001), m, cols.size)
+    val live = JoinSearch.prunedTableIds(
+      IndexStream.tableSketchWithDeltas(spark, sf0001, delta), m, cols.size)
+    assert(!stale.contains(1), s"stale sketch unexpectedly kept table 1: $stale")
+    assert(live.contains(1), s"live sketch lost table 1: $live")
+    // and the conjunction over the live index really needs table 1.
+    val hits = JoinSearch.searchTables(
+        IndexStream.loadWithDeltas(spark, sf0001, delta), query, cols)
+      .as[(Int, Long)].collect().toSeq
+    // 2 matched corpus rows x 2 columns -> column scores (2, 2).
+    assert(hits == Seq((1, 4L)), s"got $hits")
+  }
+
   test("merged key stats equal recomputed; delta-hot keys hit the df cap") {
     implicit val sqlCtx = spark.sqlContext
     val (delta, ckpt) = (tmp("graft-delta3"), tmp("graft-ckpt3"))

@@ -97,6 +97,52 @@ class PrunedSearchSpec extends SparkTestBase {
       s"pruned probe shuffles the postings:\n${probed.queryExecution.sparkPlan}")
   }
 
+  test("partition-pruned search skips pruned tables' FILES (PartitionFilters)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val part = IndexBuilder.loadOrSnapshotPartitioned(spark, sf0001)
+    val sketch = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
+    val stats = IndexBuilder.loadOrBuildKeyStats(spark, sf0001)
+    val q = Queries.customerQuery(spark, sf0001)
+    val res = JoinSearch.searchTablesPartitionPruned(
+      part, sketch, stats, q, Queries.customerCols)
+
+    // identical ranked output to the unpruned default.
+    val base = JoinSearch.searchTables(
+        IndexBuilder.cached(spark, sf0001), q, Queries.customerCols)
+      .as[(Int, Long)].collect().toSeq
+    assert(res.as[(Int, Long)].collect().toSeq == base && base.nonEmpty)
+
+    // the sketch genuinely prunes on this corpus (else the file-skip
+    // assertions below would hold vacuously).
+    val m = JoinSearch.mappings(
+      JoinSearch.prepareInput(q, Queries.customerCols), Queries.customerCols)
+    val allowed = JoinSearch.prunedTableIds(sketch, m, Queries.customerCols.size)
+    val totalTables = part.select("table_id").distinct().count()
+    assert(allowed.nonEmpty && allowed.size < totalTables,
+      s"fixture does not prune: $allowed of $totalTables tables")
+
+    // every scan of the partitioned snapshot carries the table set as
+    // a PARTITION filter (zero data-filter fallback) and lists only
+    // the allowed partitions' files into the plan.
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("-bytable")) => f
+    }
+    assert(scans.nonEmpty, "no scan of the partitioned snapshot found")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "table_id")),
+        s"table_id predicate missing from PartitionFilters:\n$f")
+      assert(!f.dataFilters.exists(_.references.exists(_.name == "table_id")),
+        s"table_id fell through to data filters (prune not physical):\n$f")
+      val listing = f.selectedPartitions
+      assert(listing.partitionCount == allowed.size,
+        s"scan lists ${listing.partitionCount} partitions, sketch allows ${allowed.size}")
+      val totalFiles = f.relation.location.inputFiles.length
+      assert(listing.totalNumberOfFiles < totalFiles,
+        s"no files skipped: ${listing.totalNumberOfFiles} of $totalFiles read")
+    }
+  }
+
   test("sketch artifact roundtrips beside the snapshot") {
     val art = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
       .select(col("table_id"), col("column_id"), col("bits"))
