@@ -25,5 +25,14 @@ object MmQueries {
     // no decode, so no codec dependency.
     Q("mm_dedup",
       (s, dir) => Multimodal.dedupMedia(s, dir),
-      Some(MmOracle.dedupMediaSql)))
+      Some(MmOracle.dedupMediaSql)),
+    // perceptual rung: dHash over codec-decoded luma grids, then
+    // banded near-dup pairs — re-encoded copies collapse where the
+    // content-hash rung above is blind.
+    Q("mm_phash",
+      (s, dir) => Multimodal.perceptualHashes(s, dir),
+      Some(MmOracle.phashSql)),
+    Q("mm_neardup",
+      (s, dir) => Multimodal.neardupMedia(s, dir),
+      Some(MmOracle.neardupSql())))
 }

@@ -42,6 +42,15 @@ object Multimodal {
   trait Codec extends Serializable {
     /** Sampled-frame hashes + decoded dimensions for one payload. */
     def decode(payload: Array[Byte]): (Seq[String], Long, Long)
+
+    /** The perceptual-hash decode: an 8x9 luma grid (72 values,
+      * row-major) — the "resize to a fixed tiny grid" step of dHash.
+      * A real codec decodes pixels and averages luma per cell; the
+      * engine derives the 64 gradient bits from whatever grid comes
+      * back ([[Multimodal.dhashOf]]), so the hash logic is
+      * codec-independent.
+      */
+    def lumaGrid(payload: Array[Byte]): Seq[Int]
   }
 
   /** Deterministic fake codec: dimensions and frame hashes derive
@@ -62,6 +71,29 @@ object Multimodal {
       val frames = (0 until n).map(i =>
         md5hex(s"$h:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       (frames, w, ht)
+    }
+
+    /** Deterministic stand-in "decode + resize": slice the payload's
+      * text into 72 even character ranges (the thumbnail cells) and
+      * take the first md5 byte of each slice as its luma. LOCAL like
+      * a real decode: a same-length edit perturbs only the cells it
+      * touches (so re-encodes land at small Hamming distance), while
+      * an insertion shifts every later cell — the crop analogue.
+      * Char-sliced + md5'd, so DuckDB reproduces every bit
+      * (`MmOracle.lumaListSql`; ASCII corpus — char/byte offsets
+      * coincide, the established mm contract).
+      */
+    def lumaGrid(payload: Array[Byte]): Seq[Int] = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val n = s.length.toLong
+      (0 until 72).map { i =>
+        val from = ((i * n) / 72).toInt
+        val until = (((i + 1) * n) / 72).toInt
+        val chunk = s.substring(from, until)
+        Integer.parseInt(
+          md5hex(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .substring(0, 2), 16)
+      }
     }
   }
 
@@ -173,4 +205,95 @@ object Multimodal {
       .groupBy(col("media_type"), col("meta.payload_md5").as("payload_md5"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("copies"))
       .orderBy("media_type", "payload_md5")
+
+  /** One decoded luma grid per media row. */
+  final case class LumaGrid(doc_id: Long, media_type: String, luma: Seq[Int])
+
+  /** Decode to luma grids through the codec seam — the same batched
+    * per-partition contract as [[decodeFrames]] (codec initialized
+    * once per partition, rows fed in batch).
+    */
+  def lumaGrids(mediaDf: DataFrame, codec: Codec = FakeCodec): DataFrame = {
+    val spark = mediaDf.sparkSession
+    import spark.implicits._
+    mediaDf.select(col("doc_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        val c = codec
+        rows.map(r => LumaGrid(r.getAs[Long]("doc_id"),
+          r.getAs[String]("media_type"),
+          c.lumaGrid(r.getAs[Array[Byte]]("payload"))))
+      }.toDF()
+  }
+
+  /** dHash (difference hash) over decoded luma grids: bit (r, c) = 1
+    * iff luma brightens left-to-right between columns c and c+1 of
+    * row r — 8 rows x 8 gradients = 64 bits, materialized as two
+    * positive 32-bit halves `(dhash_lo, dhash_hi)` (the engine's
+    * signed-64-portable convention, [[Dedup.simhashHalves]]). The
+    * gradient is codec-independent engine logic — row-local
+    * higher-order-function arithmetic over the 72-value array, no
+    * shuffle, no UDF.
+    */
+  def dhashOf(grids: DataFrame): DataFrame = {
+    def half(fromBit: Int): String =
+      s"""aggregate(sequence($fromBit, ${fromBit + 31}), 0L, (acc, j) ->
+         acc + IF(element_at(luma, cast((j div 8) * 9 + (j % 8) + 2 as int)) >
+                  element_at(luma, cast((j div 8) * 9 + (j % 8) + 1 as int)),
+                  shiftleft(1L, j - $fromBit), 0L))"""
+    grids.select(col("doc_id"), col("media_type"),
+      expr(half(0)).as("dhash_lo"), expr(half(32)).as("dhash_hi"))
+  }
+
+  /** Registered perceptual-hash query: one dHash per media row. */
+  def perceptualHashes(spark: SparkSession, dir: String,
+      codec: Codec = FakeCodec): DataFrame =
+    dhashOf(lumaGrids(media(spark, dir), codec)).orderBy("doc_id")
+
+  /** Perceptual near-dup pairs over dHashes: candidates share one of
+    * the 4 disjoint 16-bit signature bands, verified by exact
+    * Hamming <= `maxHam` — the [[Dedup.simhashPairs]] shape applied
+    * to media. This is the rung content-hash dedup ([[dedupMedia]])
+    * cannot reach: a re-encoded/recompressed copy changes every
+    * payload byte but decodes to almost the same pixels, so its luma
+    * grid — and hence its dHash — lands within a few gradient bits
+    * of the original (`MultimodalSpec` pins collapse + separation).
+    *
+    * Pigeonhole recall: maxHam <= 3 differing bits cannot touch all
+    * 4 disjoint bands, so at least one band matches exactly and the
+    * equi-join emits the pair; above 3 the bands are a high-recall
+    * heuristic, exact only per the verified Hamming. Scale shape:
+    * candidates come from band buckets (never all-pairs), the
+    * quadratic term is bounded by per-bucket occupancy (2^16 buckets
+    * per band), and verification is per-candidate O(1) bit math.
+    */
+  def neardupMedia(spark: SparkSession, dir: String, maxHam: Int = 3,
+      codec: Codec = FakeCodec): DataFrame =
+    neardupFromHashes(
+      dhashOf(lumaGrids(media(spark, dir), codec)), maxHam)
+
+  /** [[neardupMedia]] from any `(doc_id, dhash_lo, dhash_hi)` frame —
+    * the seam the spec drives with crafted payloads.
+    */
+  def neardupFromHashes(ph: DataFrame, maxHam: Int): DataFrame = {
+    val spark = ph.sparkSession
+    val bandIx = broadcast(
+      spark.range(0, 4).select(col("id").cast("int").as("band_ix")))
+    val bands = ph.crossJoin(bandIx)
+      .select(col("doc_id"), col("dhash_lo"), col("dhash_hi"), col("band_ix"),
+        expr("""CASE WHEN band_ix < 2 THEN shiftright(dhash_lo, band_ix * 16) % 65536
+                     ELSE shiftright(dhash_hi, (band_ix - 2) * 16) % 65536 END""").as("band_v"))
+    val cand = bands.select(col("doc_id").as("doc_x"), col("dhash_lo").as("lo_x"),
+        col("dhash_hi").as("hi_x"), col("band_ix"), col("band_v"))
+      .join(bands.select(col("doc_id").as("doc_y"), col("dhash_lo").as("lo_y"),
+        col("dhash_hi").as("hi_y"), col("band_ix"), col("band_v")),
+        Seq("band_ix", "band_v"))
+      .where(col("doc_x") < col("doc_y"))
+      .select("doc_x", "doc_y", "lo_x", "hi_x", "lo_y", "hi_y").distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(lo_x ^ lo_y) + bit_count(hi_x ^ hi_y)").cast("long"))
+      .where(col("hamming") <= maxHam)
+      .select("doc_x", "doc_y", "hamming")
+      .orderBy("doc_x", "doc_y")
+  }
 }

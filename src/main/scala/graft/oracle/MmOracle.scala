@@ -64,4 +64,67 @@ SELECT media_type, payload_md5, min(doc_id) AS keeper_doc_id,
   count(*) AS copies
 FROM mmeta GROUP BY media_type, payload_md5
 ORDER BY media_type, payload_md5"""
+
+  /** Two hex chars -> 0-255 (the `hex8IntSql` technique at byte
+    * width).
+    */
+  private def hex2Int(hexExpr: String): String =
+    s"((strpos('0123456789abcdef', substr($hexExpr, 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($hexExpr, 2, 1)) - 1))"
+
+  /** The fake codec's luma grid in SQL: 72 even char slices of the
+    * text (cell i covers chars [(i*len)//72, ((i+1)*len)//72)), luma
+    * = first md5 byte of the slice — `FakeCodec.lumaGrid` bit for
+    * bit (ASCII corpus: char slicing == byte slicing).
+    */
+  private def phashCte: String = {
+    val slice = "substr(text, 1 + (i * length(text)) // 72, " +
+      "((i + 1) * length(text)) // 72 - (i * length(text)) // 72)"
+    val half = (from: Int) =>
+      s"""CAST(list_sum(list_transform(range(0, 32), j ->
+      CASE WHEN l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 2 AS INT)] >
+                l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 1 AS INT)]
+           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+    s"""luma AS (
+    SELECT doc_id, $mediaType AS media_type,
+      list_transform(range(0, 72), i -> ${hex2Int(s"md5($slice)")}) AS l
+    FROM documents
+  ),
+  ph AS (
+    SELECT doc_id, media_type,
+      ${half(0)} AS dhash_lo,
+      ${half(32)} AS dhash_hi
+    FROM luma
+  )"""
+  }
+
+  /** Mirrors `Multimodal.perceptualHashes`. */
+  def phashSql: String =
+    s"""WITH $phashCte
+SELECT doc_id, media_type, dhash_lo, dhash_hi FROM ph ORDER BY doc_id"""
+
+  /** Mirrors `Multimodal.neardupMedia` (banded candidates, verified
+    * Hamming).
+    */
+  def neardupSql(maxHam: Int = 3): String =
+    s"""WITH $phashCte,
+  bands AS (
+    SELECT doc_id, dhash_lo, dhash_hi, t.b AS band_ix,
+      CASE WHEN t.b < 2 THEN (dhash_lo >> CAST(t.b * 16 AS INT)) % 65536
+           ELSE (dhash_hi >> CAST((t.b - 2) * 16 AS INT)) % 65536 END AS band_v
+    FROM ph, range(0, 4) t(b)
+  ),
+  cand AS (
+    SELECT DISTINCT x.doc_id AS doc_x, y.doc_id AS doc_y,
+      x.dhash_lo AS lo_x, x.dhash_hi AS hi_x,
+      y.dhash_lo AS lo_y, y.dhash_hi AS hi_y
+    FROM bands x JOIN bands y
+      ON x.band_ix = y.band_ix AND x.band_v = y.band_v
+    WHERE x.doc_id < y.doc_id
+  )
+SELECT doc_x, doc_y,
+  CAST(bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) <= $maxHam
+ORDER BY doc_x, doc_y"""
 }
