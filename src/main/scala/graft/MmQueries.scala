@@ -32,7 +32,10 @@ object MmQueries {
     Q("mm_phash",
       (s, dir) => Multimodal.perceptualHashes(s, dir),
       Some(MmOracle.phashSql)),
+    // over the planted re-encode fixture (the corpus itself holds no
+    // same-length re-encodes): every twin must collapse onto its
+    // original where the content hash is blind.
     Q("mm_neardup",
-      (s, dir) => Multimodal.neardupMedia(s, dir),
+      (s, dir) => Multimodal.neardupReencoded(s, dir),
       Some(MmOracle.neardupSql())))
 }

@@ -38,6 +38,12 @@ object TextQueries {
     Q("text_bm25_topk",
       (s, dir) => TextAnalysis.bm25TopK(s, dir),
       Some(TextOracle.bm25TopKSql())),
+    // exact phrase over POSITIONAL postings, rarest-term-anchored
+    // starts, row-local adjacency verify; the oracle checks by direct
+    // list slicing — a deliberately different formulation.
+    Q("text_phrase_topk",
+      (s, dir) => TextAnalysis.phraseTopK(s, dir),
+      Some(TextOracle.phraseTopKSql())),
     // regex-tier HTML -> text extraction over constructed pages; the
     // oracle runs the identical rules in RE2, pinning the
     // cross-engine regex semantics (the risk of a regex extractor).

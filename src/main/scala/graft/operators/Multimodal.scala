@@ -271,6 +271,41 @@ object Multimodal {
     neardupFromHashes(
       dhashOf(lumaGrids(media(spark, dir), codec)), maxHam)
 
+  /** The media table plus deterministically-planted RE-ENCODED twins
+    * (the `text_html_extract` convention: the synthetic corpus holds
+    * no true re-encodes — byte-different, pixel-near-identical
+    * copies — so the registered demonstration constructs them
+    * reproducibly): every mod-`mod` non-empty document re-appears
+    * under `doc_id + 1000000` with one mid-text character spliced —
+    * same length, different bytes, so the content hash breaks while
+    * the luma grid moves in exactly one cell.
+    */
+  def mediaReencoded(spark: SparkSession, dir: String, mod: Int = 5): DataFrame = {
+    val twins = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % mod === 0 && length(col("text")) > 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        concat(
+          expr("substring(text, 1, greatest(length(text) div 2, 1) - 1)"),
+          lit("x"),
+          expr("substring(text, greatest(length(text) div 2, 1) + 1)"))
+          .cast("binary").as("payload"))
+    media(spark, dir).select("doc_id", "media_type", "payload")
+      .unionByName(twins)
+  }
+
+  /** Registered near-dup query: [[neardupMedia]] over
+    * [[mediaReencoded]] — every planted twin must collapse onto its
+    * original (Hamming <= 2: one changed cell touches at most two
+    * gradient bits) exactly where [[dedupMedia]]'s content hash is
+    * blind; organic same-length near-dups ride along.
+    */
+  def neardupReencoded(spark: SparkSession, dir: String, maxHam: Int = 3,
+      codec: Codec = FakeCodec): DataFrame =
+    neardupFromHashes(
+      dhashOf(lumaGrids(mediaReencoded(spark, dir), codec)), maxHam)
+
   /** [[neardupMedia]] from any `(doc_id, dhash_lo, dhash_hi)` frame —
     * the seam the spec drives with crafted payloads.
     */

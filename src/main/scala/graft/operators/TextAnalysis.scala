@@ -274,6 +274,89 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Positional postings `(doc_id, pos, term)` — the index-schema
+    * extension phrase/proximity retrieval needs (the bag-of-words
+    * postings BM25 consumes carry no order). One scan, one
+    * posexplode; pos is the 1-based cleaned-token position. At 100 TB
+    * this triples posting width but keeps the build one pass, and the
+    * snapshot layout/clustering story is unchanged (key-clustered,
+    * pos rides along as payload).
+    */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(split(Tokenize.clean(col("text")), " ")).as(Seq("p0", "term")))
+      .where(col("term") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("term"))
+
+  /** Exact-phrase retrieval over positional postings, rarest-term
+    * anchored — the anchored-conjunction idea ([[JoinSearch
+    * .conjunctionAnchored]]) applied to phrases:
+    *
+    *  - the phrase (query-by-example, [[bm25TopK]]'s convention: the
+    *    first `n` cleaned tokens of the minimum-doc_id document)
+    *    probes the postings with a broadcast semi-join, so the
+    *    corpus-sized lineage narrows to phrase-term postings before
+    *    anything shuffles;
+    *  - each candidate document's matched (pos -> term) entries
+    *    aggregate ONCE on doc_id — the only corpus-side shuffle;
+    *  - candidate start positions come from the RAREST phrase term's
+    *    postings (fewest candidates — a phrase containing 'the'
+    *    must not enumerate every 'the' in the corpus when its rare
+    *    term has 3 occurrences), chosen by posting count with a
+    *    deterministic (df, offset) tie-break;
+    *  - adjacency verifies row-locally: start s matches iff the
+    *    doc's position map holds phrase term j at s + j for every j.
+    *
+    * Output: `(doc_id, n_hits)` for docs containing the phrase at
+    * least once, ranked (hits desc, doc_id asc), top `k`.
+    */
+  def phraseTopKOf(documents: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val posts = positionalPostings(documents)
+    // the phrase with 0-based offsets j.
+    val phrase = documents.orderBy("doc_id").limit(1)
+      .select(posexplode(slice(split(Tokenize.clean(col("text")), " "), 1, n))
+        .as(Seq("j", "pterm")))
+      .where(col("pterm") =!= "")
+    val probed = posts.join(
+      broadcast(phrase.select(col("pterm").as("term")).distinct()),
+      Seq("term"), "left_semi")
+    // phrase-term posting counts -> the anchor (rarest, then lowest
+    // offset). Phrase-sized frames throughout; one aggregated row.
+    val pdf = probed.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val anchorRow = phrase
+      .join(broadcast(pdf), col("pterm") === col("term"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(j, pterm))), s -> s.pterm)")
+          .as("parr"),
+        expr("min_by(struct(pterm, j), struct(tdf, j))").as("a"))
+      .select(col("parr"), col("a.pterm").as("anchor_term"),
+        col("a.j").cast("long").as("anchor_j"))
+    // per candidate doc: position map + entry list, ONE shuffle.
+    val docMaps = probed
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("term"))))
+        .as("pmap"),
+        collect_list(struct(col("pos"), col("term"))).as("plist"))
+    val hits = docMaps
+      .select(col("doc_id"), col("pmap"), explode(col("plist")).as("pt"))
+      .crossJoin(broadcast(anchorRow))
+      .where(col("pt.term") === col("anchor_term"))
+      .withColumn("start", col("pt.pos") - col("anchor_j"))
+      .where(col("start") >= 1)
+      .where(expr("forall(sequence(0, size(parr) - 1), j -> " +
+        "coalesce(try_element_at(pmap, start + j), '') = " +
+        "element_at(parr, cast(j + 1 as int)))"))
+    hits.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[phraseTopKOf]] over the corpus `documents` table. */
+  def phraseTopK(spark: SparkSession, dir: String,
+      n: Int = 3, k: Int = 20): DataFrame =
+    phraseTopKOf(docs(spark, dir), n, k)
+
   /** Gopher-style repetition signals (the published web-corpus
     * repetition filters: fraction of the document made of its most
     * frequent n-gram, and of all duplicated n-grams) over cleaned

@@ -75,9 +75,21 @@ ORDER BY media_type, payload_md5"""
   /** The fake codec's luma grid in SQL: 72 even char slices of the
     * text (cell i covers chars [(i*len)//72, ((i+1)*len)//72)), luma
     * = first md5 byte of the slice — `FakeCodec.lumaGrid` bit for
-    * bit (ASCII corpus: char slicing == byte slicing).
+    * bit (ASCII corpus: char slicing == byte slicing). With
+    * `withTwins`, the planted re-encode fixture rows
+    * (`Multimodal.mediaReencoded`: one mid-text char spliced, id
+    * shifted by 1000000) join the frame.
     */
-  private def phashCte: String = {
+  private def phashCte(withTwins: Boolean): String = {
+    val twins = if (withTwins) s"""
+    UNION ALL
+    SELECT d.doc_id + 1000000 AS doc_id,
+      CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+           WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      substr(d.text, 1, greatest(length(d.text) // 2, 1) - 1) || 'x' ||
+        substr(d.text, greatest(length(d.text) // 2, 1) + 1) AS text
+    FROM documents d WHERE length(d.text) > 0 AND d.doc_id % 5 = 0"""
+    else ""
     val slice = "substr(text, 1 + (i * length(text)) // 72, " +
       "((i + 1) * length(text)) // 72 - (i * length(text)) // 72)"
     val half = (from: Int) =>
@@ -85,10 +97,13 @@ ORDER BY media_type, payload_md5"""
       CASE WHEN l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 2 AS INT)] >
                 l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 1 AS INT)]
            THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
-    s"""luma AS (
-    SELECT doc_id, $mediaType AS media_type,
+    s"""mdocs AS (
+    SELECT doc_id, $mediaType AS media_type, text FROM documents$twins
+  ),
+  luma AS (
+    SELECT doc_id, media_type,
       list_transform(range(0, 72), i -> ${hex2Int(s"md5($slice)")}) AS l
-    FROM documents
+    FROM mdocs
   ),
   ph AS (
     SELECT doc_id, media_type,
@@ -100,14 +115,14 @@ ORDER BY media_type, payload_md5"""
 
   /** Mirrors `Multimodal.perceptualHashes`. */
   def phashSql: String =
-    s"""WITH $phashCte
+    s"""WITH ${phashCte(withTwins = false)}
 SELECT doc_id, media_type, dhash_lo, dhash_hi FROM ph ORDER BY doc_id"""
 
-  /** Mirrors `Multimodal.neardupMedia` (banded candidates, verified
-    * Hamming).
+  /** Mirrors `Multimodal.neardupReencoded` (banded candidates over
+    * the planted-twin fixture, verified Hamming).
     */
   def neardupSql(maxHam: Int = 3): String =
-    s"""WITH $phashCte,
+    s"""WITH ${phashCte(withTwins = true)},
   bands AS (
     SELECT doc_id, dhash_lo, dhash_hi, t.b AS band_ix,
       CASE WHEN t.b < 2 THEN (dhash_lo >> CAST(t.b * 16 AS INT)) % 65536

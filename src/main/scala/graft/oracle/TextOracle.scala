@@ -153,6 +153,35 @@ ORDER BY doc_id, rank"""
 SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score AS BIGINT) AS score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT $k"""
 
+  /** Exact-phrase oracle: DuckDB verifies adjacency by direct list
+    * slicing (`w[i : i+len(p)-1] = p`) — an implementation
+    * deliberately unlike the engine's anchored position-map join, so
+    * hash equality checks the semantics, not the plan.
+    */
+  def phraseTopKSql(n: Int = 3, k: Int = 20): String =
+    s"""WITH qsrc AS (
+    SELECT ${Tokenize.cleanSql("text")} AS ct FROM documents ORDER BY doc_id LIMIT 1
+  ),
+  q AS (
+    SELECT CASE WHEN ct = '' THEN []::VARCHAR[]
+           ELSE string_split(ct, ' ')[1:$n] END AS p
+    FROM qsrc
+  ),
+  tok AS (
+    SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS w
+    FROM documents WHERE ${Tokenize.cleanSql("text")} <> ''
+  ),
+  hits AS (
+    SELECT t.doc_id,
+      list_sum([CASE WHEN t.w[i : i + len(q.p) - 1] = q.p THEN 1 ELSE 0 END
+                for i in generate_series(1, len(t.w) - len(q.p) + 1)]) AS n_hits
+    FROM tok t CROSS JOIN q
+    WHERE len(q.p) > 0
+  )
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id ASC LIMIT $k"""
+
   def repetitionSql: String =
     s"""WITH rt AS (
     SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t

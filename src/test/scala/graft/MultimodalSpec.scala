@@ -87,6 +87,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(diff >= 1 && diff <= 2, s"locality lost: $diff cells differ")
   }
 
+  test("planted re-encode twins all collapse onto their originals") {
+    import org.apache.spark.sql.functions.{col, length}
+    val planted = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 5 === 0 && length(col("text")) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    val pairs = Multimodal.neardupReencoded(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val found = pairs.collect {
+      case (x, y, ham) if y == x + 1000000L => (x, ham)
+    }.toMap
+    assert(found.keySet == planted,
+      s"missing twins: ${planted -- found.keySet}")
+    // one spliced cell touches at most two gradient bits.
+    assert(found.values.forall(_ <= 2L), s"twin hamming too high: $found")
+  }
+
   test("dhash halves are 32-bit non-negative and deterministic") {
     val a = Multimodal.perceptualHashes(spark, sf0001)
       .as[(Long, String, Long, Long)].collect().toSeq

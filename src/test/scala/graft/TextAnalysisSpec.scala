@@ -83,4 +83,38 @@ class TextAnalysisSpec extends SparkTestBase {
     // output is rank-ordered (score desc, doc_id asc)
     assert(got == got.sortBy(g => (-g._3, g._1)))
   }
+
+  test("phrase: exact adjacency, overlap counting, repeated-term phrases") {
+    // query doc (min doc_id) supplies the phrase: "red fox runs"
+    val d = Seq(
+      (0L, "red fox runs"),
+      (1L, "the red fox runs far and red fox runs again"), // 2 hits
+      (2L, "red fox walks then red fox runs"),             // 1 hit (first is not the phrase)
+      (3L, "fox red runs"),                                // right terms, wrong order
+      (4L, "red fox"),                                     // truncated phrase
+      (5L, "runs red and fox elsewhere"))                  // terms never adjacent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseTopKOf(d, n = 3, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (0L, 1L), (2L, 1L)), s"got $got")
+
+    // a phrase with a REPEATED term ("ho ho hey"): the anchor dedup
+    // and the per-offset verify must not confuse the two 'ho's.
+    val r = Seq(
+      (0L, "ho ho hey"),
+      (1L, "ho hey ho ho hey"),   // one hit at position 3
+      (2L, "ho hey ho hey"))      // no hit
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.phraseTopKOf(r, n = 3, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((0L, 1L), (1L, 1L)), s"got $got2")
+
+    // self-overlapping phrase occurrences count per start position:
+    // "ab ab ab ab" contains "ab ab" at 3 starts.
+    val o = Seq((0L, "ab ab"), (1L, "ab ab ab ab"))
+      .toDF("doc_id", "text")
+    val got3 = TextAnalysis.phraseTopKOf(o, n = 2, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got3 == Seq((1L, 3L), (0L, 1L)), s"got $got3")
+  }
 }
