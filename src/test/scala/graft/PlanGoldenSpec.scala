@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+
+import graft.operators.{Dedup, JoinSearch, TextAnalysis}
+import graft.sources.IndexBuilder
+
+/** Plan-regression guard (round-7 verdict #8): golden exchange counts
+  * for the five flagship queries, pinned by exact equality. Every
+  * shuffle in these plans is load-bearing and accounted for in the
+  * operators' scaladoc shuffle audits; a future "improvement" that
+  * silently adds an exchange — a lost broadcast, a dropped
+  * partitioning reuse, an accidental repartition — fails here with
+  * the plan in the message, BEFORE it costs wall-clock at scale.
+  *
+  * Counts are over the NON-ADAPTIVE `executedPlan` (the
+  * `BatchSearchSpec` convention): `sparkPlan` predates
+  * EnsureRequirements so requirement-driven exchanges do not exist in
+  * it, and under AQE the executed plan wraps stages into leaves that
+  * collect cannot descend — the static executed plan is the one
+  * place every exchange is explicit. DfCache'd sub-lineages appear
+  * as InMemoryRelations whose internal shuffles are invisible here,
+  * deterministically: getOrPersist marks the cache before any outer
+  * plan is built, so the counts do not depend on suite order or
+  * materialization state.
+  */
+class PlanGoldenSpec extends SparkTestBase {
+
+  private final case class Ex(shuffles: Int, broadcasts: Int, reused: Int)
+
+  private def exchanges(build: => DataFrame): Ex = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = build.queryExecution.executedPlan
+      Ex(p.collect { case s: ShuffleExchangeExec => s }.size,
+        p.collect { case b: BroadcastExchangeExec => b }.size,
+        p.collect { case r: ReusedExchangeExec => r }.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private val drift = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def pin(name: String, golden: Ex)(build: => DataFrame): Unit = {
+    val got = exchanges(build)
+    if (got != golden) drift += s"$name: $got != golden $golden"
+  }
+
+  private def idx = IndexBuilder.cached(spark, sf0001)
+  private def custQ = Queries.customerQuery(spark, sf0001)
+  private def partQ = Queries.partQuery(spark, sf0001)
+
+  test("golden exchange counts: the five flagship plans") {
+    pin("search", Ex(9, 4, 3)) {
+      JoinSearch.searchTables(idx, custQ, Queries.customerCols)
+    }
+    pin("batch_search", Ex(17, 9, 7)) {
+      JoinSearch.searchTablesBatch(idx, Seq(
+        ("customer", custQ, Queries.customerCols),
+        ("part", partQ, Queries.partCols)))
+    }
+    pin("minhash", Ex(1, 4, 1)) { Dedup.minhashLsh(spark, sf0001) }
+    pin("kept_corpus", Ex(7, 0, 0)) { Dedup.keptCorpus(spark, sf0001) }
+    pin("bm25", Ex(4, 4, 1)) { TextAnalysis.bm25TopK(spark, sf0001) }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
+  test("the guard sees a deliberately added exchange") {
+    val base = exchanges {
+      JoinSearch.searchTables(idx, custQ, Queries.customerCols)
+    }
+    val worse = exchanges {
+      JoinSearch.searchTables(idx, custQ, Queries.customerCols).repartition(64)
+    }
+    assert(worse.shuffles == base.shuffles + 1,
+      s"an added repartition must surface as exactly one more shuffle: $base -> $worse")
+  }
+}
