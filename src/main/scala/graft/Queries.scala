@@ -326,6 +326,12 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("strategy_shuffled",
       (s, dir) => JoinSearch.searchTablesShuffled(index(s, dir), customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))),
+    // the size-gated dispatch between the two (round-8): small query
+    // -> hinted broadcasts, over-threshold query -> degradation form.
+    // Same oracle; JoinSearchSpec pins the routing itself.
+    Q("strategy_auto",
+      (s, dir) => JoinSearch.searchTablesAuto(index(s, dir), customerQuery(s, dir), customerCols),
+      Some(SearchOracle.tableScores(customerSpec))),
     // Hot-key guard: status keys 'o'/'f' are degenerate CROSS-TABLE —
     // orders carries ~5k each but lineitem's l_linestatus adds ~30k,
     // so their global df is ~35k. The 10000 cap (at sf0.01) drops

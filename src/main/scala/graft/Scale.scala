@@ -81,8 +81,19 @@ object Scale {
     * Returns (plain wall, pruned wall, plain probe postings, pruned
     * probe postings), min-of-`reps` walls.
     */
+  /** Results of [[sketchPruneBench]]: in-memory plain/semi-join-
+    * pruned walls and probe postings (the round-6 experiment), plus
+    * the round-8 FILE-level rung — the same lake written
+    * table_id-partitioned on disk, searched plain vs
+    * partition-pruned, with the scan's file accounting.
+    */
+  final case class PruneBench(plain: Double, pruned: Double,
+      plainPost: Long, prunedPost: Long,
+      lakePlain: Double, lakePartPruned: Double,
+      filesTotal: Long, filesRead: Long, partsTotal: Long, partsRead: Long)
+
   def sketchPruneBench(spark: SparkSession, tables: Int, rows: Int,
-      viable: Int, reps: Int): (Double, Double, Long, Long) = {
+      viable: Int, reps: Int): PruneBench = {
     import graft.operators.JoinSearch
     val n = tables.toLong * rows
     val col1 = spark.range(n).selectExpr(
@@ -114,8 +125,42 @@ object Scale {
       timed { JoinSearch.searchTables(idx, q, cols).count() }).min
     val pruned = (1 to reps).map(_ =>
       timed { JoinSearch.searchTablesPruned(idx, q, cols).count() }).min
+
+    // the FILE rung: the same lake as a table_id-partitioned parquet
+    // dataset (hive layout, one file per table — the per-table
+    // reality of a real lake). Plain search reads every table's
+    // file; the partition-pruned search turns the sketch verdict
+    // into PartitionFilters and must never open the other 99.9 %.
+    val lakePath = s"${sys.props("user.dir")}/target/graft-scale/" +
+      s"lake-$tables-$rows"
+    if (!new java.io.File(s"$lakePath/_SUCCESS").exists())
+      idx.repartition(col("table_id"))
+        .write.mode("overwrite").partitionBy("table_id").parquet(lakePath)
+    val lake = spark.read.parquet(lakePath)
+    val sketch = JoinSearch.tableKeySketchCached(idx)
+    val stats = JoinSearch.indexKeyStats(idx)
+    val lakePlain = (1 to reps).map(_ =>
+      timed { JoinSearch.searchTables(lake, q, cols).count() }).min
+    val lakePart = (1 to reps).map(_ =>
+      timed {
+        JoinSearch.searchTablesPartitionPruned(lake, sketch, stats, q, cols)
+          .count()
+      }).min
+    // file accounting straight off the pruned plan's scan node.
+    val prunedDf = JoinSearch.searchTablesPartitionPruned(
+      lake, sketch, stats, q, cols)
+    val scan = prunedDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lake-")) => f
+    }.head
+    val listing = scan.selectedPartitions
+    val res = PruneBench(plain, pruned, plainPost, prunedPost,
+      lakePlain, lakePart,
+      scan.relation.location.inputFiles.length.toLong,
+      listing.totalNumberOfFiles,
+      tables.toLong, listing.partitionCount.toLong)
     idx.unpersist()
-    (plain, pruned, plainPost, prunedPost)
+    res
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,13 +232,16 @@ object Scale {
     }.mkString("{", ",", "}")
     // the data-lake geometry (many small tables) the 9-table corpus
     // cannot express: 5000 tables x 100 rows, 5 viable.
-    val (pl, pr, plp, prp) = sketchPruneBench(spark,
+    val pb = sketchPruneBench(spark,
       tables = 5000, rows = 100, viable = 5, reps = reps)
     println(s"""{"metric":"scale","factor":$factor,"reps":$reps,"gen_s":$tGen,""" +
       s""""index_build_base_s":$idxBase,"index_build_scaled_s":$idxScaled,""" +
       s""""families":$rows,""" +
-      f""""sketch_prune_5000t":{"plain_s":$pl%.3f,"pruned_s":$pr%.3f,""" +
-      s""""plain_postings":$plp,"pruned_postings":$prp},""" +
+      f""""sketch_prune_5000t":{"plain_s":${pb.plain}%.3f,"pruned_s":${pb.pruned}%.3f,""" +
+      s""""plain_postings":${pb.plainPost},"pruned_postings":${pb.prunedPost},""" +
+      f""""lake_plain_s":${pb.lakePlain}%.3f,"lake_part_pruned_s":${pb.lakePartPruned}%.3f,""" +
+      s""""files_total":${pb.filesTotal},"files_read":${pb.filesRead},""" +
+      s""""parts_total":${pb.partsTotal},"parts_read":${pb.partsRead}},""" +
       s""""base":"$baseDir","scaled":"$workDir"}""")
     spark.stop()
   }

@@ -436,6 +436,35 @@ object JoinSearch {
       .limit(maxTables)
   }
 
+  /** Size-gated dispatch between the hinted default and the
+    * degradation form (round-7 "what's wrong" #3: nothing routed
+    * between them automatically — a 10 GB query table handed to
+    * [[searchTables]] was still a forced broadcast, a driver OOM
+    * rather than a slow plan). The gate is Catalyst's own broadcast
+    * economics: route to the hinted plan only when the optimized
+    * query plan's size estimate fits `autoBroadcastJoinThreshold`
+    * (scaled by the per-row blowup of [[mappings]] — each query row
+    * becomes `cols.size` key rows plus the map_key payload);
+    * otherwise take [[searchTablesShuffled]], where every join
+    * strategy is Catalyst/AQE's choice and a huge query degrades to
+    * shuffled hash joins that complete. A disabled threshold
+    * (<= 0) always degrades. Results are identical on both routes
+    * (`strategy_shuffled` shares the oracle); only the physical plan
+    * moves.
+    */
+  def searchTablesAuto(index: DataFrame, query: DataFrame, cols: Seq[String],
+      maxTables: Int = 20): DataFrame = {
+    val spark = index.sparkSession
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val queryBytes = query.queryExecution.optimizedPlan.stats.sizeInBytes
+    val mappedBytes = queryBytes * (cols.size + 1)
+    if (threshold > 0 && mappedBytes <= threshold)
+      searchTables(index, query, cols, maxTables)
+    else
+      searchTablesShuffled(index, query, cols, maxTables)
+  }
+
   /** Shuffle-degradation form: the windowed pipeline with NO
     * broadcast hints. Every other strategy here force-broadcasts the
     * query-derived sides — correct while the query table is small,

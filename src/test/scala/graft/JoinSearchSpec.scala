@@ -143,23 +143,32 @@ class JoinSearchSpec extends SparkTestBase {
   }
 
   test("capped probe never shuffles postings by key (hot-key guard plan shape)") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.window.WindowExec
     val m = JoinSearch.mappings(JoinSearch.prepareInput(query, cols), cols)
-    // sparkPlan, not executedPlan: AQE wraps the executed plan in an
-    // AdaptiveSparkPlanExec leaf whose children collect can't see —
-    // collecting over it would make this test vacuously green.
-    val plan = JoinSearch.probeCapped(index, m, 4L).queryExecution.sparkPlan
-    assert(plan.collect { case w: WindowExec => w }.isEmpty,
-      s"per-key window re-creates the straggler the cap guards against:\n$plan")
-    // the capped probe itself must carry NO exchange at all: the query
-    // side broadcasts, and the stats aggregation (whose own shuffle is
-    // partial-aggregated map-side) lives behind the session-cached
-    // InMemoryRelation, not in this plan. The postings never move.
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      s"capped probe should be exchange-free:\n$plan")
-    assert(plan.toString.contains("InMemoryTableScan"),
-      s"expected the session-cached key stats under the guard:\n$plan")
+    val plan0 = JoinSearch.probeCapped(index, m, 4L).queryExecution.sparkPlan
+    assert(plan0.collect { case w: WindowExec => w }.isEmpty,
+      s"per-key window re-creates the straggler the cap guards against:\n$plan0")
+    // exchange audit on the NON-ADAPTIVE executedPlan — sparkPlan
+    // predates EnsureRequirements, so exchanges do not exist in it
+    // and an absence assertion there is vacuous (round-8 fix); AQE
+    // hides stages behind leaves. The postings themselves must never
+    // move: every shuffle must sit INSIDE a broadcast subtree (the
+    // query/stats sides may aggregate before broadcasting).
+    def nonBroadcastShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeExec => Seq.empty
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(nonBroadcastShuffles)
+      case other => other.children.flatMap(nonBroadcastShuffles)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = JoinSearch.probeCapped(index, m, 4L).queryExecution.executedPlan
+      assert(nonBroadcastShuffles(plan).isEmpty,
+        s"capped probe shuffles the postings:\n$plan")
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"expected the session-cached key stats under the guard:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("above-threshold degradation: shuffled form completes broadcast-free with identical results") {
@@ -182,6 +191,36 @@ class JoinSearchSpec extends SparkTestBase {
       }
       assert(bad.isEmpty,
         s"hint-free form still plans broadcasts under a disabled threshold:\n${sdf.queryExecution.sparkPlan}")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("auto dispatch routes by query size against the broadcast threshold") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    def broadcastJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec => b
+        case n: BroadcastNestedLoopJoinExec => n
+      }.size
+    // under the default threshold the tiny query takes the hinted
+    // plan — broadcast joins present.
+    val hinted = JoinSearch.searchTablesAuto(index, query, cols)
+    assert(broadcastJoins(hinted) > 0,
+      s"small query did not route to the hinted form:\n${hinted.queryExecution.sparkPlan}")
+    val base = hinted.as[(Int, Long)].collect().toSeq
+
+    // with broadcasting disabled (the stand-in for an over-threshold
+    // query: the gate compares against the SAME conf), the dispatch
+    // must take the degradation form — zero broadcast joins, same
+    // rows. This is the trap the gate closes: the old default would
+    // still force a broadcast here.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "0")
+    try {
+      val degraded = JoinSearch.searchTablesAuto(index, query, cols)
+      assert(broadcastJoins(degraded) == 0,
+        s"dispatch still forces broadcasts with the threshold off:\n${degraded.queryExecution.sparkPlan}")
+      assert(degraded.as[(Int, Long)].collect().toSeq == base)
     } finally spark.conf.set(key, prev)
   }
 

@@ -77,7 +77,10 @@ class PrunedSearchSpec extends SparkTestBase {
     // every shuffle in the pruned probe must sit INSIDE a broadcast
     // subtree (the sketch/query sides are tiny and may aggregate);
     // the posting lineage itself never moves — same claim the capped
-    // probe makes.
+    // probe makes. Audited on the NON-ADAPTIVE executedPlan:
+    // sparkPlan predates EnsureRequirements so exchanges do not
+    // exist in it (an absence check there is vacuous — round-8 fix),
+    // and AQE hides stages behind leaves.
     def nonBroadcastShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
       case _: BroadcastExchangeExec => Seq.empty
       case s: ShuffleExchangeExec =>
@@ -86,15 +89,16 @@ class PrunedSearchSpec extends SparkTestBase {
     }
     val m = JoinSearch.mappings(
       JoinSearch.prepareInput(wideQuery, cols), cols)
-    val allowed = JoinSearch.prunedTables(
-      JoinSearch.tableKeySketch(wideIndex), m, cols.size)
-    val probed = JoinSearch.probe(wideIndex, m)
-      .join(broadcast(allowed), Seq("table_id"), "left_semi")
-    // sparkPlan, not executedPlan: AQE wraps stages into leaves that
-    // collect can't descend.
-    val bad = nonBroadcastShuffles(probed.queryExecution.sparkPlan)
-    assert(bad.isEmpty,
-      s"pruned probe shuffles the postings:\n${probed.queryExecution.sparkPlan}")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val allowed = JoinSearch.prunedTables(
+        JoinSearch.tableKeySketch(wideIndex), m, cols.size)
+      val probed = JoinSearch.probe(wideIndex, m)
+        .join(broadcast(allowed), Seq("table_id"), "left_semi")
+      val bad = nonBroadcastShuffles(probed.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"pruned probe shuffles the postings:\n${probed.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("partition-pruned search skips pruned tables' FILES (PartitionFilters)") {
