@@ -75,9 +75,12 @@ object Stress {
       val (m0, d0) = (memSpilled.get(), diskSpilled.get())
       val t0 = System.nanoTime()
       val df = fn(workDir)
-      // order-independent exact checksum over every output cell.
+      // order-independent exact checksum over every output cell
+      // (decimal accumulator: a LONG sum of 64-bit hashes overflows
+      // under ANSI within ~2 rows).
       val chk = df
-        .select(sum(xxhash64(df.columns.map(col): _*)).as("chk"),
+        .select(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))
+          .cast("string").as("chk"),
           count(lit(1)).as("n"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -85,7 +88,7 @@ object Stress {
       val spillMem = memSpilled.get() - m0
       val spillDisk = diskSpilled.get() - d0
       f""""$name":{"wall_s":$wall%.3f,"rows":${chk.getLong(1)},""" +
-        s""""checksum":${Option(chk.get(0)).getOrElse(0L)},""" +
+        s""""checksum":"${Option(chk.getString(0)).getOrElse("0")}",""" +
         s""""spill_mem_mb":${spillMem / (1 << 20)},"spill_disk_mb":${spillDisk / (1 << 20)}}"""
     }.mkString("{", ",", "}")
 
