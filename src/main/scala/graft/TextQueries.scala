@@ -44,6 +44,11 @@ object TextQueries {
     Q("text_phrase_topk",
       (s, dir) => TextAnalysis.phraseTopK(s, dir),
       Some(TextOracle.phraseTopKSql())),
+    // the NEAR relaxation between bag-of-words and exact phrase:
+    // both terms within a token window, ranked by closeness.
+    Q("text_phrase_near",
+      (s, dir) => TextAnalysis.proximityTopK(s, dir),
+      Some(TextOracle.proximityTopKSql())),
     // regex-tier HTML -> text extraction over constructed pages; the
     // oracle runs the identical rules in RE2, pinning the
     // cross-engine regex semantics (the risk of a regex extractor).

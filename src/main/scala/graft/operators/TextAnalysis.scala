@@ -357,6 +357,56 @@ object TextAnalysis {
       n: Int = 3, k: Int = 20): DataFrame =
     phraseTopKOf(docs(spark, dir), n, k)
 
+  /** Proximity (NEAR) retrieval — the relaxation between bag-of-words
+    * BM25 and the exact phrase: documents where both query terms
+    * occur within `window` token positions, ranked by closeness.
+    * Query-by-example: the first two DISTINCT cleaned tokens of the
+    * minimum-doc_id document.
+    *
+    * Same physical shape as [[phraseTopKOf]]: broadcast term probe
+    * narrows the positional postings to the two terms' occurrences,
+    * ONE doc-keyed aggregation collects each side's sorted position
+    * list, and the distance work is row-local array arithmetic
+    * (O(n0·n1) per doc over PROBED occurrences only — bounded by the
+    * document, never the corpus). Output `(doc_id, min_dist,
+    * n_within)` ranked (closest first, then densest, then doc_id),
+    * top `k`.
+    */
+  def proximityTopKOf(documents: DataFrame, window: Int = 5,
+      k: Int = 20): DataFrame = {
+    val posts = positionalPostings(documents)
+    val pair = documents.orderBy("doc_id").limit(1)
+      .select(slice(array_distinct(
+        filter(split(Tokenize.clean(col("text")), " "), _ =!= "")), 1, 2).as("ts"))
+      .where(size(col("ts")) === 2)
+      .select(element_at(col("ts"), 1).as("t0"),
+        element_at(col("ts"), 2).as("t1"))
+    val probed = posts.join(
+      broadcast(pair.select(explode(array(col("t0"), col("t1"))).as("term"))),
+      Seq("term"), "left_semi")
+    probed.crossJoin(broadcast(pair))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(col("term") === col("t0"), col("pos"))))
+          .as("pa"),
+        sort_array(collect_list(when(col("term") === col("t1"), col("pos"))))
+          .as("pb"))
+      .where(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .withColumn("dists",
+        expr("flatten(transform(pa, a -> transform(pb, b -> abs(a - b))))"))
+      .select(col("doc_id"),
+        expr("array_min(dists)").cast("long").as("min_dist"),
+        expr(s"size(filter(dists, d -> d <= $window))").cast("long").as("n_within"))
+      .where(col("min_dist") <= window)
+      .orderBy(col("min_dist").asc, col("n_within").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[proximityTopKOf]] over the corpus `documents` table. */
+  def proximityTopK(spark: SparkSession, dir: String,
+      window: Int = 5, k: Int = 20): DataFrame =
+    proximityTopKOf(docs(spark, dir), window, k)
+
   /** Gopher-style repetition signals (the published web-corpus
     * repetition filters: fraction of the document made of its most
     * frequent n-gram, and of all duplicated n-grams) over cleaned

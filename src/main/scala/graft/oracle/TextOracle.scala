@@ -182,6 +182,45 @@ SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
 FROM hits WHERE n_hits > 0
 ORDER BY n_hits DESC, doc_id ASC LIMIT $k"""
 
+  /** Proximity oracle: positions via index-filtered list
+    * comprehensions, distances via nested list_transform — again a
+    * different formulation from the engine's probe+aggregate plan.
+    * `list_filter((x,i) -> i = list_position(w, x))` is DuckDB's
+    * first-occurrence-ordered distinct (Spark's `array_distinct`
+    * order contract, which `list_distinct` does not guarantee).
+    */
+  def proximityTopKSql(window: Int = 5, k: Int = 20): String =
+    s"""WITH qsrc AS (
+    SELECT string_split(${Tokenize.cleanSql("text")}, ' ') AS qw
+    FROM documents ORDER BY doc_id LIMIT 1
+  ),
+  q AS (
+    SELECT fd[1] AS t0, fd[2] AS t1 FROM (
+      SELECT list_filter(list_filter(qw, x -> x <> ''),
+        (x, i) -> i = list_position(list_filter(qw, y -> y <> ''), x)) AS fd
+      FROM qsrc
+    ) WHERE len(fd) >= 2
+  ),
+  tok AS (
+    SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS w
+    FROM documents WHERE ${Tokenize.cleanSql("text")} <> ''
+  ),
+  pos AS (
+    SELECT t.doc_id,
+      [i for i in generate_series(1, len(t.w)) if t.w[i] = q.t0] AS pa,
+      [i for i in generate_series(1, len(t.w)) if t.w[i] = q.t1] AS pb
+    FROM tok t CROSS JOIN q
+  ),
+  d AS (
+    SELECT doc_id,
+      flatten(list_transform(pa, a -> list_transform(pb, b -> abs(a - b)))) AS dists
+    FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+  )
+SELECT doc_id, CAST(list_min(dists) AS BIGINT) AS min_dist,
+  CAST(len(list_filter(dists, x -> x <= $window)) AS BIGINT) AS n_within
+FROM d WHERE list_min(dists) <= $window
+ORDER BY min_dist ASC, n_within DESC, doc_id ASC LIMIT $k"""
+
   def repetitionSql: String =
     s"""WITH rt AS (
     SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t

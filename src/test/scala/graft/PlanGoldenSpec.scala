@@ -27,6 +27,20 @@ import graft.sources.IndexBuilder
   */
 class PlanGoldenSpec extends SparkTestBase {
 
+  // an isolated copy of the sf0.001 corpus: every DfCache key embeds
+  // the corpus dir, so OTHER suites' session caches (whose persisted
+  // subplans the CacheManager would substitute into these plans,
+  // hiding exchanges suite-order-dependently) can never overlap the
+  // plans pinned here.
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-golden-corpus")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sf0001)).forEach { p =>
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    d.toString
+  }
+
   private final case class Ex(shuffles: Int, broadcasts: Int, reused: Int)
 
   private def exchanges(build: => DataFrame): Ex = {
@@ -46,9 +60,9 @@ class PlanGoldenSpec extends SparkTestBase {
     if (got != golden) drift += s"$name: $got != golden $golden"
   }
 
-  private def idx = IndexBuilder.cached(spark, sf0001)
-  private def custQ = Queries.customerQuery(spark, sf0001)
-  private def partQ = Queries.partQuery(spark, sf0001)
+  private def idx = IndexBuilder.cached(spark, dir)
+  private def custQ = Queries.customerQuery(spark, dir)
+  private def partQ = Queries.partQuery(spark, dir)
 
   test("golden exchange counts: the five flagship plans") {
     pin("search", Ex(9, 4, 3)) {
@@ -59,9 +73,9 @@ class PlanGoldenSpec extends SparkTestBase {
         ("customer", custQ, Queries.customerCols),
         ("part", partQ, Queries.partCols)))
     }
-    pin("minhash", Ex(1, 4, 1)) { Dedup.minhashLsh(spark, sf0001) }
-    pin("kept_corpus", Ex(7, 0, 0)) { Dedup.keptCorpus(spark, sf0001) }
-    pin("bm25", Ex(4, 4, 1)) { TextAnalysis.bm25TopK(spark, sf0001) }
+    pin("minhash", Ex(1, 4, 1)) { Dedup.minhashLsh(spark, dir) }
+    pin("kept_corpus", Ex(7, 0, 0)) { Dedup.keptCorpus(spark, dir) }
+    pin("bm25", Ex(4, 4, 1)) { TextAnalysis.bm25TopK(spark, dir) }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 

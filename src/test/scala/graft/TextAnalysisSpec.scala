@@ -117,4 +117,35 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(got3 == Seq((1L, 3L), (0L, 1L)), s"got $got3")
   }
+
+  test("proximity: window gating, min distance, density ranking") {
+    // query terms from doc 0: "red" and "fox" (first two distinct).
+    // Fillers avoid the cleaner's stopword list — cleaning DROPS
+    // stopwords, so positions are post-clean token positions.
+    val d = Seq(
+      (0L, "red fox red fox"),                    // min 1, dense
+      (1L, "red gap1 gap2 gap3 fox"),             // dist 4 <= 5 -> kept
+      (2L, "red g1 g2 g3 g4 g5 fox"),             // dist 6 > 5 -> dropped
+      (3L, "fox later comes red"),                // dist 3, order-insensitive
+      (4L, "red only here"),                      // one term -> dropped
+      (5L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.proximityTopKOf(d, window = 5, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc0: pa=[1,3], pb=[2,4] -> dists {1,3,1,1(?)}: |1-2|=1,|1-4|=3,
+    // |3-2|=1,|3-4|=1 -> min 1, n_within 4.
+    assert(got.map(_._1) == Seq(0L, 3L, 1L), s"got $got")
+    assert(got.head == (0L, 1L, 4L), s"got ${got.head}")
+    assert(got.find(_._1 == 1L).get._2 == 4L)
+    assert(got.find(_._1 == 3L).get._2 == 3L)
+
+    // the engine must agree with itself about cleaning: a stopword
+    // between the terms does NOT add distance (it never survives
+    // into the positional postings).
+    val s = Seq((0L, "red fox"), (1L, "red of the and fox"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.proximityTopKOf(s, window = 1, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2.map(_._1).toSet == Set(0L, 1L), s"got $got2")
+  }
 }
