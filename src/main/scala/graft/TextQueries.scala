@@ -49,6 +49,11 @@ object TextQueries {
     Q("text_phrase_near",
       (s, dir) => TextAnalysis.proximityTopK(s, dir),
       Some(TextOracle.proximityTopKSql())),
+    // PII scrubbing over planted emails/IPs (the html_extract
+    // fixture convention) — counts + redacted hash, RE2-mirrored.
+    Q("text_redact_pii",
+      (s, dir) => TextAnalysis.redactPiiDemo(s, dir),
+      Some(TextOracle.redactPiiSql)),
     // regex-tier HTML -> text extraction over constructed pages; the
     // oracle runs the identical rules in RE2, pinning the
     // cross-engine regex semantics (the risk of a regex extractor).

@@ -244,10 +244,25 @@ object Multimodal {
       expr(half(0)).as("dhash_lo"), expr(half(32)).as("dhash_hi"))
   }
 
+  /** Session-cached dHashes of a media frame: the band self-join
+    * below consumes BOTH sides of this lineage, and without the
+    * persist each side re-runs the whole decode (the
+    * [[Dedup.simhashHalves]] arrangement; keyed by corpus, variant,
+    * and codec so a custom codec never serves another's cache).
+    */
+  private def cachedHashes(spark: SparkSession, dir: String, variant: String,
+      codec: Codec, mediaDf: => DataFrame): DataFrame = {
+    import graft.sources.DfCache
+    DfCache.getOrPersist(spark,
+      s"mm_dhash:$variant:$dir:${codec.getClass.getName}")(
+      dhashOf(lumaGrids(mediaDf, codec)))
+  }
+
   /** Registered perceptual-hash query: one dHash per media row. */
   def perceptualHashes(spark: SparkSession, dir: String,
       codec: Codec = FakeCodec): DataFrame =
-    dhashOf(lumaGrids(media(spark, dir), codec)).orderBy("doc_id")
+    cachedHashes(spark, dir, "base", codec, media(spark, dir))
+      .orderBy("doc_id")
 
   /** Perceptual near-dup pairs over dHashes: candidates share one of
     * the 4 disjoint 16-bit signature bands, verified by exact
@@ -269,7 +284,7 @@ object Multimodal {
   def neardupMedia(spark: SparkSession, dir: String, maxHam: Int = 3,
       codec: Codec = FakeCodec): DataFrame =
     neardupFromHashes(
-      dhashOf(lumaGrids(media(spark, dir), codec)), maxHam)
+      cachedHashes(spark, dir, "base", codec, media(spark, dir)), maxHam)
 
   /** The media table plus deterministically-planted RE-ENCODED twins
     * (the `text_html_extract` convention: the synthetic corpus holds
@@ -304,7 +319,8 @@ object Multimodal {
   def neardupReencoded(spark: SparkSession, dir: String, maxHam: Int = 3,
       codec: Codec = FakeCodec): DataFrame =
     neardupFromHashes(
-      dhashOf(lumaGrids(mediaReencoded(spark, dir), codec)), maxHam)
+      cachedHashes(spark, dir, "reenc", codec, mediaReencoded(spark, dir)),
+      maxHam)
 
   /** [[neardupMedia]] from any `(doc_id, dhash_lo, dhash_hi)` frame —
     * the seam the spec drives with crafted payloads.

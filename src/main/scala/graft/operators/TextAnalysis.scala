@@ -407,6 +407,65 @@ object TextAnalysis {
       window: Int = 5, k: Int = 20): DataFrame =
     proximityTopKOf(docs(spark, dir), window, k)
 
+  /** Email pattern for PII scrubbing — explicit ASCII classes only,
+    * so Java and RE2 compile the identical automaton (the
+    * html-extract cross-engine discipline; `\w`/`\d` flavors and
+    * word boundaries are avoided on purpose).
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** IPv4 pattern — same explicit-class discipline. */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing — the redaction rung every published web-corpus
+    * pipeline runs before training (emails and IP addresses to
+    * placeholder tokens, the CCNet/RefinedWeb rule at regex tier).
+    * Row-local codegen'd regexp work, no UDF, no shuffle; emails
+    * redact FIRST so an address's host part can never half-match the
+    * IP rule afterwards. Spark's regexp_replace is global by
+    * default; the DuckDB oracle passes the 'g' flag — one of the two
+    * engine-default divergences this operator must pin (the other is
+    * the regex flavor, handled by the explicit classes above).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(Ipv4Re), lit("<IP>"))
+
+  /** Registered demonstration over deterministically PLANTED PII
+    * (the `text_html_extract` convention — the synthetic corpus
+    * carries no organic emails/IPs): every mod-3=0 document gains a
+    * doc-id-derived email, every mod-3=1 an IP, mod-3=2 stays
+    * clean. Output: per-doc match counts, redacted-text hash and
+    * length — the oracle re-runs the identical patterns in RE2.
+    */
+  def redactPiiOf(documents: DataFrame): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.99 logged")))
+        .otherwise(lit("")))
+    documents
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        redactPii(col("t")).as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        md5(col("red").cast("binary")).as("redacted_md5"),
+        length(col("red")).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** [[redactPiiOf]] over the corpus `documents` table. */
+  def redactPiiDemo(spark: SparkSession, dir: String): DataFrame =
+    redactPiiOf(docs(spark, dir))
+
   /** Gopher-style repetition signals (the published web-corpus
     * repetition filters: fraction of the document made of its most
     * frequent n-gram, and of all duplicated n-grams) over cleaned

@@ -221,6 +221,39 @@ SELECT doc_id, CAST(list_min(dists) AS BIGINT) AS min_dist,
 FROM d WHERE list_min(dists) <= $window
 ORDER BY min_dist ASC, n_within DESC, doc_id ASC LIMIT $k"""
 
+  /** PII redaction oracle: identical explicit-class patterns in RE2,
+    * with DuckDB's 'g' flag supplying the global semantics Spark's
+    * regexp_replace has by default.
+    */
+  def redactPiiSql: String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
+    // single-quote-free patterns embed directly into standard-SQL
+    // string literals (no backslash processing in DuckDB literals).
+    val em = EmailRe
+    val ip = Ipv4Re
+    s"""WITH planted AS (
+    SELECT doc_id, text ||
+      CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 3 = 1
+             THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.99 logged'
+           ELSE '' END AS t
+    FROM documents
+  ),
+  red AS (
+    SELECT doc_id, t,
+      regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+        '$ip', '<IP>', 'g') AS r
+    FROM planted
+  )
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+  md5(r) AS redacted_md5,
+  CAST(length(r) AS BIGINT) AS n_chars_redacted
+FROM red ORDER BY doc_id"""
+  }
+
   def repetitionSql: String =
     s"""WITH rt AS (
     SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t

@@ -118,6 +118,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got3 == Seq((1L, 3L), (0L, 1L)), s"got $got3")
   }
 
+  test("pii redaction: emails before ips, globals, clean text untouched") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (0L, "mail a@b.co and c.d+x@e-f.org twice"),     // 2 emails
+      (1L, "hosts 10.0.0.1 and 192.168.255.3 here"),   // 2 ips
+      (2L, "mixed u@h.io at 8.8.8.8"),                 // one of each
+      (3L, "nothing sensitive at all"))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "mail <EMAIL> and <EMAIL> twice")
+    assert(got(1L) == "hosts <IP> and <IP> here")
+    assert(got(2L) == "mixed <EMAIL> at <IP>")
+    assert(got(3L) == "nothing sensitive at all")
+  }
+
   test("proximity: window gating, min distance, density ranking") {
     // query terms from doc 0: "red" and "fox" (first two distinct).
     // Fillers avoid the cleaner's stopword list — cleaning DROPS
