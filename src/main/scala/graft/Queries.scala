@@ -567,6 +567,37 @@ FROM orders ORDER BY o_custkey, o_orderkey""")),
           count(lit(1)).as("n")),
       Some("""SELECT cast(sum(cast(round(l_extendedprice*l_discount*100) as bigint)) as bigint) AS revenue_cents, count(*) AS n
 FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+    // TPC-H Q18 shape (large-volume customer): semi-aggregated
+    // lineitem qty feeds a broadcast-able filter of orders — the
+    // classic aggregate-then-join that must NOT join first (joining
+    // 3 tables then filtering would shuffle the whole lineitem x
+    // order product). Threshold 250 sized to the synthetic SF.
+    Q("q18_large_volume_customer",
+      (s, dir) => {
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val qty = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+          .where(col("sum_qty") > 250)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(qty, o("o_orderkey") === qty("l_orderkey"))
+          .select(c("c_name").as("c_name"), c("c_custkey").as("c_custkey"),
+            o("o_orderkey").as("o_orderkey"),
+            o("o_orderdate").as("o_orderdate"),
+            cents(o("o_totalprice")).cast("long").as("o_totalprice_cents"),
+            col("sum_qty"))
+          .orderBy(col("o_totalprice_cents").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  cast(round(o_totalprice*100) as bigint) AS o_totalprice_cents, sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey, cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity as bigint)) > 250) q
+  ON o_orderkey = q.l_orderkey
+ORDER BY o_totalprice_cents DESC, o_orderkey ASC LIMIT 100""")),
     // JSON scalar surface: events.props is a JSON string column.
     Q("events_props_json",
       (s, dir) => s.read.parquet(s"$dir/events.parquet")

@@ -45,6 +45,12 @@ object SimQueries {
     Q("sim_cosine_topk_windowed",
       (s, dir) => Similarity.cosineTopK(s, dir),
       Some(SimOracle.cosineTopKSql())),
+    // cluster-balanced sampling plan over the trained cells (the
+    // SemDeDup-adjacent prep rung): per-cell share, keep cap, and
+    // sampling weight in exact bigint.
+    Q("sim_cluster_balance",
+      (s, dir) => Similarity.clusterBalance(s, dir),
+      Some(SimOracle.clusterBalanceSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

@@ -400,6 +400,33 @@ object Similarity {
         ivfCodebook(spark, dir, numCents))
     }
 
+  /** Cluster-balanced sampling plan over the trained IVF cells — the
+    * SemDeDup-adjacent prep rung: semantic clusters of a web corpus
+    * are wildly imbalanced (boilerplate clusters dwarf the tail), so
+    * balanced pre-training samplers cap per-cluster document counts.
+    * Per cell: member count, corpus share, the exact-integer keep
+    * cap (uniform target = total div cells), and the sampling weight
+    * a balanced sampler applies — all pure bigint, so the oracle
+    * (which re-derives the assignment from the unrolled Lloyd
+    * rounds) matches bit for bit. Two tiny aggregations over the
+    * session-cached assignment; nothing touches the vectors again.
+    */
+  def clusterBalance(spark: SparkSession, dir: String,
+      numCents: Int = 8): DataFrame = {
+    val sizes = ivfCells(spark, dir, numCents)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+    val tot = sizes.agg(sum("n_members").cast("long").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell_id").cast("long").as("cell_id"),
+        col("n_members").cast("long").as("n_members"),
+        expr("(n_members * 10000) div n_total").cast("long").as("share_bp"),
+        expr("least(n_members, n_total div n_cells)").cast("long").as("keep_cap"),
+        expr("least(10000, ((n_total div n_cells) * 10000) div n_members)")
+          .cast("long").as("weight_bp"))
+      .orderBy("cell_id")
+  }
+
   /** Multi-probe IVF search: each probe searches its top-`nprobe`
     * cells by centroid cosine (nprobe=1 degenerates to [[ivfProbe]]'s
     * own-cell rule) — the standard recall dial [[ivfRecallMulti]]

@@ -98,6 +98,30 @@ SELECT c.cent_id, CAST(s.n_members AS BIGINT) AS n_members, c.cnq
 FROM cents c JOIN sizes s USING (cent_id)
 ORDER BY c.cent_id"""
 
+  /** Mirrors `Similarity.clusterBalance`: the assignment re-derived
+    * from the unrolled Lloyd rounds, then pure integer balance math.
+    */
+  def clusterBalanceSql(numCents: Int = 8,
+      iters: Int = Similarity.CodebookIters): String =
+    s"""WITH $baseCtes,
+  ${codebookCtes(numCents, iters)},
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  sizes AS (SELECT cell_id, count(*) AS n_members FROM cells GROUP BY cell_id),
+  tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_total,
+    count(*) AS n_cells FROM sizes)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+  CAST(n_members AS BIGINT) AS n_members,
+  CAST((n_members * 10000) // n_total AS BIGINT) AS share_bp,
+  CAST(least(n_members, n_total // n_cells) AS BIGINT) AS keep_cap,
+  CAST(least(10000, ((n_total // n_cells) * 10000) // n_members) AS BIGINT) AS weight_bp
+FROM sizes CROSS JOIN tot ORDER BY cell_id"""
+
   def cosineTopKSql(k: Int = 10, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
