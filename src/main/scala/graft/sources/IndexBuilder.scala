@@ -143,9 +143,17 @@ object IndexBuilder {
     * per-table reality of a data lake, where each table is its own
     * dataset and the "index" federates them.
     */
-  def writePartitionedSnapshot(spark: SparkSession, dir: String): String = {
-    val path = partitionedSnapshotPath(dir)
-    build(spark, dir)
+  def writePartitionedSnapshot(spark: SparkSession, dir: String): String =
+    writePartitionedSnapshotAs(build(spark, dir), partitionedSnapshotPath(dir))
+
+  /** The lake layout for ANY postings source (the
+    * [[writeSnapshotAs]] twin): hive-partitioned by `table_id`,
+    * key-clustered within each partition. Exposed so streaming
+    * compaction can fold base+deltas straight into the file-skipping
+    * layout ([[graft.streaming.IndexStream.compactPartitioned]]).
+    */
+  def writePartitionedSnapshotAs(postings: DataFrame, path: String): String = {
+    postings
       .repartition(col("key"))
       .write.mode("overwrite").partitionBy("table_id").parquet(path)
     path

@@ -76,6 +76,17 @@ object IndexStream {
       targetPath: String): String =
     IndexBuilder.writeSnapshotAs(loadWithDeltas(spark, dir, deltaDir), targetPath)
 
+  /** [[compact]] into the LAKE layout: base + deltas folded into a
+    * `table_id`-partitioned, key-clustered snapshot — the target the
+    * partition-pruned search reads, so a live index graduates to
+    * file-skipping pruning at the next compaction without a separate
+    * conversion pass. Same zero-downtime contract as [[compact]].
+    */
+  def compactPartitioned(spark: SparkSession, dir: String, deltaDir: String,
+      targetPath: String): String =
+    IndexBuilder.writePartitionedSnapshotAs(
+      loadWithDeltas(spark, dir, deltaDir), targetPath)
+
   /** The live index: base snapshot plus all accumulated deltas.
     * Missing/empty delta dir degrades to the base snapshot alone —
     * and "empty" means no `batch=*` entries specifically: a stray

@@ -75,6 +75,30 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got == (0 until n).map(i => (i.toLong, 0L)).toSet)
   }
 
+  test("star contraction equals label propagation on random graphs (seed 7)") {
+    // the JoinSearchPropertySpec convention: random geometry covers
+    // the shapes hand fixtures miss (bridges between cliques,
+    // multiple chains, self-pairs, duplicate edges, isolated pairs);
+    // fixed seed so failures reproduce. Node ids drawn from a small
+    // domain force dense collision structure.
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 8) {
+      val n = 6 + rnd.nextInt(25)
+      // the candidate join's contract: doc_x != doc_y (LSH pairs are
+      // strictly cross-document), duplicates allowed.
+      val pairs = Seq.fill(3 + rnd.nextInt(40)) {
+        val a = rnd.nextInt(n)
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (a.toLong, b.toLong)
+      }.toDF("doc_x", "doc_y")
+      val star = Dedup.clustersFromPairsStar(pairs)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val prop = Dedup.clustersFromPairs(pairs)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(star == prop, s"round $round diverged")
+    }
+  }
+
   test("incremental flags derive from the whole-corpus verified pairs") {
     import org.apache.spark.sql.functions.col
     // Same bands, same verify threshold — so a delta doc is flagged

@@ -150,6 +150,48 @@ class IndexStreamSpec extends SparkTestBase {
     assert(hits == Seq((1, 4L)), s"got $hits")
   }
 
+  test("partitioned compaction: live index graduates to file-skipping pruned search") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta5"), tmp("graft-ckpt5"))
+    val cols = Seq("c_name", "c_mktsegment")
+    val in = MemoryStream[CRow]
+    in.addData(
+      CRow("Quixotic Banyan", "STARDUST", 999930001L),
+      CRow("Quixotic Banyan", "STARDUST", 999930002L))
+    val q = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // fold base+deltas straight into the lake layout...
+    val target = tmp("graft-compacted-part") + "/bytable"
+    IndexStream.compactPartitioned(spark, sf0001, delta, target)
+    val lake = spark.read.parquet(target)
+    assert(lake.count() ==
+      IndexStream.loadWithDeltas(spark, sf0001, delta).count())
+
+    // ...and run the partition-pruned search over it, routed by the
+    // LIVE sketch (the delta carries the query's vocabulary, so the
+    // stale base sketch would wrongly drop table 1 — the live one
+    // must route to it and the scan must still skip other tables'
+    // files).
+    val query = Seq(("Quixotic Banyan", "STARDUST")).toDF(cols: _*)
+    val res = JoinSearch.searchTablesPartitionPruned(lake,
+      IndexStream.tableSketchWithDeltas(spark, sf0001, delta),
+      IndexStream.keyStatsWithDeltas(spark, sf0001, delta),
+      query, cols)
+    val scan = res.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("bytable")) => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "table_id")))
+    assert(scan.selectedPartitions.totalNumberOfFiles <
+      scan.relation.location.inputFiles.length,
+      "no files skipped on the compacted lake")
+    // 2 matched corpus rows x 2 columns -> score 4 on the customer table.
+    assert(res.as[(Int, Long)].collect().toSeq == Seq((1, 4L)))
+  }
+
   test("merged key stats equal recomputed; delta-hot keys hit the df cap") {
     implicit val sqlCtx = spark.sqlContext
     val (delta, ckpt) = (tmp("graft-delta3"), tmp("graft-ckpt3"))
