@@ -371,7 +371,23 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     // available (e.g. the session-cached in-memory index).
     Q("search_pruned_semijoin",
       (s, dir) => JoinSearch.searchTablesPruned(index(s, dir), customerQuery(s, dir), customerCols),
-      Some(SearchOracle.tableScores(customerSpec))))
+      Some(SearchOracle.tableScores(customerSpec))),
+    // batching + file skipping composed: three queries, one shared
+    // probe, one unioned partition predicate. Oracle = the queries
+    // one at a time, proving both accelerations exact together.
+    Q("search_batch_pruned",
+      (s, dir) => JoinSearch.searchTablesBatchPartitionPruned(
+        IndexBuilder.loadOrSnapshotPartitioned(s, dir),
+        IndexBuilder.loadOrBuildTableSketch(s, dir),
+        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        Seq(
+          ("customer", customerQuery(s, dir), customerCols),
+          ("orders", ordersQuery(s, dir), ordersCols),
+          ("part", partQuery(s, dir), partCols))),
+      Some(SearchOracle.tableScoresBatch(Seq(
+        "customer" -> customerSpec,
+        "orders" -> ordersSpec,
+        "part" -> partSpec)))))
 
   // ---- S1/S2 CSV source + P2 row limit ----
 

@@ -44,6 +44,12 @@ object TextQueries {
     Q("text_phrase_topk",
       (s, dir) => TextAnalysis.phraseTopK(s, dir),
       Some(TextOracle.phraseTopKSql())),
+    // the durable-index twin: same phrase pipeline served from the
+    // term-clustered positional artifact with a literal pushdown
+    // probe (PushedFilters spec-asserted); same oracle.
+    Q("text_phrase_topk_indexed",
+      (s, dir) => TextAnalysis.phraseTopKIndexed(s, dir),
+      Some(TextOracle.phraseTopKSql())),
     // the NEAR relaxation between bag-of-words and exact phrase:
     // both terms within a token window, ranked by closeness.
     Q("text_phrase_near",

@@ -758,4 +758,44 @@ object JoinSearch {
       .orderBy(col("join_score").desc, col("table_id").asc)
       .limit(maxTables)
   }
+
+  /** The two flagship accelerations composed: [[searchTablesBatch]]'s
+    * one-pass amortization over [[searchTablesPartitionPruned]]'s
+    * file skipping. The UNION of every query's sketch verdict becomes
+    * the single partition predicate (a table allowed for any query is
+    * read once; per-query conjunctions ignore tables they cannot
+    * match, so the union costs correctness nothing), and the union of
+    * every query's keys drives the one shared probe. Per-query
+    * results stay exact — identical to running each search alone
+    * (same argument as [[searchTablesBatch]], plus the prune's
+    * conservatism).
+    */
+  def searchTablesBatchPartitionPruned(partIndex: DataFrame,
+      sketch: DataFrame, stats: DataFrame,
+      queries: Seq[(String, DataFrame, Seq[String])],
+      maxTables: Int = 20): DataFrame = {
+    require(queries.nonEmpty, "batch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query_ids: ${queries.map(_._1).mkString(", ")}")
+    val prepared = queries.map { case (qid, q, cols) =>
+      (qid, mappings(prepareInput(q, cols), cols), cols)
+    }
+    val allowed = prepared
+      .flatMap { case (_, m, cols) => prunedTableIds(sketch, m, cols.size) }
+      .distinct.sorted
+    val allKeys = prepared.map(_._2.select("key")).reduce(_ unionByName _)
+      .distinct()
+    val probed = partIndex.where(col("table_id").isin(allowed: _*))
+      .join(broadcast(allKeys), Seq("key"), "left_semi")
+    val st = Some(stats)
+    prepared.map { case (qid, m, cols) =>
+      tableScores(topColumns(
+          columnScores(conjunctionAnchored(probed, m, cols.size, st)),
+          cols.size))
+        .orderBy(col("join_score").desc, col("table_id").asc)
+        .limit(maxTables)
+        .select(lit(qid).as("query_id"), col("table_id"), col("join_score"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("query_id"), col("join_score").desc, col("table_id"))
+  }
 }

@@ -118,6 +118,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got3 == Seq((1L, 3L), (0L, 1L)), s"got $got3")
   }
 
+  test("indexed phrase probe pushes the term literals into the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = TextAnalysis.phraseTopKIndexed(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("-positional")) => f
+    }
+    assert(scans.nonEmpty, "no scan of the positional index found")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("In(term"),
+      s"phrase terms not pushed into the scan: $pushed")
+    // and the indexed form is row-identical to the derived form.
+    val a = df.as[(Long, Long)].collect().toSeq
+    val b = TextAnalysis.phraseTopK(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pii redaction: emails before ips, globals, clean text untouched") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
