@@ -49,6 +49,35 @@ class BatchSearchSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("the pruned batch keeps exchange reuse AND the partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = JoinSearch.searchTablesBatchPartitionPruned(
+        IndexBuilder.loadOrSnapshotPartitioned(spark, sf0001),
+        IndexBuilder.loadOrBuildTableSketch(spark, sf0001),
+        IndexBuilder.loadOrBuildKeyStats(spark, sf0001),
+        queryTriples(sf0001))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"pruned batch lost exchange reuse:\n$plan")
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("-bytable")) => f
+      }
+      assert(scans.nonEmpty &&
+        scans.forall(_.partitionFilters.exists(
+          _.references.exists(_.name == "table_id"))),
+        s"pruned batch lost the partition predicate:\n$plan")
+      // and per-query parity with the plain batch.
+      val got = df.as[(String, Int, Long)].collect().toSeq
+      val base = JoinSearch.searchTablesBatch(
+          IndexBuilder.cached(spark, sf0001), queryTriples(sf0001))
+        .as[(String, Int, Long)].collect().toSeq
+      assert(got == base)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("AQE also reuses the shared stages at runtime") {
     // adaptive reuse happens at stage materialization: after
     // execution, the final plan references the same ShuffleQueryStage
