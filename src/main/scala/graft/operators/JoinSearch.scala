@@ -780,9 +780,13 @@ object JoinSearch {
     val prepared = queries.map { case (qid, q, cols) =>
       (qid, mappings(prepareInput(q, cols), cols), cols)
     }
+    // ONE routing job for the whole batch: the per-query verdicts
+    // union before the (metadata-sized) collect, instead of N
+    // separate sketch evaluations.
     val allowed = prepared
-      .flatMap { case (_, m, cols) => prunedTableIds(sketch, m, cols.size) }
-      .distinct.sorted
+      .map { case (_, m, cols) => prunedTables(sketch, m, cols.size) }
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getAs[Number]("table_id").intValue).toSeq.sorted
     val allKeys = prepared.map(_._2.select("key")).reduce(_ unionByName _)
       .distinct()
     val probed = partIndex.where(col("table_id").isin(allowed: _*))
