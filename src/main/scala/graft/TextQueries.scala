@@ -55,6 +55,9 @@ object TextQueries {
     Q("text_phrase_near",
       (s, dir) => TextAnalysis.proximityTopK(s, dir),
       Some(TextOracle.proximityTopKSql())),
+    Q("text_phrase_near_indexed",
+      (s, dir) => TextAnalysis.proximityTopKIndexed(s, dir),
+      Some(TextOracle.proximityTopKSql())),
     // PII scrubbing over planted emails/IPs (the html_extract
     // fixture convention) — counts + redacted hash, RE2-mirrored.
     Q("text_redact_pii",

@@ -427,16 +427,30 @@ object TextAnalysis {
     */
   def proximityTopKOf(documents: DataFrame, window: Int = 5,
       k: Int = 20): DataFrame = {
-    val posts = positionalPostings(documents)
-    val pair = documents.orderBy("doc_id").limit(1)
+    val pair = pairOf(documents)
+    val probed = positionalPostings(documents).join(
+      broadcast(pair.select(explode(array(col("t0"), col("t1"))).as("term"))),
+      Seq("term"), "left_semi")
+    proximityCore(probed, pair, window, k)
+  }
+
+  /** The query-by-example term pair `(t0, t1)`: the first two
+    * DISTINCT cleaned tokens of the minimum-doc_id document (one row,
+    * or zero when that document has fewer than two).
+    */
+  private def pairOf(documents: DataFrame): DataFrame =
+    documents.orderBy("doc_id").limit(1)
       .select(slice(array_distinct(
         filter(split(Tokenize.clean(col("text")), " "), _ =!= "")), 1, 2).as("ts"))
       .where(size(col("ts")) === 2)
       .select(element_at(col("ts"), 1).as("t0"),
         element_at(col("ts"), 2).as("t1"))
-    val probed = posts.join(
-      broadcast(pair.select(explode(array(col("t0"), col("t1"))).as("term"))),
-      Seq("term"), "left_semi")
+
+  /** The proximity pipeline below the probe, shared by the derived
+    * and indexed entry points.
+    */
+  private def proximityCore(probed: DataFrame, pair: DataFrame,
+      window: Int, k: Int): DataFrame = {
     probed.crossJoin(broadcast(pair))
       .groupBy("doc_id")
       .agg(
@@ -459,6 +473,22 @@ object TextAnalysis {
   def proximityTopK(spark: SparkSession, dir: String,
       window: Int = 5, k: Int = 20): DataFrame =
     proximityTopKOf(docs(spark, dir), window, k)
+
+  /** [[proximityTopK]] served from the durable positional index with
+    * the literal pushdown probe ([[phraseTopKIndexed]]'s contract:
+    * the two terms are metadata-sized, so the collect is routing, not
+    * data movement). Row-identical to the derived form.
+    */
+  def proximityTopKIndexed(spark: SparkSession, dir: String,
+      window: Int = 5, k: Int = 20): DataFrame = {
+    val pair = pairOf(docs(spark, dir))
+    val terms = pair
+      .select(explode(array(col("t0"), col("t1"))).as("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val probed = loadOrBuildPositionalIndex(spark, dir)
+      .where(col("term").isin(terms: _*))
+    proximityCore(probed, pair, window, k)
+  }
 
   /** Email pattern for PII scrubbing — explicit ASCII classes only,
     * so Java and RE2 compile the identical automaton (the

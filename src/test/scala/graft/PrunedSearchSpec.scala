@@ -147,6 +147,20 @@ class PrunedSearchSpec extends SparkTestBase {
     }
   }
 
+  test("partition-pruned search survives an all-pruned verdict (empty isin)") {
+    // a query whose keys exist nowhere: the sketch prunes EVERY
+    // table, the partition predicate becomes an empty IN — the scan
+    // must plan to zero partitions and the search must return empty,
+    // not throw.
+    val part = IndexBuilder.loadOrSnapshotPartitioned(spark, sf0001)
+    val sketch = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
+    val stats = IndexBuilder.loadOrBuildKeyStats(spark, sf0001)
+    val hopeless = Seq(("zzzzqqqqxxxx", "wwwwyyyyvvvv")).toDF("a", "b")
+    val res = JoinSearch.searchTablesPartitionPruned(
+      part, sketch, stats, hopeless, Seq("a", "b"))
+    assert(res.count() == 0L)
+  }
+
   test("sketch artifact roundtrips beside the snapshot") {
     val art = IndexBuilder.loadOrBuildTableSketch(spark, sf0001)
       .select(col("table_id"), col("column_id"), col("bits"))
