@@ -336,9 +336,15 @@ object TextAnalysis {
       k: Int): DataFrame = {
     // phrase-term posting counts -> the anchor (rarest, then lowest
     // offset). Phrase-sized frames throughout; one aggregated row.
+    // LEFT join + tdf 0 for phrase terms with NO postings: the
+    // absent term must stay in the verification array (dropping it
+    // would over-match the remaining terms) and, with the smallest
+    // possible df, it becomes the anchor — zero candidate starts,
+    // correctly empty output, at zero cost.
     val pdf = probed.groupBy("term").agg(count(lit(1)).as("tdf"))
     val anchorRow = phrase
-      .join(broadcast(pdf), col("pterm") === col("term"))
+      .join(broadcast(pdf), col("pterm") === col("term"), "left")
+      .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
       .agg(
         expr("transform(array_sort(collect_list(struct(j, pterm))), s -> s.pterm)")
           .as("parr"),
@@ -408,6 +414,66 @@ object TextAnalysis {
     val probed = loadOrBuildPositionalIndex(spark, dir)
       .where(col("term").isin(terms: _*))
     phraseCore(probed, phrase, k)
+  }
+
+  /** Batched multi-phrase retrieval — [[JoinSearch.searchTablesBatch]]'s
+    * amortization applied to phrases: N phrase requests answered in
+    * ONE pass over the positional index. The union of every request's
+    * terms drives a single literal-pushdown probe, the per-doc
+    * position map aggregates ONCE (the only corpus-side shuffle,
+    * shared by every request — extra terms in a doc's map cannot
+    * corrupt another request's verification, which checks exact
+    * values at exact offsets), and each request anchors on its own
+    * rarest term. A request containing a term with NO postings
+    * anchors on it and returns empty, exactly like the single form.
+    *
+    * `phrases` are CLEANED token lists (the caller tokenizes with
+    * [[graft.functions.Tokenize]] — the streaming service does);
+    * output `(req_id, doc_id, n_hits)` ranked per request, top `k`
+    * each.
+    */
+  def phraseTopKBatch(spark: SparkSession, dir: String,
+      phrases: Seq[(String, Seq[String])], k: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "phrase batch needs at least one request")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      s"duplicate req_ids: ${phrases.map(_._1).mkString(", ")}")
+    val allTerms = phrases.flatMap(_._2).distinct.sorted
+    val probed = loadOrBuildPositionalIndex(spark, dir)
+      .where(col("term").isin(allTerms: _*))
+    val phrase = phrases
+      .flatMap { case (id, ts) => ts.zipWithIndex.map { case (t, j) => (id, j, t) } }
+      .toDF("req_id", "j", "pterm")
+    val pdf = probed.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val anchors = phrase
+      .join(broadcast(pdf), col("pterm") === col("term"), "left")
+      .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
+      .groupBy("req_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(j, pterm))), s -> s.pterm)")
+          .as("parr"),
+        expr("min_by(struct(pterm, j), struct(tdf, j))").as("a"))
+      .select(col("req_id"), col("parr"), col("a.pterm").as("anchor_term"),
+        col("a.j").cast("long").as("anchor_j"))
+    val docMaps = probed
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("term"))))
+        .as("pmap"),
+        collect_list(struct(col("pos"), col("term"))).as("plist"))
+    val hits = docMaps
+      .select(col("doc_id"), col("pmap"), explode(col("plist")).as("pt"))
+      .join(broadcast(anchors), col("pt.term") === col("anchor_term"))
+      .withColumn("start", col("pt.pos") - col("anchor_j"))
+      .where(col("start") >= 1)
+      .where(expr("forall(sequence(0, size(parr) - 1), j -> " +
+        "coalesce(try_element_at(pmap, start + j), '') = " +
+        "element_at(parr, cast(j + 1 as int)))"))
+      .groupBy("req_id", "doc_id").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("req_id")
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+    hits.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+      .orderBy(col("req_id"), col("n_hits").desc, col("doc_id").asc)
   }
 
   /** Proximity (NEAR) retrieval — the relaxation between bag-of-words

@@ -44,4 +44,41 @@ object SearchStream {
         ()
       }
       .start()
+
+  /** Phrase-search-as-a-service: requests `(req_id, phrase)` arrive
+    * as a stream of RAW strings; every micro-batch tokenizes them
+    * with the engine's one cleaning function and answers the whole
+    * batch in ONE pass over the durable positional index
+    * ([[graft.operators.TextAnalysis.phraseTopKBatch]] — shared
+    * probe, shared per-doc position map, per-request anchors). The
+    * per-batch request collect is metadata-sized (request strings,
+    * not corpus data) — the same altitude as the batch's own
+    * foreachBatch closure. Results land at `onResult(df, batchId)`
+    * as `(req_id, doc_id, n_hits)` ranked per request.
+    */
+  def servePhrases(spark: org.apache.spark.sql.SparkSession, dir: String,
+      requests: DataFrame, checkpointDir: String,
+      onResult: (DataFrame, Long) => Unit, k: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val reqs = batch.toDF()
+          .select(col("req_id").cast("string"),
+            split(graft.functions.Tokenize.clean(col("phrase")), " ")
+              .as("ts"))
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[String](1).filter(_.nonEmpty).toSeq)
+          .toSeq
+        if (reqs.nonEmpty)
+          onResult(
+            graft.operators.TextAnalysis.phraseTopKBatch(spark, dir, reqs, k),
+            batchId)
+        ()
+      }
+      .start()
 }

@@ -52,4 +52,55 @@ class SearchStreamSpec extends SparkTestBase {
     assert(r2 == expected(batch1 ++ batch2))
     assert(r1.nonEmpty && r2.nonEmpty)
   }
+
+  test("batched phrase requests answer in one pass; absent terms stay empty") {
+    import graft.operators.TextAnalysis
+    // per-request parity with the single-phrase pipeline: the batch
+    // shares the probe + position map, results must not change.
+    val single = TextAnalysis.phraseTopK(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val phraseTerms = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(1)
+      .select(org.apache.spark.sql.functions.split(
+        graft.functions.Tokenize.clean(
+          org.apache.spark.sql.functions.col("text")), " "))
+      .as[Seq[String]].head().take(3)
+    val got = TextAnalysis.phraseTopKBatch(spark, sf0001, Seq(
+      "a" -> phraseTerms,
+      "b" -> Seq("zzzznotaword", phraseTerms.head),
+      "c" -> phraseTerms.take(2)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == "a").map(t => (t._2, t._3)) == single)
+    // a request containing a zero-posting term matches NOTHING (the
+    // absent term anchors: dropping it instead would over-match).
+    assert(!got.exists(_._1 == "b"))
+    assert(got.exists(_._1 == "c"))
+  }
+
+  test("streaming phrase service equals the batch pipeline per request") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val phrase = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(1)
+      .select(org.apache.spark.sql.functions.split(
+        graft.functions.Tokenize.clean(
+          org.apache.spark.sql.functions.col("text")), " "))
+      .as[Seq[String]].head().take(3)
+
+    val results = TrieMap.empty[Long, Seq[(String, Long, Long)]]
+    val in = MemoryStream[(String, String)]
+    in.addData(("q1", phrase.mkString(" ")), ("q2", "zzzznotaword never"))
+    val q = graft.streaming.SearchStream.servePhrases(spark, sf0001,
+      in.toDF().toDF("req_id", "phrase"),
+      Files.createTempDirectory("graft-ps-ckpt").toString + "/c",
+      (df, id) => {
+        results.put(id, df.as[(String, Long, Long)].collect().toSeq); ()
+      })
+    q.processAllAvailable(); q.stop()
+    val got = results(0L)
+    val expected = TextAnalysis.phraseTopKBatch(spark, sf0001, Seq(
+        "q1" -> phrase, "q2" -> Seq("zzzznotaword", "never")))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected && got.exists(_._1 == "q1") && !got.exists(_._1 == "q2"))
+  }
 }
