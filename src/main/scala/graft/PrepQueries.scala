@@ -51,5 +51,17 @@ object PrepQueries {
     // shard packing.
     Q("prep_sequence_map",
       (s, dir) => CorpusPrep.sequenceMap(s, dir),
-      Some(PrepOracle.sequenceMapSql())))
+      Some(PrepOracle.sequenceMapSql())),
+    // CDC merge: recrawl/takedown/discovery change feed folded into
+    // the base snapshot — latest-wins overwrite (the next corpus a
+    // training run reads). Spark compacts the feed with a max-struct
+    // aggregation; the oracle replays it with a seq-DESC window.
+    Q("cdc_merge_snapshot",
+      (s, dir) => operators.Cdc.mergeSnapshotQuery(s, dir),
+      Some(graft.oracle.CdcOracle.mergeSnapshotSql)),
+    // Same feed consumed as SCD-2 version history (audit/lineage
+    // view): every version kept, delete tombstones close their key.
+    Q("cdc_history_scd",
+      (s, dir) => operators.Cdc.historyScdQuery(s, dir),
+      Some(graft.oracle.CdcOracle.historyScdSql)))
 }
