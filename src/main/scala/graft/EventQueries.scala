@@ -44,5 +44,11 @@ object EventQueries {
     // buckets per type, exact rational basis points.
     Q("events_hourly_deviation",
       (s, dir) => Events.hourlyDeviation(s, dir),
-      Some(EventOracle.hourlyDeviationSql())))
+      Some(EventOracle.hourlyDeviationSql())),
+    // z-order (Morton) bucket map: the 2-D lake-layout key that
+    // makes per-user AND per-time box predicates skip row groups
+    // (layout proof on real parquet footers in ZOrderSpec).
+    Q("events_zorder_map",
+      (s, dir) => operators.ZOrder.zMap(s, dir),
+      Some(EventOracle.zorderMapSql)))
 }

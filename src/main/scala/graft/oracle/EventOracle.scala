@@ -191,4 +191,33 @@ SELECT cohort_week, week_offset, n_users,
   CAST((n_users * 10000) // cohort_size AS BIGINT) AS retention_bp
 FROM cells JOIN sizes USING (cohort_week)
 ORDER BY cohort_week, week_offset"""
+
+  /** Morton interleave replayed with multiply/add arithmetic (the
+    * Spark side uses shift/or — independent formulation, same
+    * integers): bit i of ub contributes 2^(2i), bit i of hb
+    * contributes 2^(2i+1). DuckDB's `//` floors, matching the Spark
+    * side's portable floor division of the hour index.
+    */
+  def zorderMapSql: String = {
+    val mask = (1L << graft.operators.ZOrder.Bits) - 1
+    val terms = (0 until graft.operators.ZOrder.Bits).map { i =>
+      s"((un >> $i) & 1) * ${1L << (2 * i)} + ((hn >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" +\n    ")
+    s"""WITH e AS (
+  SELECT event_id, user_id & $mask AS ub,
+    (epoch_ns(ts) // ${Events.NanosPerHour}) & $mask AS hb
+  FROM events
+),
+s AS (SELECT min(ub) AS xlo, max(ub) AS xhi,
+             min(hb) AS ylo, max(hb) AS yhi FROM e),
+n AS (
+  SELECT event_id, ub, hb,
+    ((ub - xlo) * $mask) // greatest(xhi - xlo, 1) AS un,
+    ((hb - ylo) * $mask) // greatest(yhi - ylo, 1) AS hn
+  FROM e, s
+)
+SELECT event_id, ub, hb,
+  CAST($terms AS BIGINT) AS z
+FROM n ORDER BY event_id"""
+  }
 }
