@@ -54,5 +54,10 @@ object DedupQueries {
     // n-token spans (the suffix-array span-dedup signal at fixed n).
     Q("dedup_span_coverage",
       (s, dir) => Dedup.spanCoverage(s, dir),
-      Some(DocOracle.spanCoverageSql())))
+      Some(DocOracle.spanCoverageSql())),
+    // the removal step: cleaned text with corpus-duplicated spans cut
+    // out (shares the persisted span lineage with the coverage view).
+    Q("dedup_span_removed",
+      (s, dir) => Dedup.spanRemoved(s, dir),
+      Some(DocOracle.spanRemovedSql())))
 }

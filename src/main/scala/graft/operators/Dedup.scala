@@ -664,14 +664,69 @@ object Dedup {
     * pairwise overlap product. Everything is linear in corpus
     * tokens; all outputs exact integers.
     */
-  def spanCoverage(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    val base = docsSpread(spark, dir)
+  /** The REMOVAL step that makes [[spanCoverage]] actionable: per
+    * doc, the cleaned text with every token covered by a
+    * corpus-duplicated n-gram span cut out — the "deduplicate the
+    * substring, not the document" output of suffix-array span dedup
+    * (Lee et al., ACL 2022), at fixed n. Shares the persisted span
+    * lineage with [[spanCoverage]] (same cache key), so measuring
+    * and removing cost ONE shingle pass together.
+    *
+    * Shape: dup-gram decision is the same single gram aggregation;
+    * covered positions explode n rows per duplicated span (linear in
+    * duplicated mass, bounded by n·tokens); the kept-token set is a
+    * hint-free anti-join on (doc_id, pos) — both sides
+    * corpus-proportional, the drop-list rule again; text rebuilds
+    * with one per-doc sort over kept tokens (state bounded by doc
+    * length, the floor for emitting text at all). By construction
+    * `n_tokens - n_kept` equals [[spanCoverage]]'s exact interval
+    * union `covered_tokens` — `DedupSpanSpec` pins the two queries
+    * to each other on top of both oracles.
+    */
+  def spanRemoved(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val base = spanBase(spark, dir)
+    val spans = docSpans(spark, dir, n, base)
+    val dup = spans.groupBy("gram")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("gram")
+    val covered = spans.join(dup, Seq("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${n - 1})")).as("pos"))
+      .distinct()
+    val toks = base.where(col("n_tokens") > 0)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), c -> c.tok)"),
+          " ").as("cleaned"))
+    base.select("doc_id", "n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** The tokenized per-doc frame shared by the span family:
+    * `(doc_id, t: array<string>, n_tokens)`.
+    */
+  private def spanBase(spark: SparkSession, dir: String): DataFrame =
+    docsSpread(spark, dir)
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
       .withColumn("n_tokens",
         when(expr("size(t) = 0 OR t[0] = ''"), 0L)
           .otherwise(expr("cast(size(t) as bigint)")))
+
+  /** Per-doc fixed-`n` token spans `(doc_id, start, gram)`, persisted
+    * once per (session, corpus, n) and shared by [[spanCoverage]] and
+    * [[spanRemoved]] — measuring and removing pay ONE shingle pass.
+    */
+  private def docSpans(spark: SparkSession, dir: String, n: Int,
+      base: DataFrame): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
-    val spans = DfCache.getOrPersist(spark, s"doc_spans:$n:$dir") {
+    DfCache.getOrPersist(spark, s"doc_spans:$n:$dir") {
       base.where(col("n_tokens") >= n)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(t) - ${n - 1}),
@@ -679,6 +734,11 @@ object Dedup {
                           concat_ws(' ', $parts) as gram))""")).as("sp"))
         .select(col("doc_id"), col("sp.start").as("start"), col("sp.gram").as("gram"))
     }
+  }
+
+  def spanCoverage(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val base = spanBase(spark, dir)
+    val spans = docSpans(spark, dir, n, base)
     val dup = spans.groupBy("gram")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("gram")
     val w = org.apache.spark.sql.expressions.Window

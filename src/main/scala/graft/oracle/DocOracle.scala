@@ -248,6 +248,51 @@ SELECT doc_x, doc_y,
 FROM cand WHERE bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) <= 3
 ORDER BY doc_x, doc_y"""
 
+  /** [[graft.operators.Dedup.spanRemoved]]: covered positions via a
+    * dup-span × range(n) expansion, kept tokens via ANTI JOIN, text
+    * rebuilt with an ordered string_agg — an independent formulation
+    * of the Spark side's left_anti + array_sort rebuild.
+    */
+  def spanRemovedSql(n: Int = 4): String = {
+    val concat = (0 until n).map(j => s"t[x+$j]").mkString(" || ' ' || ")
+    s"""WITH rt AS (
+    SELECT doc_id, string_split(${Tokenize.cleanSql("text")}, ' ') AS t
+    FROM documents
+  ),
+  base AS (
+    SELECT doc_id, t,
+      CASE WHEN len(t) = 0 OR t[1] = '' THEN 0 ELSE len(t) END AS n_tokens
+    FROM rt
+  ),
+  s AS (
+    SELECT doc_id,
+      unnest(generate_series(1, len(t) - ${n - 1})) AS start,
+      unnest([$concat for x in generate_series(1, len(t) - ${n - 1})]) AS gram
+    FROM base WHERE n_tokens >= $n
+  ),
+  dup AS (SELECT gram FROM s GROUP BY gram HAVING count(*) >= 2),
+  covered AS (
+    SELECT DISTINCT s.doc_id, s.start + j AS pos
+    FROM s JOIN dup USING (gram), range(0, $n) r(j)
+  ),
+  toks AS (
+    SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+      unnest(t) AS tok
+    FROM base WHERE n_tokens > 0
+  ),
+  kept AS (
+    SELECT tk.doc_id, count(*) AS n_kept,
+      string_agg(tk.tok, ' ' ORDER BY tk.pos) AS cleaned
+    FROM toks tk ANTI JOIN covered c
+      ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+    GROUP BY tk.doc_id
+  )
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(k.cleaned, '') AS cleaned
+FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY b.doc_id"""
+  }
+
   /** [[graft.operators.Dedup.spanCoverage]]: positions via zipped
     * `unnest`s (DuckDB zips same-select unnests positionally), the
     * identical fixed-length interval union via `lag`.
