@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMath
+import graft.operators.Similarity
+
+/** Streaming similarity ingest: embeddings arriving from an encoder
+  * are routed to their IVF cell AT THE DOOR, so the vector index and
+  * its routing statistics stay live between codebook retrainings —
+  * the streaming half of [[Similarity.ivfCells]], completing the
+  * family's batch/stream pairing (index deltas, search service,
+  * event windows, ingest dedup already have theirs).
+  *
+  * Formulation: the trained codebook (a numCents-row static frame)
+  * folds into ONE array row, stream-static-cross-joined onto the
+  * stream; the nearest-centroid argmax then runs as a row-local
+  * higher-order-function fold. This makes routing STATELESS — no
+  * shuffle, no streaming state, arbitrarily shardable — because the
+  * decision per vector depends only on the (small) codebook, exactly
+  * like the batch form's broadcast. Per-cell occupancy is the one
+  * stateful stage: a numCents-row keyed count, the bounded-state
+  * shape Spark's streaming aggregation is built for.
+  *
+  * Quantization, dot, cosine, and tie-break replicate
+  * [[Similarity]]'s exact-bigint semantics term for term, so a
+  * vector routed by the stream lands in the SAME cell the batch
+  * assignment would give it — pinned by `SimStreamSpec` over the
+  * real corpus replayed as micro-batches.
+  */
+object SimStream {
+
+  /** Nearest-centroid routing of a streaming `(vec_id, embedding)`
+    * frame against a trained static codebook `(cent_id, cq)`
+    * ([[Similarity.ivfCodebook]]'s schema). Emits `(vec_id,
+    * cell_id)` rows, append-mode, stateless.
+    *
+    * The argmax mirrors the batch `max(struct(cosd, -cent_id))`
+    * exactly: higher cosine wins, ties break to the LOWER cent_id;
+    * cosines are the same doubles (one cast of the exact-bigint dot
+    * and norms), so comparisons agree bit for bit with the batch
+    * assignment.
+    */
+  def routeCells(stream: DataFrame, codebook: DataFrame): DataFrame = {
+    val book = codebook
+      .withColumn("cnq", VectorMath.dotLong(col("cq"), col("cq")))
+      .agg(collect_list(struct(col("cent_id"), col("cq"), col("cnq")))
+        .as("book"))
+    val cos = s"""cast(aggregate(zip_with(q, b.cq, (x, y) -> x * y),
+      0L, (a, v) -> a + v) as double)
+      / (sqrt(cast(nq as double)) * sqrt(cast(b.cnq as double)))"""
+    stream
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * ${Similarity.QuantScale}) as bigint))")
+          .as("q"))
+      .withColumn("nq", VectorMath.dotLong(col("q"), col("q")))
+      .crossJoin(book)
+      .withColumn("scored",
+        expr(s"transform(book, b -> named_struct('c', $cos, 'id', cast(b.cent_id as bigint)))"))
+      .withColumn("cell_id", expr(
+        """aggregate(scored,
+             named_struct('c', cast(-2.0 as double), 'id', cast(-1 as bigint)),
+             (acc, s) -> CASE WHEN s.c > acc.c
+                              OR (s.c = acc.c AND s.id < acc.id)
+                         THEN s ELSE acc END).id"""))
+      .select("vec_id", "cell_id")
+  }
+
+  /** Live per-cell occupancy: the streaming aggregation whose state
+    * is exactly numCents rows — what the balance sampler
+    * ([[Similarity.clusterBalance]]) and a cell-skew monitor read
+    * between retrainings. Update-mode sink.
+    */
+  def cellCounts(routed: DataFrame): DataFrame =
+    routed.groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+}
