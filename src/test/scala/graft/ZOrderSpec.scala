@@ -65,10 +65,16 @@ class ZOrderSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val zDir = s"$base/z"
     val tDir = s"$base/t"
-    ZOrder.zOrderedWrite(df, "ub", "hb", zDir, partitions = 2,
-      blockBytes = 8 * 1024)
-    ZOrder.linearWrite(df, "hb", tDir, partitions = 2,
-      blockBytes = 8 * 1024)
+    // file-level granularity (24 range tiles, default-size blocks →
+    // one row group per file): file boundaries come from the exact
+    // range partitioning, where sub-file row-group boundaries are a
+    // parquet-writer heuristic that parquet-mr's MemoryManager
+    // SHRINKS when parallel suites hold many open writers — the
+    // under-load flake this spec must not have.
+    ZOrder.zOrderedWrite(df, "ub", "hb", zDir, partitions = 24,
+      blockBytes = 128 * 1024 * 1024)
+    ZOrder.linearWrite(df, "hb", tDir, partitions = 24,
+      blockBytes = 128 * 1024 * 1024)
 
     val zGroups = rowGroups(zDir)
     val tGroups = rowGroups(tDir)
