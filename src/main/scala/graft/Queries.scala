@@ -614,6 +614,36 @@ JOIN (SELECT l_orderkey, cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_
       HAVING sum(cast(l_quantity as bigint)) > 250) q
   ON o_orderkey = q.l_orderkey
 ORDER BY o_totalprice_cents DESC, o_orderkey ASC LIMIT 100""")),
+    // TPC-H Q4 shape (order priority checking), adapted to the
+    // synthetic schema (no commit/receipt dates): orders in a
+    // quarter-ish window having SOME line shipped > 30 days after
+    // the order date — a correlated EXISTS that must plan as a
+    // LEFT SEMI join with a non-equi residual (never a join+distinct,
+    // which would shuffle the full match multiplicity just to throw
+    // it away). The date filter prunes the probe side BEFORE the
+    // join; the semi-join stops at first match per order.
+    Q("q4_order_priority",
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     // JSON scalar surface: events.props is a JSON string column.
     Q("events_props_json",
       (s, dir) => s.read.parquet(s"$dir/events.parquet")

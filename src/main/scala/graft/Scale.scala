@@ -210,7 +210,15 @@ object Scale {
       // replication inflates ~factor^2 by design (event_id shifts,
       // user_id deliberately does not) — read it against pair count.
       "events_funnel" -> (d => Events.funnel(spark, d)),
-      "events_attribution" -> (d => Events.attribution(spark, d)))
+      "events_attribution" -> (d => Events.attribution(spark, d)),
+      // round-8 late families: the CDC feed is corpus-proportional
+      // by construction (the design point of the hint-free merge);
+      // span REMOVAL under verbatim replication is the saturation
+      // worst case again (every gram corpus-duplicated -> covered
+      // positions ~ all positions, the anti-join drops ~everything).
+      "cdc_merge" -> (d => graft.operators.Cdc.mergeSnapshotQuery(spark, d)),
+      "dedup_span_removed" -> (d => Dedup.spanRemoved(spark, d)),
+      "events_zorder_map" -> (d => graft.operators.ZOrder.zMap(spark, d)))
 
     // one-time index materialization per scale, reported apart so no
     // family absorbs it (the Bench convention).

@@ -452,4 +452,38 @@ object CorpusPrep {
       .toDF("source", "rank", "doc_id", "n_chars")
       .orderBy("source", "rank")
   }
+
+  /** Materialize the packed shards as JSONL training files — the
+    * sink a loader actually opens, closing the loop from packing
+    * PLAN ([[shardPacking]]) to bytes on disk. Layout:
+    * `outPath/shard_id=K/part-*.txt`, one JSON line per document
+    * (`doc_id`, `n_tokens`, `text` — fixed field order, so output
+    * is byte-deterministic given the corpus); each shard directory
+    * is self-contained and lists directly into a data loader.
+    *
+    * Scale posture: the shard assignment reuses the one packing
+    * running total; the write is ONE hash repartition on shard_id
+    * (each shard's lines land in one task → one file per shard, the
+    * loader-friendly layout) with a within-partition sort by
+    * (shard_id, doc_id) — per-task spillable sort, no global sort,
+    * no driver involvement. At 100 TB this is the same shape as the
+    * snapshot writers: shuffle once, stream each partition to disk.
+    */
+  def writeShards(spark: SparkSession, dir: String, outPath: String,
+      budget: Long = 4096L, bucketSize: Long = 100L,
+      counter: TokenCounter = WhitespaceCounter): String = {
+    val d = docs(spark, dir)
+    val packed = shardPackingOf(
+      d.select(col("doc_id"), counter.count(col("text")).as("n_tokens")),
+      budget, bucketSize)
+    d.select(col("doc_id"), col("text"))
+      .join(packed, Seq("doc_id"))
+      .select(col("shard_id"),
+        to_json(struct(col("doc_id"), col("n_tokens"), col("text")))
+          .as("value"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "doc_id")
+      .write.mode("overwrite").partitionBy("shard_id").text(outPath)
+    outPath
+  }
 }

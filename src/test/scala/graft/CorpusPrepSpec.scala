@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, from_json}
+
 import graft.operators.CorpusPrep
 
 /** The two-pass distributed running sum behind shard packing must
@@ -125,5 +127,45 @@ class CorpusPrepSpec extends SparkTestBase {
     // every source is capped; the hot source is actually cut
     assert(got.groupBy(_._1).values.forall(_.size <= n))
     assert(got.count(_._1 == "hot") == n)
+  }
+
+  test("writeShards materializes the packing plan: every doc once, plan-exact shards, one file per shard") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    CorpusPrep.writeShards(spark, sf0001, out)
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_tokens BIGINT, text STRING")
+    val lines = spark.read.text(out)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        from_json(col("value"), schema).as("j"))
+      .select("shard_id", "j.doc_id", "j.n_tokens", "j.text")
+
+    // read-back assignment == the packing plan, doc for doc.
+    val plan = CorpusPrep.shardPacking(spark, sf0001)
+    val mismatch = lines.join(plan.withColumnRenamed("shard_id", "plan_shard")
+        .withColumnRenamed("n_tokens", "plan_tokens"), Seq("doc_id"), "full_outer")
+      .where(col("shard_id").isNull || col("plan_shard").isNull ||
+        col("shard_id") =!= col("plan_shard") ||
+        col("n_tokens") =!= col("plan_tokens"))
+      .count()
+    assert(mismatch == 0, s"$mismatch docs diverge from the packing plan")
+
+    // text round-trips verbatim through the JSONL encoding.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").as("orig"))
+    val altered = lines.join(docs, Seq("doc_id"))
+      .where(col("text") =!= col("orig")).count()
+    assert(altered == 0, s"$altered docs altered in shard files")
+
+    // loader layout: each shard directory holds exactly one data file.
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files; repartition(shard_id) should give one")
+    }
   }
 }
