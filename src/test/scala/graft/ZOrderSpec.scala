@@ -102,5 +102,26 @@ class ZOrderSpec extends SparkTestBase {
     val zTimeHit = overlapping(zGroups, "hb", minHb, hMid)
     assert(zTimeHit < zGroups.size,
       s"z layout should prune some groups on a half-time slice: $zTimeHit/${zGroups.size}")
+
+    // and SPARK'S OWN SCAN exploits it: under parquet filter
+    // pushdown the row-group skip shows up as rows never read — the
+    // scan's numOutputRows under the z layout must be a fraction of
+    // the time layout's for the same per-user predicate (the time
+    // layout reads ~everything because every group's ub range spans
+    // the box).
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .where(col("ub") >= uLo && col("ub") <= uHi)
+      q.collect() // execute so metrics populate
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a parquet scan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRead = scanRows(zDir)
+    val tRead = scanRows(tDir)
+    assert(zRead * 2 <= tRead,
+      s"z scan must read at most half the time layout's rows: z=$zRead t=$tRead")
   }
 }
