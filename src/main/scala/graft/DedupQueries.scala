@@ -41,6 +41,12 @@ object DedupQueries {
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(s, dir),
       Some(DocOracle.ngramJaccardSql())),
+    // asymmetric containment (inter / min-size): the doc-in-doc dup
+    // class Jaccard's union denominator hides; same candidates and
+    // shingle lineage as the Jaccard rung.
+    Q("dedup_containment",
+      (s, dir) => Dedup.containment(s, dir),
+      Some(DocOracle.containmentSql())),
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash(s, dir),
       Some(DocOracle.simhashSql)),

@@ -52,6 +52,16 @@ object PrepQueries {
     Q("prep_sequence_map",
       (s, dir) => CorpusPrep.sequenceMap(s, dir),
       Some(PrepOracle.sequenceMapSql())),
+    // quality-tier importance resampling (DCLM/FineWeb posture):
+    // keep RATE follows the quality tier instead of a binary filter.
+    Q("prep_quality_resample",
+      (s, dir) => CorpusPrep.qualityResample(s, dir),
+      Some(PrepOracle.qualityResampleSql())),
+    // retrieval/embedding prep: overlapping fixed-window character
+    // chunks with guaranteed coverage — zero-shuffle explode.
+    Q("prep_chunks",
+      (s, dir) => CorpusPrep.chunks(s, dir),
+      Some(PrepOracle.chunksSql())),
     // CDC merge: recrawl/takedown/discovery change feed folded into
     // the base snapshot — latest-wins overwrite (the next corpus a
     // training run reads). Spark compacts the feed with a max-struct

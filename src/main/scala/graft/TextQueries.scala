@@ -58,6 +58,11 @@ object TextQueries {
     Q("text_phrase_near_indexed",
       (s, dir) => TextAnalysis.proximityTopKIndexed(s, dir),
       Some(TextOracle.proximityTopKSql())),
+    // corpus-bigram familiarity (the exact-integer LM-perplexity
+    // filter analog): tf-weighted mean corpus frequency per doc.
+    Q("text_bigram_surprise",
+      (s, dir) => TextAnalysis.bigramSurprise(s, dir),
+      Some(TextOracle.bigramSurpriseSql())),
     // PII scrubbing over planted emails/IPs (the html_extract
     // fixture convention) — counts + redacted hash, RE2-mirrored.
     Q("text_redact_pii",

@@ -453,6 +453,95 @@ object CorpusPrep {
       .orderBy("source", "rank")
   }
 
+  /** Quality-tier importance resampling — the DCLM/FineWeb-style
+    * step between filtering and mixing: instead of a binary
+    * keep/drop, each document's keep RATE follows its quality tier
+    * (`high` = passes the Gopher flags with substantial length,
+    * `mid` = passes but short, `low` = fails — kept at a trickle so
+    * the distribution tail isn't zeroed out, the importance-sampling
+    * posture). The keep decision is the module's one identity-hash
+    * bucket under its own salt (`"qr|"`), so it is independent of
+    * the split/mixture decisions and reproducible by construction.
+    *
+    * Emitted as the per-(tier, lang) rollup a pipeline report shows:
+    * rate, totals, kept counts, kept char/token mass.
+    *
+    * Scale: the tier needs [[TextAnalysis.stats]] (persisted, shared
+    * with every text query) and the flags derived from it —
+    * doc_id-keyed joins on the persisted frame, row-local hash,
+    * one small rollup shuffle with map-side partials.
+    */
+  def qualityResample(spark: SparkSession, dir: String,
+      rateHigh: Int = 100, rateMid: Int = 60, rateLow: Int = 10,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      highTokens: Int = 100): DataFrame = {
+    require(Seq(rateHigh, rateMid, rateLow).forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages, got high=$rateHigh mid=$rateMid low=$rateLow")
+    val st = TextAnalysis.stats(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    val qf = TextAnalysis.qualityFlags(spark, dir, minTokens, maxTokens)
+      .select(col("doc_id"), col("quality_pass"))
+    val tier = when(col("quality_pass") === 1L && col("n_ws_tokens") >= highTokens, "high")
+      .when(col("quality_pass") === 1L, "mid")
+      .otherwise("low")
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(st, Seq("doc_id"))
+      .join(qf, Seq("doc_id"))
+      .withColumn("tier", tier)
+      .withColumn("rate_pct",
+        when(col("tier") === "high", rateHigh.toLong)
+          .when(col("tier") === "mid", rateMid.toLong)
+          .otherwise(rateLow.toLong))
+      .withColumn("kept",
+        when(hashBucket("qr|") < col("rate_pct"), 1L).otherwise(0L))
+      .groupBy("tier", "lang")
+      .agg(max(col("rate_pct")).as("rate_pct"),
+        count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("kept") * col("n_chars")).cast("long").as("kept_chars"),
+        sum(col("kept") * col("n_ws_tokens")).cast("long").as("kept_tokens"))
+      .orderBy("tier", "lang")
+  }
+
+  /** Overlapping fixed-window character chunking — the
+    * retrieval/embedding prep step (every RAG or embedding pipeline
+    * slices documents into model-window-sized pieces with an overlap
+    * so no span is split across a boundary without context). Chunk
+    * `i` of a document covers characters `[i*stride, i*stride +
+    * window)`; the chunk count `ceil(max(n - window, 0) / stride) +
+    * 1` guarantees full coverage (the last window always reaches the
+    * end because `stride <= window`) with no empty chunks.
+    *
+    * Character windows, not token windows, deliberately: the chunk
+    * boundary must be computable row-locally in pure codegen
+    * arithmetic in BOTH engines; a tokenizer-aware chunker plugs the
+    * same offsets formula over a [[TokenCounter]]-style seam.
+    *
+    * Scale: zero shuffles — scan, row-local `sequence` explode
+    * (fan-out ~n/stride per doc, bounded by document length),
+    * row-local substring. The output order (`doc_id, chunk_id`) is
+    * the input order, so the final sort is a per-partition no-op at
+    * scale (dropped entirely when the caller streams to a sink).
+    */
+  def chunks(spark: SparkSession, dir: String,
+      window: Int = 400, stride: Int = 300): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .where(col("n") > 0)
+      .withColumn("n_chunks",
+        expr(s"cast((greatest(n - $window, 0) + ${stride - 1}) div $stride as int) + 1"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start", (col("chunk_id") * stride + 1).cast("long"))
+      .withColumn("chunk", expr(s"substr(text, cast(start as int), $window)"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start"), length(col("chunk")).cast("long").as("chunk_len"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Materialize the packed shards as JSONL training files — the
     * sink a loader actually opens, closing the loop from packing
     * PLAN ([[shardPacking]]) to bytes on disk. Layout:

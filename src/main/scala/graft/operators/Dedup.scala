@@ -202,18 +202,26 @@ object Dedup {
     * Jaccard verify. The df cap bounds hot-shingle quadratic blowup.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      maxDf: Int = 100, minShared: Int = 3): DataFrame = {
-    // Candidate generation in ONE shuffle: group postings by shingle
-    // and expand within-group doc pairs directly, with a bounded
-    // buffer — a group is abandoned the moment it exceeds maxDf
-    // (memory stays O(maxDf) per group even for stopword shingles
-    // with corpus-sized posting lists; a collect_list formulation
-    // would materialize those before any size filter could drop
-    // them). The equivalent rare-join-rare formulation shuffles the
-    // capped shingle set TWICE (both join inputs); this shuffles the
-    // posting set once and joins nothing.
+      maxDf: Int = 100, minShared: Int = 3): DataFrame =
+    verifyJaccard(spark, dir, rareSharedCandidates(spark, dir, maxDf, minShared), 5000)
+
+  /** Candidate pairs sharing >= `minShared` rare shingles (document
+    * frequency <= `maxDf`) in ONE shuffle: group postings by shingle
+    * and expand within-group doc pairs directly, with a bounded
+    * buffer — a group is abandoned the moment it exceeds maxDf
+    * (memory stays O(maxDf) per group even for stopword shingles
+    * with corpus-sized posting lists; a collect_list formulation
+    * would materialize those before any size filter could drop
+    * them). The equivalent rare-join-rare formulation shuffles the
+    * capped shingle set TWICE (both join inputs); this shuffles the
+    * posting set once and joins nothing. Shared by the Jaccard and
+    * containment verifiers — candidate generation is symmetric; only
+    * the verification denominator differs.
+    */
+  private def rareSharedCandidates(spark: SparkSession, dir: String,
+      maxDf: Int, minShared: Int): DataFrame = {
     import spark.implicits._
-    val cand = shingles(spark, dir)
+    shingles(spark, dir)
       .select(col("s"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -234,7 +242,45 @@ object Dedup {
       .groupBy("doc_x", "doc_y").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .select("doc_x", "doc_y")
-    verifyJaccard(spark, dir, cand, 5000)
+  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs: `inter / min(|X|, |Y|)`
+    * instead of Jaccard's `inter / union`. Catches the doc-in-doc
+    * class — a short document quoted or concatenated inside a long
+    * one (partial scrapes, aggregator pages, quoted posts), where the
+    * long side's size inflates the union and symmetric Jaccard stays
+    * under any useful threshold no matter how completely the short
+    * doc is contained. The standard complement to Jaccard in crawl
+    * dedup (containment sketches go back to Broder's AltaVista work).
+    *
+    * Same single-shuffle rare-shingle candidates as [[ngramJaccard]]
+    * (candidate generation is symmetric — containment only changes
+    * the verification denominator), same persisted shingle lineage
+    * and size table, so running both near-dup views pays the corpus
+    * scan once. Threshold 80% of the SMALLER doc's shingles shared.
+    *
+    * Scale: identical posture to [[ngramJaccard]] — the df cap
+    * bounds pair expansion, verification cost tracks |candidates|,
+    * never |corpus|^2.
+    */
+  def containment(spark: SparkSession, dir: String,
+      maxDf: Int = 100, minShared: Int = 3, minContBp: Int = 8000): DataFrame = {
+    val cand = rareSharedCandidates(spark, dir, maxDf, minShared)
+    val sh = shingles(spark, dir)
+    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir") {
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+    cand
+      .join(sh.select(col("doc_id").as("doc_x"), col("s")), Seq("doc_x"))
+      .join(sh.select(col("doc_id").as("doc_y"), col("s")), Seq("doc_y", "s"))
+      .groupBy("doc_x", "doc_y").agg(count(lit(1)).as("inter_n"))
+      .join(sizes.select(col("doc_id").as("doc_x"), col("n").as("nx")), Seq("doc_x"))
+      .join(sizes.select(col("doc_id").as("doc_y"), col("n").as("ny")), Seq("doc_y"))
+      .withColumn("min_n", least(col("nx"), col("ny")))
+      .where(lit(10000.0) * col("inter_n") / col("min_n") >= minContBp)
+      .select(col("doc_x"), col("doc_y"), col("inter_n"), col("min_n"),
+        floor(lit(10000.0) * col("inter_n") / col("min_n")).cast("long").as("cont_bp"))
+      .orderBy("doc_x", "doc_y")
   }
 
   /** Embedding-cosine near-dup pairs: the document-level face of

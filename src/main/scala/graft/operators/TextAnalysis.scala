@@ -659,6 +659,46 @@ object TextAnalysis {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(docs(spark, dir))
 
+  /** Corpus-bigram familiarity score per document — the exact-integer
+    * analog of the CCNet/Gopher LM-perplexity quality filter: a
+    * document whose word bigrams are RARE in the corpus-wide bigram
+    * distribution is "surprising" (out-of-distribution, gibberish, or
+    * genuinely novel); one whose bigrams are all corpus-common is
+    * templated/boilerplate. The real filter scores with a pre-trained
+    * KenLM; the engine-portable core is identical — per-token corpus
+    * statistics joined back onto the token stream — and a trained LM
+    * table plugs into the same join. Score: `mean_freq_c =
+    * floor(100 * sum(tf * corpus_freq) / n_bigrams)` — the
+    * tf-weighted mean corpus frequency of the document's bigrams in
+    * centi-units (floats would make the sum shuffle-order-dependent).
+    *
+    * Shuffle audit: one (doc, gram) tf aggregation, one gram-keyed
+    * frequency aggregation OVER the tf rows (per-doc-distinct, not
+    * per-occurrence), one shuffle join of tf against the frequency
+    * table, one doc-keyed rollup. The bigram vocabulary is zipfian
+    * but a constant factor larger than the unigram one, so unlike
+    * [[tfidfTop]]'s df table it is deliberately NOT broadcast — the
+    * join shuffles both sides keyed on the gram, and AQE's skew
+    * split handles the stopword-pair hot keys.
+    */
+  def bigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docs(spark, dir)
+      .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
+      .where(expr("size(t) >= 2 AND t[0] != ''"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("g"))
+    val tf = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("g").agg(sum(col("tf")).as("freq"))
+    tf.join(freq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("tf") * col("freq")).cast("long").as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("cast((100 * sum_freq) div n_bigrams as bigint)").as("mean_freq_c"))
+      .orderBy("doc_id")
+  }
+
   /** k-gram min-sampling fingerprint: the 4 lexicographically
     * smallest `md5(shingle)` hashes per document, joined with `|`.
     * The bag-level analog of winnowing's rolling-hash minimum — near

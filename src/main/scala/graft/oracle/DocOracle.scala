@@ -179,6 +179,13 @@ ORDER BY d.doc_id"""
   }
 
   def ngramJaccardSql(maxDf: Int = 100, minShared: Int = 3): String = verifySql(
+    rareCandCtes(maxDf, minShared))
+
+  /** Rare-shingle candidate CTEs shared by the Jaccard and
+    * containment verifiers (mirrors the engine's shared
+    * `rareSharedCandidates`).
+    */
+  private def rareCandCtes(maxDf: Int, minShared: Int): String =
     s"""rare AS (
     SELECT doc_id, s FROM doc_shingles
     WHERE s IN (SELECT s FROM doc_shingles GROUP BY s HAVING count(*) <= $maxDf)
@@ -187,7 +194,31 @@ ORDER BY d.doc_id"""
     SELECT a.doc_id AS doc_x, b.doc_id AS doc_y
     FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= $minShared
-  )""")
+  )"""
+
+  /** [[graft.operators.Dedup.containment]]: same candidates, but the
+    * verification denominator is `min(|X|, |Y|)` — the asymmetric
+    * doc-in-doc score.
+    */
+  def containmentSql(maxDf: Int = 100, minShared: Int = 3,
+      minContBp: Int = 8000): String =
+    s"""WITH $shingleCtes,
+  ${rareCandCtes(maxDf, minShared)},
+  pair_inter AS (
+    SELECT c.doc_x, c.doc_y, count(*) AS inter_n
+    FROM cand c
+    JOIN doc_shingles sx ON sx.doc_id = c.doc_x
+    JOIN doc_shingles sy ON sy.doc_id = c.doc_y AND sy.s = sx.s
+    GROUP BY c.doc_x, c.doc_y
+  )
+SELECT p.doc_x, p.doc_y, p.inter_n,
+  least(nx.n, ny.n) AS min_n,
+  CAST(floor(10000.0 * p.inter_n / least(nx.n, ny.n)) AS BIGINT) AS cont_bp
+FROM pair_inter p
+JOIN shingle_sizes nx ON nx.doc_id = p.doc_x
+JOIN shingle_sizes ny ON ny.doc_id = p.doc_y
+WHERE 10000.0 * p.inter_n / least(nx.n, ny.n) >= $minContBp
+ORDER BY p.doc_x, p.doc_y"""
 
   /** CTEs through the per-doc 64-bit simhash, materialized as two
     * positive 32-bit halves (sidesteps signed-64 overflow when

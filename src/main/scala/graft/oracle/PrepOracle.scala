@@ -191,4 +191,63 @@ FROM b GROUP BY split, source ORDER BY split, source"""
   )
 SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, n_chars
 FROM ranked WHERE rk <= $n ORDER BY source, rank"""
+
+  /** [[graft.operators.CorpusPrep.qualityResample]]: same tier CASE
+    * over the shared stats/flags CTEs ([[TextOracle.statsCte]]), same
+    * salted md5 bucket (`'qr|' || doc_id`), rates inlined per the
+    * [[mixtureSql]] convention (an alias can't be referenced in its
+    * own SELECT).
+    */
+  def qualityResampleSql(rateHigh: Int = 100, rateMid: Int = 60,
+      rateLow: Int = 10, minTokens: Int = 30, maxTokens: Int = 100000,
+      highTokens: Int = 100): String = {
+    val tierCase =
+      s"""CASE WHEN f.flag_len * f.flag_avg_word_len * f.flag_stopwords = 1
+          AND s.n_ws_tokens >= $highTokens THEN 'high'
+        WHEN f.flag_len * f.flag_avg_word_len * f.flag_stopwords = 1 THEN 'mid'
+        ELSE 'low' END"""
+    val rateCase =
+      s"CASE tier WHEN 'high' THEN $rateHigh WHEN 'mid' THEN $rateMid ELSE $rateLow END"
+    s"""WITH ${TextOracle.statsCte}, ${TextOracle.flagsCte(minTokens, maxTokens)},
+  tiered AS (
+    SELECT s.doc_id, d.lang, s.n_chars, s.n_ws_tokens, $tierCase AS tier
+    FROM tstats_bp s
+    JOIN tflags f ON f.doc_id = s.doc_id
+    JOIN documents d ON d.doc_id = s.doc_id
+  ),
+  b AS (
+    SELECT tier, lang, n_chars, n_ws_tokens, $rateCase AS rate_pct,
+      CASE WHEN ${DocOracle.hex8IntSql("md5('qr|' || CAST(doc_id AS VARCHAR))")} % 100 < ($rateCase)
+        THEN 1 ELSE 0 END AS kept
+    FROM tiered
+  )
+SELECT tier, lang, CAST(max(rate_pct) AS BIGINT) AS rate_pct,
+  count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+  CAST(sum(kept * n_ws_tokens) AS BIGINT) AS kept_tokens
+FROM b GROUP BY tier, lang ORDER BY tier, lang"""
+  }
+
+  /** [[graft.operators.CorpusPrep.chunks]]: same coverage formula
+    * (`ceil(max(n - window, 0) / stride) + 1` chunks) and 1-based
+    * substring over character counts — both engines' `length`/
+    * `substr` are code-point-based, so offsets agree byte-for-byte.
+    */
+  def chunksSql(window: Int = 400, stride: Int = 300): String =
+    s"""WITH d AS (
+    SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+  ),
+  c AS (
+    SELECT doc_id, text,
+      (greatest(n - $window, 0) + ${stride - 1}) // $stride + 1 AS n_chunks
+    FROM d
+  ),
+  e AS (
+    SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_id FROM c
+  )
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * $stride + 1 AS BIGINT) AS start,
+  CAST(length(substr(text, CAST(chunk_id * $stride + 1 AS INT), $window)) AS BIGINT) AS chunk_len,
+  substr(text, CAST(chunk_id * $stride + 1 AS INT), $window) AS chunk
+FROM e ORDER BY doc_id, chunk_id"""
 }

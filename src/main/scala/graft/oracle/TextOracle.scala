@@ -323,4 +323,26 @@ SELECT doc_id, title, md5(extracted) AS extracted_md5,
   CAST(CASE WHEN extracted = text THEN 1 ELSE 0 END AS BIGINT) AS matches_source
 FROM e ORDER BY doc_id"""
   }
+
+  /** [[graft.operators.TextAnalysis.bigramSurprise]]: identical
+    * exact-integer pipeline — per-doc bigram tf, corpus frequency
+    * summed over the tf rows, tf-weighted centi-mean with floor
+    * division.
+    */
+  def bigramSurpriseSql(): String =
+    s"""WITH doc_clean AS (
+    SELECT doc_id, ${Tokenize.cleanSql("text")} AS cleaned FROM documents
+  ),
+  dw AS (SELECT doc_id, string_split(cleaned, ' ') AS w FROM doc_clean),
+  bi AS (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+    FROM dw WHERE len(w) >= 2 AND w[1] <> ''
+  ),
+  tfg AS (SELECT doc_id, g, count(*) AS tf FROM bi GROUP BY doc_id, g),
+  fr AS (SELECT g, sum(tf) AS freq FROM tfg GROUP BY g)
+SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+  CAST((100 * sum(t.tf * f.freq)) // sum(t.tf) AS BIGINT) AS mean_freq_c
+FROM tfg t JOIN fr f ON f.g = t.g
+GROUP BY t.doc_id ORDER BY t.doc_id"""
 }
