@@ -51,6 +51,20 @@ object SimQueries {
     Q("sim_cluster_balance",
       (s, dir) => Similarity.clusterBalance(s, dir),
       Some(SimOracle.clusterBalanceSql())),
+    // product quantization: the compressed-domain rung (64x smaller
+    // representation; ADC scores from codes + a per-probe lookup
+    // table, raw vectors touched only for the bounded re-rank).
+    Q("sim_pq_codebook",
+      (s, dir) => Similarity.pqCodebookSummary(s, dir),
+      Some(SimOracle.pqCodebookSummarySql())),
+    Q("sim_pq_topk",
+      (s, dir) => Similarity.pqTopK(s, dir),
+      Some(SimOracle.pqTopKSql())),
+    // what the compression + re-rank cut costs, measured per probe
+    // against the exact top-k (the M/K/rerank-depth dial).
+    Q("sim_pq_recall",
+      (s, dir) => Similarity.pqRecall(s, dir),
+      Some(SimOracle.pqRecallSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

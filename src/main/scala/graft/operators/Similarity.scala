@@ -466,6 +466,213 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ----- Product quantization (PQ) — compressed-domain ANN -------
+  //
+  // At 100 TB the raw vectors do not fit anywhere useful: 64-dim
+  // float32 is 256 B/vector, while a PQ code at M=4 subspaces is
+  // 4 B — a 64x compression that turns "scan the corpus" into "scan
+  // the codes, look scores up in a per-query table" (Jegou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  // The pipeline keeps the engine's exactness discipline: centroids
+  // are trained under EXACT integer L2 (argmin |c|^2 - 2<x,c> —
+  // the |x|^2 term is constant per vector and drops), updates are
+  // truncated integer means (div: both engines truncate toward
+  // zero — measured, not assumed), and the ADC score is a pure
+  // bigint sum, so the DuckDB oracle unrolls training bit-for-bit.
+
+  /** Subspaces (M). Dim/M consecutive dimensions each. */
+  val PqSubspaces = 4
+  val PqSubDim: Int = Dim / PqSubspaces
+  /** Centroids per subspace (K); a real build uses 256 (one byte).
+    * 16 here: at 8 the ADC approximation was too coarse to rank with
+    * (38% mean recall at sf0.01); 16 lifts it to 49% at the same
+    * re-rank depth (59% at the default [[PqRerankFactor]]) for
+    * pennies of training cost — the dial `sim_pq_recall` measures.
+    */
+  val PqCents = 16
+  val PqIters = 2
+  /** Exact re-rank pool depth, as a multiple of k. 5x is the usual
+    * production range (5-10x); the marginal cost is tiny (the pool,
+    * not the corpus, pays exact distances) and at sf0.01 the lift
+    * over 3x is +1000bp mean recall (measured via `sim_pq_recall`).
+    */
+  val PqRerankFactor = 5
+
+  /** Subspace `m`'s view of the quantized corpus: dims
+    * [m*subdim, (m+1)*subdim) — 1-based `slice`.
+    */
+  private def pqSub(base: DataFrame, m: Int): DataFrame =
+    base.select(col("vec_id"), slice(col("q"), m * PqSubDim + 1, PqSubDim).as("q"))
+
+  /** One L2 assignment pass: each row of `base` to its argmin-
+    * squared-distance centroid. `|x - c|^2 = |x|^2 - 2<x,c> + |c|^2`
+    * and `|x|^2` is constant within a vector's argmin, so the
+    * compared key is the exact bigint `|c|^2 - 2<x,c>` — no floats
+    * anywhere. Deterministic (distance, cent_id) struct-min
+    * tie-break; map-side partial argmin, one row per vector shuffled
+    * (the [[assignCells]] shape under the L2 metric).
+    */
+  private def assignL2(base: DataFrame, cents: DataFrame): DataFrame = {
+    val bc = broadcast(cents
+      .withColumn("cnq", VectorMath.dotLong(col("cq"), col("cq")))
+      .select("cent_id", "cq", "cnq"))
+    base.crossJoin(bc)
+      .withColumn("d2", col("cnq") - lit(2L) * dotExpr("q", "cq"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("a"))
+      .select(col("vec_id"), col("a.cent_id").cast("long").as("code"))
+  }
+
+  /** The trained PQ codebook: per subspace, `PqCents` centroids from
+    * `PqIters` Lloyd rounds under exact integer L2, seeded from the
+    * first-K subvectors (the [[ivfCodebook]] convention). The update
+    * is the truncated integer mean `sum div count` — deterministic
+    * in both engines (both `div` and DuckDB's `//` truncate toward
+    * zero; verified, since sums of signed components go negative).
+    * Empty cells drop (their seed attracted no members); unlike the
+    * spherical codebook there is no zero-norm hazard — L2 argmin
+    * needs no division by |c|.
+    *
+    * Scale posture: per round and subspace, one pass over the CACHED
+    * quantized frame with broadcast centroids + a K*subdim-row
+    * aggregation. The M passes share one persisted corpus read; a
+    * single-pass all-subspace variant (explode m, slice inline) is a
+    * mechanical rewrite that trades plan size for passes once the
+    * corpus no longer fits cache.
+    */
+  def pqCodebook(spark: SparkSession, dir: String,
+      numCents: Int = PqCents, iters: Int = PqIters): DataFrame =
+    DfCache.getOrPersist(spark, s"emb_pq_codebook:$dir:$numCents:$iters") {
+      val full = quantized(spark, dir)
+      (0 until PqSubspaces).map { m =>
+        val base = pqSub(full, m)
+        var cents = base.where(col("vec_id") < numCents)
+          .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+        (1 to iters).foreach { _ =>
+          val assign = assignL2(base, cents)
+          cents = base.join(assign, Seq("vec_id"))
+            .select(col("code").as("cent_id"), posexplode(col("q")))
+            .groupBy("cent_id", "pos")
+            .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
+            .withColumn("comp", expr("s div cnt"))
+            .groupBy("cent_id")
+            .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("ps"))
+            .select(col("cent_id"), expr("transform(ps, c -> c.comp)").as("cq"))
+        }
+        cents.select(lit(m.toLong).as("m"),
+          col("cent_id").cast("long").as("cent_id"), col("cq"))
+      }.reduce(_ unionByName _)
+    }
+
+  /** PQ codes: each vector's per-subspace nearest-centroid id — the
+    * 4-byte compressed representation the corpus keeps hot. One L2
+    * assignment per subspace over the shared cached frame.
+    */
+  def pqCodes(spark: SparkSession, dir: String,
+      numCents: Int = PqCents): DataFrame =
+    DfCache.getOrPersist(spark, s"emb_pq_codes:$dir:$numCents") {
+      val full = quantized(spark, dir)
+      val book = pqCodebook(spark, dir, numCents)
+      (0 until PqSubspaces).map { m =>
+        assignL2(pqSub(full, m),
+          book.where(col("m") === m.toLong).select("cent_id", "cq"))
+          .select(col("vec_id"), lit(m.toLong).as("m"), col("code"))
+      }.reduce(_ unionByName _)
+    }
+
+  /** Codebook training pin: per (subspace, centroid), final member
+    * count and the exact squared norm — one row that moves if any
+    * component of any round drifts (the `sim_ivf_codebook` pattern,
+    * per subspace).
+    */
+  def pqCodebookSummary(spark: SparkSession, dir: String,
+      numCents: Int = PqCents): DataFrame = {
+    val sizes = pqCodes(spark, dir, numCents)
+      .groupBy(col("m").as("sm"), col("code"))
+      .agg(count(lit(1)).as("n_members"))
+    pqCodebook(spark, dir, numCents)
+      .join(sizes, col("sm") === col("m") && col("code") === col("cent_id"))
+      .select(col("m"), col("cent_id"),
+        col("n_members").cast("long").as("n_members"),
+        VectorMath.dotLong(col("cq"), col("cq")).as("cnq"))
+      .orderBy("m", "cent_id")
+  }
+
+  /** PQ-ADC top-k search with exact re-rank — the compressed-domain
+    * pipeline: (1) build each probe's lookup table (LUT): its
+    * subvector dotted with EVERY centroid of every subspace —
+    * M*K tiny rows per probe, the table a real implementation keeps
+    * in L1; (2) score the whole corpus from CODES ALONE:
+    * `adc_dot(q, x) = sum_m <q_m, c_{m, code_m(x)}>` — an equi-join
+    * of the code table against the broadcast LUT and a bigint sum,
+    * never touching raw vectors; (3) keep the top `rerank = 3k` by
+    * ADC per probe; (4) exact-rerank those few with the true
+    * quantized cosine and emit the top `k`. Approximation error
+    * lives only between (2) and (3) — the emitted scores are exact,
+    * and [[pqRecall]] measures what the cut lost.
+    *
+    * Shuffle audit: LUT = broadcast(probes) x broadcast(codebook);
+    * the code scan aggregates (qid, vec_id) with map-side partials
+    * (M rows in, 1 out); one window over the ADC-kept pool
+    * (3k * probes rows); the re-rank joins `rerank*probes` rows back
+    * to the cached vectors — the only raw-vector touch, proportional
+    * to output, not corpus.
+    */
+  def pqTopK(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50, numCents: Int = PqCents): DataFrame = {
+    val rerank = PqRerankFactor * k
+    val base = quantized(spark, dir)
+    val book = pqCodebook(spark, dir, numCents)
+    val probes = base.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
+    val lut = broadcast(probes.crossJoin(broadcast(book))
+      .withColumn("pdot", VectorMath.dotLong(
+        slice(col("pq"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
+        col("cq")))
+      .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
+    val adc = pqCodes(spark, dir, numCents)
+      .join(lut, Seq("m", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).as("adc_dot"))
+    val aw = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("vec_id").asc)
+    val pool = adc.withColumn("arn", row_number().over(aw))
+      .where(col("arn") <= rerank)
+      .select("qid", "vec_id", "adc_dot")
+    val rw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
+    pool
+      .join(base, Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("adc_dot"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
+      .orderBy("qid", "rank")
+  }
+
+  /** PQ recall audit (the [[lshRecall]]/[[ivfRecall]] twin): per
+    * probe, how much of the exact top-k the compressed-domain
+    * pipeline returned. This is the dial that chooses M, K, and the
+    * re-rank depth from data; failures count (left join, recall 0).
+    */
+  def pqRecall(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50): DataFrame = {
+    val exact = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val got = pqTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val hits = exact.join(got, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(k.toLong).as("k"))
+      .withColumn("recall_bp",
+        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
+      .orderBy("qid")
+  }
+
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
     * the candidate set shrinks by ~numCents vs brute force, the
     * 100 TB shape where the codebook has 2^12..2^16 cells and probes

@@ -362,6 +362,163 @@ ORDER BY q.qid"""
 SELECT qid, rank, vec_id, dot_q, cos_bp
 FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
 
+  // ----- Product quantization (mirrors Similarity.pq*) ------------
+
+  private val PqM = Similarity.PqSubspaces
+  private val PqSd = Similarity.PqSubDim
+
+  /** Subspace dot product (subdim-wide lists). */
+  private def sdotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${PqSd + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** The PQ training + coding CTE chain, unrolled per subspace and
+    * Lloyd round (mirrors `Similarity.pqCodebook`/`pqCodes`): exact
+    * integer L2 argmin (`|c|^2 - 2<x,c>`; the `|x|^2` term is
+    * constant under the argmin), truncated integer-mean updates
+    * (`//` and Spark's `div` both truncate toward zero — verified
+    * empirically, signed sums make this matter). Ends with
+    * `pqbook(m, cent_id, cq)` and `pqcodes(vec_id, m, code)`.
+    */
+  private def pqCtes(numCents: Int, iters: Int): String = {
+    def assignSql(m: Int, centsCte: String): String =
+      s"""SELECT vec_id, cent_id FROM (
+      SELECT s.vec_id, c.cent_id,
+        row_number() OVER (PARTITION BY s.vec_id ORDER BY
+          ${sdotSql("c.cq", "c.cq")} - 2 * ${sdotSql("s.q", "c.cq")} ASC,
+          c.cent_id ASC) AS rn
+      FROM sub$m s, $centsCte c
+    ) WHERE rn = 1"""
+    val perSub = (0 until PqM).map { m =>
+      val lo = m * PqSd + 1
+      val hi = (m + 1) * PqSd
+      val rounds = (1 to iters).map { i =>
+        s"""pa${m}_$i AS (
+    ${assignSql(m, s"pc${m}_${i - 1}")}
+  ),
+  ps${m}_$i AS (
+    SELECT a.cent_id, t.d, CAST(sum(s.q[t.d + 1]) AS BIGINT) AS sm,
+      count(*) AS cnt
+    FROM pa${m}_$i a JOIN sub$m s ON s.vec_id = a.vec_id
+    CROSS JOIN range(0, $PqSd) t(d)
+    GROUP BY a.cent_id, t.d
+  ),
+  pc${m}_$i AS (
+    SELECT cent_id, list(sm // cnt ORDER BY d) AS cq FROM ps${m}_$i GROUP BY cent_id
+  )"""
+      }.mkString(",\n  ")
+      s"""sub$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM nb),
+  pc${m}_0 AS (SELECT vec_id AS cent_id, q AS cq FROM sub$m WHERE vec_id < $numCents),
+  $rounds"""
+    }.mkString(",\n  ")
+    val book = (0 until PqM)
+      .map(m => s"SELECT CAST($m AS BIGINT) AS m, CAST(cent_id AS BIGINT) AS cent_id, cq FROM pc${m}_$iters")
+      .mkString("\n    UNION ALL ")
+    val codes = (0 until PqM)
+      .map(m => s"""SELECT vec_id, CAST($m AS BIGINT) AS m, CAST(cent_id AS BIGINT) AS code FROM (
+      ${assignSql(m, s"pc${m}_$iters")}
+    )""")
+      .mkString("\n    UNION ALL ")
+    s"""$perSub,
+  pqbook AS (
+    $book
+  ),
+  pqcodes AS (
+    $codes
+  )"""
+  }
+
+  /** Mirrors `Similarity.pqCodebookSummary`. */
+  def pqCodebookSummarySql(numCents: Int = Similarity.PqCents,
+      iters: Int = Similarity.PqIters): String =
+    s"""WITH $baseCtes,
+  ${pqCtes(numCents, iters)},
+  sizes AS (SELECT m, code, count(*) AS n_members FROM pqcodes GROUP BY m, code)
+SELECT b.m, b.cent_id, CAST(s.n_members AS BIGINT) AS n_members,
+  ${sdotSql("b.cq", "b.cq")} AS cnq
+FROM pqbook b JOIN sizes s ON s.m = b.m AND s.code = b.cent_id
+ORDER BY b.m, b.cent_id"""
+
+  /** ADC + exact-rerank CTE chain ending in `pqranked` (mirrors
+    * `Similarity.pqTopK`); shared by the top-k and recall oracles.
+    */
+  private def pqTopKCtes(k: Int, probeMod: Int, numCents: Int,
+      iters: Int): String =
+    s"""${pqCtes(numCents, iters)},
+  pprobes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  lut AS (
+    SELECT p.qid, b.m, b.cent_id AS code,
+      CAST(list_sum(list_transform(range(1, ${PqSd + 1}),
+        i -> p.pq[CAST(b.m * $PqSd AS INT) + i] * b.cq[i])) AS BIGINT) AS pdot
+    FROM pprobes p, pqbook b
+  ),
+  adc AS (
+    SELECT l.qid, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+    FROM pqcodes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    WHERE c.vec_id <> l.qid
+    GROUP BY l.qid, c.vec_id
+  ),
+  pool AS (
+    SELECT qid, vec_id, adc_dot,
+      row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, vec_id ASC) AS arn
+    FROM adc
+  ),
+  rr AS (
+    SELECT p.qid, p.vec_id, p.adc_dot, ${dotSql("pb.pq", "n.q")} AS dot_q,
+      n.nq, pb.pnq
+    FROM pool p
+    JOIN nb n ON n.vec_id = p.vec_id
+    JOIN pprobes pb ON pb.qid = p.qid
+    WHERE p.arn <= ${Similarity.PqRerankFactor * k}
+  ),
+  pqranked AS (
+    SELECT qid, vec_id, adc_dot, dot_q,
+      CAST(floor(${cosSql("dot_q", "nq", "pnq")} * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY
+        ${cosSql("dot_q", "nq", "pnq")} DESC, vec_id ASC) AS rank
+    FROM rr
+  )"""
+
+  /** Mirrors `Similarity.pqTopK`. */
+  def pqTopKSql(k: Int = 10, probeMod: Int = 50,
+      numCents: Int = Similarity.PqCents,
+      iters: Int = Similarity.PqIters): String =
+    s"""WITH $baseCtes,
+  ${pqTopKCtes(k, probeMod, numCents, iters)}
+SELECT qid, rank, vec_id, adc_dot, dot_q, cos_bp
+FROM pqranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** Mirrors `Similarity.pqRecall`: exact brute-force top-k vs the
+    * PQ pipeline's final top-k, per probe, failures counted.
+    */
+  def pqRecallSql(k: Int = 10, probeMod: Int = 50,
+      numCents: Int = Similarity.PqCents,
+      iters: Int = Similarity.PqIters): String =
+    s"""WITH $baseCtes,
+  ${pqTopKCtes(k, probeMod, numCents, iters)},
+  got AS (SELECT qid, vec_id FROM pqranked WHERE rank <= $k),
+  exact_pairs AS (
+    SELECT p.qid, c.vec_id, ${cosSql(dotSql("p.pq", "c.q"), "c.nq", "p.pnq")} AS cosd
+    FROM pprobes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  exact_topk AS (
+    SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+      FROM exact_pairs
+    ) WHERE rank <= $k
+  ),
+  hits AS (
+    SELECT e.qid, count(*) AS hits
+    FROM exact_topk e JOIN got g ON g.qid = e.qid AND g.vec_id = e.vec_id
+    GROUP BY e.qid
+  )
+SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  CAST($k AS BIGINT) AS k,
+  CAST(floor(10000.0 * coalesce(h.hits, 0) / $k) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM exact_topk) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   ${codebookCtes(numCents, Similarity.CodebookIters)},
