@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusPrep, Dedup, Events, JoinSearch, TextAnalysis}
+import graft.operators.{CorpusPrep, Dedup, Events, JoinSearch, Similarity, TextAnalysis}
 import graft.sources.IndexBuilder
 
 /** Empirical scale-stress harness (round-7 verdict #2): synthesize a
@@ -218,7 +218,22 @@ object Scale {
       // positions ~ all positions, the anti-join drops ~everything).
       "cdc_merge" -> (d => graft.operators.Cdc.mergeSnapshotQuery(spark, d)),
       "dedup_span_removed" -> (d => Dedup.spanRemoved(spark, d)),
-      "events_zorder_map" -> (d => graft.operators.ZOrder.zMap(spark, d)))
+      "events_zorder_map" -> (d => graft.operators.ZOrder.zMap(spark, d)),
+      // round-8 additions. Containment shares the Jaccard family's
+      // saturation worst case (verbatim replicas: every pair 100%
+      // contained); chunks and the bigram join are must-touch-every-
+      // row compositions whose floor is linear.
+      "dedup_containment" -> (d => Dedup.containment(spark, d)),
+      "prep_chunks" -> (d => CorpusPrep.chunks(spark, d)),
+      "text_bigram_surprise" -> (d => TextAnalysis.bigramSurprise(spark, d)),
+      // PQ serving at MATCHED probe counts: probeMod scales with the
+      // corpus (the 1e8 replica offset is divisible by 500, so scaled
+      // probes keep the base density) — scale the corpus, not the
+      // query set, the search-family convention. min-of-reps serves
+      // from session-cached codes, so the measured number is the ADC
+      // code scan + bounded re-rank: the stage that must stay linear.
+      "sim_pq_topk" -> (d => Similarity.pqTopK(spark, d,
+        probeMod = if (d == baseDir) 50 else 500)))
 
     // one-time index materialization per scale, reported apart so no
     // family absorbs it (the Bench convention).

@@ -65,6 +65,17 @@ object SimQueries {
     Q("sim_pq_recall",
       (s, dir) => Similarity.pqRecall(s, dir),
       Some(SimOracle.pqRecallSql())),
+    // the composed index (FAISS-IVFPQ layout): routed cells, ADC over
+    // codes, bounded exact re-rank — neither half works alone at
+    // 100 TB (flat ADC is compute-bound, raw-vector IVF is I/O-bound).
+    Q("sim_ivfpq_topk",
+      (s, dir) => Similarity.ivfPqTopK(s, dir),
+      Some(SimOracle.ivfPqTopKSql())),
+    // joint routing+compression loss vs exact, attributable against
+    // sim_pq_recall (compression only) / sim_ivf_recall_np2 (routing).
+    Q("sim_ivfpq_recall",
+      (s, dir) => Similarity.ivfPqRecall(s, dir),
+      Some(SimOracle.ivfPqRecallSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

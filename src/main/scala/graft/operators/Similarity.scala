@@ -673,6 +673,93 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** IVF-PQ: the two approximations composed the way a production
+    * vector index actually ships (FAISS's IVFPQ layout) — the
+    * spherical-codebook ROUTER prunes the corpus to the probe's
+    * top-`nprobe` cells, then ADC scores ONLY those cells' members
+    * from their 4-byte codes, and the exact re-rank touches just the
+    * bounded pool. At 100 TB neither half works alone: flat ADC still
+    * scans every code (compute-bound), IVF with raw vectors still
+    * reads full vectors per candidate (I/O-bound); composed, the
+    * candidate volume shrinks ~numCents/nprobe-fold AND each
+    * candidate costs 4 bytes + M integer adds.
+    *
+    * Shuffle audit: routing scores probes only (broadcast codebook);
+    * the candidate lookup is the session-cached cell assignment
+    * joined to broadcast routes; ADC joins candidates to the cached
+    * code table and the broadcast LUT — keyed (qid, m, code), one
+    * aggregation; the re-rank pool is `PqRerankFactor*k` rows/probe.
+    * [[pqRecall]]'s twin measures what routing+compression jointly
+    * lose vs the exact top-k.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50, numCents: Int = 8,
+      nprobe: Int = 2, numPqCents: Int = PqCents): DataFrame = {
+    val rerank = PqRerankFactor * k
+    val base = quantized(spark, dir)
+    val cells = ivfCells(spark, dir, numCents)
+    val cents = broadcast(ivfCodebook(spark, dir, numCents)
+      .select(col("cent_id"), col("cq"), col("cnq")))
+    val probes = base.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
+    val rw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("cent_id").asc)
+    val routes = probes.crossJoin(cents)
+      .withColumn("dot_c", dotExpr("pq", "cq"))
+      .withColumn("cosd", cosExpr("dot_c", "pnq", "cnq"))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("cent_id").as("cell_id"))
+    val book = pqCodebook(spark, dir, numPqCents)
+    val lut = broadcast(probes.crossJoin(broadcast(book))
+      .withColumn("pdot", VectorMath.dotLong(
+        slice(col("pq"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
+        col("cq")))
+      .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
+    val adc = cells.join(broadcast(routes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+      .join(pqCodes(spark, dir, numPqCents), Seq("vec_id"))
+      .join(lut, Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).as("adc_dot"))
+    val aw = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("vec_id").asc)
+    val pool = adc.withColumn("arn", row_number().over(aw))
+      .where(col("arn") <= rerank)
+      .select("qid", "vec_id", "adc_dot")
+    val fw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
+    pool
+      .join(base, Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("adc_dot"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ recall vs the exact top-k ([[pqRecall]]'s twin for the
+    * composed index): what routing and compression JOINTLY lose —
+    * compare against `sim_pq_recall` (compression only) and
+    * `sim_ivf_recall_np2` (routing only) to attribute the loss.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String,
+      k: Int = 10, probeMod: Int = 50): DataFrame = {
+    val exact = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val got = ivfPqTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+    val hits = exact.join(got, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(k.toLong).as("k"))
+      .withColumn("recall_bp",
+        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
+      .orderBy("qid")
+  }
+
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
     * the candidate set shrinks by ~numCents vs brute force, the
     * 100 TB shape where the codebook has 2^12..2^16 cells and probes

@@ -519,6 +519,105 @@ FROM (SELECT DISTINCT qid FROM exact_topk) q
 LEFT JOIN hits h ON h.qid = q.qid
 ORDER BY q.qid"""
 
+  /** IVF-PQ CTE chain ending in `ipqranked` (mirrors
+    * `Similarity.ivfPqTopK`): trained spherical router (`cents` from
+    * [[codebookCtes]]) + PQ codes ([[pqCtes]]) + candidate-restricted
+    * ADC + exact re-rank. Shared by the top-k and recall oracles.
+    */
+  private def ivfPqCtes(k: Int, probeMod: Int, numCents: Int,
+      nprobe: Int, pqCents: Int, pqIters: Int): String =
+    s"""${codebookCtes(numCents, Similarity.CodebookIters)},
+  iassign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  icells AS (SELECT vec_id, cent_id AS cell_id FROM iassign WHERE rn = 1),
+  ${pqCtes(pqCents, pqIters)},
+  pprobes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  routes AS (
+    SELECT qid, cent_id AS cell_id FROM (
+      SELECT p.qid, c.cent_id,
+        row_number() OVER (PARTITION BY p.qid ORDER BY
+          ${cosSql(dotSql("p.pq", "c.cq"), "p.pnq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+      FROM pprobes p, cents c
+    ) WHERE rn <= $nprobe
+  ),
+  lut AS (
+    SELECT p.qid, b.m, b.cent_id AS code,
+      CAST(list_sum(list_transform(range(1, ${PqSd + 1}),
+        i -> p.pq[CAST(b.m * $PqSd AS INT) + i] * b.cq[i])) AS BIGINT) AS pdot
+    FROM pprobes p, pqbook b
+  ),
+  adc AS (
+    SELECT r.qid, cl.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+    FROM routes r
+    JOIN icells cl ON cl.cell_id = r.cell_id AND cl.vec_id <> r.qid
+    JOIN pqcodes pc ON pc.vec_id = cl.vec_id
+    JOIN lut l ON l.qid = r.qid AND l.m = pc.m AND l.code = pc.code
+    GROUP BY r.qid, cl.vec_id
+  ),
+  pool AS (
+    SELECT qid, vec_id, adc_dot,
+      row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, vec_id ASC) AS arn
+    FROM adc
+  ),
+  rr AS (
+    SELECT p.qid, p.vec_id, p.adc_dot, ${dotSql("pb.pq", "n.q")} AS dot_q,
+      n.nq, pb.pnq
+    FROM pool p
+    JOIN nb n ON n.vec_id = p.vec_id
+    JOIN pprobes pb ON pb.qid = p.qid
+    WHERE p.arn <= ${Similarity.PqRerankFactor * k}
+  ),
+  ipqranked AS (
+    SELECT qid, vec_id, adc_dot, dot_q,
+      CAST(floor(${cosSql("dot_q", "nq", "pnq")} * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY
+        ${cosSql("dot_q", "nq", "pnq")} DESC, vec_id ASC) AS rank
+    FROM rr
+  )"""
+
+  /** Mirrors `Similarity.ivfPqTopK`. */
+  def ivfPqTopKSql(k: Int = 10, probeMod: Int = 50, numCents: Int = 8,
+      nprobe: Int = 2, pqCents: Int = Similarity.PqCents,
+      pqIters: Int = Similarity.PqIters): String =
+    s"""WITH $baseCtes,
+  ${ivfPqCtes(k, probeMod, numCents, nprobe, pqCents, pqIters)}
+SELECT qid, rank, vec_id, adc_dot, dot_q, cos_bp
+FROM ipqranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** Mirrors `Similarity.ivfPqRecall`. */
+  def ivfPqRecallSql(k: Int = 10, probeMod: Int = 50, numCents: Int = 8,
+      nprobe: Int = 2, pqCents: Int = Similarity.PqCents,
+      pqIters: Int = Similarity.PqIters): String =
+    s"""WITH $baseCtes,
+  ${ivfPqCtes(k, probeMod, numCents, nprobe, pqCents, pqIters)},
+  got AS (SELECT qid, vec_id FROM ipqranked WHERE rank <= $k),
+  exact_pairs AS (
+    SELECT p.qid, c.vec_id, ${cosSql(dotSql("p.pq", "c.q"), "c.nq", "p.pnq")} AS cosd
+    FROM pprobes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  exact_topk AS (
+    SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+      FROM exact_pairs
+    ) WHERE rank <= $k
+  ),
+  hits AS (
+    SELECT e.qid, count(*) AS hits
+    FROM exact_topk e JOIN got g ON g.qid = e.qid AND g.vec_id = e.vec_id
+    GROUP BY e.qid
+  )
+SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  CAST($k AS BIGINT) AS k,
+  CAST(floor(10000.0 * coalesce(h.hits, 0) / $k) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM exact_topk) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+
   def ivfProbeSql(k: Int = 5, numCents: Int = 8, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   ${codebookCtes(numCents, Similarity.CodebookIters)},
