@@ -233,7 +233,21 @@ object Scale {
       // from session-cached codes, so the measured number is the ADC
       // code scan + bounded re-rank: the stage that must stay linear.
       "sim_pq_topk" -> (d => Similarity.pqTopK(spark, d,
-        probeMod = if (d == baseDir) 50 else 500)))
+        probeMod = if (d == baseDir) 50 else 500)),
+      // BPE trainer + application: verbatim replication leaves the
+      // WORD VOCABULARY identical (no new words, only 10x weights),
+      // so a correctly vocabulary-bound trainer should pay ~only the
+      // one word-frequency aggregation over the bigger corpus — the
+      // measured ratio is the proof that rounds are vocab-sized, not
+      // corpus-sized.
+      "text_bpe_tokens" -> (d => graft.operators.Bpe.tokens(spark, d)))
+
+    // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
+    // families (the committed SCALE.md rows come from full runs;
+    // within-run ratios are the measurement either way).
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only.fold(families)(s => families.filter(f => s(f._1)))
 
     // one-time index materialization per scale, reported apart so no
     // family absorbs it (the Bench convention).
@@ -241,14 +255,14 @@ object Scale {
     val idxScaled = timed { IndexBuilder.cached(spark, workDir).count() }
 
     def run(dir: String): Seq[(String, Double)] =
-      families.map { case (name, fn) =>
+      picked.map { case (name, fn) =>
         val t = (1 to reps).map(_ => timed { fn(dir).count() }).min
         (name, t)
       }
     val base = run(baseDir)
     val scaled = run(workDir)
 
-    val rows = families.map(_._1).map { n =>
+    val rows = picked.map(_._1).map { n =>
       val b = base.find(_._1 == n).get._2
       val s = scaled.find(_._1 == n).get._2
       f"""${jstr(n)}:{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.2f}"""

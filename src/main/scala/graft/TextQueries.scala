@@ -58,6 +58,17 @@ object TextQueries {
     Q("text_phrase_near_indexed",
       (s, dir) => TextAnalysis.proximityTopKIndexed(s, dir),
       Some(TextOracle.proximityTopKSql())),
+    // trained BPE tokenizer: merge rules learned over the word-
+    // frequency table (vocabulary-sized rounds, never corpus-sized),
+    // oracle-unrolled like the Lloyd codebook.
+    Q("text_bpe_merges",
+      (s, dir) => graft.operators.Bpe.merges(s, dir),
+      Some(TextOracle.bpeMergesSql())),
+    // per-document token accounting under the trained vocabulary —
+    // the number a token-budget/packing planner consumes.
+    Q("text_bpe_tokens",
+      (s, dir) => graft.operators.Bpe.tokens(s, dir),
+      Some(TextOracle.bpeTokensSql())),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.DfCache
+
+/** Byte-pair-encoding tokenizer TRAINING and application, the missing
+  * rung under the token-counting stats ([[TextAnalysis.stats]] counts
+  * a BPE-ish pre-tokenization; this trains the merges themselves) —
+  * the canonical LLM-pipeline text operator: every token budget,
+  * packing plan and mixture weight downstream is denominated in
+  * tokens of a TRAINED subword vocabulary, not whitespace words.
+  *
+  * Formulation (the scalable one real BPE trainers use): training
+  * never touches the corpus per round — it runs over the WORD
+  * FREQUENCY table (vocabulary-sized, zipf-truncated, orders of
+  * magnitude smaller than the corpus), with each word's adjacent
+  * symbol pairs weighted by the word's corpus count. Each round is
+  *   (1) one vocabulary-local pair count (map-side combinable
+  *       aggregation over a persisted vocab of ~10^5-10^6 rows, NOT
+  *       the 100 TB corpus),
+  *   (2) a global argmax — a 1-row DataFrame (TakeOrdered, count
+  *       desc / pair asc deterministic tie-break) that stays in the
+  *       plan as a broadcast, never a driver collect,
+  *   (3) a row-local merge apply (literal `replace`) producing the
+  *       next vocab, persisted so round t+1's two consumers (pair
+  *       count + apply) share one computation — the same
+  *       persisted-rounds discipline as the label-propagation loop
+  *       (`Dedup.clusters`), linear in rounds, not 2^rounds lineage.
+  *
+  * Symbol strings are delimiter-framed (`|a||b|` for symbols a,b):
+  * every symbol occurrence carries its own `|...|` frame, so the
+  * merge pattern `|a||b|` (i) can never match across a symbol
+  * boundary and (ii) consecutive occurrences share no characters,
+  * making literal left-to-right non-overlapping replace-all — the
+  * identical semantics in Spark's and DuckDB's `replace` — exactly
+  * BPE's greedy merge (`bbbb` --(b,b)--> `bb bb`, not `bb b b`;
+  * spec-pinned). `|` cannot appear inside a symbol: words are
+  * `[a-z]+` runs.
+  *
+  * Application ([[tokens]]) is a broadcast hash join of the corpus's
+  * exploded words against the trained vocabulary's per-word token
+  * count — row-local, no shuffle of the corpus, the shape that holds
+  * at 100 TB (the vocab is broadcast-sized by construction).
+  *
+  * The DuckDB oracle (`TextOracle.bpe*Sql`) unrolls the identical
+  * rounds as generated CTEs — the Lloyd-codebook pattern
+  * (`SimOracle.codebookCtes`) — so every merge choice, tie-break and
+  * token count is hash-compared cross-engine.
+  */
+object Bpe {
+
+  /** Default trained merge count. Real vocabs train 10^4-10^5 merges;
+    * 12 keeps the unrolled oracle CTE chain readable while exercising
+    * multi-generation merges (merged symbols re-merging — the spec's
+    * fixture pins a 3-generation chain).
+    */
+  val Merges = 12
+
+  /** Pre-tokenization: lowercase letter runs (the coarse split
+    * [[TextAnalysis.stats]]'s `n_re_tokens` already counts).
+    */
+  private val WordsExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** The word-frequency table: one row per distinct word with its
+    * corpus occurrence count and the delimiter-framed symbol string
+    * seeded at characters. THE scale reduction of the whole trainer —
+    * everything after this aggregation is vocabulary-sized.
+    */
+  def wordFreqOf(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(expr(WordsExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wc"))
+      .withColumn("w", regexp_replace(col("word"), "(.)", "|$1|"))
+
+  /** Adjacent symbol pairs of one vocab generation, weighted by word
+    * count: `(a, b, cnt)`.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("wc"),
+        expr("split(trim(BOTH '|' FROM w), '\\\\|\\\\|')").as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(s) - 1), " +
+          "i -> struct(element_at(s, i) as a, element_at(s, i + 1) as b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wc").as("cnt"))
+
+  /** One trained generation: `(merges, final vocab)`. Each round's
+    * vocab is LAZILY localCheckpointed (the label-propagation-loop
+    * discipline, `Dedup.clusters`): the checkpoint truncates the
+    * round's LOGICAL plan immediately — without it each round
+    * references its predecessor twice (pair count + apply) and the
+    * analyzed plan doubles per round, 2^rounds copies of the corpus
+    * scan (the first cut of this trainer OOMed the driver exactly
+    * there) — while staying job-free until the first action, and the
+    * checkpointed rounds persist so both registered queries and every
+    * later round share one computation.
+    */
+  private def train(spark: SparkSession, documents: => DataFrame,
+      n: Int): (DataFrame, DataFrame) = {
+    var words = wordFreqOf(documents).localCheckpoint(false)
+    val bests = (1 to n).map { t =>
+      val best = pairCounts(words)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint(false)
+      // the argmax stays IN the plan (broadcast 0-or-1-row side);
+      // left-join-on-true so an exhausted vocabulary (no pair left
+      // anywhere) passes words through unchanged instead of
+      // annihilating the corpus.
+      words = words.join(broadcast(best.select("a", "b")), lit(true), "left")
+        .select(col("word"), col("wc"),
+          when(col("a").isNull, col("w")).otherwise(expr(
+            "replace(w, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))"))
+            .as("w"))
+        .localCheckpoint(false)
+      best.select(lit(t.toLong).as("rank"), col("a").as("pair_a"),
+        col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("weight"))
+    }
+    (bests.reduce(_ unionByName _).orderBy("rank"), words)
+  }
+
+  /** Session-memoized training per `(tag, n)`: Verify/Bench run both
+    * registered queries in one session — the second reuses the
+    * first's checkpointed rounds instead of retraining.
+    */
+  private def trained(spark: SparkSession, documents: => DataFrame,
+      n: Int, tag: String): (DataFrame, DataFrame) = {
+    lazy val pair = train(spark, documents, n)
+    (DfCache.getOrPersist(spark, s"bpe_merges:$tag:$n")(pair._1),
+      DfCache.getOrPersist(spark, s"bpe_vocab:$tag:$n")(pair._2))
+  }
+
+  /** The trained merge table `(rank, pair_a, pair_b, merged, weight)`
+    * — the tokenizer artifact itself (what a production trainer ships
+    * to the tokenizer runtime). Rounds past vocabulary exhaustion
+    * contribute no row, so the table is also the convergence record.
+    */
+  def mergesOf(spark: SparkSession, documents: => DataFrame,
+      n: Int = Merges, tag: String = "of"): DataFrame =
+    trained(spark, documents, n, tag)._1
+
+  /** Trained per-word token counts `(word, wc, n_tok)`: symbols
+    * remaining after the merge sequence, counted from the frame
+    * delimiters (`|x||yz|` has 4 pipes = 2 symbols) — row-local, no
+    * re-tokenization pass.
+    */
+  def vocabOf(spark: SparkSession, documents: => DataFrame,
+      n: Int = Merges, tag: String = "of"): DataFrame =
+    trained(spark, documents, n, tag)._2
+      .select(col("word"), col("wc"),
+        ((length(col("w")) - length(translate(col("w"), "|", ""))) / 2)
+          .cast("long").as("n_tok"))
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Registered form: the trained merge table over the corpus. */
+  def merges(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
+    mergesOf(spark, docs(spark, dir), n, dir)
+
+  /** Registered form: per-document token accounting under the trained
+    * vocabulary — `(doc_id, n_words, n_word_chars, n_bpe_tokens,
+    * tok_bp)` with `tok_bp` = tokens per word-character in basis
+    * points (the compression the tokenizer actually buys, the number
+    * a token-budget planner consumes). Corpus words join the
+    * broadcast-sized trained vocab; every doc word is in-vocabulary
+    * by construction (trained on the same corpus).
+    */
+  def tokens(spark: SparkSession, dir: String, n: Int = Merges): DataFrame = {
+    val vocab = vocabOf(spark, docs(spark, dir), n, dir).drop("wc")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_word_chars"),
+        sum("n_tok").cast("long").as("n_bpe_tokens"))
+      .withColumn("tok_bp",
+        floor(lit(10000L) * col("n_bpe_tokens") /
+          greatest(col("n_word_chars"), lit(1L))).cast("long"))
+      .orderBy("doc_id")
+  }
+}

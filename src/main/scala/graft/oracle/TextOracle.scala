@@ -345,4 +345,79 @@ SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
   CAST((100 * sum(t.tf * f.freq)) // sum(t.tf) AS BIGINT) AS mean_freq_c
 FROM tfg t JOIN fr f ON f.g = t.g
 GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** BPE trainer CTE chain (mirrors [[graft.operators.Bpe]] — the
+    * unrolled-rounds pattern of `SimOracle.codebookCtes`): the word
+    * frequency table seeds `bwords0` with delimiter-framed symbol
+    * strings; each round counts weight-summed adjacent pairs, picks
+    * the global argmax (count desc, pair asc — the Spark tie-break
+    * literally), and applies it with literal left-to-right `replace`
+    * (identical non-overlapping semantics in both engines by the
+    * framing argument in Bpe's scaladoc). `LEFT JOIN ... ON true`
+    * mirrors the exhausted-vocabulary passthrough. The per-round
+    * CTEs are `MATERIALIZED`: each is referenced twice (pair count +
+    * apply), and DuckDB inlines multi-referenced CTEs by default —
+    * unmaterialized, the chain re-executes 2^rounds times (measured
+    * 5m19s vs 0.7s at sf0.01) — the oracle-side twin of the
+    * localCheckpoint-per-round discipline on the Spark side.
+    */
+  private def bpeCtes(n: Int): String = {
+    val rounds = (1 to n).map { t =>
+      s"""bpairs$t AS (
+    SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+      SELECT wc, unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b
+      FROM (SELECT wc, string_split(trim(w, '|'), '||') AS s FROM bwords${t - 1})
+      WHERE len(s) >= 2
+    ) GROUP BY a, b
+  ),
+  bbest$t AS MATERIALIZED (
+    SELECT a, b, cnt FROM bpairs$t ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+  ),
+  bwords$t AS MATERIALIZED (
+    SELECT word, wc,
+      CASE WHEN p.a IS NULL THEN w
+        ELSE replace(w, '|' || p.a || '||' || p.b || '|', '|' || p.a || p.b || '|')
+      END AS w
+    FROM bwords${t - 1} LEFT JOIN bbest$t p ON true
+  )"""
+    }.mkString(",\n  ")
+    s"""bwords0 AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS wc,
+      regexp_replace(word, '(.)', '|\\1|', 'g') AS w
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents)
+    GROUP BY word
+  ),
+  $rounds"""
+  }
+
+  /** Mirrors `Bpe.merges`. */
+  def bpeMergesSql(n: Int = graft.operators.Bpe.Merges): String = {
+    val union = (1 to n).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS rank, a AS pair_a, b AS pair_b,
+      a || b AS merged, cnt AS weight FROM bbest$t""").mkString("\n    UNION ALL ")
+    s"""WITH ${bpeCtes(n)}
+SELECT rank, pair_a, pair_b, merged, weight FROM (
+    $union
+) ORDER BY rank"""
+  }
+
+  /** Mirrors `Bpe.tokens`. */
+  def bpeTokensSql(n: Int = graft.operators.Bpe.Merges): String =
+    s"""WITH ${bpeCtes(n)},
+  bvocab AS (
+    SELECT word,
+      CAST((length(w) - length(replace(w, '|', ''))) // 2 AS BIGINT) AS n_tok
+    FROM bwords$n
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  )
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(length(d.word)) AS BIGINT) AS n_word_chars,
+  CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens,
+  CAST(floor(10000 * sum(v.n_tok) / greatest(sum(length(d.word)), 1)) AS BIGINT) AS tok_bp
+FROM bdocw d JOIN bvocab v USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** Pins the BPE trainer's semantics on hand-computed fixtures: the
+  * exact merge sequence across generations (merged symbols
+  * re-merging), greedy left-to-right non-overlap of the literal
+  * replace (the framing-delimiter argument), the deterministic
+  * count-then-lexicographic tie-break, and vocabulary-exhaustion
+  * passthrough (rounds past exhaustion emit no merge row and leave
+  * the vocab intact).
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def docsOf(texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def uniq(name: String) = s"spec:$name:${System.nanoTime()}"
+
+  test("merge sequence across generations is the hand-computed one") {
+    // words: aaab x4, ab x2.
+    // r1: (a,a)=8 beats (a,b)=6 -> aa.  aaab => [aa, a, b] (greedy).
+    // r2: (a,b)=6 beats (aa,a)=4 -> ab.  aaab => [aa, ab].
+    // r3: (aa,ab)=4 -> aaab (a 3rd-generation symbol from two merged ones).
+    // r4+: single-symbol words only -> no pairs, no rows.
+    val docs = docsOf("aaab aaab ab", "aaab aaab ab")
+    val m = Bpe.mergesOf(spark, docs, n = 5, tag = uniq("gen"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "a", "aa", 8L),
+      (2L, "a", "b", "ab", 6L),
+      (3L, "aa", "ab", "aaab", 4L)))
+  }
+
+  test("greedy left-to-right: bbbb collapses to two bb, not three") {
+    // one word bbbb: (b,b) counted 3 times, but the merge applies
+    // left-to-right non-overlapping: [bb, bb].
+    val docs = docsOf("bbbb")
+    val v = Bpe.vocabOf(spark, docs, n = 1, tag = uniq("greedy"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(v.toSeq === Seq(("bbbb", 2L)))
+  }
+
+  test("tie-break is lexicographic on (a, b) at equal count") {
+    // ab and cd each once: (a,b)=1 ties (c,d)=1 -> (a,b) wins round 1.
+    val docs = docsOf("ab cd")
+    val m = Bpe.mergesOf(spark, docs, n = 1, tag = uniq("tie"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(m.toSeq === Seq(("a", "b")))
+  }
+
+  test("exhaustion passthrough: token counts survive extra rounds") {
+    // after 'ab' merges (round 1), vocab is single-symbol; rounds 2-4
+    // must change nothing (the left-join-on-true guard) rather than
+    // annihilate the vocab through an empty cross join.
+    val docs = docsOf("ab ab")
+    val v = Bpe.vocabOf(spark, docs, n = 4, tag = uniq("exhaust"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq === Seq(("ab", 2L, 1L)))
+  }
+
+  test("doc token accounting matches per-word counts") {
+    // 'aaab ab' after 3 merges: aaab -> 1 token, ab -> 1 token.
+    // With n=1 (only aa trained): aaab = [aa, a, b] = 3, ab = [a, b] = 2.
+    val docs = docsOf("aaab aaab ab", "aaab aaab ab")
+    val tag = uniq("tok")
+    val vocab = Bpe.vocabOf(spark, docs, n = 1, tag = tag).drop("wc")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy("doc_id").agg(sum("n_tok").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(toks === Map(0L -> 8L, 1L -> 8L)) // 3 + 3 + 2 per doc
+  }
+}
