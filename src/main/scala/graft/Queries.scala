@@ -160,6 +160,34 @@ object Queries {
 FROM (SELECT table_id, column_id, key, count(*) AS kdf
       FROM idxf GROUP BY table_id, column_id, key)
 GROUP BY table_id, column_id ORDER BY table_id, column_id"""))),
+    // Delta-varint packing accounting for the posting lists (the
+    // classic inverted-index gap encoding), windowed — never a
+    // per-key list materialization. The CASE-ladder byte count is
+    // generated from one Scala constant so both engines share it.
+    Q("idx_postings_packed",
+      (s, dir) => sources.PostingsPack.packStats(IndexBuilder.cached(s, dir)),
+      Some(SearchOracle.indexOnly {
+        val ladder = (1 to 8)
+          .map(k => s"WHEN d < ${1L << (7 * k)} THEN $k")
+          .mkString(" ")
+        s""", pd AS (
+    SELECT table_id, column_id, key,
+      row_id - coalesce(lag(row_id) OVER (
+        PARTITION BY table_id, column_id, key ORDER BY row_id), 0) AS d
+    FROM idxf
+  ),
+  pl AS (
+    SELECT table_id, column_id, key, count(*) AS n,
+      sum(CASE $ladder ELSE 9 END) AS bytes
+    FROM pd GROUP BY table_id, column_id, key
+  )
+SELECT table_id, CAST(count(*) AS BIGINT) AS n_lists,
+  CAST(sum(n) AS BIGINT) AS n_postings,
+  CAST(8 * sum(n) AS BIGINT) AS raw_bytes,
+  CAST(sum(bytes) AS BIGINT) AS packed_bytes,
+  CAST(floor(10000 * (8 * sum(n) - sum(bytes)) / (8 * sum(n))) AS BIGINT) AS save_bp
+FROM pl GROUP BY table_id ORDER BY table_id"""
+      })),
     // The durable key-stats artifact (the snapshot's ANALYZE
     // companion): write-once, load-with-fallback, hash-matching the
     // straight per-key aggregation — proving the persisted statistic
