@@ -35,6 +35,12 @@ object PrepQueries {
     Q("prep_decontaminate",
       (s, dir) => CorpusPrep.decontaminate(s, dir),
       Some(PrepOracle.decontaminateSql())),
+    // the embedding-space twin: paraphrase-robust decontamination via
+    // train-vs-eval sign-LSH candidates + exact-cosine verify (the
+    // gram join above is blind to paraphrased leakage).
+    Q("prep_semantic_decontaminate",
+      (s, dir) => CorpusPrep.semanticDecontaminate(s, dir),
+      Some(graft.oracle.SimOracle.semanticDecontaminateSql())),
     // per-source/domain cap via the bounded TopK aggregator (O(n)
     // state per source over the shuffle); the oracle runs the window
     // formulation — hash equality proves the rewrite exact.

@@ -76,6 +76,12 @@ object SimQueries {
     Q("sim_ivfpq_recall",
       (s, dir) => Similarity.ivfPqRecall(s, dir),
       Some(SimOracle.ivfPqRecallSql())),
+    // plan-stats routed dispatch (exact scan vs IVF-PQ — the
+    // strategy_auto arrangement for ANN); oracle = the exact
+    // formulation, proving the small-corpus route at test scale.
+    Q("sim_search_auto",
+      (s, dir) => Similarity.searchAuto(s, dir),
+      Some(SimOracle.searchAutoSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

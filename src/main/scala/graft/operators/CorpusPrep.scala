@@ -236,6 +236,35 @@ object CorpusPrep {
       d.where(col("doc_id") % evalMod === 0), n)
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[decontaminate]] (real pipelines run BOTH: exact n-gram overlap
+    * catches verbatim leakage, embedding proximity catches
+    * paraphrased eval material the gram join is blind to). Train-side
+    * documents are scored by their sign-LSH-candidate,
+    * exact-cosine-verified hits against the eval side
+    * ([[Similarity.lshEvalHits]] — train-vs-eval banded join, never
+    * train x train); every train-side embedded doc gets a row
+    * (left join), with `max_cos_bp = -10000` as the no-hit sentinel
+    * (cosine's floor) so the schema stays integer-total. Split is
+    * the registered stand-in `vec_id % evalMod` ([[decontaminate]]'s
+    * convention); the operator pair generalizes to any two frames.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      minCosBp: Int = 3000, evalMod: Int = 23): DataFrame = {
+    val hits = Similarity.lshEvalHits(spark, dir, evalMod, minCosBp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("cos_bp").as("max_cos_bp"))
+    Similarity.quantized(spark, dir)
+      .where(col("vec_id") % evalMod =!= 0)
+      .select(col("vec_id").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).cast("long").as("n_eval_hits"),
+        coalesce(col("max_cos_bp"), lit(-10000L)).cast("long").as("max_cos_bp"),
+        when(col("n_eval_hits").isNotNull, 1L).otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted source mixing: downsample each source to a target rate
     * (parts-per-hundred) — the corpus-mixing step that reweights
     * heterogeneous sources before training. Identity-hash

@@ -167,6 +167,38 @@ object Similarity {
       .orderBy("vec_x", "vec_y")
   }
 
+  /** Cross-set banded near-neighbor hits — the candidate shape of
+    * semantic decontamination: TRAIN-side vectors (`vec_id % evalMod
+    * != 0`) meet EVAL-side vectors (`% evalMod == 0`) ONLY through
+    * shared sign-band buckets (a train-vs-eval equi-join, never
+    * train x train — the delta-vs-base discipline of
+    * [[graft.operators.Dedup.incrementalNearDups]]), then exact
+    * quantized-cosine verification. At production scale the eval
+    * side is a benchmark suite — thousands of vectors whose banded
+    * form broadcasts — so candidate volume is train-collisions-with-
+    * a-tiny-set, not any quadratic term.
+    */
+  def lshEvalHits(spark: SparkSession, dir: String, evalMod: Int = 23,
+      minCosBp: Int = 3000): DataFrame = {
+    val bands = signBands(spark, dir)
+    val cand = bands.where(col("vec_id") % evalMod =!= 0)
+      .select(col("vec_id").as("doc_id"), col("band_ix"), col("band_v"))
+      .join(bands.where(col("vec_id") % evalMod === 0)
+        .select(col("vec_id").as("eval_id"), col("band_ix"), col("band_v")),
+        Seq("band_ix", "band_v"))
+      .select("doc_id", "eval_id").distinct()
+    val base = quantized(spark, dir)
+    cand
+      .join(base.select(col("vec_id").as("doc_id"), col("q").as("qx"), col("nq").as("nx")),
+        Seq("doc_id"))
+      .join(base.select(col("vec_id").as("eval_id"), col("q").as("qy"), col("nq").as("ny")),
+        Seq("eval_id"))
+      .withColumn("dot_q", dotExpr("qx", "qy"))
+      .withColumn("cos_bp", cosBp(cosExpr("dot_q", "nx", "ny")))
+      .where(col("cos_bp") >= minCosBp)
+      .select("doc_id", "eval_id", "cos_bp")
+  }
+
   /** [[cosineTopK]] re-expressed with the bounded [[TopK]]
     * aggregator instead of the per-probe window — the 100 TB form
     * the window version's scaladoc points at: partial top-k state
@@ -737,6 +769,30 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
         col("adc_dot"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
       .orderBy("qid", "rank")
+  }
+
+  /** Size-gated similarity-search dispatch — the
+    * [[JoinSearch.searchTablesAuto]] arrangement applied to ANN: the
+    * corpus side's PLAN-STATS size (no count job) routes between the
+    * exact bounded-top-k scan (small corpora, where brute force is
+    * both exact and cheapest) and the composed IVF-PQ index (large
+    * corpora, where a full-vector scan is the thing a vector index
+    * exists to avoid). Output is the common (qid, rank, vec_id,
+    * cos_bp) projection of both paths — cos_bp is exact in BOTH
+    * (IVF-PQ re-ranks with true vectors), so the routed result is
+    * always served with exact scores; what the big-corpus path trades
+    * is recall (measured, `sim_ivfpq_recall`), never score fidelity.
+    * `SimSearchAutoSpec` pins both routes; the registered query's
+    * oracle is the exact formulation, proving the default route at
+    * test scale.
+    */
+  def searchAuto(spark: SparkSession, dir: String, k: Int = 10,
+      probeMod: Int = 50, bruteBytes: Long = 64L << 20): DataFrame = {
+    val bytes = quantized(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val routed =
+      if (bytes <= bruteBytes) cosineTopKAgg(spark, dir, k, probeMod)
+      else ivfPqTopK(spark, dir, k, probeMod)
+    routed.select("qid", "rank", "vec_id", "cos_bp").orderBy("qid", "rank")
   }
 
   /** IVF-PQ recall vs the exact top-k ([[pqRecall]]'s twin for the

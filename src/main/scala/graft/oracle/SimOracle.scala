@@ -165,6 +165,60 @@ WHERE CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) >= $minCosBp
 ORDER BY vec_x, vec_y"""
   }
 
+  /** Mirrors `Similarity.searchAuto`'s small-corpus route: the exact
+    * top-k projected to the dispatcher's common columns.
+    */
+  def searchAutoSql(k: Int = 10, probeMod: Int = 50): String =
+    s"""SELECT qid, rank, vec_id, cos_bp FROM (
+${cosineTopKSql(k, probeMod)}
+) ORDER BY qid, rank"""
+
+  /** Mirrors `CorpusPrep.semanticDecontaminate` (train-vs-eval
+    * banded candidates, exact-cosine verify, left-joined per-doc
+    * aggregation with the -10000 no-hit sentinel).
+    */
+  def semanticDecontaminateSql(evalMod: Int = 23, minCosBp: Int = 3000): String = {
+    val nBands = Similarity.NumBands
+    val bBits = Similarity.BandBits
+    s"""WITH $baseCtes,
+  bands AS (
+    SELECT vec_id, b AS band_ix,
+      CAST(list_sum(list_transform(range(0, $bBits),
+        j -> CASE WHEN q[b * $bBits + j + 1] >= 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS band_v
+    FROM nb, range(0, $nBands) t(b)
+  ),
+  scand AS (
+    SELECT DISTINCT a.vec_id AS doc_id, b.vec_id AS eval_id
+    FROM bands a
+    JOIN bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v
+    WHERE a.vec_id % $evalMod <> 0 AND b.vec_id % $evalMod = 0
+  ),
+  sver AS (
+    SELECT c.doc_id, c.eval_id, ${dotSql("x.q", "y.q")} AS dot_q,
+      x.nq AS nx, y.nq AS ny
+    FROM scand c
+    JOIN nb x ON x.vec_id = c.doc_id
+    JOIN nb y ON y.vec_id = c.eval_id
+  ),
+  shits AS (
+    SELECT doc_id, eval_id,
+      CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) AS cos_bp
+    FROM sver
+    WHERE CAST(floor(${cosSql("dot_q", "nx", "ny")} * $S) AS BIGINT) >= $minCosBp
+  ),
+  sagg AS (
+    SELECT doc_id, count(*) AS n_eval_hits, max(cos_bp) AS max_cos_bp
+    FROM shits GROUP BY doc_id
+  )
+SELECT n.vec_id AS doc_id,
+  CAST(coalesce(a.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+  CAST(coalesce(a.max_cos_bp, -10000) AS BIGINT) AS max_cos_bp,
+  CAST(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS flagged
+FROM nb n LEFT JOIN sagg a ON a.doc_id = n.vec_id
+WHERE n.vec_id % $evalMod <> 0
+ORDER BY doc_id"""
+  }
+
   /** LSH recall audit (mirrors `Similarity.lshRecall`). */
   def lshRecallSql(k: Int = 10, probeMod: Int = 50): String = {
     val nBands = Similarity.NumBands
