@@ -79,6 +79,19 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: the round-8 additions") {
+    pin("postings_packed", Ex(3, 0, 0)) {
+      graft.sources.PostingsPack.packStats(idx)
+    }
+    pin("semantic_decontaminate", Ex(4, 3, 0)) {
+      graft.operators.CorpusPrep.semanticDecontaminate(spark, dir)
+    }
+    pin("bpe_tokens", Ex(2, 1, 0)) {
+      graft.operators.Bpe.tokens(spark, dir)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)
