@@ -69,6 +69,11 @@ object TextQueries {
     Q("text_bpe_tokens",
       (s, dir) => graft.operators.Bpe.tokens(s, dir),
       Some(TextOracle.bpeTokensSql())),
+    // the durable tokenizer artifact (content-fingerprint-gated on
+    // the documents source); the oracle retrains from scratch.
+    Q("text_bpe_artifact",
+      (s, dir) => graft.operators.Bpe.vocabArtifact(s, dir),
+      Some(TextOracle.bpeVocabSql())),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

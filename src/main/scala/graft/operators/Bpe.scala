@@ -143,17 +143,20 @@ object Bpe {
       n: Int = Merges, tag: String = "of"): DataFrame =
     trained(spark, documents, n, tag)._1
 
-  /** Trained per-word token counts `(word, wc, n_tok)`: symbols
+  /** `(word, wc, n_tok)` projection of a trained words frame: symbols
     * remaining after the merge sequence, counted from the frame
     * delimiters (`|x||yz|` has 4 pipes = 2 symbols) — row-local, no
     * re-tokenization pass.
     */
+  private def tokCounts(words: DataFrame): DataFrame =
+    words.select(col("word"), col("wc"),
+      ((length(col("w")) - length(translate(col("w"), "|", ""))) / 2)
+        .cast("long").as("n_tok"))
+
+  /** Trained per-word token counts `(word, wc, n_tok)`. */
   def vocabOf(spark: SparkSession, documents: => DataFrame,
       n: Int = Merges, tag: String = "of"): DataFrame =
-    trained(spark, documents, n, tag)._2
-      .select(col("word"), col("wc"),
-        ((length(col("w")) - length(translate(col("w"), "|", ""))) / 2)
-          .cast("long").as("n_tok"))
+    tokCounts(trained(spark, documents, n, tag)._2)
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -170,6 +173,51 @@ object Bpe {
     * broadcast-sized trained vocab; every doc word is in-vocabulary
     * by construction (trained on the same corpus).
     */
+  /** Artifact locations beside the index snapshot's companions. The
+    * tokenizer derives from the documents SOURCE (not the snapshot),
+    * so it fingerprints against `documents.parquet` — the
+    * doc-signature convention ([[Dedup.signaturePath]]); the merge
+    * count is part of the path, so tokenizers at different budgets
+    * are different artifacts, never silently substituted.
+    */
+  def mergesPath(dir: String, n: Int = Merges): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-bpe$n-merges"
+
+  def vocabPath(dir: String, n: Int = Merges): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-bpe$n-vocab"
+
+  /** The durable trained tokenizer — what a production trainer ships:
+    * the merge table plus the per-word token counts, persisted once
+    * per corpus and content-fingerprint-gated on the documents source
+    * ([[graft.sources.Artifacts]] — a re-crawl landing in the same
+    * mtime tick still invalidates). Deliberately NOT routed through
+    * the session-memoized [[trained]]: the artifact IS the
+    * cross-session memo, and a gate that rebuilt from a session-stale
+    * cache would stamp fresh fingerprints onto old merges. Both
+    * datasets derive from one lazily-built chain per call, so a
+    * double-stale load trains once.
+    */
+  def loadOrTrain(spark: SparkSession, dir: String,
+      n: Int = Merges): (DataFrame, DataFrame) = {
+    val src = Seq(s"$dir/documents.parquet")
+    lazy val fresh = train(spark, docs(spark, dir), n)
+    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src) {
+      fresh._1.write.mode("overwrite").parquet(mergesPath(dir, n))
+    }
+    val v = graft.sources.Artifacts.loadOrBuild(spark, vocabPath(dir, n), src) {
+      tokCounts(fresh._2).write.mode("overwrite").parquet(vocabPath(dir, n))
+    }
+    (m, v)
+  }
+
+  /** Registered form of the artifact path: the persisted vocabulary,
+    * hash-compared against the oracle's retrained one — proving the
+    * durable tokenizer IS the tokenizer the live trainer produces.
+    */
+  def vocabArtifact(spark: SparkSession, dir: String,
+      n: Int = Merges): DataFrame =
+    loadOrTrain(spark, dir, n)._2.orderBy("word")
+
   def tokens(spark: SparkSession, dir: String, n: Int = Merges): DataFrame = {
     val vocab = vocabOf(spark, docs(spark, dir), n, dir).drop("wc")
     docs(spark, dir)

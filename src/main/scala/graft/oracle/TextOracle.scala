@@ -402,6 +402,16 @@ SELECT rank, pair_a, pair_b, merged, weight FROM (
 ) ORDER BY rank"""
   }
 
+  /** Mirrors `Bpe.vocabArtifact` — the oracle RETRAINS and the
+    * engine serves the persisted artifact, so hash equality proves
+    * the durable tokenizer is the trainer's exact output.
+    */
+  def bpeVocabSql(n: Int = graft.operators.Bpe.Merges): String =
+    s"""WITH ${bpeCtes(n)}
+SELECT word, wc,
+  CAST((length(w) - length(replace(w, '|', ''))) // 2 AS BIGINT) AS n_tok
+FROM bwords$n ORDER BY word"""
+
   /** Mirrors `Bpe.tokens`. */
   def bpeTokensSql(n: Int = graft.operators.Bpe.Merges): String =
     s"""WITH ${bpeCtes(n)},
