@@ -730,7 +730,7 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
         val o = s.read.parquet(s"$dir/orders.parquet")
           .groupBy(to_date(col("o_orderdate")).as("d"))
           .agg(count(lit(1)).as("n_orders"))
-        val e = s.read.parquet(s"$dir/events.parquet")
+        val e = operators.Events.nanos(s, dir)
           .groupBy(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
           .agg(count(lit(1)).as("n_events"))
         o.join(e, Seq("d"), "full_outer")

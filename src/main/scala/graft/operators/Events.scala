@@ -55,7 +55,28 @@ object Events {
   val DefaultGapUs: Long = 6 * MicrosPerHour
 
   private def raw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    nanos(spark, dir)
+
+  /** Adaptive events scan: the corpus has shipped `ts` both as
+    * TIMESTAMP(NANOS) parquet (read as bigint nanos under the
+    * session's `nanosAsLong`) and as TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Every downstream formulation computes in ONE
+    * integer time domain — epoch nanos — so normalize at the scan
+    * edge instead of branching in each operator. The NTZ→LTZ cast is
+    * an identity on the stored micros under the session's UTC
+    * timezone, which is also how the DuckDB oracle reads the column
+    * (`epoch_ns` on a naive TIMESTAMP), so both engines keep seeing
+    * the same integers. Column-level map only: pushdown/pruning on
+    * the other columns is unaffected.
+    */
+  def nanos(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 
   /** Tumbling 1-hour windows per event type: event count, exact cents
     * sum, distinct users. Uses the native `window()` operator over

@@ -90,7 +90,7 @@ object ZOrder {
     */
   def zMap(spark: SparkSession, dir: String): DataFrame = {
     val nph = Events.NanosPerHour
-    val base = spark.read.parquet(s"$dir/events.parquet")
+    val base = Events.nanos(spark, dir)
       .select(col("event_id"),
         col("user_id").bitwiseAND(lit(Mask)).as("ub"),
         expr(s"(ts - ((ts % $nph + $nph) % $nph)) div $nph")

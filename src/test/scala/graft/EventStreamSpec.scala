@@ -136,7 +136,7 @@ class EventStreamSpec extends SparkTestBase {
       .select("window_start_s", "event_type", "n", "value_cents")
       .as[(Long, String, Long, Long)].collect().toSet
     val viaStreamTransform = {
-      val e = spark.read.parquet(s"$sf0001/events.parquet")
+      val e = Events.nanos(spark, sf0001)
         .select(timestamp_micros(expr("ts div 1000")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
       EventStream.slidingCounts(e)
@@ -180,7 +180,7 @@ class EventStreamSpec extends SparkTestBase {
   test("streaming attribution transform agrees with the batch twin on the parquet corpus") {
     val batch = Events.attribution(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSet
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
+    val e = Events.nanos(spark, sf0001)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_id"), col("user_id"), col("event_type"))
     val viaStreamTransform = EventStream.attribution(
@@ -203,7 +203,7 @@ class EventStreamSpec extends SparkTestBase {
       .select("window_start_s", "event_type", "n", "value_cents")
       .as[(Long, String, Long, Long)].collect().toSet
     val viaStreamTransform = {
-      val e = spark.read.parquet(s"$sf0001/events.parquet")
+      val e = Events.nanos(spark, sf0001)
         .select(timestamp_micros(expr("ts div 1000")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
       EventStream.tumblingCounts(e)
