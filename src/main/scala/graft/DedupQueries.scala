@@ -61,6 +61,13 @@ object DedupQueries {
     Q("dedup_span_coverage",
       (s, dir) => Dedup.spanCoverage(s, dir),
       Some(DocOracle.spanCoverageSql())),
+    // cross-source contamination matrix: exact shared-shingle counts
+    // with Jaccard + directional containments; the shingle lineage
+    // collapses to (source, shingle) before any join, so pair fanout
+    // is bounded by |sources|^2 per shingle, never by documents.
+    Q("dedup_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(s, dir),
+      Some(DocOracle.sourceOverlapSql)),
     // the removal step: cleaned text with corpus-duplicated spans cut
     // out (shares the persisted span lineage with the coverage view).
     Q("dedup_span_removed",

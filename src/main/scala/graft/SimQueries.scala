@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.Similarity
-import graft.oracle.SimOracle
+import graft.operators.{Hybrid, Similarity}
+import graft.oracle.{HybridOracle, SimOracle}
 
 /** Registered queries for the similarity-search family (LLM-pipeline
   * extension beyond the reference surface — SURVEY §7.2 step 7).
@@ -82,6 +82,19 @@ object SimQueries {
     Q("sim_search_auto",
       (s, dir) => Similarity.searchAuto(s, dir),
       Some(SimOracle.searchAutoSql())),
+    // hybrid lexical+vector retrieval: BM25 and cosine candidate
+    // lists for the same query document, fused by exact-integer
+    // reciprocal-rank fusion — both towers are bounded pipelines,
+    // the fusion joins two k-row frames (operators.Hybrid).
+    Q("search_hybrid_rrf",
+      (s, dir) => Hybrid.rrfTopK(s, dir),
+      Some(HybridOracle.rrfTopKSql())),
+    // the fused query's 100 TB form: same BM25 tower, vector
+    // candidates from the probe's routed IVF cell (the
+    // sim_cosine_topk / sim_ivf_probe relationship, lifted).
+    Q("search_hybrid_rrf_ivf",
+      (s, dir) => Hybrid.rrfTopKIvf(s, dir),
+      Some(HybridOracle.rrfTopKIvfSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

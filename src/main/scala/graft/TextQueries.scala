@@ -27,6 +27,12 @@ object TextQueries {
     Q("text_tfidf_top",
       (s, dir) => TextAnalysis.tfidfTop(s, dir),
       Some(TextOracle.tfidfTopSql())),
+    // per-source adaptive cutoff via the aggregation-shaped exact
+    // histogram median (windows run over value histograms, never
+    // corpus rows — the form that survives 100 TB).
+    Q("text_quality_adaptive",
+      (s, dir) => TextAnalysis.adaptiveQuality(s, dir),
+      Some(TextOracle.adaptiveQualitySql)),
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(s, dir),
       Some(TextOracle.fingerprintsSql())),

@@ -804,4 +804,48 @@ object Dedup {
         expr("cast((covered_tokens * 10000) div greatest(n_tokens, 1) as bigint)"))
       .orderBy("doc_id")
   }
+
+  /** Cross-source overlap matrix — the contamination report between
+    * corpus SOURCES (which crawls/dumps duplicate each other, and by
+    * how much): for every source pair, the exact shared distinct
+    * 3-gram shingle count with Jaccard and both directional
+    * containments in basis points. Directional containment is the
+    * actionable number — a mirror site shows containment ≈ 10000
+    * into its original while Jaccard can stay low if the original
+    * is much larger.
+    *
+    * Scale posture: the corpus-sized shingle lineage (persisted,
+    * shared with MinHash/Jaccard/spans) collapses to DISTINCT
+    * (source, shingle) — one aggregation with map-side partials,
+    * output bounded by |sources| x |vocabulary|, document count
+    * gone. The shingle-keyed self-join then fans out at most
+    * C(|sources present|, 2) pairs PER SHINGLE — bounded by the
+    * source-list size squared, independent of corpus size — and
+    * reduces immediately to the |sources|^2-row matrix. The totals
+    * frame is |sources| rows, broadcast. No all-pairs document
+    * product anywhere.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = shingles(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("s")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = srcSh.select(col("source").as("source_a"), col("s"))
+      .join(srcSh.select(col("source").as("source_b"), col("s")), Seq("s"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        expr("cast((10000 * n_shared) div (n_a + n_b - n_shared) as bigint)")
+          .as("jaccard_bp"),
+        expr("cast((10000 * n_shared) div n_a as bigint)").as("contain_a_bp"),
+        expr("cast((10000 * n_shared) div n_b as bigint)").as("contain_b_bp"))
+      .orderBy("source_a", "source_b")
+  }
 }

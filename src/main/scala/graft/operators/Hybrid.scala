@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical + vector retrieval with reciprocal-rank fusion
+  * (LLM-pipeline extension): the modern two-tower retrieval shape —
+  * a BM25 candidate list and an embedding-cosine candidate list for
+  * the SAME query document, fused by RRF
+  * (`score = Σ_lists floor(S / (K + rank))`) so neither scorer's
+  * scale has to be calibrated against the other's. The query is
+  * document 0, query-by-example on both towers: its leading cleaned
+  * tokens are the lexical query ([[TextAnalysis.bm25TopK]]'s
+  * convention) and its embedding (`vec_id = 0`; the corpus keys
+  * embeddings by `vec_id = doc_id`) is the vector query. Document 0
+  * itself is excluded from both candidate lists — a retrieval
+  * engine must not return the query as its own answer.
+  *
+  * Exactness: ranks are integers by construction (each tower's
+  * deterministic `(score desc, id asc)` tie-break), and the RRF
+  * contribution `RrfScale div (RrfK + rank)` is exact integer
+  * division in both engines — the fused score never touches a
+  * float, so the oracle hash compare is bit-exact.
+  *
+  * Scale posture (100 TB): both towers are ALREADY bounded
+  * pipelines — BM25 narrows the corpus to query-term postings with
+  * a broadcast semi-join before its one aggregation, and the cosine
+  * tower is the bounded [[TopK]] aggregator (O(k) state per
+  * partition, single broadcast probe). The fusion itself joins two
+  * ≤`kCand`-row frames — driver-invisible, exchange-trivial — so
+  * hybrid costs exactly the sum of its towers plus O(k). No new
+  * corpus scan, no new corpus-sized shuffle. The k-row windows in
+  * the fusion rank over ≤`kCand + 1` rows (NOT the corpus; the
+  * corpus-side top-k already happened inside each tower).
+  */
+object Hybrid {
+
+  /** RRF contribution numerator (integer basis: `1e6 div (K+r)`). */
+  val RrfScale = 1000000L
+
+  /** The standard RRF smoothing constant (Cormack et al., k=60). */
+  val RrfK = 60L
+
+  /** RRF fusion of two ranked lists. Inputs: `(doc_id, rank_text)`
+    * and `(doc_id, rank_vec)` (ranks 1-based, each list deduped on
+    * doc_id). Output: `(doc_id, rank, rrf_score, rank_text,
+    * rank_vec)` — fused rank over `(rrf_score desc, doc_id asc)`,
+    * absent-list ranks reported as 0.
+    */
+  def rrfFuse(text: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    // `div` (not float division + floor): exact bigint in both
+    // engines; a null rank (doc absent from that list) propagates
+    // through the arithmetic and coalesces to a 0 contribution.
+    def contrib(c: String): Column =
+      coalesce(expr(s"$RrfScale div ($RrfK + $c)"), lit(0L))
+    val fused = text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", contrib("rank_text") + contrib("rank_vec"))
+    val w = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("rrf_score"),
+        coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+      .orderBy("rank")
+  }
+
+  /** The BM25 tower: top-`kCand` candidates for document 0's
+    * leading-token query, document 0 itself excluded. Fetches
+    * `kCand + 1` from the underlying ranking so the exclusion can
+    * never shorten the candidate list below `kCand` available
+    * matches, then re-ranks — the surviving ranks are the 1..kCand
+    * positions among non-self documents.
+    */
+  def bm25Ranked(spark: SparkSession, dir: String,
+      kCand: Int, qTerms: Int): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    TextAnalysis.bm25TopK(spark, dir, kCand + 1, qTerms)
+      .where(col("doc_id") =!= 0L)
+      .withColumn("rank_text", row_number().over(w).cast("long"))
+      .where(col("rank_text") <= kCand)
+      .select(col("doc_id"), col("rank_text"))
+  }
+
+  /** The vector tower: bounded cosine top-`kCand` for the single
+    * probe `vec_id = 0` (the query document's embedding); the TopK
+    * aggregator already excludes the probe itself.
+    */
+  def cosineRanked(spark: SparkSession, dir: String, kCand: Int): DataFrame =
+    Similarity.cosineTopKAggWhere(spark, dir, kCand, col("vec_id") === 0L)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+
+  /** `search_hybrid_rrf`: the registered hybrid query — RRF fusion
+    * of the two towers, top `k`.
+    */
+  def rrfTopK(spark: SparkSession, dir: String,
+      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame =
+    rrfFuse(bm25Ranked(spark, dir, kCand, qTerms),
+      cosineRanked(spark, dir, kCand), k)
+
+  /** The vector tower's scale path: candidates from the probe's IVF
+    * routed cell instead of the full corpus
+    * ([[Similarity.ivfTopKAggFor]]).
+    */
+  def cosineRankedIvf(spark: SparkSession, dir: String, kCand: Int): DataFrame =
+    Similarity.ivfTopKAggFor(spark, dir, 0L, kCand)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+
+  /** `search_hybrid_rrf_ivf`: the hybrid query with the IVF vector
+    * tower — what the fusion runs at 100 TB, where brute-force
+    * cosine over the corpus per query is off the table. The BM25
+    * tower is unchanged (it is already probe-pruned); only the
+    * vector candidate generator swaps, exactly the
+    * `sim_cosine_topk` / `sim_ivf_probe` relationship lifted to the
+    * fused query. Recall loss relative to [[rrfTopK]] is the IVF
+    * cell-routing loss, measured by `sim_ivf_recall`.
+    */
+  def rrfTopKIvf(spark: SparkSession, dir: String,
+      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame =
+    rrfFuse(bm25Ranked(spark, dir, kCand, qTerms),
+      cosineRankedIvf(spark, dir, kCand), k)
+}

@@ -208,10 +208,19 @@ object Similarity {
     * the same SQL.
     */
   def cosineTopKAgg(spark: SparkSession, dir: String,
-      k: Int = 10, probeMod: Int = 50): DataFrame = {
+      k: Int = 10, probeMod: Int = 50): DataFrame =
+    cosineTopKAggWhere(spark, dir, k, col("vec_id") % probeMod === 0)
+
+  /** [[cosineTopKAgg]] with an arbitrary probe predicate — the seam
+    * the hybrid fusion ([[Hybrid]]) uses to rank against ONE query
+    * embedding (`vec_id === qid`) instead of the modular probe set.
+    * Identical plan (broadcast probe set, bounded TopK aggregator).
+    */
+  def cosineTopKAggWhere(spark: SparkSession, dir: String,
+      k: Int, probeWhere: Column): DataFrame = {
     import spark.implicits._
     val base = quantized(spark, dir)
-    val probes = base.where(col("vec_id") % probeMod === 0)
+    val probes = base.where(probeWhere)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
     val scored = base.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("qid"))
@@ -225,6 +234,41 @@ object Similarity {
       .flatMap { case (qid, items) =>
         items.iterator.zipWithIndex.map { case (s, i) =>
           (qid, (i + 1).toLong, s.id, s.payload,
+            math.floor(s.score * QuantScale).toLong)
+        }
+      }
+      .toDF("qid", "rank", "vec_id", "dot_q", "cos_bp")
+      .orderBy("qid", "rank")
+  }
+
+  /** Single-probe IVF candidates ranked with the bounded [[TopK]]
+    * aggregator — the hybrid fusion's SCALE-PATH vector tower
+    * ([[Hybrid.rrfTopKIvf]]): candidates come from the probe's
+    * routed cell only (|corpus| / numCents rows touched, the IVF
+    * contract), and per-probe state is O(k) through the aggregator.
+    */
+  def ivfTopKAggFor(spark: SparkSession, dir: String, qid: Long,
+      k: Int, numCents: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val cells = ivfCells(spark, dir, numCents)
+    val probes = base.join(cells, Seq("vec_id"))
+      .where(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),
+        col("cell_id"))
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(base, Seq("vec_id"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .select(col("qid"), col("cosd"), col("vec_id"), col("dot_q"))
+      .as[(Long, Double, Long, Long)]
+      .map { case (q, c, v, d) => TopK.Scored(q, c, v, d) }
+    scored.groupByKey(_.qid)
+      .agg(new TopK.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (q, items) =>
+        items.iterator.zipWithIndex.map { case (s, i) =>
+          (q, (i + 1).toLong, s.id, s.payload,
             math.floor(s.score * QuantScale).toLong)
         }
       }

@@ -777,4 +777,86 @@ object TextAnalysis {
         when(col("extracted") === col("text"), 1L).otherwise(0L).as("matches_source"))
       .orderBy("doc_id")
   }
+
+  /** Adaptive per-source quality cutoffs — the data-dependent
+    * refinement of [[qualityFlags]]' fixed thresholds: each source
+    * keeps the documents at or above its own token-count median
+    * (fixed global thresholds over- or under-filter sources whose
+    * length distributions differ — the CCNet insight of filtering
+    * per-domain against the domain's own distribution).
+    *
+    * The median is EXACT and integer, computed as a histogram median
+    * — the aggregation-shaped form that scales where a per-group
+    * sort does not:
+    *  1. `groupBy(source, n_ws_tokens).count` collapses the corpus
+    *     to per-source value histograms (map-side partials; output
+    *     is bounded by |sources| × |distinct lengths|, independent
+    *     of document count);
+    *  2. the cumulative window runs over HISTOGRAM rows only (the
+    *     `text_token_median_by_lang` window, by contrast, sorts
+    *     every corpus row inside each group — fine as the
+    *     cross-check, wrong at 100 TB);
+    *  3. the cutoff is `percentile_disc(0.5)`: the smallest value v
+    *     whose cumulative count reaches `(n + 1) div 2` — pure
+    *     integer arithmetic, no interpolation, bit-identical in both
+    *     engines.
+    * The |sources|-row cutoff frame broadcasts back onto the
+    * persisted [[stats]] for the kept rollup — no corpus-wide sort,
+    * no second scan.
+    *
+    * Output per source: `(source, n_docs, median_tokens, n_kept,
+    * kept_tokens)`, kept = `n_ws_tokens >= median_tokens`.
+    */
+  def adaptiveQuality(spark: SparkSession, dir: String): DataFrame =
+    adaptiveQualityOf(
+      stats(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+        .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id")))
+
+  /** [[adaptiveQuality]] over an arbitrary `(doc_id, n_ws_tokens,
+    * source)` frame — the fixture seam (even- and odd-sized groups
+    * hit different `(n + 1) div 2` branches; the synthetic corpus
+    * only exhibits odd ones).
+    */
+  def adaptiveQualityOf(base: DataFrame): DataFrame = {
+    val cutoffs = cutoffsFromHistogram(sourceTokenHistogramOf(base))
+    base.join(broadcast(cutoffs), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("median_tokens")).as("median_tokens"),
+        sum(when(col("n_ws_tokens") >= col("median_tokens"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("n_ws_tokens") >= col("median_tokens"), col("n_ws_tokens"))
+          .otherwise(0L)).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** Per-source token-count histogram `(source, n_ws_tokens, c)` —
+    * the ADDITIVE state behind [[adaptiveQuality]]: two histograms
+    * merge by summing counts per (source, value), so a base
+    * histogram plus a delta histogram IS the histogram of the union
+    * ([[graft.streaming.TextStream]] builds the live-cutoff path on
+    * exactly this identity).
+    */
+  def sourceTokenHistogramOf(base: DataFrame): DataFrame =
+    base.groupBy("source", "n_ws_tokens")
+      .agg(count(lit(1)).as("c"))
+
+  /** Cutoffs `(source, median_tokens)` from a (possibly merged,
+    * possibly pre-summed) histogram: smallest value whose cumulative
+    * count reaches `(n + 1) div 2`. Accepts duplicate (source,
+    * value) rows — they are re-summed first, which is what makes
+    * base-artifact + delta merging a plain union.
+    */
+  def cutoffsFromHistogram(hist: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("source").orderBy(col("n_ws_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    hist
+      .groupBy("source", "n_ws_tokens").agg(sum(col("c")).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .where(col("cum") >= expr("(tot + 1) div 2"))
+      .groupBy("source")
+      .agg(min(col("n_ws_tokens")).as("median_tokens"))
+  }
 }

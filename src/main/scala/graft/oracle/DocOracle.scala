@@ -363,4 +363,31 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
   CAST((coalesce(cov.covered, 0) * 10000) // greatest(b.n_tokens, 1) AS BIGINT) AS coverage_bp
 FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id"""
   }
+
+  /** Cross-source overlap oracle: the same distinct (source,
+    * shingle) collapse, shingle-keyed pair join, and exact integer
+    * basis-point ratios.
+    */
+  def sourceOverlapSql: String =
+    s"""WITH $shingleCtes,
+  src_sh AS (
+    SELECT DISTINCT d.source, s.s
+    FROM doc_shingles s JOIN documents d USING (doc_id)
+  ),
+  ssz AS (SELECT source, count(*) AS n FROM src_sh GROUP BY source),
+  spairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM src_sh a JOIN src_sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY a.source, b.source
+  )
+SELECT p.source_a, p.source_b,
+  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+  CAST(p.n_shared AS BIGINT) AS n_shared,
+  CAST((10000 * p.n_shared) // (na.n + nb.n - p.n_shared) AS BIGINT) AS jaccard_bp,
+  CAST((10000 * p.n_shared) // na.n AS BIGINT) AS contain_a_bp,
+  CAST((10000 * p.n_shared) // nb.n AS BIGINT) AS contain_b_bp
+FROM spairs p
+JOIN ssz na ON na.source = p.source_a
+JOIN ssz nb ON nb.source = p.source_b
+ORDER BY p.source_a, p.source_b"""
 }

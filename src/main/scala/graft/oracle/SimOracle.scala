@@ -20,7 +20,7 @@ object SimOracle {
   private val D = Similarity.Dim
 
   /** Shared CTEs: quantized vectors + exact squared norms. */
-  private def baseCtes: String =
+  private[oracle] def baseCtes: String =
     s"""qbase AS (
     SELECT vec_id,
       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $S) AS BIGINT)) AS q
@@ -31,10 +31,10 @@ object SimOracle {
     FROM qbase
   )"""
 
-  private def dotSql(a: String, b: String): String =
+  private[oracle] def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, ${D + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
 
-  private def cosSql(dot: String, na: String, nb: String): String =
+  private[oracle] def cosSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   /** The trained-codebook CTE chain (mirrors `Similarity.ivfCodebook`
@@ -46,7 +46,7 @@ object SimOracle {
     * with `cents(cent_id, cq, cnq)` — the same shape the untrained
     * CTE had, so downstream SQL is unchanged.
     */
-  private def codebookCtes(numCents: Int, iters: Int): String = {
+  private[oracle] def codebookCtes(numCents: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       s"""assign$i AS (

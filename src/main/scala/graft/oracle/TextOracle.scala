@@ -430,4 +430,37 @@ SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
   CAST(floor(10000 * sum(v.n_tok) / greatest(sum(length(d.word)), 1)) AS BIGINT) AS tok_bp
 FROM bdocw d JOIN bvocab v USING (word)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** Adaptive-quality oracle: the identical histogram-median chain —
+    * per-source value histogram, cumulative count, cutoff = smallest
+    * value whose cumulative reaches `(n + 1) // 2`, kept rollup.
+    */
+  def adaptiveQualitySql: String =
+    s"""WITH $statsCte,
+  abase AS (
+    SELECT t.doc_id, t.n_ws_tokens, d.source
+    FROM tstats t JOIN documents d ON d.doc_id = t.doc_id
+  ),
+  ahist AS (
+    SELECT source, n_ws_tokens, count(*) AS c
+    FROM abase GROUP BY source, n_ws_tokens
+  ),
+  acum AS (
+    SELECT source, n_ws_tokens, c,
+      sum(c) OVER (PARTITION BY source ORDER BY n_ws_tokens ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      sum(c) OVER (PARTITION BY source) AS tot
+    FROM ahist
+  ),
+  acut AS (
+    SELECT source, min(n_ws_tokens) AS median_tokens
+    FROM acum WHERE cum >= (tot + 1) // 2
+    GROUP BY source
+  )
+SELECT b.source, count(*) AS n_docs,
+  CAST(max(k.median_tokens) AS BIGINT) AS median_tokens,
+  CAST(sum(CASE WHEN b.n_ws_tokens >= k.median_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN b.n_ws_tokens >= k.median_tokens THEN b.n_ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM abase b JOIN acut k USING (source)
+GROUP BY b.source ORDER BY b.source"""
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextAnalysis
+
+/** Live adaptive-quality cutoffs over a streaming document ingest —
+  * the streaming rung of [[TextAnalysis.adaptiveQuality]], built on
+  * the histogram's ADDITIVITY: per-source token histograms merge by
+  * summing counts, so serving folds the base corpus's histogram with
+  * tiny per-batch delta histograms and NEVER rescans the base. This
+  * is the same base-artifact + delta-merge obligation as
+  * [[IndexStream.keyStatsWithDeltas]], applied to quality filtering:
+  * a pipeline admitting crawled documents against per-source cutoffs
+  * must move those cutoffs as the distribution drifts — a stale
+  * base-only cutoff misfilters every source whose length profile the
+  * new crawl shifted (the spec pins both the equality and the
+  * failure mode).
+  *
+  * Scale posture: each micro-batch reduces to its (source, value)
+  * histogram BEFORE landing — bounded by |sources| x |distinct
+  * lengths| regardless of batch row count — and the merge pass
+  * touches only histograms, so refresh cost is independent of corpus
+  * size.
+  */
+object TextStream {
+
+  /** Row-local per-doc view of a (streaming or batch) raw documents
+    * frame: the whitespace token count [[TextAnalysis.stats]] uses,
+    * computable without any aggregation (streaming-safe).
+    */
+  def perDoc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      col("source"))
+
+  /** Start the histogram maintainer: every micro-batch of documents
+    * collapses to its per-source histogram and lands as
+    * `deltaDir/batch=<id>` (idempotently overwritten on replay — the
+    * batch id keys the path, so restart-and-replay rewrites the same
+    * directory instead of double-counting).
+    */
+  def maintain(docs: DataFrame, deltaDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    perDoc(docs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        TextAnalysis.sourceTokenHistogramOf(batch.toDF())
+          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The committed `batch=*` delta histogram dirs (the
+    * [[IndexStream]] delta convention: stray non-batch entries are
+    * ignored, a missing dir degrades to base-only).
+    */
+  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString).toIndexedSeq
+    else Seq.empty
+  }
+
+  /** Live per-source cutoffs: the base corpus's histogram merged
+    * with all accumulated delta histograms. Row-for-row equal to
+    * recomputing [[TextAnalysis.cutoffsFromHistogram]] over base ∪
+    * delta documents (TextStreamSpec proves it) — union-of-histograms
+    * IS histogram-of-union, so the merge is a plain unionByName into
+    * the shared cutoff derivation.
+    */
+  def cutoffsWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame = {
+    val base = baseHistogram(spark, dir)
+    val batches = deltaBatches(spark, deltaDir)
+    val merged =
+      if (batches.isEmpty) base
+      else base.unionByName(spark.read.parquet(batches: _*))
+    TextAnalysis.cutoffsFromHistogram(merged)
+  }
+
+  /** The base corpus's per-source histogram (from the persisted
+    * [[TextAnalysis.stats]] lineage — shared with every batch text
+    * query in the session).
+    */
+  def baseHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceTokenHistogramOf(
+      TextAnalysis.stats(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+        .join(spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source")), Seq("doc_id")))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.streaming.TextStream
+
+/** Live adaptive-quality cutoffs: streamed document batches land as
+  * per-batch histograms (checkpointed restart between them), the
+  * merged cutoffs equal a full recompute over base ∪ deltas, and the
+  * stale base-only cutoff misfilters a drifted source — the failure
+  * mode the merge path exists to prevent.
+  */
+object TextStreamSpec {
+  final case class DRow(doc_id: Long, text: String, source: String)
+}
+
+class TextStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import TextStreamSpec.DRow
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def cutoffMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("median_tokens")).toMap
+
+  test("merged cutoffs equal recompute over base + deltas; restart is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-tqdelta"), tmp("graft-tqckpt"))
+    val in = MemoryStream[DRow]
+
+    // batch 0: a long-document wave into src0 (drifts its
+    // median up); batch 1 (after restart): short docs elsewhere.
+    def longText(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    in.addData((0 until 40).map(i =>
+      DRow(1000000L + i, longText(500 + i), "src0")): _*)
+    val q1 = TextStream.maintain(in.toDF(), delta, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    in.addData((0 until 10).map(i =>
+      DRow(2000000L + i, longText(3), "src1")): _*)
+    val q2 = TextStream.maintain(in.toDF(), delta, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val dirs = new java.io.File(delta).list().toSet
+    assert(dirs == Set("batch=0", "batch=1"), s"delta dirs: $dirs")
+
+    val merged = cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta))
+
+    // ground truth: full recompute from PER-DOC rows (base corpus +
+    // every delta doc) through one un-merged histogram — additivity
+    // is the claim under test, so the reference path must not use it.
+    val deltaDocs = ((0 until 40).map(i => (1000000L + i, 500L + i, "src0")) ++
+      (0 until 10).map(i => (2000000L + i, 3L, "src1")))
+      .toDF("doc_id", "n_ws_tokens", "source")
+    val basePerDoc = TextAnalysis.stats(spark, sf0001)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("doc_id", "n_ws_tokens", "source")
+    val full = TextAnalysis.cutoffsFromHistogram(
+      TextAnalysis.sourceTokenHistogramOf(basePerDoc.unionByName(deltaDocs)))
+    assert(merged === cutoffMap(full))
+
+    // the failure mode: base-only cutoffs are stale for the drifted
+    // source (the long-doc wave moved src0's median up).
+    val baseOnly = cutoffMap(
+      TextAnalysis.cutoffsFromHistogram(TextStream.baseHistogram(spark, sf0001)))
+    assert(merged("src0") > baseOnly("src0"),
+      s"drift invisible: merged=${merged("src0")} base=${baseOnly("src0")}")
+    // undrifted sources are untouched by the merge.
+    assert(merged.filterNot(kv => Set("src0", "src1")(kv._1)) ===
+      baseOnly.filterNot(kv => Set("src0", "src1")(kv._1)))
+  }
+}
