@@ -68,6 +68,13 @@ object DedupQueries {
     Q("dedup_source_overlap",
       (s, dir) => Dedup.sourceOverlap(s, dir),
       Some(DocOracle.sourceOverlapSql)),
+    // the dedup report card: cluster-size distribution + drop mass,
+    // one tiny aggregation over the keeper rows; the oracle
+    // re-clusters via recursive closure, so equality re-checks the
+    // clustering through a second algorithm.
+    Q("dedup_cluster_histogram",
+      (s, dir) => Dedup.clusterHistogram(s, dir),
+      Some(DocOracle.clusterHistogramSql())),
     // the removal step: cleaned text with corpus-duplicated spans cut
     // out (shares the persisted span lineage with the coverage view).
     Q("dedup_span_removed",

@@ -616,6 +616,54 @@ FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 2
     // classic aggregate-then-join that must NOT join first (joining
     // 3 tables then filtering would shuffle the whole lineitem x
     // order product). Threshold 250 sized to the synthetic SF.
+    // TPC-H Q5 (local supplier volume): the 6-way join shape whose
+    // planning is the point — region/nation are broadcast dims, the
+    // customer-supplier CO-LOCATION condition (c_nationkey =
+    // s_nationkey) rides the lineitem↔supplier join as a residual,
+    // and the date filter prunes orders before anything wide. One
+    // corpus-sized lineage (lineitem), everything else broadcast or
+    // pre-filtered — the plan a 100 TB fact table needs.
+    Q("q5_local_supplier_volume",
+      (s, dir) => {
+        val asiaNations = s.read.parquet(s"$dir/nation.parquet")
+          .join(s.read.parquet(s"$dir/region.parquet")
+            .where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select("c_custkey", "c_nationkey")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(asiaNations),
+            sup("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(cents(l("l_extendedprice") * (lit(1) - l("l_discount"))))
+            .cast("long").as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue_cents").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+  cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) as bigint)) as bigint) AS revenue_cents,
+  count(*) AS n_lines
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name ASC""")),
     Q("q18_large_volume_customer",
       (s, dir) => {
         val c = s.read.parquet(s"$dir/customer.parquet")

@@ -240,7 +240,20 @@ object Scale {
       // one word-frequency aggregation over the bigger corpus — the
       // measured ratio is the proof that rounds are vocab-sized, not
       // corpus-sized.
-      "text_bpe_tokens" -> (d => graft.operators.Bpe.tokens(spark, d)))
+      "text_bpe_tokens" -> (d => graft.operators.Bpe.tokens(spark, d)),
+      // round-8d additions. The hybrid fusions compose two already-
+      // measured towers (probe-pruned BM25 + bounded cosine / IVF
+      // cell routing) plus an O(k) join — their ratio should track
+      // the slower tower's, nothing more. Source overlap's distinct
+      // (source, shingle) set is IDENTICAL under verbatim replication
+      // (same sources, same vocabulary), so past the distinct the
+      // matrix work is literally unchanged at 10x. Adaptive quality's
+      // histogram is likewise vocabulary-bounded: 10x rows fold into
+      // the same (source, value) cells with bigger counts.
+      "search_hybrid_rrf" -> (d => operators.Hybrid.rrfTopK(spark, d)),
+      "search_hybrid_rrf_ivf" -> (d => operators.Hybrid.rrfTopKIvf(spark, d)),
+      "dedup_source_overlap" -> (d => Dedup.sourceOverlap(spark, d)),
+      "text_quality_adaptive" -> (d => TextAnalysis.adaptiveQuality(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

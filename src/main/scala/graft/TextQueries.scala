@@ -33,6 +33,11 @@ object TextQueries {
     Q("text_quality_adaptive",
       (s, dir) => TextAnalysis.adaptiveQuality(s, dir),
       Some(TextOracle.adaptiveQualitySql)),
+    // the outlier rung: per-source P10/P90 length-tail trim through
+    // the same histogram-percentile machinery.
+    Q("text_length_trim",
+      (s, dir) => TextAnalysis.lengthTrim(s, dir),
+      Some(TextOracle.lengthTrimSql())),
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(s, dir),
       Some(TextOracle.fingerprintsSql())),

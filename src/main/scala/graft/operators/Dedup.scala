@@ -825,6 +825,22 @@ object Dedup {
     * frame is |sources| rows, broadcast. No all-pairs document
     * product anywhere.
     */
+  /** Cluster-size distribution — the one-page dedup report a corpus
+    * release quotes (how much duplication, in what shape): per
+    * distinct cluster size, how many clusters and how many documents
+    * dedup would drop (`size - 1` per cluster). Derived from the
+    * keeper rows of [[clusters]] (exactly one per cluster), so it
+    * shares the star-contraction lineage and costs one extra tiny
+    * aggregation over the |clusters|-row frame.
+    */
+  def clusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .where(col("is_keeper") === 1L)
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("n_members")) - count(lit(1))).cast("long").as("n_dropped"))
+      .orderBy("n_members")
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val srcSh = shingles(spark, dir)
       .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))

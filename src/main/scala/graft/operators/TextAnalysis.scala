@@ -859,4 +859,62 @@ object TextAnalysis {
       .groupBy("source")
       .agg(min(col("n_ws_tokens")).as("median_tokens"))
   }
+
+  /** The median machinery generalized to an arbitrary percentile
+    * PAIR: `percentile_disc(p)` = smallest value whose cumulative
+    * count reaches `ceil(p * n)` — in integer basis points,
+    * `(pBp * n + 9999) div 10000` (for pBp = 5000 this is exactly
+    * [[cutoffsFromHistogram]]'s `(n + 1) div 2`). Both bounds come
+    * out of ONE pass over the cumulative histogram via conditional
+    * mins. Output: `(source, lo_tokens, hi_tokens)`.
+    */
+  def percentileBoundsFromHistogram(hist: DataFrame,
+      loBp: Int, hiBp: Int): DataFrame = {
+    require(0 < loBp && loBp <= hiBp && hiBp <= 10000,
+      s"need 0 < loBp <= hiBp <= 10000, got $loBp, $hiBp")
+    val wCum = Window.partitionBy("source").orderBy(col("n_ws_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    hist
+      .groupBy("source", "n_ws_tokens").agg(sum(col("c")).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .groupBy("source")
+      .agg(
+        min(when(col("cum") >= expr(s"($loBp * tot + 9999) div 10000"),
+          col("n_ws_tokens"))).as("lo_tokens"),
+        min(when(col("cum") >= expr(s"($hiBp * tot + 9999) div 10000"),
+          col("n_ws_tokens"))).as("hi_tokens"))
+  }
+
+  /** Per-source length-tail trimming — the outlier rung of the
+    * adaptive filter family: drop each source's shortest and longest
+    * tails (below its own P10 / above its own P90 token count), the
+    * standard defense against boilerplate stubs and concatenation
+    * monsters whose thresholds cannot be global for the same reason
+    * [[adaptiveQuality]]'s cannot. Same scale shape: histogram
+    * percentiles (windows over value histograms, never corpus rows),
+    * |sources|-row bounds broadcast back for the rollup.
+    *
+    * Output per source: `(source, n_docs, lo_tokens, hi_tokens,
+    * n_kept, kept_tokens)`, kept = `lo <= n_ws_tokens <= hi`.
+    */
+  def lengthTrim(spark: SparkSession, dir: String,
+      loBp: Int = 1000, hiBp: Int = 9000): DataFrame = {
+    val base = stats(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bounds = percentileBoundsFromHistogram(
+      sourceTokenHistogramOf(base), loBp, hiBp)
+    val kept = col("n_ws_tokens") >= col("lo_tokens") &&
+      col("n_ws_tokens") <= col("hi_tokens")
+    base.join(broadcast(bounds), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lo_tokens")).as("lo_tokens"),
+        max(col("hi_tokens")).as("hi_tokens"),
+        sum(when(kept, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(kept, col("n_ws_tokens")).otherwise(0L))
+          .cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
 }

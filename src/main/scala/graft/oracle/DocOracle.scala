@@ -364,6 +364,19 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
 FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id"""
   }
 
+  /** Cluster-size histogram oracle: the recursive-closure labels
+    * rolled up to (size, cluster count, dropped docs) — a different
+    * clustering algorithm than the engine's star contraction, so the
+    * histogram equality re-checks the clustering itself.
+    */
+  def clusterHistogramSql(numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${labelCtes(numSeeds)},
+  csizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+  count(*) AS n_clusters,
+  CAST(sum(n_members) - count(*) AS BIGINT) AS n_dropped
+FROM csizes GROUP BY n_members ORDER BY n_members"""
+
   /** Cross-source overlap oracle: the same distinct (source,
     * shingle) collapse, shingle-keyed pair join, and exact integer
     * basis-point ratios.

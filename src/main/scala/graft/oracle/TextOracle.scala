@@ -463,4 +463,41 @@ SELECT b.source, count(*) AS n_docs,
   CAST(sum(CASE WHEN b.n_ws_tokens >= k.median_tokens THEN b.n_ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM abase b JOIN acut k USING (source)
 GROUP BY b.source ORDER BY b.source"""
+
+  /** Length-trim oracle: the same cumulative-histogram chain with the
+    * percentile-pair conditional mins (`ceil(p * n)` ranks in basis
+    * points) and the in-range kept rollup.
+    */
+  def lengthTrimSql(loBp: Int = 1000, hiBp: Int = 9000): String =
+    s"""WITH $statsCte,
+  abase AS (
+    SELECT t.doc_id, t.n_ws_tokens, d.source
+    FROM tstats t JOIN documents d ON d.doc_id = t.doc_id
+  ),
+  ahist AS (
+    SELECT source, n_ws_tokens, count(*) AS c
+    FROM abase GROUP BY source, n_ws_tokens
+  ),
+  acum AS (
+    SELECT source, n_ws_tokens, c,
+      sum(c) OVER (PARTITION BY source ORDER BY n_ws_tokens ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      sum(c) OVER (PARTITION BY source) AS tot
+    FROM ahist
+  ),
+  abounds AS (
+    SELECT source,
+      min(CASE WHEN cum >= ($loBp * tot + 9999) // 10000 THEN n_ws_tokens END) AS lo_tokens,
+      min(CASE WHEN cum >= ($hiBp * tot + 9999) // 10000 THEN n_ws_tokens END) AS hi_tokens
+    FROM acum GROUP BY source
+  )
+SELECT b.source, count(*) AS n_docs,
+  CAST(max(k.lo_tokens) AS BIGINT) AS lo_tokens,
+  CAST(max(k.hi_tokens) AS BIGINT) AS hi_tokens,
+  CAST(sum(CASE WHEN b.n_ws_tokens BETWEEN k.lo_tokens AND k.hi_tokens
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN b.n_ws_tokens BETWEEN k.lo_tokens AND k.hi_tokens
+    THEN b.n_ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM abase b JOIN abounds k USING (source)
+GROUP BY b.source ORDER BY b.source"""
 }
