@@ -92,6 +92,25 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: the round-8d additions") {
+    pin("hybrid_rrf", Ex(7, 5, 1)) {
+      graft.operators.Hybrid.rrfTopK(spark, dir)
+    }
+    pin("quality_adaptive", Ex(4, 2, 1)) {
+      TextAnalysis.adaptiveQuality(spark, dir)
+    }
+    pin("length_trim", Ex(4, 2, 1)) {
+      TextAnalysis.lengthTrim(spark, dir)
+    }
+    pin("source_overlap", Ex(6, 2, 3)) {
+      Dedup.sourceOverlap(spark, dir)
+    }
+    pin("q5", Ex(2, 5, 0)) {
+      SparkEntry.queries("q5_local_supplier_volume")(spark, dir)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)
