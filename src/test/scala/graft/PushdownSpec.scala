@@ -93,4 +93,36 @@ class PushdownSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       "unexpected shuffle/cartesian join in:\n" + plan)
   }
+
+  // At 100 TB, COUNT/MIN/MAX catalog probes over a table must serve
+  // from parquet FOOTER statistics, not a data scan — the DSv2
+  // aggregate pushdown path. v1 parquet (the engine's default) has
+  // no such path, so the claim is pinned through a v2 session scope.
+  test("count/min/max serve from parquet footers under aggregate pushdown") {
+    val table = s"$sf0001/lineitem.parquet"
+    def profile(): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(table).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    val plain = profile().head()
+    val (v1Old, aggOld) = (
+      spark.conf.get("spark.sql.sources.useV1SourceList"),
+      spark.conf.get("spark.sql.parquet.aggregatePushdown"))
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = profile()
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregates not pushed to the scan:\n$plan")
+      assert(plan.contains("MIN(l_quantity)") && plan.contains("MAX(l_quantity)"),
+        s"min/max not pushed:\n$plan")
+      // footer-served numbers equal the data-scan numbers.
+      assert(df.head() === plain)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", v1Old)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", aggOld)
+    }
+  }
 }
