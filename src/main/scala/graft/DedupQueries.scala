@@ -56,6 +56,14 @@ object DedupQueries {
     Q("dedup_embedding_cosine",
       (s, dir) => Dedup.embeddingCosine(s, dir),
       Some(graft.oracle.SimOracle.embeddingCosineSql())),
+    // SemDeDup: the published cluster-scoped semantic dedup —
+    // candidates are exhaustive WITHIN a trained k-means cell and
+    // empty across cells (n^2/k comparisons, k scaling with the
+    // corpus), keeper-by-min-id; vs the LSH-bucketed candidates of
+    // dedup_embedding_cosine above.
+    Q("dedup_semantic_cells",
+      (s, dir) => Dedup.semanticCells(s, dir),
+      Some(graft.oracle.SimOracle.semanticCellsSql())),
     // sub-document granularity: per-doc coverage by corpus-duplicated
     // n-token spans (the suffix-array span-dedup signal at fixed n).
     Q("dedup_span_coverage",

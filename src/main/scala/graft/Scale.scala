@@ -253,7 +253,13 @@ object Scale {
       "search_hybrid_rrf" -> (d => operators.Hybrid.rrfTopK(spark, d)),
       "search_hybrid_rrf_ivf" -> (d => operators.Hybrid.rrfTopKIvf(spark, d)),
       "dedup_source_overlap" -> (d => Dedup.sourceOverlap(spark, d)),
-      "text_quality_adaptive" -> (d => TextAnalysis.adaptiveQuality(spark, d)))
+      "text_quality_adaptive" -> (d => TextAnalysis.adaptiveQuality(spark, d)),
+      // SemDeDup at a FIXED codebook size is deliberately the honest
+      // worst case: replicas collapse into the same cells, so cells
+      // grow ~10x and within-cell pairs ~100x — the measured ratio
+      // is the n^2/k term the scaladoc says k must absorb (at real
+      // scale numCents grows with the corpus; the harness pins it).
+      "dedup_semantic_cells" -> (d => Dedup.semanticCells(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

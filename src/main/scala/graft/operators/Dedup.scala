@@ -825,6 +825,39 @@ object Dedup {
     * frame is |sources| rows, broadcast. No all-pairs document
     * product anywhere.
     */
+  /** SemDeDup: semantic deduplication scoped to trained k-means
+    * cells (Abbas et al. — cluster the embeddings, compare only
+    * within a cluster, drop members too close to a smaller-id
+    * cell-mate). The decision view over every embedded document:
+    * `(doc_id, cell_id, is_dup, n_dups, max_cos_bp)` where `n_dups`
+    * counts smaller-id SAME-CELL neighbors with quantized cosine ≥
+    * `minCosBp` — keeper-by-min-id, the engine's one dedup contract
+    * ([[exact]], [[incrementalNearDups]]) applied to semantic space.
+    *
+    * vs [[embeddingCosine]] (sign-LSH buckets): LSH candidates are
+    * recall-tuned bucket collisions; SemDeDup's are exhaustive
+    * WITHIN a routed cell and empty across cells — comparisons total
+    * Σ|cell|² ≈ n²/k with k scaling with the corpus, and the
+    * decision inherits the codebook's semantic partition (the same
+    * cells `sim_cluster_balance` samples against).
+    */
+  def semanticCells(spark: SparkSession, dir: String,
+      minCosBp: Int = 3000): DataFrame = {
+    val flags = Similarity.cellNearPairs(spark, dir, minCosBp)
+      .groupBy(col("vec_y").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(col("cos_bp")).as("max_cos_bp"))
+    Similarity.ivfCells(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cell_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dups", "max_cos_bp"))
+      .select(col("doc_id"), col("cell_id"),
+        when(col("n_dups") > 0, 1L).otherwise(0L).as("is_dup"),
+        col("n_dups").cast("long").as("n_dups"),
+        col("max_cos_bp").cast("long").as("max_cos_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-size distribution — the one-page dedup report a corpus
     * release quotes (how much duplication, in what shape): per
     * distinct cluster size, how many clusters and how many documents

@@ -276,6 +276,33 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Near-neighbor pairs scoped to the TRAINED IVF cells — the
+    * SemDeDup candidate structure ([[Dedup.semanticCells]]): two
+    * vectors are compared only when k-means routed them to the SAME
+    * cell, so total comparisons are Σ|cell|² ≈ n²/k instead of the
+    * LSH bucket structure's band collisions — the published SemDeDup
+    * economics, where k grows with the corpus and the per-cell
+    * product stays bounded. Exact quantized cosine verification,
+    * `vec_x < vec_y` canonical order, persisted cells shared with
+    * every IVF consumer.
+    */
+  def cellNearPairs(spark: SparkSession, dir: String,
+      minCosBp: Int, numCents: Int = 8): DataFrame = {
+    val qc = quantized(spark, dir)
+      .join(ivfCells(spark, dir, numCents), Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id"), col("q"), col("nq"))
+    val a = qc.select(col("cell_id"), col("vec_id").as("vec_x"),
+      col("q").as("qx"), col("nq").as("nx"))
+    val b = qc.select(col("cell_id"), col("vec_id").as("vec_y"),
+      col("q").as("qy"), col("nq").as("ny"))
+    a.join(b, Seq("cell_id"))
+      .where(col("vec_x") < col("vec_y"))
+      .withColumn("dot_q", dotExpr("qx", "qy"))
+      .withColumn("cos_bp", cosBp(cosExpr("dot_q", "nx", "ny")))
+      .where(col("cos_bp") >= minCosBp)
+      .select(col("cell_id"), col("vec_x"), col("vec_y"), col("cos_bp"))
+  }
+
   /** LSH recall audit ("measure, don't guess"): for each probe, the
     * fraction of its exact top-k neighbors that share at least one
     * sign band with it — the number the [[lshPairs]] scaladoc's

@@ -700,4 +700,40 @@ ORDER BY q.qid"""
   )
 SELECT qid, cell_id, rank, vec_id, dot_q, cos_bp
 FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** SemDeDup oracle (`Dedup.semanticCells`): trained-codebook cell
+    * assignment, exhaustive within-cell pairs at the exact quantized
+    * cosine threshold, keeper-by-min-id rollup.
+    */
+  def semanticCellsSql(minCosBp: Int = 3000, numCents: Int = 8): String =
+    s"""WITH $baseCtes,
+  ${codebookCtes(numCents, Similarity.CodebookIters)},
+  vassign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  vcells AS (SELECT vec_id, cent_id AS cell_id FROM vassign WHERE rn = 1),
+  qc AS (
+    SELECT c.cell_id, n.vec_id, n.q, n.nq
+    FROM nb n JOIN vcells c USING (vec_id)
+  ),
+  spairs AS (
+    SELECT a.vec_y, a.cos_bp FROM (
+      SELECT b.vec_id AS vec_y,
+        CAST(floor(${cosSql(dotSql("a.q", "b.q"), "a.nq", "b.nq")} * $S) AS BIGINT) AS cos_bp
+      FROM qc a JOIN qc b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ) a WHERE a.cos_bp >= $minCosBp
+  ),
+  sflags AS (
+    SELECT vec_y AS doc_id, count(*) AS n_dups, max(cos_bp) AS max_cos_bp
+    FROM spairs GROUP BY vec_y
+  )
+SELECT c.vec_id AS doc_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+  CAST(coalesce(f.n_dups, 0) AS BIGINT) AS n_dups,
+  CAST(coalesce(f.max_cos_bp, 0) AS BIGINT) AS max_cos_bp
+FROM vcells c LEFT JOIN sflags f ON f.doc_id = c.vec_id
+ORDER BY doc_id"""
 }
