@@ -259,7 +259,11 @@ object Scale {
       // grow ~10x and within-cell pairs ~100x — the measured ratio
       // is the n^2/k term the scaladoc says k must absorb (at real
       // scale numCents grows with the corpus; the harness pins it).
-      "dedup_semantic_cells" -> (d => Dedup.semanticCells(spark, d)))
+      "dedup_semantic_cells" -> (d => Dedup.semanticCells(spark, d)),
+      // 3 fused queries through one shared pass per tower: the ratio
+      // should track the single fusion's (the probe count multiplies
+      // only the term set and the k-row fusion, not the corpus work).
+      "search_hybrid_batch" -> (d => operators.Hybrid.rrfTopKBatch(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

@@ -95,6 +95,12 @@ object SimQueries {
     Q("search_hybrid_rrf_ivf",
       (s, dir) => Hybrid.rrfTopKIvf(s, dir),
       Some(HybridOracle.rrfTopKIvfSql())),
+    // N hybrid queries, one shared corpus pass per tower (the
+    // batched-search arrangement lifted to fused retrieval);
+    // per-probe rows are exactly the single fusion's.
+    Q("search_hybrid_batch",
+      (s, dir) => Hybrid.rrfTopKBatch(s, dir),
+      Some(HybridOracle.rrfTopKBatchSql())),
     // the trained-codebook build itself, pinned: per centroid, final
     // member count + exact squared norm of the sum-vector — any
     // drift in any Lloyd round moves this row.

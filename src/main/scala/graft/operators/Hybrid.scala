@@ -120,4 +120,70 @@ object Hybrid {
       k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame =
     rrfFuse(bm25Ranked(spark, dir, kCand, qTerms),
       cosineRankedIvf(spark, dir, kCand), k)
+
+  /** The default probe set for the batched fusion: documents 0, 50,
+    * 100 (the vector tower's `probeMod = 50` convention restricted
+    * to three probes).
+    */
+  val BatchProbes: Seq[Long] = Seq(0L, 50L, 100L)
+
+  /** Batched BM25 tower: per-probe ranked candidates from ONE shared
+    * postings pass ([[TextAnalysis.bm25ScoresBatch]]), each probe's
+    * self excluded before ranking. The per-probe window ranks only
+    * query-term-matched docs, never the corpus.
+    */
+  def bm25RankedBatch(spark: SparkSession, dir: String,
+      probeIds: Seq[Long], kCand: Int, qTerms: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    TextAnalysis.bm25ScoresBatch(spark, dir, probeIds, qTerms)
+      .where(col("doc_id") =!= col("probe_id"))
+      .withColumn("rank_text", row_number().over(w).cast("long"))
+      .where(col("rank_text") <= kCand)
+      .select(col("probe_id"), col("doc_id"), col("rank_text"))
+  }
+
+  /** Batched vector tower: the bounded TopK aggregator with the
+    * whole probe set broadcast at once (its native multi-probe
+    * shape — [[Similarity.cosineTopKAggWhere]]).
+    */
+  def cosineRankedBatch(spark: SparkSession, dir: String,
+      probeIds: Seq[Long], kCand: Int): DataFrame =
+    Similarity.cosineTopKAggWhere(spark, dir, kCand,
+      col("vec_id").isin(probeIds: _*))
+      .select(col("qid").as("probe_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+
+  /** [[rrfFuse]] keyed by (probe_id, doc_id): per-probe fusion and
+    * ranking in one frame.
+    */
+  def rrfFuseBatch(text: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    def contrib(c: String): Column =
+      coalesce(expr(s"$RrfScale div ($RrfK + $c)"), lit(0L))
+    val fused = text.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", contrib("rank_text") + contrib("rank_vec"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** `search_hybrid_batch`: N hybrid queries answered in one shared
+    * corpus pass per tower — the batched-search arrangement
+    * ([[graft.operators.JoinSearch.searchTablesBatch]]) lifted to
+    * fused retrieval. Per-probe results are EXACTLY the single-probe
+    * fusion's (HybridSpec pins probe 0 row-for-row against
+    * [[rrfTopK]]); the saving is the shared tokenize/tf/df lineage
+    * and the one probe-set broadcast.
+    */
+  def rrfTopKBatch(spark: SparkSession, dir: String,
+      k: Int = 20, kCand: Int = 50, qTerms: Int = 8,
+      probeIds: Seq[Long] = BatchProbes): DataFrame =
+    rrfFuseBatch(bm25RankedBatch(spark, dir, probeIds, kCand, qTerms),
+      cosineRankedBatch(spark, dir, probeIds, kCand), k)
 }

@@ -778,6 +778,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Batched BM25: per-(probe, doc) scores for N query-by-example
+    * probe documents in ONE postings pass — the `searchTablesBatch`
+    * arrangement applied to text retrieval. The corpus-side work
+    * (tokenize, explode, tf aggregation) happens once against the
+    * UNION of all probes' terms; per-term df and per-doc dl are
+    * probe-independent, so they too are shared; only the final
+    * per-(probe, doc) scoring join fans out by probe — and it fans
+    * out over query-term-matched postings, not the corpus. Formula,
+    * cleaning chain, and integer basis identical to [[bm25TopK]]
+    * (a probe's scores here ARE its single-probe scores —
+    * HybridSpec pins it).
+    */
+  def bm25ScoresBatch(spark: SparkSession, dir: String,
+      probeIds: Seq[Long], qTerms: Int = 8): DataFrame = {
+    val d = docs(spark, dir)
+    val qf = d.where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms)).as("term"))
+      .where(col("term") =!= "").distinct()
+    val toks = d
+      .select(col("doc_id"),
+        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.join(broadcast(qf.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = stats(spark, dir).where(col("n_clean_tokens") > 0)
+      .select(col("doc_id"), col("n_clean_tokens").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
+      .withColumn("avgdl", expr("l_tot div n_docs"))
+    tf.join(broadcast(qf), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum("score_t").cast("long").as("score"))
+  }
+
   /** Adaptive per-source quality cutoffs — the data-dependent
     * refinement of [[qualityFlags]]' fixed thresholds: each source
     * keeps the documents at or above its own token-count median

@@ -76,6 +76,20 @@ class HybridSpec extends SparkTestBase {
     assert(got.exists(r => r.getLong(3) > 0L && r.getLong(4) > 0L))
   }
 
+  test("batch fusion serves each probe exactly its single-probe answer") {
+    val batch = Hybrid.rrfTopKBatch(spark, sf0001, K, KCand).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    val byProbe = batch.groupBy(_._1)
+    assert(byProbe.keySet === Hybrid.BatchProbes.toSet)
+    // probe 0's rows are the single fusion's rows, column for column.
+    val single = fusedRows(Hybrid.rrfTopK(spark, sf0001, K, KCand))
+      .map { case (id, rank, score, rt, rv) => (rank, id, score, rt, rv) }
+    assert(byProbe(0L).map(_._2).toSeq === single)
+    // every probe got a full page of fused results.
+    Hybrid.BatchProbes.foreach(p => assert(byProbe(p).length === K, s"probe $p"))
+  }
+
   test("rrfFuse: disjoint lists fuse through the full-outer seam") {
     import spark.implicits._
     val text = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank_text")

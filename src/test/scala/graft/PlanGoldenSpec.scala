@@ -108,6 +108,11 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("q5", Ex(2, 5, 0)) {
       SparkEntry.queries("q5_local_supplier_volume")(spark, dir)
     }
+    // the batched fusion must stay one SHARED corpus pass per tower:
+    // 3 probes through ~the single fusion's exchange budget, not 3x.
+    pin("hybrid_batch", Ex(13, 6, 1)) {
+      graft.operators.Hybrid.rrfTopKBatch(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
