@@ -218,12 +218,37 @@ object Similarity {
     */
   def cosineTopKAggWhere(spark: SparkSession, dir: String,
       k: Int, probeWhere: Column): DataFrame = {
-    import spark.implicits._
     val base = quantized(spark, dir)
     val probes = base.where(probeWhere)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
-    val scored = base.crossJoin(broadcast(probes))
-      .where(col("vec_id") =!= col("qid"))
+    topKAggCore(spark, base, probes, k, excludeSelf = true)
+  }
+
+  /** Bounded cosine top-k for an ARBITRARY probe frame
+    * `(qid, embedding: array<float>)` — the streaming-serve seam
+    * ([[graft.streaming.SimStream.serveVectors]]): request vectors
+    * quantize through the same transform as the corpus, score
+    * against the session-persisted base, and rank through the same
+    * bounded aggregator. No self-exclusion: probe ids live in
+    * REQUEST space, not corpus space (an external query equal to a
+    * corpus vector legitimately retrieves it at cos = 1).
+    */
+  def cosineTopKAggProbes(spark: SparkSession, dir: String,
+      probesRaw: DataFrame, k: Int): DataFrame = {
+    val probes = probesRaw
+      .select(col("qid").cast("long").as("qid"),
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))")
+          .as("pq"))
+      .withColumn("pnq", VectorMath.dotLong(col("pq"), col("pq")))
+    topKAggCore(spark, quantized(spark, dir), probes, k, excludeSelf = false)
+  }
+
+  private def topKAggCore(spark: SparkSession, base: DataFrame,
+      probes: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val paired = base.crossJoin(broadcast(probes))
+    val scored = (if (excludeSelf) paired.where(col("vec_id") =!= col("qid"))
+      else paired)
       .withColumn("dot_q", dotExpr("pq", "q"))
       .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
       .select(col("qid"), col("cosd"), col("vec_id"), col("dot_q"))

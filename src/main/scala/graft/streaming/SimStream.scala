@@ -74,4 +74,35 @@ object SimStream {
     */
   def cellCounts(routed: DataFrame): DataFrame =
     routed.groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+
+  /** Vector-search-as-a-service: probe requests `(qid, embedding)`
+    * arrive as a stream; every micro-batch scores THE WHOLE REQUEST
+    * BATCH against the static session-persisted corpus through the
+    * bounded TopK aggregator ([[Similarity.cosineTopKAggProbes]] —
+    * one probe-set broadcast per batch, O(k) state per probe) and
+    * hands the ranked neighbors to the caller's sink. Same
+    * foreachBatch rationale as [[SearchStream.serve]]: a batch
+    * boundary IS the query boundary, and the corpus side is never
+    * rescanned — it is the quantized persisted frame every batch
+    * consumer shares. No self-exclusion: request ids live in request
+    * space (an external query equal to a corpus vector legitimately
+    * retrieves it at cos = 1).
+    */
+  def serveVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      requests: DataFrame, checkpointDir: String,
+      onResult: (DataFrame, Long) => Unit, k: Int = 10,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        onResult(Similarity.cosineTopKAggProbes(spark, dir, batch.toDF(), k),
+          batchId)
+        ()
+      }
+      .start()
 }

@@ -56,4 +56,36 @@ class SimStreamSpec extends SparkTestBase {
     assert(gotCounts == wantCounts,
       s"occupancy $gotCounts != batch $wantCounts")
   }
+
+  test("serveVectors answers streamed probes exactly like the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-simserve").toString
+    // request 900: a verbatim copy of corpus vector 3 (must retrieve
+    // vec 3 itself at cos = 1 — external queries see no
+    // self-exclusion); request 901: a synthetic direction.
+    val v3 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where($"vec_id" === 3L).select("embedding")
+      .as[Seq[Float]].head()
+    val synth = (0 until 64).map(i => if (i % 7 == 0) 1.0f else -0.25f)
+    val reqs = Seq(ERow(900L, v3), ERow(901L, synth))
+
+    val in = MemoryStream[ERow]
+    in.addData(reqs.toIndexedSeq)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = SimStream.serveVectors(spark, sf0001,
+      in.toDF().withColumnRenamed("vec_id", "qid"), ckpt,
+      (df, _) => results ++= df.as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._5)))
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val want = Similarity.cosineTopKAggProbes(spark, sf0001,
+      reqs.toDF("qid", "embedding"), 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._5)).toSeq
+    assert(results.toSeq.sorted === want.sorted)
+    // the identical-copy probe finds its original first, at cos 10000.
+    val top900 = results.find(r => r._1 == 900L && r._2 == 1L).get
+    assert(top900._3 === 3L && top900._4 === 10000L, s"got $top900")
+    assert(results.count(_._1 == 901L) === 10)
+  }
 }
