@@ -186,4 +186,37 @@ object Hybrid {
       probeIds: Seq[Long] = BatchProbes): DataFrame =
     rrfFuseBatch(bm25RankedBatch(spark, dir, probeIds, kCand, qTerms),
       cosineRankedBatch(spark, dir, probeIds, kCand), k)
+
+  /** Hybrid retrieval for EXTERNAL requests `(req_id, qtext,
+    * embedding)` — no query-by-example, no self-exclusion (requests
+    * live outside the corpus): the text tower derives its term frame
+    * from the request text through the engine's one cleaning chain,
+    * the vector tower quantizes the request embedding with the
+    * corpus transform ([[Similarity.cosineTopKAggProbes]]), and the
+    * fusion is the shared batched RRF. This is the form a serving
+    * endpoint actually receives — the registered query-by-example
+    * forms are its oracle-checkable twins.
+    */
+  def rrfTopKRequests(spark: SparkSession, dir: String,
+      requests: DataFrame, k: Int = 20, kCand: Int = 50,
+      qTerms: Int = 8): DataFrame = {
+    import graft.functions.Tokenize
+    val qf = requests
+      .select(col("req_id").cast("long").as("probe_id"),
+        explode(slice(split(Tokenize.clean(col("qtext")), " "), 1, qTerms))
+          .as("term"))
+      .where(col("term") =!= "").distinct()
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val text = TextAnalysis.bm25ScoresForTerms(spark, dir, qf)
+      .withColumn("rank_text", row_number().over(w).cast("long"))
+      .where(col("rank_text") <= kCand)
+      .select(col("probe_id"), col("doc_id"), col("rank_text"))
+    val vec = Similarity.cosineTopKAggProbes(spark, dir,
+        requests.select(col("req_id").cast("long").as("qid"), col("embedding")),
+        kCand)
+      .select(col("qid").as("probe_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    rrfFuseBatch(text, vec, k)
+  }
 }

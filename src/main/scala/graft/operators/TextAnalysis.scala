@@ -791,13 +791,25 @@ object TextAnalysis {
     * HybridSpec pins it).
     */
   def bm25ScoresBatch(spark: SparkSession, dir: String,
-      probeIds: Seq[Long], qTerms: Int = 8): DataFrame = {
-    val d = docs(spark, dir)
-    val qf = d.where(col("doc_id").isin(probeIds: _*))
-      .select(col("doc_id").as("probe_id"),
-        explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms)).as("term"))
-      .where(col("term") =!= "").distinct()
-    val toks = d
+      probeIds: Seq[Long], qTerms: Int = 8): DataFrame =
+    bm25ScoresForTerms(spark, dir,
+      docs(spark, dir).where(col("doc_id").isin(probeIds: _*))
+        .select(col("doc_id").as("probe_id"),
+          explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms)).as("term"))
+        .where(col("term") =!= "").distinct())
+
+  /** The batched-BM25 core over an ARBITRARY `(probe_id, term)`
+    * query frame — the external-request seam
+    * ([[graft.streaming.HybridStream]]): request text cleaned by the
+    * engine's one chain becomes a term frame, and the scoring
+    * lineage is shared with the query-by-example form above. Terms
+    * absent from the corpus simply match nothing (the tf semi-join
+    * drops them) — an all-OOV request scores no documents rather
+    * than erroring.
+    */
+  def bm25ScoresForTerms(spark: SparkSession, dir: String,
+      qf: DataFrame): DataFrame = {
+    val toks = docs(spark, dir)
       .select(col("doc_id"),
         explode(split(Tokenize.clean(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
