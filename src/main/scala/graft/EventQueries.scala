@@ -45,6 +45,11 @@ object EventQueries {
     Q("events_hourly_deviation",
       (s, dir) => Events.hourlyDeviation(s, dir),
       Some(EventOracle.hourlyDeviationSql())),
+    // RANGE-frame rolling window: per-user trailing-24h burst peaks
+    // over the raw event timeline (value-based frame, one shuffle).
+    Q("events_rolling_peaks",
+      (s, dir) => Events.rollingPeaks(s, dir),
+      Some(EventOracle.rollingPeaksSql())),
     // z-order (Morton) bucket map: the 2-D lake-layout key that
     // makes per-user AND per-time box predicates skip row groups
     // (layout proof on real parquet footers in ZOrderSpec).

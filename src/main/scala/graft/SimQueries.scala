@@ -45,6 +45,13 @@ object SimQueries {
     Q("sim_cosine_topk_windowed",
       (s, dir) => Similarity.cosineTopK(s, dir),
       Some(SimOracle.cosineTopKSql())),
+    // diversity-deduplicated retrieval: top-kCand candidates
+    // collapsed to one representative per embedding near-dup
+    // cluster, re-ranked to k — the query-time guard against
+    // near-identical result lists.
+    Q("sim_topk_diverse",
+      (s, dir) => Similarity.cosineTopKDiverse(s, dir),
+      Some(SimOracle.topKDiverseSql())),
     // cluster-balanced sampling plan over the trained cells (the
     // SemDeDup-adjacent prep rung): per-cell share, keep cap, and
     // sampling weight in exact bigint.

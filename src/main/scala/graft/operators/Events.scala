@@ -366,6 +366,55 @@ object Events {
       .orderBy("hour_s", "event_type")
   }
 
+  val NanosPerDay: Long = 24L * NanosPerHour
+
+  /** Per-user trailing-24h activity peaks — the RANGE-frame window
+    * kind ([[hourlyDeviation]] is the row-frame kind): for every
+    * event, the count and exact cents sum of that user's events in
+    * the closed interval `[ts - window, ts]` via
+    * `Window.rangeBetween` over the raw nanos — a value-based frame
+    * the bucketed forms cannot express (an event 23h59m before
+    * another lands in its frame; hour buckets would split them).
+    * Collapsed to per-user peaks (max rolling count / max rolling
+    * cents — independent maxima, each its own burst) plus the total
+    * event count, so the output is |users|-bounded while the frame
+    * computation still runs over every event.
+    *
+    * Frame semantics pinned by the oracle: both engines treat RANGE
+    * frames as value-inclusive on both endpoints and include ALL
+    * peer rows of a tied `ts`, so duplicate timestamps cannot
+    * diverge.
+    *
+    * Scale posture (100 TB): one scan; the window partitions by
+    * `user_id` — per-user series, corpus-volume-independent — and
+    * Spark's range-frame executor keeps only the rows inside the
+    * sliding frame buffered (bounded by one user's 24h burst, not
+    * their history). The final per-user groupBy clusters on the
+    * SAME key, so the window's hash partitioning satisfies it: one
+    * data shuffle end to end (spec-pinned; the trailing orderBy adds
+    * only the presentation sort's range exchange over |users| rows).
+    */
+  def rollingPeaks(spark: SparkSession, dir: String,
+      windowNs: Long = NanosPerDay): DataFrame =
+    rollingPeaksOf(raw(spark, dir), windowNs)
+
+  /** [[rollingPeaks]] over an arbitrary events frame (fixture seam:
+    * needs `user_id`, `ts` nanos, `value`). */
+  def rollingPeaksOf(events: DataFrame, windowNs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-windowNs, 0)
+    events
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("n_roll", count(lit(1)).over(w))
+      .withColumn("cents_roll", sum("vc").over(w).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("n_roll").as("peak_n_24h"),
+        max("cents_roll").as("peak_cents_24h"))
+      .orderBy("user_id")
+  }
+
   /** Cohort retention matrix: users bucketed by first-seen epoch week
     * (their cohort), counted in each later week they were active —
     * the third classic event-analytics kind beside [[funnel]]

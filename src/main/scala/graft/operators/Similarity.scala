@@ -301,6 +301,54 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Diversity-deduplicated cosine retrieval: the bounded top-kCand
+    * candidates per probe, collapsed to ONE representative per
+    * embedding near-dup cluster (the best-ranked member), re-ranked
+    * and truncated to k — retrieval that cannot pad its result list
+    * with near-identical passages (the failure mode a deduplicated
+    * INDEX avoids by construction; this is the query-time guard for
+    * corpora whose duplicates survive into serving). Clusters are
+    * connected components (star contraction) over the sign-LSH
+    * verified embedding near-dup pairs — the SAME pair rung
+    * `dedup_embedding_cosine` registers, so "near-identical" means
+    * one thing across dedup and retrieval. Candidates in no cluster
+    * are their own singleton (coalesce to vec_id — cluster ids ARE
+    * min member ids, so the two id spaces agree).
+    *
+    * Scale posture (100 TB): candidates are |probes| x kCand —
+    * BOUNDED — so the label join streams the corpus-proportional
+    * cluster frame once against a BROADCAST candidate-key build
+    * (never the reverse: a broadcast of the label frame is the
+    * drop-list OOM keptCorpus eliminated), then the bounded
+    * label-restriction broadcasts back onto the candidates. Both
+    * windows run over candidate rows only.
+    */
+  def cosineTopKDiverse(spark: SparkSession, dir: String,
+      k: Int = 10, kCand: Int = 30, probeMod: Int = 50,
+      minCosBp: Int = 3000): DataFrame = {
+    val cands = cosineTopKAggWhere(spark, dir, kCand,
+      col("vec_id") % probeMod === 0)
+    val labels = Dedup.clustersFromPairsStar(
+      lshPairs(spark, dir, minCosBp)
+        .select(col("vec_x").as("doc_x"), col("vec_y").as("doc_y")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val candLabels = labels.join(
+      broadcast(cands.select("vec_id").distinct()), Seq("vec_id"))
+    val labeled = cands
+      .join(broadcast(candLabels), Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("vec_id")))
+    val wBest = Window.partitionBy("qid", "grp").orderBy("rank")
+    val wRe = Window.partitionBy("qid").orderBy("rank")
+    labeled
+      .withColumn("pick", row_number().over(wBest))
+      .where(col("pick") === 1)
+      .withColumn("rank_d", row_number().over(wRe))
+      .where(col("rank_d") <= k)
+      .select(col("qid"), col("rank_d").cast("long").as("rank"),
+        col("vec_id"), col("grp").as("cluster_id"), col("cos_bp"))
+      .orderBy("qid", "rank")
+  }
+
   /** Near-neighbor pairs scoped to the TRAINED IVF cells — the
     * SemDeDup candidate structure ([[Dedup.semanticCells]]): two
     * vectors are compared only when k-means routed them to the SAME

@@ -169,6 +169,30 @@ SELECT hour_s, event_type, n, CAST(trail_n AS BIGINT) AS trail_n,
        ELSE 10000 END AS BIGINT) AS dev_bp
 FROM t ORDER BY hour_s, event_type"""
 
+  /** [[Events.rollingPeaks]]: DuckDB's native RANGE frame over the
+    * same nanos, same closed `[ts - window, ts]` interval — hash
+    * equality pins that both engines' value-based frames agree on
+    * endpoint inclusivity and peer handling.
+    */
+  def rollingPeaksSql(windowNs: Long = Events.NanosPerDay): String =
+    s"""WITH e AS (
+    SELECT user_id, epoch_ns(ts) AS tsn,
+      CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+  ),
+  r AS (
+    SELECT user_id,
+      count(*) OVER w AS n_roll,
+      CAST(sum(vc) OVER w AS BIGINT) AS cents_roll
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+      RANGE BETWEEN $windowNs PRECEDING AND CURRENT ROW)
+  )
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(n_roll) AS BIGINT) AS peak_n_24h,
+  CAST(max(cents_roll) AS BIGINT) AS peak_cents_24h
+FROM r GROUP BY user_id ORDER BY user_id"""
+
   /** [[Events.retention]]: identical epoch-week integer bucketing;
     * cell counts are plain count(*) over the (user, week) distinct —
     * the same no-second-DISTINCT argument.

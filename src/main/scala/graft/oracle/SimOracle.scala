@@ -139,6 +139,70 @@ FROM sizes CROSS JOIN tot ORDER BY cell_id"""
   )
 SELECT qid, rank, vec_id, dot_q, cos_bp FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
 
+  /** [[graft.operators.Similarity.cosineTopKDiverse]]: the exact
+    * top-kCand chain, a recursive closure over the sign-LSH verified
+    * near-dup pairs (the `dedup_embedding_cosine` pair rung), best
+    * rank per (probe, cluster), re-rank, truncate — every stage an
+    * independent DuckDB formulation of the Spark pipeline.
+    */
+  def topKDiverseSql(k: Int = 10, kCand: Int = 30, probeMod: Int = 50,
+      minCosBp: Int = 3000): String = {
+    val nBands = Similarity.NumBands
+    val bBits = Similarity.BandBits
+    s"""WITH RECURSIVE $baseCtes,
+  bands AS (
+    SELECT vec_id, b AS band_ix,
+      CAST(list_sum(list_transform(range(0, $bBits),
+        j -> CASE WHEN q[b * $bBits + j + 1] >= 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS band_v
+    FROM nb, range(0, $nBands) t(b)
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_x, b.vec_id AS vec_y
+    FROM bands a
+    JOIN bands b ON a.band_ix = b.band_ix AND a.band_v = b.band_v AND a.vec_id < b.vec_id
+  ),
+  nd AS (
+    SELECT c.vec_x, c.vec_y
+    FROM cand c JOIN nb x ON x.vec_id = c.vec_x JOIN nb y ON y.vec_id = c.vec_y
+    WHERE CAST(floor(${cosSql(dotSql("x.q", "y.q"), "x.nq", "y.nq")} * $S) AS BIGINT) >= $minCosBp
+  ),
+  edges AS (SELECT vec_x AS s, vec_y AS d FROM nd UNION ALL SELECT vec_y, vec_x FROM nd),
+  reach(v, lbl) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+    UNION
+    SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.v
+  ),
+  labels AS (SELECT v AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+  probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  prs AS (
+    SELECT p.qid, c.vec_id, ${dotSql("p.pq", "c.q")} AS dot_q, c.nq, p.pnq
+    FROM probes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  scored AS (SELECT qid, vec_id, ${cosSql("dot_q", "nq", "pnq")} AS cosd FROM prs),
+  ranked AS (
+    SELECT qid, vec_id, CAST(floor(cosd * $S) AS BIGINT) AS cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM scored
+  ),
+  topc AS (SELECT * FROM ranked WHERE rank <= $kCand),
+  grp AS (
+    SELECT t.qid, t.vec_id, t.cos_bp, t.rank,
+      coalesce(l.cluster_id, t.vec_id) AS cluster_id
+    FROM topc t LEFT JOIN labels l ON l.vec_id = t.vec_id
+  ),
+  best AS (
+    SELECT *, row_number() OVER (PARTITION BY qid, cluster_id ORDER BY rank) AS pick
+    FROM grp
+  ),
+  rer AS (
+    SELECT qid, vec_id, cluster_id, cos_bp,
+      row_number() OVER (PARTITION BY qid ORDER BY rank) AS rank2
+    FROM best WHERE pick = 1
+  )
+SELECT qid, CAST(rank2 AS BIGINT) AS rank, vec_id, cluster_id, cos_bp
+FROM rer WHERE rank2 <= $k ORDER BY qid, rank"""
+  }
+
   def lshPairsSql(minCosBp: Int = 3000): String = {
     val nBands = Similarity.NumBands
     val bBits = Similarity.BandBits
