@@ -8,6 +8,13 @@ import graft.oracle.MmOracle
   */
 object MmQueries {
 
+  /** Every 25th document becomes a loose blob file — enough files to
+    * exercise distributed listing without turning the fixture dir
+    * into a small-file stress test. (Defined BEFORE `all`: the
+    * registration below captures it during object init.)
+    */
+  private val BlobMod = 25L
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata",
       (s, dir) => Multimodal.metadata(s, dir),
@@ -37,5 +44,32 @@ object MmQueries {
     // original where the content hash is blind.
     Q("mm_neardup",
       (s, dir) => Multimodal.neardupReencoded(s, dir),
-      Some(MmOracle.neardupSql())))
+      Some(MmOracle.neardupSql())),
+    // raw-blob ingress roundtrip: a directory of loose doc_<id>.<ext>
+    // files read through the binaryFile source and normalized into
+    // the media schema — format-independent metadata must equal the
+    // parquet-derived rows (same oracle, subset-restricted).
+    Q("blob_source_metadata",
+      (s, dir) => {
+        val path = blobFixturePath(dir)
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          sources.BlobSource.writeBlobs(
+            s.read.parquet(s"$dir/documents.parquet")
+              .where(org.apache.spark.sql.functions.col("doc_id") % BlobMod === 0)
+              .select("doc_id", "text"),
+            path)
+        Multimodal.metadataOf(sources.BlobSource.readMedia(s, path))
+          .orderBy("doc_id")
+      },
+      Some(MmOracle.metadataModSql(BlobMod))))
+
+  /** Corpus-mtime-stamped fixture dir (the [[Queries]] fixturePath
+    * convention): a regenerated corpus invalidates the blobs instead
+    * of serving stale bytes against a fresh oracle.
+    */
+  private def blobFixturePath(dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${sys.props("user.dir")}/target/graft-blobs/$name-$stamp"
+  }
 }

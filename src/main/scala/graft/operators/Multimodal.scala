@@ -102,22 +102,34 @@ object Multimodal {
     * deterministic (doc_id mod 3) to exercise all three modalities.
     */
   def media(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    withMeta(spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .withColumn("meta", struct(
-        octet_length(col("payload")).cast("long").as("n_bytes"),
-        md5(col("payload")).as("payload_md5"),
-        hex(expr("substring(payload, 1, 8)")).as("header_hex")))
+        col("text").cast("binary").as("payload")))
+
+  /** Attach the typed metadata struct to any `(doc_id, media_type,
+    * payload)` frame — the normalization seam every media ingress
+    * shares (the parquet-derived [[media]] table and the raw-blob
+    * directory read, [[graft.sources.BlobSource.readMedia]]), so
+    * "media schema" is defined in exactly one place.
+    */
+  def withMeta(raw: DataFrame): DataFrame =
+    raw.withColumn("meta", struct(
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      hex(expr("substring(payload, 1, 8)")).as("header_hex")))
 
   /** Native (codegen'd) metadata extraction — no decode needed:
     * byte size, content hash, leading-bytes hex "magic", and the
     * md5-derived dimensions the fake codec will agree with.
     */
   def metadata(spark: SparkSession, dir: String): DataFrame =
-    media(spark, dir)
+    metadataOf(media(spark, dir))
+
+  /** [[metadata]] over an arbitrary media frame (ingress seam). */
+  def metadataOf(mediaDf: DataFrame): DataFrame =
+    mediaDf
       .select(col("doc_id"), col("media_type"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.payload_md5").as("payload_md5"),

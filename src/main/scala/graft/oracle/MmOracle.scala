@@ -28,6 +28,16 @@ object MmOracle {
 SELECT doc_id, media_type, n_bytes, payload_md5, header_hex, width, height
 FROM mmeta ORDER BY doc_id"""
 
+  /** [[metadataSql]] restricted to the blob-roundtrip subset — the
+    * `blob_source_metadata` oracle. The blobs are written FROM the
+    * documents table, so the format-independent metadata must match
+    * the parquet-derived rows exactly.
+    */
+  def metadataModSql(mod: Long): String =
+    s"""WITH $metaCte
+SELECT doc_id, media_type, n_bytes, payload_md5, header_hex, width, height
+FROM mmeta WHERE doc_id % $mod = 0 ORDER BY doc_id"""
+
   def framesSql: String =
     s"""WITH $metaCte
 SELECT m.doc_id, m.media_type, t.i AS frame_ix,
