@@ -99,8 +99,16 @@ object DedupStream {
     */
   def dedupNearSignature(docs: DataFrame, eventTimeCol: String,
       delay: String = "10 minutes", numSeeds: Int = 8): DataFrame =
-    docs
-      .withColumn("minhash_sig", minhashSignature(col("text"), numSeeds))
+    withSignature(docs, numSeeds)
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("minhash_sig")
+
+  /** The signature column without the watermark/drop — the seam a
+    * COMPOSED pipeline needs ([[PrepStream.admit]] chains this after
+    * [[dedupExact]], whose watermark already governs the stream:
+    * redefining a watermark mid-stream is illegal, so each stage
+    * past the first drops on the inherited one).
+    */
+  def withSignature(docs: DataFrame, numSeeds: Int = 8): DataFrame =
+    docs.withColumn("minhash_sig", minhashSignature(col("text"), numSeeds))
 }

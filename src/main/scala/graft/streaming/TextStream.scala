@@ -77,9 +77,23 @@ object TextStream {
     * the shared cutoff derivation.
     */
   def cutoffsWithDeltas(spark: SparkSession, dir: String,
-      deltaDir: String): DataFrame = {
+      deltaDir: String): DataFrame =
+    cutoffsWithDeltas(spark, dir, deltaDir, Long.MaxValue)
+
+  /** [[cutoffsWithDeltas]] restricted to delta batches with id <
+    * `beforeBatch` — the REPLAY-DETERMINISM form
+    * [[PrepStream.admitBatch]] needs: a restarted batch i must admit
+    * against exactly the deltas 0..i-1, even when a failed earlier
+    * attempt already landed `batch=i`'s own histogram (otherwise the
+    * replay sees a cutoff its first attempt did not, and the same
+    * batch admits a different document set on each try).
+    */
+  def cutoffsWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String, beforeBatch: Long): DataFrame = {
     val base = baseHistogram(spark, dir)
-    val batches = deltaBatches(spark, deltaDir)
+    val batches = deltaBatches(spark, deltaDir).filter { p =>
+      p.substring(p.lastIndexOf("batch=") + 6).toLong < beforeBatch
+    }
     val merged =
       if (batches.isEmpty) base
       else base.unionByName(spark.read.parquet(batches: _*))
