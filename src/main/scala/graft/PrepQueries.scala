@@ -58,6 +58,12 @@ object PrepQueries {
     Q("prep_sequence_map",
       (s, dir) => CorpusPrep.sequenceMap(s, dir),
       Some(PrepOracle.sequenceMapSql())),
+    // epoch-shuffled packing: every epoch a distinct deterministic
+    // permutation (md5(epoch|doc)) packed by the same bucketed
+    // two-pass running total; oracle runs the global window per epoch.
+    Q("prep_epoch_pack",
+      (s, dir) => CorpusPrep.epochPack(s, dir),
+      Some(PrepOracle.epochPackSql())),
     // quality-tier importance resampling (DCLM/FineWeb posture):
     // keep RATE follows the quality tier instead of a binary filter.
     Q("prep_quality_resample",

@@ -440,6 +440,60 @@ object CorpusPrep {
           "then 1 else 0 end as bigint)").as("spills"))
       .orderBy("doc_id")
 
+  /** Epoch-shuffled sequence packing: every training epoch reads the
+    * corpus in a DIFFERENT deterministic order — `md5(epoch|doc_id)`
+    * is the epoch's permutation key, so each epoch is a fresh,
+    * seed-free, restart-stable shuffle (re-running epoch 3 after a
+    * crash replays exactly epoch 3's order; no RNG state to persist)
+    * — and each epoch's documents pack into fixed token-budget
+    * sequences through the SAME two-pass running total as
+    * [[shardPacking]], keyed here by the permutation hash instead of
+    * doc_id.
+    *
+    * The two-pass form under a hash order: the hash's first two hex
+    * chars are the bucket (256 buckets), so (bucket, hash) order IS
+    * global hash order — within-bucket prefix windows partition on
+    * (epoch, bucket), and the 256·E-row offset frame prefix-sums per
+    * epoch and broadcasts back. The oracle runs the per-epoch GLOBAL
+    * window, proving the two forms equal. The E-fold row expansion
+    * is a map-side explode over the doc-METADATA frame (id + token
+    * count), never the text bytes: shuffled volume is E × |docs|
+    * thin rows, not E corpora.
+    *
+    * Output restricted to every `outMod`-th document (the packing is
+    * computed over ALL docs; the filter only bounds the emitted
+    * sample) — `(epoch, doc_id, n_tokens, seq_id, start_offset)`.
+    */
+  def epochPack(spark: SparkSession, dir: String, epochs: Int = 3,
+      budget: Long = 4096L, outMod: Long = 50L,
+      counter: TokenCounter = WhitespaceCounter): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), counter.count(col("text")).as("n_tokens"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("okey", expr(
+        "md5(cast(concat(cast(epoch as string), '|', cast(doc_id as string)) as binary))"))
+      .withColumn("bucket", expr("substring(okey, 1, 2)"))
+    val inBucket = Window.partitionBy("epoch", "bucket")
+      .orderBy("okey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.partitionBy("epoch").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("epoch", "bucket")
+      .agg(sum("n_tokens").as("btotal"))
+      .withColumn("offset",
+        coalesce(sum("btotal").over(acrossBuckets), lit(0L)))
+      .select("epoch", "bucket", "offset")
+    base
+      .withColumn("within", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("tokens_before", col("within") + col("offset"))
+      .where(col("doc_id") % outMod === 0)
+      .select(col("epoch"), col("doc_id"), col("n_tokens"),
+        expr(s"cast(tokens_before div $budget as bigint)").as("seq_id"),
+        expr(s"tokens_before % $budget").as("start_offset"))
+      .orderBy("epoch", "doc_id")
+  }
+
   /** Per-source document cap: keep the `n` largest documents of each
     * source (by `n_chars` desc, doc_id asc tie-break) — the per-domain
     * cap every crawl pipeline applies so no single domain dominates

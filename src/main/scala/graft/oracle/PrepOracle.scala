@@ -136,6 +136,34 @@ FROM agg ORDER BY doc_id"""
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
 
+  /** [[graft.operators.CorpusPrep.epochPack]]: the per-epoch GLOBAL
+    * running sum over the md5 permutation order — the one-window
+    * formulation whose equality with the engine's bucketed two-pass
+    * is the point of the hash comparison.
+    */
+  def epochPackSql(epochs: Int = 3, budget: Long = 4096L,
+      outMod: Long = 50L): String =
+    s"""WITH base AS (
+    SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+  ),
+  e AS (
+    SELECT t.i AS epoch, b.doc_id, b.n_tokens,
+      md5(CAST(t.i AS VARCHAR) || '|' || CAST(b.doc_id AS VARCHAR)) AS okey
+    FROM base b, range(0, $epochs) t(i)
+  ),
+  cum AS (
+    SELECT epoch, doc_id, n_tokens,
+      coalesce(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY okey, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+    FROM e
+  )
+SELECT epoch, doc_id, n_tokens,
+  CAST(tokens_before // $budget AS BIGINT) AS seq_id,
+  CAST(tokens_before % $budget AS BIGINT) AS start_offset
+FROM cum WHERE doc_id % $outMod = 0 ORDER BY epoch, doc_id"""
+
   /** [[graft.operators.CorpusPrep.sequenceMap]]: same plain global
     * running sum, loader-facing projection.
     */
