@@ -129,6 +129,13 @@ object Multimodal {
 
   /** [[metadata]] over an arbitrary media frame (ingress seam). */
   def metadataOf(mediaDf: DataFrame): DataFrame =
+    metadataProjection(mediaDf).orderBy("doc_id")
+
+  /** The metadata projection WITHOUT the presentation sort — every
+    * column row-local, so it is legal over a STREAMING media frame
+    * ([[graft.streaming.MmStream.catalog]]).
+    */
+  def metadataProjection(mediaDf: DataFrame): DataFrame =
     mediaDf
       .select(col("doc_id"), col("media_type"),
         col("meta.n_bytes").as("n_bytes"),
@@ -136,7 +143,6 @@ object Multimodal {
         col("meta.header_hex").as("header_hex"),
         (lit(16L) + expr("cast(conv(substr(meta.payload_md5, 1, 8), 16, 10) as bigint) % 240").cast("long")).as("width"),
         (lit(16L) + expr("cast(conv(substr(meta.payload_md5, 9, 8), 16, 10) as bigint) % 240").cast("long")).as("height"))
-      .orderBy("doc_id")
 
   /** Batched decode + frame sampling through the codec seam: one
     * codec per partition, per-row fan-out inside the iterator.

@@ -69,14 +69,52 @@ object BlobSource {
   /** Read a blob directory as the engine's media frame
     * `(doc_id, media_type, payload, meta)`. */
   def readMedia(spark: SparkSession, blobDir: String,
-      maxBytes: Long = 64L << 20): DataFrame = {
+      maxBytes: Long = 64L << 20): DataFrame =
+    normalize(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.*")
+        .load(blobDir),
+      maxBytes)
+
+  /** The binaryFile row schema (a STREAMING read must declare it;
+    * the batch read infers the same four columns).
+    */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** [[readMedia]] as a STREAM: blobs appearing in the directory
+    * arrive as micro-batch rows through the file source's
+    * exactly-once discovery (each file processed in exactly one
+    * batch, tracked in the checkpoint — a re-listed old blob is
+    * never re-emitted). The ingestion face of
+    * [[graft.streaming.MmStream.catalog]].
+    */
+  def readMediaStream(spark: SparkSession, blobDir: String,
+      maxBytes: Long = 64L << 20): DataFrame =
+    normalize(
+      spark.readStream.format("binaryFile")
+        .schema(BinaryFileSchema)
+        .option("pathGlobFilter", "doc_*.*")
+        .load(blobDir),
+      maxBytes)
+
+  /** The shared normalization: filename identity, extension
+    * modality, payload, metadata struct — one definition for the
+    * batch and streaming reads.
+    */
+  private def normalize(raw: DataFrame, maxBytes: Long): DataFrame = {
     val typeByExt = element_at(
       map(TypeByExt.flatMap { case (e, t) => Seq(lit(e), lit(t)) }: _*),
       regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1))
     Multimodal.withMeta(
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.*")
-        .load(blobDir)
+      raw
         .where(col("length") <= maxBytes)
         .select(
           nullif(regexp_extract(col("path"), "doc_(\\d+)\\.[a-z0-9]+$", 1),
