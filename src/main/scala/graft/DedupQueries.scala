@@ -38,6 +38,12 @@ object DedupQueries {
     Q("dedup_kept_corpus",
       (s, dir) => Dedup.keptCorpus(s, dir),
       Some(DocOracle.keptCorpusSql())),
+    // keep-policy variant: per cluster keep the LONGEST member, not
+    // the min id — one max_by aggregation (Spark) vs a ranking
+    // window (oracle), so the argmax itself is cross-checked.
+    Q("dedup_keep_best",
+      (s, dir) => Dedup.keepBestQuery(s, dir),
+      Some(DocOracle.keepBestSql())),
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(s, dir),
       Some(DocOracle.ngramJaccardSql())),

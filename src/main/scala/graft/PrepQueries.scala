@@ -85,5 +85,11 @@ object PrepQueries {
     // view): every version kept, delete tombstones close their key.
     Q("cdc_history_scd",
       (s, dir) => operators.Cdc.historyScdQuery(s, dir),
-      Some(graft.oracle.CdcOracle.historyScdSql)))
+      Some(graft.oracle.CdcOracle.historyScdSql)),
+    // Time travel: the merged snapshot AS OF seq 1 — the seq-2
+    // second recrawls are excluded, so doubly-updated docs show
+    // their intermediate text (observable vs the full merge).
+    Q("cdc_asof_snapshot",
+      (s, dir) => operators.Cdc.asOfSnapshotQuery(s, dir),
+      Some(graft.oracle.CdcOracle.asOfSnapshotSql())))
 }

@@ -263,7 +263,18 @@ object Scale {
       // 3 fused queries through one shared pass per tower: the ratio
       // should track the single fusion's (the probe count multiplies
       // only the term set and the k-row fusion, not the corpus work).
-      "search_hybrid_batch" -> (d => operators.Hybrid.rrfTopKBatch(spark, d)))
+      "search_hybrid_batch" -> (d => operators.Hybrid.rrfTopKBatch(spark, d)),
+      // round-8e additions. Heavy hitters under verbatim replication
+      // is the design point made visible: the vocabulary (and so the
+      // hot-bucket set and candidate term SET) is identical at 10x —
+      // only the two corpus passes (bucket partials + hot recount)
+      // scale, and theta's 10x growth cancels against 10x counts so
+      // the certificate stays 1. Keep-best rides the cluster family's
+      // pair growth; vocab coverage is one corpus aggregation plus a
+      // vocabulary-sized window.
+      "text_heavy_hitters" -> (d => TextAnalysis.heavyHitters(spark, d)),
+      "text_vocab_coverage" -> (d => TextAnalysis.vocabCoverage(spark, d)),
+      "dedup_keep_best" -> (d => Dedup.keepBestQuery(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

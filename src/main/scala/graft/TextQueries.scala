@@ -100,5 +100,17 @@ object TextQueries {
     // cross-engine regex semantics (the risk of a regex extractor).
     Q("text_html_extract",
       (s, dir) => TextAnalysis.htmlExtract(s, dir),
-      Some(TextOracle.htmlExtractSql)))
+      Some(TextOracle.htmlExtractSql)),
+    // tokenizer sizing: smallest frequency-ranked vocabulary prefix
+    // covering 50/90/99% of token mass, exact-integer thresholds.
+    Q("text_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(s, dir),
+      Some(TextOracle.vocabCoverageSql())),
+    // sketch-then-verify heavy hitters: bucket sketch prunes the
+    // vocabulary tail out of the term-keyed aggregation; the result
+    // carries its own exactness certificate, and the oracle computes
+    // the exact top-k + certificate directly (no sketch).
+    Q("text_heavy_hitters",
+      (s, dir) => TextAnalysis.heavyHitters(s, dir),
+      Some(TextOracle.heavyHittersSql())))
 }

@@ -107,6 +107,28 @@ object Cdc {
   def mergeSnapshotQuery(spark: SparkSession, dir: String): DataFrame =
     mergeSnapshot(docs(spark, dir), changeFeed(spark, dir)).orderBy("doc_id")
 
+  /** Time-travel read: the merged snapshot AS OF sequence `cut` —
+    * the lakehouse `VERSION AS OF` primitive over the same feed.
+    * Replaying only changes with `seq <= cut` through the unchanged
+    * merge is exactly how log-structured tables serve historical
+    * reads: the cut is a FILTER on the feed scan (predicate-pushdown
+    * territory on a persisted feed), not a different merge algorithm,
+    * so every scale property of [[mergeSnapshot]] (map-side latest
+    * compaction, one hint-free full-outer join, exchange reuse)
+    * carries over verbatim. With the fixture feed, `cut = 1`
+    * excludes the seq-2 second recrawls — doc_id % 20 == 3 docs
+    * observably show their seq-1 text instead of the final one,
+    * which is what makes the cut visible to the hash compare.
+    */
+  def asOfSnapshot(base: DataFrame, feed: DataFrame, cut: Long): DataFrame =
+    mergeSnapshot(base, feed.where(col("seq") <= cut))
+
+  /** The registered as-of query (default cut between the two
+    * update waves).
+    */
+  def asOfSnapshotQuery(spark: SparkSession, dir: String, cut: Long = 1L): DataFrame =
+    asOfSnapshot(docs(spark, dir), changeFeed(spark, dir), cut).orderBy("doc_id")
+
   /** SCD-2-style version history from the SAME feed: base text is
     * version 0, each U/I change appends a version at its seq, a D
     * tombstone closes the key (emitted so audits see the takedown),

@@ -604,6 +604,40 @@ object Dedup {
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  /** Quality-aware keeper selection: per cluster, keep the LONGEST
+    * member (most-complete replica) instead of [[clusters]]' min-id
+    * convention — the keep rule production pipelines actually run
+    * (a truncated mirror of a page should lose to the full copy).
+    * The policy is a per-cluster argmax over `(n_chars, -doc_id)`,
+    * computed as ONE map-side-combinable `max_by` aggregation —
+    * never a window: a window must co-locate and sort every
+    * cluster's members, while `max_by` carries O(1) state per
+    * cluster through partial aggregation, the same reasoning as
+    * [[Cdc]]'s latest-change compaction. Clustering and keep policy
+    * stay decoupled: this consumes [[clusters]]' output relation, so
+    * swapping the policy (min-id / longest / best-quality-score)
+    * never touches the CC iteration.
+    */
+  def keepBest(clusterLabels: DataFrame, docsDf: DataFrame): DataFrame =
+    clusterLabels
+      .join(docsDf.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("keeper_doc_id"),
+        max(col("n_chars")).as("keeper_chars"))
+      .orderBy("cluster_id")
+
+  /** The registered longest-member keeper query over the MinHash-LSH
+    * clusters (multi-member clusters only — singletons have no
+    * choice to make and [[clusters]] only labels paired docs).
+    */
+  def keepBestQuery(spark: SparkSession, dir: String): DataFrame =
+    keepBest(clusters(spark, dir).select("doc_id", "cluster_id"),
+      docs(spark, dir))
+
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
     * arithmetic). Two positive 32-bit halves sidestep signed-64

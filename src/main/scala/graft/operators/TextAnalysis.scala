@@ -970,4 +970,104 @@ object TextAnalysis {
           .cast("long").as("kept_tokens"))
       .orderBy("source")
   }
+
+  /** The cleaned non-empty token stream — shared corpus pass of the
+    * vocabulary-mass operators below.
+    */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question
+    * ("how many vocabulary entries cover X% of token mass?") as one
+    * query. Per requested basis-point level: the smallest
+    * frequency-ranked vocabulary prefix whose cumulative count
+    * reaches that share of total token mass, in exact integer
+    * arithmetic (`cum * 10000 >= pct_bp * total`).
+    *
+    * Shuffle audit: ONE corpus-sized term aggregation (map-side
+    * partials) produces the |vocabulary|-row count table; the
+    * cumulative ranking window then runs over the VOCABULARY —
+    * bounded and zipfian (millions of rows at web scale, one
+    * executor's sort), never the corpus — the same
+    * vocabulary-not-corpus window argument as [[tfidfTop]]'s df
+    * side. The levels table is 3 literal rows, broadcast.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      pctsBp: Seq[Int] = Seq(5000, 9000, 9900)): DataFrame = {
+    import spark.implicits._
+    val counts = tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts.select(
+      row_number().over(ord).cast("long").as("rank"),
+      sum(col("cnt")).over(cum).as("cum"))
+    val tot = counts.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("vocab_total"))
+    val levels = pctsBp.map(_.toLong).toDF("pct_bp")
+    ranked
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(levels))
+      .where(col("cum") * 10000 >= col("pct_bp") * col("total"))
+      .groupBy("pct_bp")
+      .agg(
+        min(col("rank")).as("vocab_size"),
+        min_by(col("cum"), col("rank")).as("covered_tokens"),
+        max(col("total")).as("total_tokens"),
+        max(col("vocab_total")).as("vocab_total"))
+      .orderBy("pct_bp")
+  }
+
+  /** Exact top-k heavy-hitter terms WITHOUT a vocabulary-keyed
+    * aggregation over the tail — the sketch-then-verify pattern that
+    * matters at 100 TB, where the vocabulary's cold tail (typos,
+    * ids, hashes — trillions of distinct strings) dwarfs the head
+    * and is exactly what a naive `groupBy(term)` shuffles.
+    *
+    * Pass 1 aggregates the token stream by `crc32(term) % buckets` —
+    * the exchange carries at most `buckets` partial rows per task,
+    * never a term row. Buckets whose total reaches
+    * `theta = 2 * ceil(N / buckets)` are "hot"; only terms hashing
+    * into hot buckets enter pass 2's term-keyed recount (a broadcast
+    * semi-join of the bucket list against the stream — the stream
+    * itself never shuffles).
+    *
+    * The result carries its own exactness CERTIFICATE: a term outside
+    * the candidate set lives in a bucket with total `< theta`, so its
+    * count is `< theta`; when the k-th candidate count `m >= theta`,
+    * no missed term can displace any of the top k — `certified = 1`
+    * PROVES the sketch result equals the exact top-k. The oracle
+    * computes the exact top-k directly (no bucketing) plus the same
+    * certificate arithmetic, so hash equality checks both the result
+    * and the proof; a corpus that defeated the sketch would surface
+    * as `certified = 0` + hash mismatch, never as a silent wrong
+    * answer. `HeavyHitterSpec` pins the degenerate-buckets failure
+    * mode and sketch-vs-exact equality.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 20, buckets: Int = 4096): DataFrame = {
+    val toks = tokenStream(spark, dir)
+      .withColumn("b", pmod(crc32(col("term")), lit(buckets.toLong)))
+    val bucketTotals = toks.groupBy("b").agg(count(lit(1)).as("bt"))
+    val theta = bucketTotals.agg(
+      (expr(s"(sum(bt) + ${buckets - 1}) div $buckets") * 2L).as("theta"))
+    val hot = bucketTotals.crossJoin(broadcast(theta))
+      .where(col("bt") >= col("theta")).select("b")
+    val counts = toks.join(broadcast(hot), Seq("b"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val topk = counts
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val minTop = topk.agg(min(col("cnt")).as("min_cnt"))
+    topk
+      .crossJoin(broadcast(theta))
+      .crossJoin(broadcast(minTop))
+      .select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc))
+          .cast("long").as("rank"),
+        col("term"), col("cnt"), col("theta"),
+        when(col("min_cnt") >= col("theta"), 1L).otherwise(0L).as("certified"))
+      .orderBy("rank")
+  }
 }

@@ -32,12 +32,14 @@ object CdcOracle {
     FROM documents WHERE doc_id % 10 = 9
   )"""
 
-  def mergeSnapshotSql: String =
-    s"""WITH $feedCte,
-  latest AS (
+  /** The latest-wins merge body over a feed relation (optionally
+    * pre-filtered) — shared by the full merge and the as-of replay.
+    */
+  private def mergeBody(feedFilter: String): String =
+    s"""latest AS (
     SELECT doc_id, op, text, lang, source FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
-      FROM feed
+      FROM feed $feedFilter
     ) WHERE rn = 1
   )
 SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
@@ -50,6 +52,15 @@ SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
 FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
 WHERE coalesce(l.op, 'K') <> 'D'
 ORDER BY doc_id"""
+
+  def mergeSnapshotSql: String =
+    s"WITH $feedCte,\n  ${mergeBody("")}"
+
+  /** [[Cdc.asOfSnapshot]]: the identical merge replayed over the
+    * `seq <= cut` prefix of the feed.
+    */
+  def asOfSnapshotSql(cut: Long = 1L): String =
+    s"WITH $feedCte,\n  ${mergeBody(s"WHERE seq <= $cut")}"
 
   def historyScdSql: String =
     s"""WITH $feedCte,

@@ -112,6 +112,30 @@ ORDER BY l.doc_id"""
   ),
   labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)"""
 
+  /** [[graft.operators.Dedup.keepBest]]: per-cluster longest-member
+    * keeper over the recursive-closure labels. The oracle picks the
+    * keeper with a window (`row_number` over `n_chars DESC, doc_id`)
+    * where Spark runs a `max_by` aggregation — different physical
+    * plan, same keeper, which re-checks the argmax itself.
+    */
+  def keepBestSql(numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${labelCtes(numSeeds)},
+  m AS (
+    SELECT l.cluster_id, l.doc_id, d.n_chars
+    FROM labels l JOIN documents d USING (doc_id)
+  ),
+  r AS (
+    SELECT cluster_id, doc_id, n_chars,
+      row_number() OVER (PARTITION BY cluster_id
+        ORDER BY n_chars DESC, doc_id) AS rn
+    FROM m
+  ),
+  sz AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id)
+SELECT s.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+  r.doc_id AS keeper_doc_id, CAST(r.n_chars AS BIGINT) AS keeper_chars
+FROM sz s JOIN r ON r.cluster_id = s.cluster_id AND r.rn = 1
+ORDER BY s.cluster_id"""
+
   /** The deduplicated corpus: documents minus non-keeper cluster
     * members (the applied form of [[clustersSql]]'s decision).
     */

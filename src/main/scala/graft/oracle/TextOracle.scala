@@ -500,4 +500,61 @@ SELECT b.source, count(*) AS n_docs,
     THEN b.n_ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM abase b JOIN abounds k USING (source)
 GROUP BY b.source ORDER BY b.source"""
+
+  /** Shared token-count CTE chain ending in
+    * `counts(term, cnt)` over cleaned non-empty tokens.
+    */
+  private def termCountCtes: String =
+    s"""vc_clean AS (
+    SELECT ${Tokenize.cleanSql("text")} AS cleaned FROM documents
+  ),
+  vc_toks AS (
+    SELECT unnest(string_split(cleaned, ' ')) AS term FROM vc_clean
+  ),
+  counts AS (
+    SELECT term, count(*) AS cnt FROM vc_toks
+    WHERE term <> '' GROUP BY term
+  )"""
+
+  /** [[graft.operators.TextAnalysis.vocabCoverage]]: the identical
+    * frequency-ranked cumulative prefix, integer threshold compare.
+    */
+  def vocabCoverageSql(pctsBp: Seq[Int] = Seq(5000, 9000, 9900)): String =
+    s"""WITH $termCountCtes,
+  ranked AS (
+    SELECT cnt,
+      row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+      sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counts
+  ),
+  tot AS (SELECT sum(cnt) AS total, count(*) AS vocab_total FROM counts),
+  levels AS (SELECT unnest([${pctsBp.mkString(", ")}]) AS pct_bp)
+SELECT CAST(p.pct_bp AS BIGINT) AS pct_bp,
+  CAST(min(r.rank) AS BIGINT) AS vocab_size,
+  CAST(min_by(r.cum, r.rank) AS BIGINT) AS covered_tokens,
+  CAST(max(t.total) AS BIGINT) AS total_tokens,
+  CAST(max(t.vocab_total) AS BIGINT) AS vocab_total
+FROM ranked r, tot t, levels p
+WHERE r.cum * 10000 >= p.pct_bp * t.total
+GROUP BY p.pct_bp ORDER BY pct_bp"""
+
+  /** [[graft.operators.TextAnalysis.heavyHitters]]: the oracle
+    * computes the exact top-k directly (no bucket sketch — that is
+    * the engine's internal route) plus the identical certificate
+    * arithmetic, so hash equality checks result AND proof.
+    */
+  def heavyHittersSql(k: Int = 20, buckets: Int = 4096): String =
+    s"""WITH $termCountCtes,
+  tot AS (SELECT sum(cnt) AS n FROM counts),
+  th AS (SELECT ((n + ${buckets - 1}) // $buckets) * 2 AS theta FROM tot),
+  topk AS (
+    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+    FROM counts ORDER BY cnt DESC, term ASC LIMIT $k
+  ),
+  m AS (SELECT min(cnt) AS min_cnt FROM topk)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.term, CAST(t.cnt AS BIGINT) AS cnt,
+  CAST(h.theta AS BIGINT) AS theta,
+  CAST(CASE WHEN m.min_cnt >= h.theta THEN 1 ELSE 0 END AS BIGINT) AS certified
+FROM topk t, th h, m ORDER BY rank"""
 }

@@ -116,6 +116,27 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: the round-8e additions") {
+    // heavy hitters: the load-bearing property is that the FIRST
+    // corpus-sized exchange is bucket-keyed (<= `buckets` partial
+    // rows per task) and the only term-keyed exchange sees hot-bucket
+    // terms — the vocabulary tail never shuffles. The count pins that
+    // structure; a naive full groupBy(term) rewrite shows up as a
+    // different budget.
+    pin("heavy_hitters", Ex(4, 4, 2)) {
+      TextAnalysis.heavyHitters(spark, dir)
+    }
+    pin("vocab_coverage", Ex(3, 2, 1)) {
+      TextAnalysis.vocabCoverage(spark, dir)
+    }
+    // keep-best: clustering exchanges + ONE map-side-combinable
+    // argmax aggregation — no per-cluster window sort.
+    pin("keep_best", Ex(5, 1, 0)) {
+      Dedup.keepBestQuery(spark, dir)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)
