@@ -975,7 +975,13 @@ object TextAnalysis {
     * vocabulary-mass operators below.
     */
   private def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    tokenStreamOf(docs(spark, dir))
+
+  /** [[tokenStream]] over any documents frame (the `*Of` seam the
+    * streaming sketch maintenance shares with the batch build).
+    */
+  def tokenStreamOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(split(Tokenize.clean(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
 
@@ -1048,13 +1054,39 @@ object TextAnalysis {
     */
   def heavyHitters(spark: SparkSession, dir: String,
       k: Int = 20, buckets: Int = 4096): DataFrame = {
-    val toks = tokenStream(spark, dir)
+    val d = docs(spark, dir)
+    heavyHittersFromSketch(d, bucketTotalsOf(d, buckets), k, buckets)
+  }
+
+  /** Pass 1 of [[heavyHitters]] as a standalone product: per-bucket
+    * token totals — a B-row ADDITIVE summary of a documents frame
+    * (sum of two frames' totals IS the union's totals), which is what
+    * makes it maintainable over streaming arrivals without base
+    * rescans ([[graft.streaming.TextStream.heavyHittersWithDeltas]]).
+    */
+  def bucketTotalsOf(docsDf: DataFrame, buckets: Int = 4096): DataFrame =
+    tokenStreamOf(docsDf)
       .withColumn("b", pmod(crc32(col("term")), lit(buckets.toLong)))
-    val bucketTotals = toks.groupBy("b").agg(count(lit(1)).as("bt"))
+      .groupBy("b").agg(count(lit(1)).as("bt"))
+
+  /** Pass 2 of [[heavyHitters]] against an externally-supplied bucket
+    * sketch (re-aggregated to one row per bucket). The certificate's
+    * proof REQUIRES the sketch to describe the same corpus the
+    * recount scans: a stale base-only sketch served against a
+    * base+delta corpus loses the one-sided guarantee — a term whose
+    * mass arrived via deltas can hide in a bucket the stale sketch
+    * calls cold while the top-k still certifies (the spec pins this
+    * silently-wrong-with-certificate outcome), which is exactly why
+    * the streaming path merges delta partials before serving.
+    */
+  def heavyHittersFromSketch(docsDf: DataFrame, bucketTotals: DataFrame,
+      k: Int = 20, buckets: Int = 4096): DataFrame = {
     val theta = bucketTotals.agg(
       (expr(s"(sum(bt) + ${buckets - 1}) div $buckets") * 2L).as("theta"))
     val hot = bucketTotals.crossJoin(broadcast(theta))
       .where(col("bt") >= col("theta")).select("b")
+    val toks = tokenStreamOf(docsDf)
+      .withColumn("b", pmod(crc32(col("term")), lit(buckets.toLong)))
     val counts = toks.join(broadcast(hot), Seq("b"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val topk = counts
@@ -1070,4 +1102,25 @@ object TextAnalysis {
         when(col("min_cnt") >= col("theta"), 1L).otherwise(0L).as("certified"))
       .orderBy("rank")
   }
+
+  /** The durable-artifact location of the base corpus's bucket
+    * sketch (the [[graft.operators.Dedup.signaturePath]] convention:
+    * beside the index snapshot, fingerprint-keyed).
+    */
+  def bucketSketchPath(dir: String, buckets: Int = 4096): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-hhsketch$buckets"
+
+  /** Durable form of [[bucketTotalsOf]] over the base corpus: B rows
+    * persisted once, content-fingerprint-gated on the documents
+    * source ([[graft.sources.Artifacts]]) — the summary a streaming
+    * deployment merges delta partials INTO instead of re-reading the
+    * 100 TB base per refresh.
+    */
+  def loadOrBuildBucketSketch(spark: SparkSession, dir: String,
+      buckets: Int = 4096): DataFrame =
+    graft.sources.Artifacts.loadOrBuild(spark, bucketSketchPath(dir, buckets),
+      Seq(s"$dir/documents.parquet")) {
+      bucketTotalsOf(docs(spark, dir), buckets).write.mode("overwrite")
+        .parquet(bucketSketchPath(dir, buckets))
+    }
 }

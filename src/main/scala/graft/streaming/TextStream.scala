@@ -109,4 +109,63 @@ object TextStream {
       TextAnalysis.stats(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
         .join(spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("source")), Seq("doc_id")))
+
+  /** Start the heavy-hitter sketch maintainer: every micro-batch of
+    * arriving documents collapses to its ≤ `buckets`-row bucket-total
+    * partial before landing (`deltaDir/batch=<id>`, idempotently
+    * overwritten on replay — the [[maintain]] convention). The
+    * landed partial is the WHOLE per-batch obligation: bucket totals
+    * are additive, so serving never re-reads batch documents for the
+    * sketch.
+    */
+  def maintainTermSketch(docs: DataFrame, deltaDir: String,
+      checkpointDir: String, buckets: Int = 4096,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        TextAnalysis.bucketTotalsOf(batch.toDF(), buckets)
+          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The live bucket sketch: the base corpus's durable sketch
+    * artifact merged with all accumulated delta partials —
+    * sum-of-partials IS sketch-of-union (bucket totals are additive),
+    * so the refresh touches only B-row frames, never the base corpus.
+    */
+  def bucketSketchWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String, buckets: Int = 4096): DataFrame = {
+    val base = TextAnalysis.loadOrBuildBucketSketch(spark, dir, buckets)
+    val batches = deltaBatches(spark, deltaDir)
+    val all =
+      if (batches.isEmpty) base
+      else base.unionByName(spark.read.parquet(batches: _*))
+    all.groupBy("b").agg(sum("bt").as("bt"))
+  }
+
+  /** Live heavy hitters over base + arrived deltas: the MERGED sketch
+    * routes the hot-bucket recount over the union corpus, so the
+    * exactness certificate's premise (sketch describes the recounted
+    * corpus) holds and `certified = 1` keeps its proof. Serving a
+    * STALE base-only sketch here is not a perf bug but a correctness
+    * one — a delta-heavy term can hide in a bucket the stale sketch
+    * calls cold while the result still certifies (spec-pinned) —
+    * which is what makes the delta merge load-bearing. The sketch
+    * refresh is B-row work; the recount pass over the union is the
+    * batch algorithm's own second pass, proportional to hot-bucket
+    * mass.
+    */
+  def heavyHittersWithDeltas(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame, deltaSketchDir: String,
+      k: Int = 20, buckets: Int = 4096): DataFrame = {
+    val union = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(deltaDocs.select("doc_id", "text"))
+    TextAnalysis.heavyHittersFromSketch(union,
+      bucketSketchWithDeltas(spark, dir, deltaSketchDir, buckets), k, buckets)
+  }
 }
