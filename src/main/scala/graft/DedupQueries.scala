@@ -44,6 +44,12 @@ object DedupQueries {
     Q("dedup_keep_best",
       (s, dir) => Dedup.keepBestQuery(s, dir),
       Some(DocOracle.keepBestSql())),
+    // the longest-member policy APPLIED: the kept corpus under
+    // keep-best — observably diverges from dedup_kept_corpus (about
+    // half the fixture clusters pick a non-min-id keeper).
+    Q("dedup_kept_corpus_best",
+      (s, dir) => Dedup.keptCorpusBest(s, dir),
+      Some(DocOracle.keptCorpusBestSql())),
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(s, dir),
       Some(DocOracle.ngramJaccardSql())),

@@ -85,6 +85,13 @@ object TextQueries {
     Q("text_bpe_artifact",
       (s, dir) => graft.operators.Bpe.vocabArtifact(s, dir),
       Some(TextOracle.bpeVocabSql())),
+    // loader-ready token-id sequences under the trained segmentation:
+    // merge application paid per DISTINCT word, ids one vocabulary
+    // window, per-occurrence work a broadcast join — the shape that
+    // tokenizes 100 TB.
+    Q("text_bpe_ids",
+      (s, dir) => graft.operators.Bpe.tokenIds(s, dir),
+      Some(TextOracle.bpeTokenIdsSql())),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

@@ -232,4 +232,57 @@ object Bpe {
           greatest(col("n_word_chars"), lit(1L))).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Per-WORD trained segmentations `(word, syms)` — the trainer's
+    * words frame with the delimiter framing unpacked to a symbol
+    * array. THE scale pivot of segmentation: BPE merge application is
+    * computed once per DISTINCT word (vocabulary-sized — the trainer
+    * already paid it), and the corpus tokenizes by a broadcast join
+    * against this table, never by re-running merges per occurrence.
+    */
+  def segmentsOf(spark: SparkSession, documents: => DataFrame,
+      n: Int = Merges, tag: String = "of"): DataFrame =
+    trained(spark, documents, n, tag)._2
+      .select(col("word"),
+        split(expr("trim(BOTH '|' FROM w)"), "\\|\\|").as("syms"))
+
+  /** The trained token-ID table: every distinct final symbol,
+    * enumerated lexicographically — the (deterministic, cross-engine)
+    * id assignment a tokenizer runtime ships. Vocabulary-sized
+    * window, corpus never touched.
+    */
+  def tokenIdTable(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
+    segmentsOf(spark, docs(spark, dir), n, dir)
+      .select(explode(col("syms")).as("symbol")).distinct()
+      .select(col("symbol"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("symbol")).cast("long").as("tok_id"))
+
+  /** Loader-ready token-ID sequences — the end product a training
+    * run actually consumes: each sampled document flattened to
+    * `(doc_id, wpos, spos, symbol, tok_id)` rows, ordered by
+    * position, under the TRAINED segmentation. The whole operator is
+    * two broadcast joins against vocabulary-sized tables (per-word
+    * segments, symbol ids) over one corpus scan: merge application
+    * cost is paid per distinct word at train time, id assignment is
+    * one vocabulary window — per-occurrence work is row-local
+    * explode+join, the only shape that survives tokenizing 100 TB.
+    * `docMod` samples a deterministic document subset (the registered
+    * demo keeps its output bounded; the plan is docMod-independent).
+    */
+  def tokenIds(spark: SparkSession, dir: String,
+      n: Int = Merges, docMod: Int = 25): DataFrame = {
+    val segs = segmentsOf(spark, docs(spark, dir), n, dir)
+    val ids = tokenIdTable(spark, dir, n)
+    docs(spark, dir)
+      .where(col("doc_id") % docMod === 0)
+      .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
+      .join(broadcast(segs), Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(broadcast(ids), Seq("symbol"))
+      .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+        col("spos").cast("long").as("spos"), col("symbol"), col("tok_id"))
+      .orderBy("doc_id", "wpos", "spos")
+  }
 }

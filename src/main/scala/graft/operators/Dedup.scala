@@ -638,6 +638,30 @@ object Dedup {
     keepBest(clusters(spark, dir).select("doc_id", "cluster_id"),
       docs(spark, dir))
 
+  /** [[keptCorpus]] under the [[keepBest]] policy — the longest-member
+    * keep rule APPLIED, so the policy is load-bearing, not a report:
+    * every cluster member except the per-cluster argmax is dropped.
+    * On the fixture corpus roughly half the clusters pick a
+    * different keeper than min-id, so this view observably diverges
+    * from [[keptCorpus]] (the hash compare sees the policy). Same
+    * scale shape as [[keptCorpus]]: the drop list derives from the
+    * cluster relation (O(|near-dups|)), the apply is the hint-free
+    * anti-join.
+    */
+  def keptCorpusBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = clusters(spark, dir).select("doc_id", "cluster_id")
+    val keepers = keepBest(members, docs(spark, dir))
+      .select("cluster_id", "keeper_doc_id")
+    val drop = members.join(keepers, Seq("cluster_id"))
+      .where(col("doc_id") =!= col("keeper_doc_id"))
+      .select("doc_id")
+    docs(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word unigrams with two 32-bit token hashes (md5 hex
     * chars 1-8 and 9-16 as integers — portable to DuckDB via strpos
     * arithmetic). Two positive 32-bit halves sidestep signed-64

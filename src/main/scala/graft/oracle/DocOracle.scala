@@ -136,6 +136,27 @@ SELECT s.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
 FROM sz s JOIN r ON r.cluster_id = s.cluster_id AND r.rn = 1
 ORDER BY s.cluster_id"""
 
+  /** [[graft.operators.Dedup.keptCorpusBest]]: the corpus with the
+    * longest-member keep policy applied — non-argmax cluster members
+    * dropped (window-ranked here, `max_by`-aggregated in Spark).
+    */
+  def keptCorpusBestSql(numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${labelCtes(numSeeds)},
+  m AS (
+    SELECT l.cluster_id, l.doc_id, d.n_chars
+    FROM labels l JOIN documents d USING (doc_id)
+  ),
+  r AS (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (PARTITION BY cluster_id
+        ORDER BY n_chars DESC, doc_id) AS rn
+    FROM m
+  )
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1)
+ORDER BY d.doc_id"""
+
   /** The deduplicated corpus: documents minus non-keeper cluster
     * members (the applied form of [[clustersSql]]'s decision).
     */

@@ -431,6 +431,39 @@ SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM bdocw d JOIN bvocab v USING (word)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** Mirrors `Bpe.tokenIds`: the oracle retrains, segments each
+    * distinct word, enumerates symbols lexicographically, and
+    * flattens the sampled documents to ordered (wpos, spos) token
+    * rows. Positions come from zipped same-select unnests (DuckDB
+    * zips them positionally — the spanCoverage convention), 0-based
+    * to match Spark's posexplode.
+    */
+  def bpeTokenIdsSql(n: Int = graft.operators.Bpe.Merges,
+      docMod: Int = 25): String =
+    s"""WITH ${bpeCtes(n)},
+  bsegs AS (
+    SELECT word, string_split(trim(w, '|'), '||') AS syms FROM bwords$n
+  ),
+  bids AS (
+    SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS tok_id
+    FROM (SELECT DISTINCT unnest(syms) AS symbol FROM bsegs)
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(warr) AS word,
+      unnest(generate_series(0, len(warr) - 1)) AS wpos
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS warr
+          FROM documents WHERE doc_id % $docMod = 0)
+  ),
+  btoks AS (
+    SELECT d.doc_id, d.wpos, unnest(s.syms) AS symbol,
+      unnest(generate_series(0, len(s.syms) - 1)) AS spos
+    FROM bdocw d JOIN bsegs s USING (word)
+  )
+SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
+  CAST(t.spos AS BIGINT) AS spos, t.symbol, i.tok_id
+FROM btoks t JOIN bids i USING (symbol)
+ORDER BY doc_id, wpos, spos"""
+
   /** Adaptive-quality oracle: the identical histogram-median chain —
     * per-source value histogram, cumulative count, cutoff = smallest
     * value whose cumulative reaches `(n + 1) // 2`, kept rollup.

@@ -80,4 +80,43 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(toks === Map(0L -> 8L, 1L -> 8L)) // 3 + 3 + 2 per doc
   }
+
+  test("segmentations concatenate back to their word; ids are a lexicographic bijection") {
+    val docs = docsOf("aaab aaab ab", "aaab aaab ab")
+    val segs = Bpe.segmentsOf(spark, docs, n = 1, tag = uniq("seg"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    // n=1 trains only 'aa': aaab -> [aa, a, b], ab -> [a, b]
+    assert(segs === Map("aaab" -> Seq("aa", "a", "b"), "ab" -> Seq("a", "b")))
+    // lossless: symbols rebuild the exact word (no chars dropped or
+    // invented by the framing/unframing round trip)
+    segs.foreach { case (w, ss) => assert(ss.mkString === w) }
+  }
+
+  test("token-id sequences are the trained segmentation in document order") {
+    val out = Bpe.tokenIds(spark, sf0001, docMod = 125)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // positions are dense and ordered per (doc, word)
+    val byDocWord = rows.groupBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("wpos")))
+    byDocWord.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("spos")).sorted.toSeq ===
+        (0L until rs.length).toSeq)
+    }
+    // id assignment is injective and consistent symbol<->id
+    val pairs = rows.map(r =>
+      (r.getAs[String]("symbol"), r.getAs[Long]("tok_id"))).distinct
+    assert(pairs.map(_._1).distinct.length === pairs.length)
+    assert(pairs.map(_._2).distinct.length === pairs.length)
+    // reassembling a word's symbols reproduces a corpus word (spot:
+    // every (doc, word) concat appears in the raw pretokenized text)
+    val sample = byDocWord.take(5)
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) as ws")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    sample.foreach { case ((d, wp), rs) =>
+      val word = rs.sortBy(_.getAs[Long]("spos")).map(_.getAs[String]("symbol")).mkString
+      assert(raw(d)(wp.toInt) === word)
+    }
+  }
 }

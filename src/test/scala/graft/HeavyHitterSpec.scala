@@ -74,6 +74,18 @@ class HeavyHitterSpec extends SparkTestBase {
     assert(out === Seq((1L, 3L, 11L, 9L), (2L, 2L, 20L, 4L)))
   }
 
+  test("applied keep-best corpus diverges from min-id kept corpus, same size") {
+    val minId = Dedup.keptCorpus(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val best = Dedup.keptCorpusBest(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // one survivor per cluster under either policy -> same cardinality
+    assert(best.size === minId.size)
+    // ...but the POLICY is visible: some clusters keep a different doc
+    assert((best -- minId).nonEmpty,
+      "longest-member policy should pick at least one non-min-id keeper")
+  }
+
   test("as-of replay: cut beyond the feed equals the full merge; cut 1 differs on doubly-updated keys") {
     val dir = sf0001
     val base = spark.read.parquet(s"$dir/documents.parquet")
