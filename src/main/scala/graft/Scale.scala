@@ -274,7 +274,13 @@ object Scale {
       // vocabulary-sized window.
       "text_heavy_hitters" -> (d => TextAnalysis.heavyHitters(spark, d)),
       "text_vocab_coverage" -> (d => TextAnalysis.vocabCoverage(spark, d)),
-      "dedup_keep_best" -> (d => Dedup.keepBestQuery(spark, d)))
+      "dedup_keep_best" -> (d => Dedup.keepBestQuery(spark, d)),
+      // tokenization at 10x: the trained segmentation and id tables
+      // are vocabulary-bound (identical under verbatim replication);
+      // docMod is fixed so the sampled doc set ALSO grows 10x — the
+      // ratio is the explode+join over 10x sampled occurrences.
+      "text_bpe_ids" -> (d => operators.Bpe.tokenIds(spark, d)),
+      "dedup_kept_corpus_best" -> (d => Dedup.keptCorpusBest(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

@@ -92,6 +92,13 @@ object TextQueries {
     Q("text_bpe_ids",
       (s, dir) => graft.operators.Bpe.tokenIds(s, dir),
       Some(TextOracle.bpeTokenIdsSql())),
+    // the tokenizer RUNTIME twin: the same token-id sequences via a
+    // row-local shipped-merges replace chain (no vocabulary join to
+    // segment — the OOV-capable form a live ingest runs), hashed
+    // against the SAME oracle.
+    Q("text_bpe_ids_rowlocal",
+      (s, dir) => graft.operators.Bpe.tokenIdsRowLocal(s, dir),
+      Some(TextOracle.bpeTokenIdsSql())),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

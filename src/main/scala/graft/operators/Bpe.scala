@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.DfCache
@@ -278,6 +278,62 @@ object Bpe {
       .where(col("doc_id") % docMod === 0)
       .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
       .join(broadcast(segs), Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(broadcast(ids), Seq("symbol"))
+      .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+        col("spos").cast("long").as("spos"), col("symbol"), col("tok_id"))
+      .orderBy("doc_id", "wpos", "spos")
+  }
+
+  /** Row-local segmentation under a TRAINED merge list — the
+    * tokenizer RUNTIME path: frame the word at characters, apply the
+    * shipped merges in rank order as literal replaces (exactly the
+    * trainer's own per-round rewrite, so corpus words segment
+    * identically — the registered twin hashes against the same
+    * oracle), split the frame. No join, no vocabulary lookup: this
+    * segments words the training corpus never saw (the OOV case the
+    * [[segmentsOf]] join path inner-joins away), which is what a
+    * live ingest needs. The merge list is collected once from the
+    * metadata-sized trained merge table (the
+    * [[graft.operators.JoinSearch.prunedTableIds]] altitude — a
+    * tokenizer runtime ships its merges as a constant), and the
+    * result is one codegen'd chain of literal string replaces per
+    * row. Symbols are `[a-z]+` by [[WordsExpr]], so embedding them
+    * as literals is injection-safe by construction.
+    */
+  def segmentExpr(word: Column, merges: Seq[(String, String)]): Column = {
+    val framed = regexp_replace(word, "(.)", "|$1|")
+    val applied = merges.foldLeft(framed) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    split(trim(applied, "|"), "\\|\\|")
+  }
+
+  /** The trained merge pairs in rank order, as plain Scala — the
+    * shipped-artifact constant [[segmentExpr]] consumes.
+    */
+  def mergePairs(spark: SparkSession, dir: String,
+      n: Int = Merges): Seq[(String, String)] =
+    merges(spark, dir, n).orderBy("rank")
+      .select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** [[tokenIds]] through the row-local runtime path — same output,
+    * same oracle: hash equality through the gate proves the
+    * shipped-merges replace chain and the trainer's vocabulary-join
+    * segmentation are ONE tokenizer. This is the form a streaming
+    * ingest runs (nothing corpus-sized joins in to segment; the id
+    * table is the one remaining vocabulary broadcast).
+    */
+  def tokenIdsRowLocal(spark: SparkSession, dir: String,
+      n: Int = Merges, docMod: Int = 25): DataFrame = {
+    val m = mergePairs(spark, dir, n)
+    val ids = tokenIdTable(spark, dir, n)
+    docs(spark, dir)
+      .where(col("doc_id") % docMod === 0)
+      .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
+      .withColumn("syms", segmentExpr(col("word"), m))
       .select(col("doc_id"), col("wpos"),
         posexplode(col("syms")).as(Seq("spos", "symbol")))
       .join(broadcast(ids), Seq("symbol"))

@@ -92,6 +92,50 @@ class BpeSpec extends SparkTestBase {
     segs.foreach { case (w, ss) => assert(ss.mkString === w) }
   }
 
+  test("row-local replace chain segments OOV words the join path cannot see") {
+    // trained merges: [(a,a)] (n=1 on the aaab/ab fixture). An
+    // unseen word must segment by the same rule — aa pairs collapse,
+    // everything else stays characters.
+    val out = spark.range(1).select(
+      Bpe.segmentExpr(lit("aazaa"), Seq(("a", "a"))).as("syms"),
+      Bpe.segmentExpr(lit("zqx"), Seq(("a", "a"))).as("untouched"),
+      Bpe.segmentExpr(lit("aaab"), Seq(("a", "a"))).as("corpus"))
+      .head()
+    assert(out.getSeq[String](0) === Seq("aa", "z", "aa"))
+    assert(out.getSeq[String](1) === Seq("z", "q", "x"))
+    // matches the trainer's own segmentation of a corpus word
+    assert(out.getSeq[String](2) === Seq("aa", "a", "b"))
+  }
+
+  test("runtime twin equals the vocabulary-join path row for row") {
+    val a = Bpe.tokenIds(spark, sf0001, docMod = 125).collect().toSeq
+    val b = Bpe.tokenIdsRowLocal(spark, sf0001, docMod = 125).collect().toSeq
+    assert(a === b)
+  }
+
+  test("segmentExpr tokenizes a live stream row-locally, no corpus join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val tokenized = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("wpos", "word")))
+      .withColumn("syms", Bpe.segmentExpr(col("word"), Seq(("a", "a"))))
+    // stateless select — streamable as-is; OOV words ("zz") segment
+    // by the same shipped-merges rule with no lookup anywhere.
+    val q = tokenized.writeStream.format("memory")
+      .queryName(s"bpetok${System.nanoTime()}").outputMode("append").start()
+    in.addData((1L, "aaab zz"))
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val out = spark.table(name).orderBy("wpos").collect()
+      .map(r => (r.getAs[String]("word"), r.getSeq[String](3))).toSeq
+    assert(out === Seq(("aaab", Seq("aa", "a", "b")), ("zz", Seq("z", "z"))))
+  }
+
   test("token-id sequences are the trained segmentation in document order") {
     val out = Bpe.tokenIds(spark, sf0001, docMod = 125)
     val rows = out.collect()
