@@ -30,6 +30,15 @@ object PrepQueries {
     Q("prep_shard_packing",
       (s, dir) => CorpusPrep.shardPacking(s, dir),
       Some(PrepOracle.shardPackingSql())),
+    // the packer fed by the TRAINED tokenizer instead of whitespace
+    // counts — the composition a real loader runs (budgets are in
+    // model tokens); the `sized`-frame seam makes it one select.
+    Q("prep_shard_packing_bpe",
+      (s, dir) => CorpusPrep.shardPackingOf(
+        operators.Bpe.tokens(s, dir).selectExpr(
+          "doc_id", "n_bpe_tokens as n_tokens"),
+        budget = 4096L, bucketSize = 100L),
+      Some(PrepOracle.shardPackingBpeSql())),
     // benchmark n-gram decontamination: distinct 5-gram overlap of
     // every training doc against the eval split's gram set.
     Q("prep_decontaminate",

@@ -136,6 +136,39 @@ FROM agg ORDER BY doc_id"""
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
 
+  /** [[graft.operators.CorpusPrep]] shard packing fed by the TRAINED
+    * BPE token counts instead of the whitespace counter — the
+    * composition oracle: the full tokenizer-retraining CTE chain
+    * (TextOracle) supplies per-doc sizes, then the identical global
+    * running-sum packing runs over them. Docs with no `[a-z]+` words
+    * have no BPE tokens and are absent (the Spark side's inner
+    * vocabulary join drops them too).
+    */
+  def shardPackingBpeSql(budget: Long = 4096L,
+      n: Int = graft.operators.Bpe.Merges): String =
+    s"""WITH ${TextOracle.bpeCtes(n)},
+  bvocab AS (
+    SELECT word,
+      CAST((length(w) - length(replace(w, '|', ''))) // 2 AS BIGINT) AS n_tok
+    FROM bwords$n
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  base AS (
+    SELECT d.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_tokens
+    FROM bdocw d JOIN bvocab v USING (word) GROUP BY d.doc_id
+  ),
+  cum AS (
+    SELECT doc_id, n_tokens,
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+    FROM base
+  )
+SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
+FROM cum ORDER BY doc_id"""
+
   /** [[graft.operators.CorpusPrep.epochPack]]: the per-epoch GLOBAL
     * running sum over the md5 permutation order — the one-window
     * formulation whose equality with the engine's bucketed two-pass

@@ -361,7 +361,7 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
     * 5m19s vs 0.7s at sf0.01) — the oracle-side twin of the
     * localCheckpoint-per-round discipline on the Spark side.
     */
-  private def bpeCtes(n: Int): String = {
+  private[oracle] def bpeCtes(n: Int): String = {
     val rounds = (1 to n).map { t =>
       s"""bpairs$t AS (
     SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
