@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInternal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Column-API wiring for the BPE runtime segmentation static call
+  * ([[SegmentFns.segment]]) — the [[Tokenize.clean]] `StaticInvoke`
+  * pattern: one codegen'd static call per row regardless of how many
+  * trained merges the shipped constant carries, instead of one
+  * Catalyst node per merge.
+  */
+object GraftFns {
+  /** `segment(word, packedMerges)` as a codegen'd column: returns the
+    * space-joined symbol sequence of `word` under the packed merge
+    * list (`"a b,aa b,..."`, rank order).
+    */
+  def segmentInvoke(word: Column, packedMerges: String): Column =
+    GraftInternal.column(
+      StaticInvoke(
+        SegmentFns.getClass,
+        StringType,
+        "segment",
+        Seq(GraftInternal.expression(word),
+          GraftInternal.expression(lit(packedMerges))),
+        inputTypes = Seq(StringType, StringType),
+        propagateNull = true,
+        returnNullable = true))
+}
+
+/** The static segmentation kernel. Merge parsing is memoized per
+  * packed string (one entry per trained tokenizer per executor); the
+  * per-row work is the same literal left-to-right replace sequence
+  * the trainer applies per round (`java.lang.String.replace` has
+  * exactly the SQL `replace` all-occurrences semantics), so a word
+  * segments identically here, in the chain expression, and in the
+  * trainer's own words frame — pinned by `BpeSpec`.
+  */
+object SegmentFns {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
+
+  private def parse(packed: String): Array[Array[String]] =
+    cache.computeIfAbsent(packed, p =>
+      if (p.isEmpty) Array.empty
+      else p.split(',').map(_.split(' ')))
+
+  def segment(word: UTF8String, packedMerges: UTF8String): UTF8String = {
+    if (word == null || packedMerges == null) return null
+    val w = word.toString
+    if (w.isEmpty) return UTF8String.fromString("")
+    val sb = new java.lang.StringBuilder(w.length * 3)
+    var i = 0
+    while (i < w.length) { sb.append('|').append(w.charAt(i)).append('|'); i += 1 }
+    var framed = sb.toString
+    val ms = parse(packedMerges.toString)
+    var k = 0
+    while (k < ms.length) {
+      val a = ms(k)(0); val b = ms(k)(1)
+      framed = framed.replace("|" + a + "||" + b + "|", "|" + a + b + "|")
+      k += 1
+    }
+    UTF8String.fromString(
+      framed.substring(1, framed.length - 1).split("\\|\\|").mkString(" "))
+  }
+}

@@ -301,6 +301,13 @@ object Bpe {
     * result is one codegen'd chain of literal string replaces per
     * row. Symbols are `[a-z]+` by [[WordsExpr]], so embedding them
     * as literals is injection-safe by construction.
+    *
+    * PLAN-SIZE BOUND: this form builds one Catalyst node per merge —
+    * fine at the demo's dozens, pathological at a production
+    * tokenizer's 10^4-10^5 merges (analysis recursion + codegen
+    * method-size limits). [[segmentExprPacked]] is the
+    * production form (one static call, O(1) plan size); this chain
+    * stays as its pure-SQL cross-check.
     */
   def segmentExpr(word: Column, merges: Seq[(String, String)]): Column = {
     val framed = regexp_replace(word, "(.)", "|$1|")
@@ -319,6 +326,24 @@ object Bpe {
       .select("pair_a", "pair_b").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** [[segmentExpr]] at PRODUCTION merge counts: the whole replace
+    * chain as ONE codegen'd static call (the [[graft.functions
+    * .Tokenize.clean]] pattern), so the plan stays O(1) in the merge
+    * count — the foldLeft chain builds one Catalyst node per merge,
+    * which at a real tokenizer's 10^4-10^5 merges means a
+    * driver-killing analysis tree and a codegen method-size blowout
+    * (round-8 self-review finding); this form ships the merges as
+    * one packed literal and applies them in a tight loop per row,
+    * parsed once per executor via a keyed cache. `BpeSpec` pins its
+    * equality with the chain form on both corpus and OOV words.
+    * Symbols are `[a-z]+` by [[WordsExpr]], so the space/comma
+    * packing is unambiguous.
+    */
+  def segmentExprPacked(word: Column, merges: Seq[(String, String)]): Column = {
+    val packed = merges.map { case (a, b) => s"$a $b" }.mkString(",")
+    split(graft.functions.GraftFns.segmentInvoke(word, packed), " ")
+  }
+
   /** [[tokenIds]] through the row-local runtime path — same output,
     * same oracle: hash equality through the gate proves the
     * shipped-merges replace chain and the trainer's vocabulary-join
@@ -326,6 +351,14 @@ object Bpe {
     * ingest runs (nothing corpus-sized joins in to segment; the id
     * table is the one remaining vocabulary broadcast).
     */
+  /** The reserved out-of-vocabulary token id ([[tokenIdTable]] ids
+    * start at 1, so 0 is free): a live-ingest symbol outside the
+    * trained alphabet maps here instead of silently VANISHING from
+    * the sequence — an inner id join would leave position gaps that
+    * corrupt downstream packing (round-8 self-review finding).
+    */
+  val UnkId = 0L
+
   def tokenIdsRowLocal(spark: SparkSession, dir: String,
       n: Int = Merges, docMod: Int = 25): DataFrame = {
     val m = mergePairs(spark, dir, n)
@@ -333,12 +366,22 @@ object Bpe {
     docs(spark, dir)
       .where(col("doc_id") % docMod === 0)
       .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
-      .withColumn("syms", segmentExpr(col("word"), m))
+      // the packed (O(1)-plan-size) runtime form — the one that
+      // holds at production merge counts; the chain form is the
+      // spec cross-check
+      .withColumn("syms", segmentExprPacked(col("word"), m))
       .select(col("doc_id"), col("wpos"),
         posexplode(col("syms")).as(Seq("spos", "symbol")))
-      .join(broadcast(ids), Seq("symbol"))
+      // left join + UnkId: every emitted symbol keeps its position
+      // even when the id table has never seen it (OOV ingest); on
+      // the training corpus itself the fallback never fires (the
+      // row-local segmentation is spec-pinned equal to the trained
+      // one), which is why this path still hashes against the same
+      // oracle.
+      .join(broadcast(ids), Seq("symbol"), "left")
       .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
-        col("spos").cast("long").as("spos"), col("symbol"), col("tok_id"))
+        col("spos").cast("long").as("spos"), col("symbol"),
+        coalesce(col("tok_id"), lit(UnkId)).as("tok_id"))
       .orderBy("doc_id", "wpos", "spos")
   }
 }

@@ -1091,7 +1091,14 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val topk = counts
       .orderBy(col("cnt").desc, col("term").asc).limit(k)
-    val minTop = topk.agg(min(col("cnt")).as("min_cnt"))
+    // the certificate needs BOTH conditions: min(topk) >= theta rules
+    // out a hidden heavier term, and n_top == k rules out a candidate
+    // SHORTFALL — with fewer than k candidates, ranks beyond the
+    // shortfall legitimately belong to sub-theta non-candidates the
+    // sketch cannot see, so a min-only check would certify a
+    // silently truncated result (round-8 self-review finding).
+    val minTop = topk.agg(
+      min(col("cnt")).as("min_cnt"), count(lit(1)).as("n_top"))
     topk
       .crossJoin(broadcast(theta))
       .crossJoin(broadcast(minTop))
@@ -1099,7 +1106,8 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("cnt").desc, col("term").asc))
           .cast("long").as("rank"),
         col("term"), col("cnt"), col("theta"),
-        when(col("min_cnt") >= col("theta"), 1L).otherwise(0L).as("certified"))
+        when(col("n_top") === k && col("min_cnt") >= col("theta"), 1L)
+          .otherwise(0L).as("certified"))
       .orderBy("rank")
   }
 

@@ -585,9 +585,10 @@ GROUP BY p.pct_bp ORDER BY pct_bp"""
     SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
     FROM counts ORDER BY cnt DESC, term ASC LIMIT $k
   ),
-  m AS (SELECT min(cnt) AS min_cnt FROM topk)
+  m AS (SELECT min(cnt) AS min_cnt, count(*) AS n_top FROM topk)
 SELECT CAST(t.rank AS BIGINT) AS rank, t.term, CAST(t.cnt AS BIGINT) AS cnt,
   CAST(h.theta AS BIGINT) AS theta,
-  CAST(CASE WHEN m.min_cnt >= h.theta THEN 1 ELSE 0 END AS BIGINT) AS certified
+  CAST(CASE WHEN m.n_top = $k AND m.min_cnt >= h.theta
+    THEN 1 ELSE 0 END AS BIGINT) AS certified
 FROM topk t, th h, m ORDER BY rank"""
 }

