@@ -58,8 +58,8 @@ object MmQueries {
               .where(org.apache.spark.sql.functions.col("doc_id") % BlobMod === 0)
               .select("doc_id", "text"),
             path)
+        // metadataOf already ends with the presentation orderBy
         Multimodal.metadataOf(sources.BlobSource.readMedia(s, path))
-          .orderBy("doc_id")
       },
       Some(MmOracle.metadataModSql(BlobMod))))
 

@@ -467,6 +467,11 @@ object CorpusPrep {
   def epochPack(spark: SparkSession, dir: String, epochs: Int = 3,
       budget: Long = 4096L, outMod: Long = 50L,
       counter: TokenCounter = WhitespaceCounter): DataFrame = {
+    // sequence(0, epochs-1) with epochs <= 0 would flip to a
+    // DESCENDING sequence ([0, -1], Spark's default-step rule) and
+    // emit phantom epochs instead of nothing (round-8 self-review
+    // finding) — reject the nonsensical input loudly.
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     val base = docs(spark, dir)
       .select(col("doc_id"), counter.count(col("text")).as("n_tokens"))
       .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))

@@ -326,8 +326,15 @@ object Similarity {
   def cosineTopKDiverse(spark: SparkSession, dir: String,
       k: Int = 10, kCand: Int = 30, probeMod: Int = 50,
       minCosBp: Int = 3000): DataFrame = {
-    val cands = cosineTopKAggWhere(spark, dir, kCand,
-      col("vec_id") % probeMod === 0)
+    // persisted: `cands` feeds TWO branches (the broadcast key build
+    // and the labeled join), and the typed TopK aggregation defeats
+    // exchange reuse — without the persist the dominant corpus-wide
+    // scoring pass runs twice per query (round-8 self-review
+    // finding). The frame is bounded (|probes| * kCand rows).
+    val cands = graft.sources.DfCache.getOrPersist(spark,
+      s"sim_diverse_cands:$dir:$kCand:$probeMod")(
+      cosineTopKAggWhere(spark, dir, kCand,
+        col("vec_id") % probeMod === 0))
     val labels = Dedup.clustersFromPairsStar(
       lshPairs(spark, dir, minCosBp)
         .select(col("vec_x").as("doc_x"), col("vec_y").as("doc_y")))

@@ -86,7 +86,13 @@ object PrepStream {
         .join(broadcast(cutoffs), Seq("source"), "left")
         .where(col("median_tokens").isNull ||
           col("n_ws_tokens") >= col("median_tokens"))
-        .drop("median_tokens")
+        // drop the pipeline-internal columns before landing: the
+        // dedup stages' null-text/no-shingle fallbacks are per-row
+        // uuid(), so keeping them would make a crash-replayed batch
+        // rewrite its directory with DIFFERENT bytes — membership
+        // was replay-stable but content was not (round-8 self-review
+        // finding).
+        .drop("median_tokens", "content_hash", "minhash_sig")
         .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
       TextAnalysis.sourceTokenHistogramOf(
           enriched.select("doc_id", "n_ws_tokens", "source"))

@@ -47,4 +47,12 @@ class EpochPackSpec extends SparkTestBase {
       assert(inOrder.head._1 == 0L, s"epoch $e must start at position 0")
     }
   }
+
+  test("epochs <= 0 is rejected, not phantom-epoch'd") {
+    // sequence(0, -1) would silently DESCEND ([0, -1]) and emit two
+    // packings; the guard turns that into a loud error.
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusPrep.epochPack(spark, sf0001, epochs = 0)
+    }
+  }
 }

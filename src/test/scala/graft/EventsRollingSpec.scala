@@ -41,6 +41,10 @@ class EventsRollingSpec extends SparkTestBase {
   }
 
   test("the window's partitioning satisfies the groupBy: one hash shuffle") {
+    // restore the PRE-TEST value, not a hard-coded "true" — the
+    // session is shared across suites in this JVM (round-8
+    // self-review finding).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = Events.rollingPeaksOf(fixture, W).queryExecution.executedPlan
@@ -52,7 +56,7 @@ class EventsRollingSpec extends SparkTestBase {
         _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
       assert(hash.size == 1 && range.size == 1,
         s"expected 1 hash + 1 presentation-sort exchange, got $ex:\n$p")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("corpus run matches an independent per-user brute force") {
