@@ -51,25 +51,18 @@ object MmQueries {
     // parquet-derived rows (same oracle, subset-restricted).
     Q("blob_source_metadata",
       (s, dir) => {
-        val path = blobFixturePath(dir)
-        if (!new java.io.File(path, "_SUCCESS").exists())
+        // the shared write-once fixture convention (Queries.fixturePath
+        // / fixtureOnce), stamped on the documents table the blobs
+        // derive from
+        val path = Queries.fixturePath("blobs", dir, stampTable = "documents")
+        Queries.fixtureOnce(path)(
           sources.BlobSource.writeBlobs(
             s.read.parquet(s"$dir/documents.parquet")
               .where(org.apache.spark.sql.functions.col("doc_id") % BlobMod === 0)
               .select("doc_id", "text"),
-            path)
+            path))
         // metadataOf already ends with the presentation orderBy
         Multimodal.metadataOf(sources.BlobSource.readMedia(s, path))
       },
       Some(MmOracle.metadataModSql(BlobMod))))
-
-  /** Corpus-mtime-stamped fixture dir (the [[Queries]] fixturePath
-    * convention): a regenerated corpus invalidates the blobs instead
-    * of serving stale bytes against a fresh oracle.
-    */
-  private def blobFixturePath(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    s"${sys.props("user.dir")}/target/graft-blobs/$name-$stamp"
-  }
 }

@@ -436,17 +436,20 @@ ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST LIMIT 7""",
     * an overwrite's fresh random part filenames turn any evicted-block
     * re-scan into FileNotFoundException (round-5 ADVICE).
     */
-  private def fixtureOnce(path: String)(write: => Unit): Unit =
+  private[graft] def fixtureOnce(path: String)(write: => Unit): Unit =
     if (!new java.io.File(path, "_SUCCESS").exists()) write
 
   /** Fixture path for `kind`, stamped with the source table's mtime:
     * a regenerated corpus at the same sf dir invalidates the fixture
     * automatically instead of silently serving stale query rows
-    * against a fresh oracle.
+    * against a fresh oracle. Package-visible so every fixture-writing
+    * registry (e.g. [[MmQueries]]' blobs) shares ONE stamping/guard
+    * convention instead of re-deriving it (round-8 self-review).
     */
-  private def fixturePath(kind: String, dir: String): String = {
+  private[graft] def fixturePath(kind: String, dir: String,
+      stampTable: String = "customer"): String = {
     val name = new java.io.File(dir).getName
-    val stamp = new java.io.File(s"$dir/customer.parquet").lastModified()
+    val stamp = new java.io.File(s"$dir/$stampTable.parquet").lastModified()
     s"${sys.props("user.dir")}/target/graft-$kind/$name-$stamp"
   }
 

@@ -67,7 +67,12 @@ object Stress {
       "dedup_span_coverage" -> (d => Dedup.spanCoverage(spark, d)),
       "prep_decontaminate" -> (d => CorpusPrep.decontaminate(spark, d)),
       "prep_training_corpus" -> (d => CorpusPrep.trainingCorpus(spark, d)),
-      "text_bm25_topk" -> (d => TextAnalysis.bm25TopK(spark, d)))
+      "text_bm25_topk" -> (d => TextAnalysis.bm25TopK(spark, d)),
+      // round-8e heavies: the compound keep-best apply (the round's
+      // worst 10x ratio — the one most worth proving spill-safe) and
+      // the certified sketch's two corpus passes.
+      "dedup_kept_corpus_best" -> (d => Dedup.keptCorpusBest(spark, d)),
+      "text_heavy_hitters" -> (d => TextAnalysis.heavyHitters(spark, d)))
 
     def drain(): Unit = Thread.sleep(300) // listener events are async
 
