@@ -933,9 +933,16 @@ object Dedup {
       .orderBy("n_members")
 
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val srcSh = shingles(spark, dir)
-      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("s")).distinct()
+    // persisted: the distinct feeds THREE consumers (the sizes
+    // aggregation and both self-join sides); exchange reuse covers
+    // the identical join sides but not the sizes plan, so without
+    // the persist the corpus-scale shingle distinct runs twice per
+    // query (round-8 self-review finding). Bounded by
+    // |sources| x |shingle vocabulary|.
+    val srcSh = DfCache.getOrPersist(spark, s"src_shingles:$dir")(
+      shingles(spark, dir)
+        .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("s")).distinct())
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = srcSh.select(col("source").as("source_a"), col("s"))
       .join(srcSh.select(col("source").as("source_b"), col("s")), Seq("s"))

@@ -77,18 +77,33 @@ object Hybrid {
       kCand: Int, qTerms: Int): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     TextAnalysis.bm25TopK(spark, dir, kCand + 1, qTerms)
-      .where(col("doc_id") =!= 0L)
+      .where(col("doc_id") =!= queryDocId(spark, dir))
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)
       .select(col("doc_id"), col("rank_text"))
   }
 
+  /** The single-fusion query document's id — the SAME selection rule
+    * as the BM25 query source (`bm25Core`: the minimum doc_id), so
+    * the towers' self-exclusion and vector probe stay aligned with
+    * the actual query document on a RE-KEYED corpus instead of a
+    * hardcoded literal 0, which would let the query retrieve itself
+    * through the text tower while the vector tower went silently
+    * empty (round-8 self-review finding). Metadata-sized driver
+    * aggregate served by parquet footer stats — the
+    * [[graft.operators.JoinSearch.prunedTableIds]] altitude.
+    */
+  private def queryDocId(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("doc_id"))).head().getLong(0)
+
   /** The vector tower: bounded cosine top-`kCand` for the single
-    * probe `vec_id = 0` (the query document's embedding); the TopK
-    * aggregator already excludes the probe itself.
+    * probe = the query document's embedding; the TopK aggregator
+    * already excludes the probe itself.
     */
   def cosineRanked(spark: SparkSession, dir: String, kCand: Int): DataFrame =
-    Similarity.cosineTopKAggWhere(spark, dir, kCand, col("vec_id") === 0L)
+    Similarity.cosineTopKAggWhere(spark, dir, kCand,
+      col("vec_id") === queryDocId(spark, dir))
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf`: the registered hybrid query — RRF fusion
@@ -104,7 +119,7 @@ object Hybrid {
     * ([[Similarity.ivfTopKAggFor]]).
     */
   def cosineRankedIvf(spark: SparkSession, dir: String, kCand: Int): DataFrame =
-    Similarity.ivfTopKAggFor(spark, dir, 0L, kCand)
+    Similarity.ivfTopKAggFor(spark, dir, queryDocId(spark, dir), kCand)
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf_ivf`: the hybrid query with the IVF vector

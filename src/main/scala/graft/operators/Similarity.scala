@@ -240,6 +240,15 @@ object Similarity {
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))")
           .as("pq"))
       .withColumn("pnq", VectorMath.dotLong(col("pq"), col("pq")))
+      // REQUEST input is unvalidated: a zero-norm (or
+      // all-subquantization-zero) embedding has no defined cosine —
+      // without this guard every corpus row scores NaN for that
+      // probe and the bounded aggregator's comparator (false both
+      // ways on NaN) returns k arbitrary rows at cos_bp = 0 instead
+      // of nothing (round-8 self-review finding; the codebook
+      // trainer filters the same hazard on the corpus side). Such a
+      // probe yields an EMPTY result, the honest answer.
+      .where(col("pnq") > 0L)
     topKAggCore(spark, quantized(spark, dir), probes, k, excludeSelf = false)
   }
 
