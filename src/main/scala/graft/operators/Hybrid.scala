@@ -49,6 +49,14 @@ object Hybrid {
     * absent-list ranks reported as 0.
     */
   def rrfFuse(text: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    // NOT a delegation to [[rrfFuseBatch]] with a constant probe_id:
+    // that was tried (round-8 self-review) and the golden guard
+    // caught it adding two exchanges — the constant-keyed
+    // partitionBy windows hash-shuffle where the global window's
+    // single exchange suffices. The fusion contract staying in sync
+    // with the batch form is instead pinned behaviorally by
+    // HybridSpec ("batch fusion serves each probe exactly its
+    // single-probe answer").
     // `div` (not float division + floor): exact bigint in both
     // engines; a null rank (doc absent from that list) propagates
     // through the arithmetic and coalesces to a 0 contribution.
@@ -173,6 +181,9 @@ object Hybrid {
     * ranking in one frame.
     */
   def rrfFuseBatch(text: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    // `div` (not float division + floor): exact bigint in both
+    // engines; a null rank (doc absent from that list) propagates
+    // through the arithmetic and coalesces to a 0 contribution.
     def contrib(c: String): Column =
       coalesce(expr(s"$RrfScale div ($RrfK + $c)"), lit(0L))
     val fused = text.join(vec, Seq("probe_id", "doc_id"), "full_outer")

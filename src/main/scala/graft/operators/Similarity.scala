@@ -810,6 +810,20 @@ object Similarity {
     * to the cached vectors — the only raw-vector touch, proportional
     * to output, not corpus.
     */
+  /** The per-probe ADC lookup table `(qid, m, code, pdot)`: each
+    * probe's exact integer dot against every sub-codebook centroid —
+    * |probes| x M x numCents rows, broadcast. One definition for
+    * both ADC consumers ([[pqTopK]], [[ivfPqTopK]]): the
+    * subspace-slice arithmetic is the off-by-one-prone expression
+    * that must exist exactly once (round-8 self-review finding).
+    */
+  private def pqLut(probes: DataFrame, book: DataFrame): DataFrame =
+    broadcast(probes.crossJoin(broadcast(book))
+      .withColumn("pdot", VectorMath.dotLong(
+        slice(col("pq"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
+        col("cq")))
+      .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
+
   def pqTopK(spark: SparkSession, dir: String,
       k: Int = 10, probeMod: Int = 50, numCents: Int = PqCents): DataFrame = {
     val rerank = PqRerankFactor * k
@@ -817,11 +831,7 @@ object Similarity {
     val book = pqCodebook(spark, dir, numCents)
     val probes = base.where(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
-    val lut = broadcast(probes.crossJoin(broadcast(book))
-      .withColumn("pdot", VectorMath.dotLong(
-        slice(col("pq"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
-        col("cq")))
-      .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
+    val lut = pqLut(probes, book)
     val adc = pqCodes(spark, dir, numCents)
       .join(lut, Seq("m", "code"))
       .where(col("vec_id") =!= col("qid"))
@@ -850,9 +860,19 @@ object Similarity {
     * re-rank depth from data; failures count (left join, recall 0).
     */
   def pqRecall(spark: SparkSession, dir: String,
-      k: Int = 10, probeMod: Int = 50): DataFrame = {
-    val exact = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
-    val got = pqTopK(spark, dir, k, probeMod).select("qid", "vec_id")
+      k: Int = 10, probeMod: Int = 50): DataFrame =
+    recallVs(cosineTopK(spark, dir, k, probeMod),
+      pqTopK(spark, dir, k, probeMod), k)
+
+  /** Shared recall arithmetic: per-probe |exact top-k ∩ got| over k,
+    * probes whose results the candidates miss entirely kept at 0 via
+    * the left join (the metric cannot flatter itself by dropping
+    * failures). One definition for every *Recall twin (round-8
+    * self-review finding — the PQ and IVF-PQ copies could drift).
+    */
+  private def recallVs(exactDf: DataFrame, gotDf: DataFrame, k: Int): DataFrame = {
+    val exact = exactDf.select("qid", "vec_id")
+    val got = gotDf.select("qid", "vec_id")
     val hits = exact.join(got, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("hits"))
     exact.select("qid").distinct()
@@ -902,11 +922,7 @@ object Similarity {
       .where(col("rn") <= nprobe)
       .select(col("qid"), col("cent_id").as("cell_id"))
     val book = pqCodebook(spark, dir, numPqCents)
-    val lut = broadcast(probes.crossJoin(broadcast(book))
-      .withColumn("pdot", VectorMath.dotLong(
-        slice(col("pq"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
-        col("cq")))
-      .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
+    val lut = pqLut(probes, book)
     val adc = cells.join(broadcast(routes), Seq("cell_id"))
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
@@ -961,20 +977,9 @@ object Similarity {
     * `sim_ivf_recall_np2` (routing only) to attribute the loss.
     */
   def ivfPqRecall(spark: SparkSession, dir: String,
-      k: Int = 10, probeMod: Int = 50): DataFrame = {
-    val exact = cosineTopK(spark, dir, k, probeMod).select("qid", "vec_id")
-    val got = ivfPqTopK(spark, dir, k, probeMod).select("qid", "vec_id")
-    val hits = exact.join(got, Seq("qid", "vec_id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-    exact.select("qid").distinct()
-      .join(hits, Seq("qid"), "left_outer")
-      .select(col("qid"),
-        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
-        lit(k.toLong).as("k"))
-      .withColumn("recall_bp",
-        floor(lit(10000L) * col("hits") / col("k")).cast("long"))
-      .orderBy("qid")
-  }
+      k: Int = 10, probeMod: Int = 50): DataFrame =
+    recallVs(cosineTopK(spark, dir, k, probeMod),
+      ivfPqTopK(spark, dir, k, probeMod), k)
 
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
     * the candidate set shrinks by ~numCents vs brute force, the
