@@ -39,13 +39,34 @@ object GraftFns {
   * trainer's own words frame — pinned by `BpeSpec`.
   */
 object SegmentFns {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
+  /** Last-used memo, not an unbounded map: packed merge lists are
+    * MB-scale at production merge counts and keyed by their full
+    * content, so a ConcurrentHashMap would retain every tokenizer
+    * generation a long-lived session ever trains (round-8 ADVICE) —
+    * and even LOOKING UP such a key costs O(len) per row (hash or
+    * content compare of megabytes). One tokenizer constant is live
+    * per plan, and codegen ships the packed literal as ONE constant
+    * `UTF8String` object, so the memo keys on its REFERENCE: the hot
+    * path is a pointer compare, the O(len) `toString` + parse runs
+    * once per (executor, tokenizer). A non-identical but equal key
+    * (a second plan shipping the same merges) just reparses and
+    * replaces the entry wholesale — a benign race, parsing is
+    * deterministic; nothing accumulates.
+    */
+  @volatile private var cached: (UTF8String, Array[Array[String]]) = null
 
-  private def parse(packed: String): Array[Array[String]] =
-    cache.computeIfAbsent(packed, p =>
-      if (p.isEmpty) Array.empty
-      else p.split(',').map(_.split(' ')))
+  private def parse(packed: UTF8String): Array[Array[String]] = {
+    val c = cached
+    if (c != null && (c._1 eq packed)) c._2
+    else {
+      val p = packed.toString
+      val parsed =
+        if (p.isEmpty) Array.empty[Array[String]]
+        else p.split(',').map(_.split(' '))
+      cached = (packed, parsed)
+      parsed
+    }
+  }
 
   def segment(word: UTF8String, packedMerges: UTF8String): UTF8String = {
     if (word == null || packedMerges == null) return null
@@ -55,7 +76,7 @@ object SegmentFns {
     var i = 0
     while (i < w.length) { sb.append('|').append(w.charAt(i)).append('|'); i += 1 }
     var framed = sb.toString
-    val ms = parse(packedMerges.toString)
+    val ms = parse(packedMerges)
     var k = 0
     while (k < ms.length) {
       val a = ms(k)(0); val b = ms(k)(1)

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * a BM25 candidate list and an embedding-cosine candidate list for
   * the SAME query document, fused by RRF
   * (`score = Σ_lists floor(S / (K + rank))`) so neither scorer's
-  * scale has to be calibrated against the other's. The query is
-  * document 0, query-by-example on both towers: its leading cleaned
+  * scale has to be calibrated against the other's. The query is the
+  * MINIMUM-doc_id document ([[queryDocId]] — the same selection rule
+  * as the BM25 query source, so a re-keyed corpus moves both towers
+  * together), query-by-example on both towers: its leading cleaned
   * tokens are the lexical query ([[TextAnalysis.bm25TopK]]'s
-  * convention) and its embedding (`vec_id = 0`; the corpus keys
-  * embeddings by `vec_id = doc_id`) is the vector query. Document 0
-  * itself is excluded from both candidate lists — a retrieval
-  * engine must not return the query as its own answer.
+  * convention) and its embedding (`vec_id = queryDocId`; the corpus
+  * keys embeddings by `vec_id = doc_id`) is the vector query. The
+  * query document itself is excluded from both candidate lists — a
+  * retrieval engine must not return the query as its own answer.
   *
   * Exactness: ranks are integers by construction (each tower's
   * deterministic `(score desc, id asc)` tie-break), and the RRF
@@ -82,10 +84,14 @@ object Hybrid {
     * positions among non-self documents.
     */
   def bm25Ranked(spark: SparkSession, dir: String,
+      kCand: Int, qTerms: Int): DataFrame =
+    bm25RankedAs(spark, dir, queryDocId(spark, dir), kCand, qTerms)
+
+  private def bm25RankedAs(spark: SparkSession, dir: String, qid: Long,
       kCand: Int, qTerms: Int): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     TextAnalysis.bm25TopK(spark, dir, kCand + 1, qTerms)
-      .where(col("doc_id") =!= queryDocId(spark, dir))
+      .where(col("doc_id") =!= qid)
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)
       .select(col("doc_id"), col("rank_text"))
@@ -100,6 +106,9 @@ object Hybrid {
     * empty (round-8 self-review finding). Metadata-sized driver
     * aggregate served by parquet footer stats — the
     * [[graft.operators.JoinSearch.prunedTableIds]] altitude.
+    * Computed ONCE per query build and passed to both towers
+    * (round-8 ADVICE: the per-tower call fired the same driver job
+    * two or three times per fused query).
     */
   private def queryDocId(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -110,24 +119,33 @@ object Hybrid {
     * already excludes the probe itself.
     */
   def cosineRanked(spark: SparkSession, dir: String, kCand: Int): DataFrame =
-    Similarity.cosineTopKAggWhere(spark, dir, kCand,
-      col("vec_id") === queryDocId(spark, dir))
+    cosineRankedAs(spark, dir, queryDocId(spark, dir), kCand)
+
+  private def cosineRankedAs(spark: SparkSession, dir: String, qid: Long,
+      kCand: Int): DataFrame =
+    Similarity.cosineTopKAggWhere(spark, dir, kCand, col("vec_id") === qid)
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf`: the registered hybrid query — RRF fusion
     * of the two towers, top `k`.
     */
   def rrfTopK(spark: SparkSession, dir: String,
-      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame =
-    rrfFuse(bm25Ranked(spark, dir, kCand, qTerms),
-      cosineRanked(spark, dir, kCand), k)
+      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame = {
+    val qid = queryDocId(spark, dir)
+    rrfFuse(bm25RankedAs(spark, dir, qid, kCand, qTerms),
+      cosineRankedAs(spark, dir, qid, kCand), k)
+  }
 
   /** The vector tower's scale path: candidates from the probe's IVF
     * routed cell instead of the full corpus
     * ([[Similarity.ivfTopKAggFor]]).
     */
   def cosineRankedIvf(spark: SparkSession, dir: String, kCand: Int): DataFrame =
-    Similarity.ivfTopKAggFor(spark, dir, queryDocId(spark, dir), kCand)
+    cosineRankedIvfAs(spark, dir, queryDocId(spark, dir), kCand)
+
+  private def cosineRankedIvfAs(spark: SparkSession, dir: String, qid: Long,
+      kCand: Int): DataFrame =
+    Similarity.ivfTopKAggFor(spark, dir, qid, kCand)
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf_ivf`: the hybrid query with the IVF vector
@@ -140,9 +158,11 @@ object Hybrid {
     * cell-routing loss, measured by `sim_ivf_recall`.
     */
   def rrfTopKIvf(spark: SparkSession, dir: String,
-      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame =
-    rrfFuse(bm25Ranked(spark, dir, kCand, qTerms),
-      cosineRankedIvf(spark, dir, kCand), k)
+      k: Int = 20, kCand: Int = 50, qTerms: Int = 8): DataFrame = {
+    val qid = queryDocId(spark, dir)
+    rrfFuse(bm25RankedAs(spark, dir, qid, kCand, qTerms),
+      cosineRankedIvfAs(spark, dir, qid, kCand), k)
+  }
 
   /** The default probe set for the batched fusion: documents 0, 50,
     * 100 (the vector tower's `probeMod = 50` convention restricted

@@ -6,7 +6,8 @@ import graft.operators.{Hybrid, Similarity}
 /** DuckDB oracle SQL for the hybrid RRF retrieval family — the BM25
   * tower mirrors [[TextOracle.bm25TopKSql]] stage for stage, the
   * vector tower mirrors [[SimOracle]]'s quantized-cosine CTEs with a
-  * single `vec_id = 0` probe (exact or IVF-routed), and the fusion
+  * single derived `vec_id = min(doc_id)` probe (exact or
+  * IVF-routed), and the fusion
   * is the same exact integer `RrfScale // (RrfK + rank)` arithmetic.
   */
 object HybridOracle {
@@ -17,14 +18,22 @@ object HybridOracle {
   private val RK = Hybrid.RrfK
 
   /** The BM25 tower as a CTE chain ending in `tcand(doc_id,
-    * rank_text)`: ranks ALL matched docs, drops document 0 (the
-    * query), keeps the top `kCand` non-self positions — the same
+    * rank_text)`: ranks ALL matched docs, drops the query document
+    * itself, keeps the top `kCand` non-self positions — the same
     * candidate set the engine gets from `bm25TopK(kCand + 1)` minus
     * self (the top-kCand non-self docs of a ranking are always
-    * contained in its top kCand + 1).
+    * contained in its top kCand + 1). The query document is DERIVED
+    * (`qd` = min doc_id — the engine's `Hybrid.queryDocId` rule),
+    * never a literal id: on a re-keyed corpus a hardcoded 0 would
+    * exclude the wrong document and probe a nonexistent vec_id
+    * (round-8 ADVICE).
     */
+  private val qdCte =
+    "qd AS (SELECT min(doc_id) AS qid FROM documents)"
+
   private def textCtes(kCand: Int, qTerms: Int): String =
     s"""${TextOracle.statsCte},
+  $qdCte,
   qsrc AS (
     SELECT string_split(${Tokenize.cleanSql("text")}, ' ')[1:$qTerms] AS ts
     FROM documents ORDER BY doc_id LIMIT 1
@@ -58,7 +67,7 @@ object HybridOracle {
   tranked AS (
     SELECT doc_id,
       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_text
-    FROM bagg WHERE doc_id <> 0
+    FROM bagg WHERE doc_id <> (SELECT qid FROM qd)
   ),
   tcand AS (SELECT doc_id, rank_text FROM tranked WHERE rank_text <= $kCand)"""
 
@@ -95,12 +104,12 @@ FROM franked WHERE rank <= $k ORDER BY rank"""
     SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
     FROM qbase
   ),
-  probe AS (SELECT q AS pq, nq AS pnq FROM nb WHERE vec_id = 0),
+  probe AS (SELECT q AS pq, nq AS pnq FROM nb WHERE vec_id = (SELECT qid FROM qd)),
   vpairs AS (
     SELECT c.vec_id,
       CAST(list_sum(list_transform(range(1, ${D + 1}), i -> p.pq[i] * c.q[i])) AS BIGINT) AS dot_q,
       c.nq, p.pnq
-    FROM probe p, nb c WHERE c.vec_id <> 0
+    FROM probe p, nb c WHERE c.vec_id <> (SELECT qid FROM qd)
   ),
   vscored AS (
     SELECT vec_id,
@@ -235,13 +244,14 @@ FROM franked WHERE rank <= $k ORDER BY probe_id, rank"""
   vcells AS (SELECT vec_id, cent_id AS cell_id FROM vassign WHERE rn = 1),
   vprobe AS (
     SELECT n.q AS pq, n.nq AS pnq, c.cell_id
-    FROM nb n JOIN vcells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0
+    FROM nb n JOIN vcells c ON c.vec_id = n.vec_id
+    WHERE n.vec_id = (SELECT qid FROM qd)
   ),
   vpairs AS (
     SELECT n.vec_id, ${SimOracle.dotSql("p.pq", "n.q")} AS dot_q, n.nq, p.pnq
     FROM vprobe p JOIN vcells c ON c.cell_id = p.cell_id
     JOIN nb n ON n.vec_id = c.vec_id
-    WHERE n.vec_id <> 0
+    WHERE n.vec_id <> (SELECT qid FROM qd)
   ),
   vranked AS (
     SELECT vec_id AS doc_id,
