@@ -27,4 +27,14 @@ object DfCache {
   def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop (and unpersist) one entry — for the rare in-session source
+    * rewrite (a test fixture re-crawl): a pinned lineage over
+    * overwritten parquet files would re-read deleted part files on
+    * recompute. No-op when absent.
+    */
+  def invalidate(spark: SparkSession, key: String): Unit =
+    Option(cache.get(spark)).foreach { m =>
+      m.remove(key).foreach(_.unpersist(false))
+    }
 }

@@ -67,6 +67,18 @@ object SimStream {
       .select("vec_id", "cell_id")
   }
 
+  /** [[routeCells]] against the corpus's DURABLE trained codebook
+    * ([[Similarity.ivfCodebook]] — the content-fingerprint-gated
+    * artifact beside the snapshot): a restarted ingest resumes
+    * routing from the persisted book instead of retraining it, so
+    * stream routing and the batch assignment artifact stay aligned
+    * across sessions by construction (same book, same exact-bigint
+    * argmax).
+    */
+  def routeCellsDurable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame): DataFrame =
+    routeCells(stream, Similarity.ivfCodebook(spark, dir))
+
   /** Live per-cell occupancy: the streaming aggregation whose state
     * is exactly numCents rows — what the balance sampler
     * ([[Similarity.clusterBalance]]) and a cell-skew monitor read

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.Similarity
+import graft.streaming.SimStream
+
+/** Durable ANN artifacts (round-9 verdict #1): the trained IVF
+  * codebook, corpus cell assignment, PQ codebooks and PQ codes
+  * persist beside the snapshot under the content-fingerprint gate —
+  * closing the last per-session corpus pass (round-8's one weak
+  * component: a new session retrained the codebook and re-encoded
+  * the corpus before its first vector query). FS-level proof in the
+  * [[ArtifactStalenessSpec]] pattern: rebuilds observed through
+  * part-file names (every Spark overwrite emits fresh `part-<uuid>`
+  * names), no sleeps, no mtime assumptions.
+  */
+class AnnArtifactSpec extends SparkTestBase {
+
+  private def isolatedCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-ann-corpus")
+    Files.list(Paths.get(sf0001)).forEach { p =>
+      Files.copy(p, dir.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  private def partNames(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+
+  test("ANN artifacts build once, serve without retraining, rebuild on source rewrite") {
+    val dir = isolatedCorpus()
+    val paths = Seq(
+      Similarity.ivfCodebookPath(dir), Similarity.ivfCellsPath(dir),
+      Similarity.pqCodebookPath(dir), Similarity.pqCodesPath(dir))
+
+    // first touch trains + persists all four artifacts.
+    val book0 = Similarity.ivfCodebook(spark, dir).collect().toSet
+    Similarity.ivfCells(spark, dir).count()
+    Similarity.pqCodebook(spark, dir).count()
+    Similarity.pqCodes(spark, dir).count()
+    val names0 = paths.map(partNames)
+    assert(names0.forall(_.nonEmpty), "artifacts not materialized")
+
+    // second touch serves the SAME files — no retrain, no rewrite.
+    val book1 = Similarity.ivfCodebook(spark, dir).collect().toSet
+    Similarity.ivfCells(spark, dir).count()
+    Similarity.pqCodebook(spark, dir).count()
+    Similarity.pqCodes(spark, dir).count()
+    assert(paths.map(partNames) == names0,
+      "artifacts rebuilt although the embeddings source is unchanged")
+    assert(book1 == book0)
+
+    // re-encode: embeddings rewritten in place with identical rows
+    // (localCheckpoint materializes before the overwrite). The
+    // fingerprint sees the fresh part names; every artifact rebuilds
+    // — and, training being deterministic, to identical values.
+    val src = s"$dir/embeddings.parquet"
+    spark.read.parquet(src).localCheckpoint(true)
+      .write.mode("overwrite").parquet(src)
+    graft.sources.DfCache.invalidate(spark, s"emb_quant:$dir")
+    val book2 = Similarity.ivfCodebook(spark, dir).collect().toSet
+    Similarity.ivfCells(spark, dir).count()
+    Similarity.pqCodebook(spark, dir).count()
+    Similarity.pqCodes(spark, dir).count()
+    assert(paths.map(partNames) != names0,
+      "artifacts not rebuilt after the embeddings source was rewritten")
+    assert(book2 == book0, "deterministic retrain drifted")
+  }
+
+  test("artifact-served queries equal the freshly-trained computation") {
+    val dir = isolatedCorpus()
+    // build via the gate, then compare a routed search and the cell
+    // stats against a second pass served purely from the artifacts.
+    val probe0 = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
+      .collect().toSeq
+    val bal0 = Similarity.clusterBalance(spark, dir).collect().toSeq
+    val probe1 = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
+      .collect().toSeq
+    val bal1 = Similarity.clusterBalance(spark, dir).collect().toSeq
+    assert(probe1 == probe0 && bal1 == bal0)
+    assert(probe0.nonEmpty && bal0.nonEmpty)
+  }
+
+  test("stream ingest routes with the durable book, matching the batch assignment") {
+    val dir = isolatedCorpus()
+    // the durable assignment artifact for a sample of vectors...
+    val batch = Similarity.ivfCells(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ...vs the stateless stream router consuming the durable book
+    // over the raw embeddings (batch-DataFrame stand-in for the
+    // micro-batch: routeCells is a pure frame transform).
+    val routed = SimStream.routeCellsDurable(spark, dir,
+        spark.read.parquet(s"$dir/embeddings.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(routed == batch)
+    assert(routed.nonEmpty)
+  }
+}
