@@ -40,6 +40,14 @@ object SimQueries {
     Q("sim_ivf_recall_np2",
       (s, dir) => Similarity.ivfRecallMulti(s, dir),
       Some(SimOracle.ivfRecallMultiSql())),
+    // recall at the CORPUS-SCALED codebook (k ~ sqrt(n),
+    // Similarity.numCentsFor — the sizing rule the 100 TB paths
+    // route with): measured beside the pinned-8 audit above, so the
+    // k dial ships with its quality number at both settings.
+    Q("sim_ivf_recall_scaled",
+      (s, dir) => Similarity.ivfRecall(s, dir,
+        numCents = Similarity.autoCents(s, dir)),
+      Some(SimOracle.ivfRecallScaledSql())),
     // full-corpus-window twin: same oracle as sim_cosine_topk proves
     // the partial-top-k default exact against the window formulation.
     Q("sim_cosine_topk_windowed",

@@ -145,7 +145,11 @@ object Hybrid {
 
   private def cosineRankedIvfAs(spark: SparkSession, dir: String, qid: Long,
       kCand: Int): DataFrame =
-    Similarity.ivfTopKAggFor(spark, dir, qid, kCand)
+    // corpus-SCALED codebook (k ~ sqrt(n)): the fusion's 100 TB
+    // vector tower routes against the scaled durable book, so a
+    // probe's cell holds ~sqrt(n) candidates, not n/8.
+    Similarity.ivfTopKAggFor(spark, dir, qid, kCand,
+        Similarity.autoCents(spark, dir))
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf_ivf`: the hybrid query with the IVF vector

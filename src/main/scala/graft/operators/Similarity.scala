@@ -569,6 +569,38 @@ object Similarity {
       build.write.mode("overwrite").parquet(path)
     }
 
+  /** Corpus-scaled codebook size: `k(n) = clamp(8, 65536,
+    * floor(sqrt(n)))` — the `shardPackingOf` ~sqrt(N) sizing
+    * precedent applied to the codebook, replacing the pinned k=8
+    * whose SCALE rows carried a "k must grow with the corpus" caveat
+    * (round-8 verdict #2). Why sqrt: SemDeDup's within-cell
+    * comparisons total Σ|cell|² ≈ n²/k and a routed probe scans
+    * ~n/k candidates; k = √n bounds them at n^1.5 total and √n per
+    * probe simultaneously — the published SemDeDup economics, where
+    * neither the pair blowup nor per-cell occupancy grows
+    * unboundedly. The clamp floors tiny corpora at the demo k and
+    * caps at the 2^16 cells real IVF deployments top out near.
+    *
+    * Cross-engine determinism: floor over the correctly-rounded IEEE
+    * sqrt of an exactly-representable integer count — the same
+    * double both engines compute (the object-doc sqrt discipline),
+    * so the DuckDB oracle derives the identical k from `count(*)`.
+    */
+  def numCentsFor(n: Long): Int =
+    math.min(65536L, math.max(8L,
+      math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** The scaled k for a corpus dir, from the embeddings row count —
+    * a metadata-sized driver aggregate (a parquet `count(*)` is
+    * answered from footer row counts, no data pages), the
+    * [[JoinSearch.prunedTableIds]] altitude. Consumers that want the
+    * scaled codebook pass this where they would pass a pinned k;
+    * the artifact path carries k, so books at different corpus sizes
+    * are distinct durable artifacts.
+    */
+  def autoCents(spark: SparkSession, dir: String): Int =
+    numCentsFor(spark.read.parquet(s"$dir/embeddings.parquet").count())
+
   /** The trained IVF codebook: spherical k-means (Lloyd) run
     * DataFrame-natively for `iters` rounds from the deterministic
     * first-`numCents` seeds — replacing raw first-N centroids, whose

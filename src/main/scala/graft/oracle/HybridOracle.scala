@@ -226,14 +226,17 @@ FROM franked WHERE rank <= $k ORDER BY probe_id, rank"""
   }
 
   /** `search_hybrid_rrf_ivf` oracle: the vector tower candidates
-    * come from vec 0's routed cell under the TRAINED codebook (the
-    * [[SimOracle.ivfProbeSql]] chain, single probe).
+    * come from the query document's routed cell under the TRAINED
+    * codebook (the [[SimOracle.ivfProbeSql]] chain, single probe) at
+    * the CORPUS-SCALED codebook size (`ksz` — the engine's
+    * `numCentsFor` rule; the 100 TB fusion routes against a scaled
+    * book, not the demo 8).
     */
-  def rrfTopKIvfSql(k: Int = 20, kCand: Int = 50, qTerms: Int = 8,
-      numCents: Int = 8): String =
+  def rrfTopKIvfSql(k: Int = 20, kCand: Int = 50, qTerms: Int = 8): String =
     s"""WITH ${textCtes(kCand, qTerms)},
   ${SimOracle.baseCtes},
-  ${SimOracle.codebookCtes(numCents, Similarity.CodebookIters)},
+  ${SimOracle.kszCte},
+  ${SimOracle.codebookCtesK(SimOracle.KScaledSql, Similarity.CodebookIters)},
   vassign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY

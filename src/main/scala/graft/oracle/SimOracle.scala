@@ -46,7 +46,25 @@ object SimOracle {
     * with `cents(cent_id, cq, cnq)` — the same shape the untrained
     * CTE had, so downstream SQL is unchanged.
     */
-  private[oracle] def codebookCtes(numCents: Int, iters: Int): String = {
+  private[oracle] def codebookCtes(numCents: Int, iters: Int): String =
+    codebookCtesK(numCents.toString, iters)
+
+  /** The corpus-scaled codebook size as SQL — the engine's
+    * `Similarity.numCentsFor` formula derived from the same
+    * `count(*)` (clamp(8, 65536, floor(sqrt(n)))), so engine and
+    * oracle agree on k without a literal being threaded through.
+    * Include [[kszCte]] in the WITH chain and seed the codebook via
+    * `codebookCtesK(KScaledSql, iters)`.
+    */
+  private[oracle] val kszCte: String =
+    """ksz AS (
+    SELECT LEAST(65536, GREATEST(8,
+      CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+    FROM embeddings
+  )"""
+  private[oracle] val KScaledSql = "(SELECT k FROM ksz)"
+
+  private[oracle] def codebookCtesK(numCents: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       s"""assign$i AS (
@@ -375,6 +393,54 @@ ORDER BY doc_x, doc_y"""
     ) WHERE rank <= $k
   ),
   ${codebookCtes(numCents, Similarity.CodebookIters)},
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  qcells AS (
+    SELECT vec_id AS qid, cell_id AS qcell FROM cells WHERE vec_id % $probeMod = 0
+  ),
+  hits AS (
+    SELECT t.qid, count(*) AS hits
+    FROM topk t
+    JOIN cells c ON c.vec_id = t.vec_id
+    JOIN qcells qc ON qc.qid = t.qid
+    WHERE c.cell_id = qc.qcell
+    GROUP BY t.qid
+  )
+SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  CAST($k AS BIGINT) AS k,
+  CAST(floor(10000 * coalesce(h.hits, 0) / $k) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM topk) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+
+  /** [[ivfRecallSql]] at the CORPUS-SCALED codebook size (`ksz` —
+    * the engine's `numCentsFor` rule): the recall measurement that
+    * accompanies the scaled k, so the sizing rule ships with its
+    * quality number instead of a caveat (round-8 verdict #2 — record
+    * recall at both k; the pinned-8 audit above stays registered).
+    */
+  def ivfRecallScaledSql(k: Int = 10, probeMod: Int = 50): String =
+    s"""WITH $baseCtes,
+  $kszCte,
+  probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
+  scored AS (
+    SELECT p.qid, c.vec_id,
+      ${cosSql(dotSql("p.pq", "c.q"), "c.nq", "p.pnq")} AS cosd
+    FROM probes p, nb c WHERE c.vec_id <> p.qid
+  ),
+  topk AS (
+    SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= $k
+  ),
+  ${codebookCtesK(KScaledSql, Similarity.CodebookIters)},
   assign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -767,11 +833,16 @@ FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
 
   /** SemDeDup oracle (`Dedup.semanticCells`): trained-codebook cell
     * assignment, exhaustive within-cell pairs at the exact quantized
-    * cosine threshold, keeper-by-min-id rollup.
+    * cosine threshold, keeper-by-min-id rollup. The codebook size is
+    * DERIVED from the corpus (`ksz` — the engine's `numCentsFor`
+    * rule): SemDeDup's n²/k economics are the whole point of the
+    * operator, so its k scales instead of staying pinned at the
+    * demo 8 (round-8 verdict #2).
     */
-  def semanticCellsSql(minCosBp: Int = 3000, numCents: Int = 8): String =
+  def semanticCellsSql(minCosBp: Int = 3000): String =
     s"""WITH $baseCtes,
-  ${codebookCtes(numCents, Similarity.CodebookIters)},
+  $kszCte,
+  ${codebookCtesK(KScaledSql, Similarity.CodebookIters)},
   vassign AS (
     SELECT n.vec_id, c.cent_id,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -53,8 +53,10 @@ class HybridSpec extends SparkTestBase {
       ranksOf(Hybrid.bm25Ranked(spark, sf0001, KCand, 8)), vec)
     val got = fusedRows(Hybrid.rrfTopKIvf(spark, sf0001, K, KCand))
     assert(got === expected)
-    // every vector-tower candidate lives in the probe's routed cell.
-    val cells = graft.operators.Similarity.ivfCells(spark, sf0001).collect()
+    // every vector-tower candidate lives in the probe's routed cell
+    // (the corpus-SCALED codebook the IVF tower now routes with).
+    val cells = graft.operators.Similarity.ivfCells(spark, sf0001,
+        graft.operators.Similarity.autoCents(spark, sf0001)).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
     val probeCell = cells(0L)
     vec.keys.foreach(id => assert(cells(id) === probeCell))

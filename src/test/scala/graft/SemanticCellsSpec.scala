@@ -13,7 +13,10 @@ class SemanticCellsSpec extends SparkTestBase {
   private val MinCos = 3000
 
   test("decision view ties out against the within-cell pairs") {
-    val pairs = Similarity.cellNearPairs(spark, sf0001, MinCos).collect()
+    // semanticCells routes at the corpus-SCALED codebook (round-9
+    // sizing rule) — tie out against pairs at the same k.
+    val pairs = Similarity.cellNearPairs(spark, sf0001, MinCos,
+        Similarity.autoCents(spark, sf0001)).collect()
       .map(r => (r.getAs[Long]("vec_x"), r.getAs[Long]("vec_y"), r.getAs[Long]("cos_bp")))
     val byY = pairs.groupBy(_._2)
     val got = Dedup.semanticCells(spark, sf0001).collect()

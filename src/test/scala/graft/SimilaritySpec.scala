@@ -11,6 +11,18 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("codebook sizing rule: k ~ sqrt(n), clamped to [8, 65536]") {
+    assert(Similarity.numCentsFor(0) === 8)
+    assert(Similarity.numCentsFor(63) === 8)   // sqrt(63) = 7.9 -> floor 7 -> clamp
+    assert(Similarity.numCentsFor(64) === 8)
+    assert(Similarity.numCentsFor(500) === 22)
+    assert(Similarity.numCentsFor(1000000) === 1000)
+    assert(Similarity.numCentsFor(Long.MaxValue) === 65536)
+    // the derived k for the fixture corpus = the rule over its count.
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(Similarity.autoCents(spark, sf0001) === Similarity.numCentsFor(n))
+  }
+
   test("cosine top-k: k rows per probe, rank-monotone scores, no self") {
     val tk = Similarity.cosineTopK(spark, sf0001, k = 5, probeMod = 100)
       .as[(Long, Long, Long, Long, Long)].collect()
