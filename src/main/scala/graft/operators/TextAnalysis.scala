@@ -398,20 +398,70 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(positionalIndexPath(dir))
     }
 
+  /** The conventional delta location beside the durable positional
+    * index — where [[graft.streaming.TextStream.maintainPositional]]
+    * lands per-batch term-clustered positional postings of newly
+    * arrived documents.
+    */
+  def positionalDeltaDir(dir: String): String =
+    positionalIndexPath(dir) + "-deltas"
+
+  /** The LIVE positional index: the durable artifact plus all
+    * accumulated streaming deltas — the [[graft.streaming
+    * .IndexStream.loadWithDeltas]] arrangement for phrase retrieval.
+    * This is what phrase/proximity serving MUST read over a live
+    * corpus (round-8 verdict #3): postings are per-document-local,
+    * so base ∪ deltas IS the index of the grown corpus — but the
+    * one-sidedness is a CORRECTNESS obligation, not a cost one: a
+    * phrase whose only occurrences arrived via deltas is invisible
+    * to the stale base until the batch lands, and the fingerprint
+    * gate cannot see rows that never touched the documents source
+    * (`PositionalDeltaSpec` pins the failure and the fix). Missing/
+    * empty delta dir degrades to the base artifact alone — the
+    * registered indexed queries serve through THIS view, so a
+    * deployment that starts streaming gets fresh phrase results
+    * without re-registering anything.
+    */
+  def positionalIndexWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame = {
+    val base = loadOrBuildPositionalIndex(spark, dir)
+    val batches = graft.streaming.IndexStream.deltaBatches(spark, deltaDir)
+    if (batches.nonEmpty) base.unionByName(spark.read.parquet(batches: _*))
+    else base
+  }
+
+  /** Fold base + accumulated deltas into one fresh term-clustered
+    * positional index at `targetPath` (a NEW path — the
+    * [[graft.streaming.IndexStream.compact]] zero-downtime contract:
+    * readers keep serving base+deltas until the caller swaps the
+    * compacted index in and clears the delta dir).
+    */
+  def compactPositionalIndex(spark: SparkSession, dir: String,
+      deltaDir: String, targetPath: String): String = {
+    positionalIndexWithDeltas(spark, dir, deltaDir)
+      .repartition(col("term"))
+      .write.mode("overwrite").parquet(targetPath)
+    targetPath
+  }
+
   /** [[phraseTopK]] served from the durable index with a LITERAL
     * pushdown probe: the phrase's terms (metadata-sized — at most
     * `n` strings, the [[JoinSearch.prunedTableIds]] altitude) become
     * an `In(term, ...)` predicate that reaches the parquet scan
-    * (PushedFilters — spec-asserted), so the probe reads the phrase
+    * (PushedFilters — spec-asserted; the filter pushes into BOTH
+    * union sides when deltas exist), so the probe reads the phrase
     * terms' row groups instead of scanning the corpus. Row-identical
-    * to [[phraseTopK]] (shared oracle + cross-check spec).
+    * to [[phraseTopK]] (shared oracle + cross-check spec). Serves
+    * the LIVE view ([[positionalIndexWithDeltas]]) — with no deltas
+    * accumulated it degrades to the base artifact alone.
     */
   def phraseTopKIndexed(spark: SparkSession, dir: String,
-      n: Int = 3, k: Int = 20): DataFrame = {
+      n: Int = 3, k: Int = 20, deltaDir: String = null): DataFrame = {
+    val dd = Option(deltaDir).getOrElse(positionalDeltaDir(dir))
     val phrase = phraseOf(docs(spark, dir), n)
     val terms = phrase.select("pterm").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val probed = loadOrBuildPositionalIndex(spark, dir)
+    val probed = positionalIndexWithDeltas(spark, dir, dd)
       .where(col("term").isin(terms: _*))
     phraseCore(probed, phrase, k)
   }
@@ -439,7 +489,10 @@ object TextAnalysis {
     require(phrases.map(_._1).distinct.size == phrases.size,
       s"duplicate req_ids: ${phrases.map(_._1).mkString(", ")}")
     val allTerms = phrases.flatMap(_._2).distinct.sorted
-    val probed = loadOrBuildPositionalIndex(spark, dir)
+    // the batched service reads the LIVE view too — a serving
+    // endpoint is exactly the consumer fresh deltas must reach.
+    val probed = positionalIndexWithDeltas(spark, dir,
+        positionalDeltaDir(dir))
       .where(col("term").isin(allTerms: _*))
     val phrase = phrases
       .flatMap { case (id, ts) => ts.zipWithIndex.map { case (t, j) => (id, j, t) } }
@@ -546,12 +599,13 @@ object TextAnalysis {
     * data movement). Row-identical to the derived form.
     */
   def proximityTopKIndexed(spark: SparkSession, dir: String,
-      window: Int = 5, k: Int = 20): DataFrame = {
+      window: Int = 5, k: Int = 20, deltaDir: String = null): DataFrame = {
+    val dd = Option(deltaDir).getOrElse(positionalDeltaDir(dir))
     val pair = pairOf(docs(spark, dir))
     val terms = pair
       .select(explode(array(col("t0"), col("t1"))).as("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val probed = loadOrBuildPositionalIndex(spark, dir)
+    val probed = positionalIndexWithDeltas(spark, dir, dd)
       .where(col("term").isin(terms: _*))
     proximityCore(probed, pair, window, k)
   }

@@ -104,8 +104,11 @@ object IndexStream {
 
   /** The committed `batch=*` delta directories under `deltaDir`
     * (empty when the dir is missing or holds only stray entries).
+    * Shared with every other base+deltas serving path (the
+    * positional index reuses it — one definition of "committed
+    * delta" across artifacts).
     */
-  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
+  private[graft] def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))

@@ -47,6 +47,33 @@ object TextStream {
     maintainReduced(perDoc(docs), deltaDir, checkpointDir, trigger)(
       TextAnalysis.sourceTokenHistogramOf)
 
+  /** Positional-index delta maintenance (round-9 verdict #3): every
+    * micro-batch of newly arrived documents derives its positional
+    * postings ([[TextAnalysis.positionalPostings]] — row-local, so
+    * the stream stays stateless and arbitrarily shardable) and lands
+    * term-clustered as `deltaDir/batch=<id>` in the durable index's
+    * own physical form, idempotently overwritten on replay. Serving
+    * reads [[TextAnalysis.positionalIndexWithDeltas]]; postings are
+    * per-document-local, so base ∪ deltas IS the grown corpus's
+    * index (no merge arithmetic — the one-sidedness argument is
+    * about SERVING the view, pinned by `PositionalDeltaSpec`).
+    * Compaction is [[TextAnalysis.compactPositionalIndex]].
+    */
+  def maintainPositional(docs: DataFrame, deltaDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        TextAnalysis.positionalPostings(batch.toDF())
+          .repartition(col("term"))
+          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The one writer both maintainers share: each micro-batch passes
     * through `reduce` (its bounded summary) and lands as
     * `deltaDir/batch=<id>`, idempotently overwritten on replay — the
