@@ -39,6 +39,16 @@ object PrepQueries {
           "doc_id", "n_bpe_tokens as n_tokens"),
         budget = 4096L, bucketSize = 100L),
       Some(PrepOracle.shardPackingBpeSql())),
+    // the packer budgeted in PRODUCTION-tokenizer tokens (the durable
+    // fast-trained artifact at the ProdMerges budget) — rows-only for
+    // the same reason as text_bpe_ids_prod; the packing arithmetic
+    // itself is the oracle-proven shardPackingOf core.
+    Q("prep_shard_packing_bpe_prod",
+      (s, dir) => CorpusPrep.shardPackingOf(
+        operators.Bpe.tokensProd(s, dir).selectExpr(
+          "doc_id", "n_bpe_tokens as n_tokens"),
+        budget = 4096L, bucketSize = 100L),
+      None),
     // benchmark n-gram decontamination: distinct 5-gram overlap of
     // every training doc against the eval split's gram set.
     Q("prep_decontaminate",

