@@ -175,15 +175,21 @@ object Hybrid {
   val BatchProbes: Seq[Long] = Seq(0L, 50L, 100L)
 
   /** Batched BM25 tower: per-probe ranked candidates from ONE shared
-    * postings pass ([[TextAnalysis.bm25ScoresBatch]]), each probe's
-    * self excluded before ranking. The per-probe window ranks only
-    * query-term-matched docs, never the corpus.
+    * pass over the DURABLE positional index
+    * ([[TextAnalysis.bm25ScoresBatchIndexed]] — union term set
+    * pushed as one `In` predicate, doc lengths from the durable
+    * companion, no per-session corpus re-tokenization; round-9
+    * verdict #5), each probe's self excluded before ranking. The
+    * per-probe window ranks only query-term-matched docs, never the
+    * corpus. Identical rows to the derived
+    * [[TextAnalysis.bm25ScoresBatch]] lineage (HybridSpec +
+    * unchanged oracle hash).
     */
   def bm25RankedBatch(spark: SparkSession, dir: String,
       probeIds: Seq[Long], kCand: Int, qTerms: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    TextAnalysis.bm25ScoresBatch(spark, dir, probeIds, qTerms)
+    TextAnalysis.bm25ScoresBatchIndexed(spark, dir, probeIds, qTerms)
       .where(col("doc_id") =!= col("probe_id"))
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)

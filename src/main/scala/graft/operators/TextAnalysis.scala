@@ -885,6 +885,76 @@ object TextAnalysis {
       .agg(sum("score_t").cast("long").as("score"))
   }
 
+  /** The durable doc-length artifact's location, beside the
+    * positional index (same fingerprint contract).
+    */
+  def docLengthsPath(dir: String): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + "-doclen"
+
+  /** Durable per-document cleaned-token lengths `(doc_id, dl)` — the
+    * BM25 normalizer as a build-time companion instead of a
+    * per-session [[stats]] recompute. One row per document with ≥1
+    * cleaned token (exactly the frame BM25's `dl > 0` filter keeps),
+    * derived from the same positional-postings lineage as the index
+    * itself, so the two artifacts cannot disagree about what a token
+    * is. Content-fingerprint-gated on the documents source.
+    */
+  def loadOrBuildDocLengths(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.loadOrBuild(spark, docLengthsPath(dir),
+      Seq(s"$dir/documents.parquet")) {
+      positionalPostings(docs(spark, dir))
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(docLengthsPath(dir))
+    }
+
+  /** [[bm25ScoresBatch]] served from DURABLE artifacts — the
+    * fully-artifact-served text tower (round-9 verdict #5): term
+    * frequencies come from the positional index's live view with the
+    * union of all probes' terms pushed as ONE `In(term, ...)`
+    * predicate into the scan (no corpus re-tokenization per
+    * session), document lengths from the [[loadOrBuildDocLengths]]
+    * companion, df and totals derived from those two (query-term-
+    * sized and 1-row respectively). Identical scores to the derived
+    * form — the artifacts carry the same cleaning chain — so the
+    * fused queries' oracle stays unchanged (hash-green through this
+    * path).
+    *
+    * Live-corpus caveat, documented not hidden: delta documents gain
+    * phrase/tf visibility through the positional deltas, but their
+    * `dl` rows land only at the next doc-length rebuild — until
+    * then the BM25 tower scores base-corpus documents only (the
+    * inner dl join), a freshness gap, never a wrong score.
+    */
+  def bm25ScoresBatchIndexed(spark: SparkSession, dir: String,
+      probeIds: Seq[Long], qTerms: Int = 8): DataFrame = {
+    val qf = docs(spark, dir).where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms)).as("term"))
+      .where(col("term") =!= "").distinct()
+    // the union term set as literals: metadata-sized (≤ probes ×
+    // qTerms strings — the phraseTopKIndexed routing altitude), the
+    // price of a pushed predicate.
+    val terms = qf.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val probed = positionalIndexWithDeltas(spark, dir, positionalDeltaDir(dir))
+      .where(col("term").isin(terms: _*))
+      .select("doc_id", "term")
+    val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = loadOrBuildDocLengths(spark, dir)
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
+      .withColumn("avgdl", expr("l_tot div n_docs"))
+    tf.join(broadcast(qf), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum("score_t").cast("long").as("score"))
+  }
+
   /** Adaptive per-source quality cutoffs — the data-dependent
     * refinement of [[qualityFlags]]' fixed thresholds: each source
     * keeps the documents at or above its own token-count median

@@ -114,8 +114,36 @@ class PlanGoldenSpec extends SparkTestBase {
     }
     // the batched fusion must stay one SHARED corpus pass per tower:
     // 3 probes through ~the single fusion's exchange budget, not 3x.
-    pin("hybrid_batch", Ex(13, 6, 1)) {
+    // 13/6/1 -> 12/5/0 when the text tower went artifact-served
+    // (round 9): the per-session tokenize lineage and its reused
+    // exchange are gone — tf reads the durable positional index.
+    pin("hybrid_batch", Ex(12, 5, 0)) {
       graft.operators.Hybrid.rrfTopKBatch(spark, dir)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
+  test("golden exchange counts: the round-9 artifact-served paths") {
+    // indexed phrase retrieval through the LIVE view (base artifact,
+    // no deltas accumulated): the pushed In(term) probe keeps the
+    // budget to the doc-keyed aggregation + the anchor broadcasts.
+    pin("phrase_indexed_live", Ex(2, 2, 0)) {
+      TextAnalysis.phraseTopKIndexed(spark, dir)
+    }
+    // the artifact-served batched BM25 tower: tf from the positional
+    // index, dl from the durable companion — no tokenize lineage.
+    pin("bm25_indexed_batch", Ex(6, 4, 0)) {
+      TextAnalysis.bm25ScoresBatchIndexed(spark, dir, Seq(0L, 50L, 100L))
+    }
+    // IVF probe fully from durable artifacts (book + cells read, no
+    // training subplan anywhere in the query plan).
+    pin("ivf_probe_artifact", Ex(2, 3, 0)) {
+      graft.operators.Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
+    }
+    // production-tokenizer ids: durable merges as a packed constant,
+    // one id-table broadcast — per-occurrence work is row-local.
+    pin("tokenids_prod", Ex(3, 1, 0)) {
+      graft.operators.Bpe.tokenIdsProd(spark, dir, docMod = 100)
     }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
