@@ -689,6 +689,47 @@ object JoinSearch {
       .select("table_id").distinct()
   }
 
+  /** [[prunedTables]] for a BATCH of queries in ONE grouped
+    * evaluation (round-9 verdict #6): the per-query breadth/coverage
+    * verdicts compute from a single pass over the sketch frame keyed
+    * by `query_id`, instead of N independent sketch subplans unioned
+    * — at a lake catalog of T tables and a batch of Q queries the
+    * routing cost is one (T×Q)-row aggregation over metadata-sized
+    * frames, not Q plan branches each rescanning the sketch. Output
+    * `(query_id, table_id)`: exactly [[prunedTables]] per query
+    * (same one-sided checks — `PrunedSearchSpec` ties the grouped
+    * verdict to the per-query one row-for-row at a 50-query batch).
+    */
+  def prunedTablesGrouped(sketch: DataFrame,
+      queries: Seq[(String, DataFrame, Int)]): DataFrame = {
+    import sketch.sparkSession.implicits._
+    val keyBit = pmod(hash(col("key")), lit(SketchBits))
+    val tagged = queries.map { case (qid, maps, _) =>
+      maps.select(lit(qid).as("query_id"), col("key"), col("map_key"))
+    }.reduce(_ unionByName _)
+    val colCounts = queries.map { case (qid, _, n) => (qid, n) }
+      .toDF("query_id", "col_count")
+    // per query: all its distinct keys' bits (breadth side).
+    val qbits = tagged.select("query_id", "key").distinct()
+      .groupBy("query_id").agg(collect_set(keyBit).as("qbits"))
+    // per (query, query row): its distinct keys' bits (coverage).
+    val reqs = tagged.select("query_id", "key", "map_key").distinct()
+      .withColumn("bit", keyBit)
+      .groupBy("query_id", "map_key").agg(collect_set("bit").as("rbits"))
+    val tableAgg = sketch.crossJoin(broadcast(qbits))
+      .withColumn("col_hit",
+        expr("exists(bits, b -> array_contains(qbits, b))"))
+      .groupBy("query_id", "table_id")
+      .agg(sum(when(col("col_hit"), 1).otherwise(0)).as("cols_hit"),
+        array_distinct(flatten(collect_list("bits"))).as("tbits"))
+    tableAgg
+      .join(broadcast(reqs), Seq("query_id"))
+      .join(broadcast(colCounts), Seq("query_id"))
+      .where(col("cols_hit") >= col("col_count") &&
+        expr("forall(rbits, b -> array_contains(tbits, b))"))
+      .select("query_id", "table_id").distinct()
+  }
+
   /** [[searchTables]] behind the sketch pre-filter: identical ranked
     * output (the prune is provably conservative — see
     * [[prunedTables]]), but the posting-level pipeline only ever sees
@@ -780,12 +821,14 @@ object JoinSearch {
     val prepared = queries.map { case (qid, q, cols) =>
       (qid, mappings(prepareInput(q, cols), cols), cols)
     }
-    // ONE routing job for the whole batch: the per-query verdicts
-    // union before the (metadata-sized) collect, instead of N
-    // separate sketch evaluations.
-    val allowed = prepared
-      .map { case (_, m, cols) => prunedTables(sketch, m, cols.size) }
-      .reduce(_ unionByName _).distinct()
+    // ONE routing job AND one grouped evaluation for the whole
+    // batch ([[prunedTablesGrouped]] — round-9: previously the union
+    // job held N independent sketch subplans): the per-query
+    // verdicts come from a single query_id-keyed pass before the
+    // (metadata-sized) collect.
+    val allowed = prunedTablesGrouped(sketch,
+        prepared.map { case (qid, m, cols) => (qid, m, cols.size) })
+      .select("table_id").distinct()
       .collect().map(_.getAs[Number]("table_id").intValue).toSeq.sorted
     val allKeys = prepared.map(_._2.select("key")).reduce(_ unionByName _)
       .distinct()
