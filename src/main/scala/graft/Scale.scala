@@ -254,11 +254,11 @@ object Scale {
       "search_hybrid_rrf_ivf" -> (d => operators.Hybrid.rrfTopKIvf(spark, d)),
       "dedup_source_overlap" -> (d => Dedup.sourceOverlap(spark, d)),
       "text_quality_adaptive" -> (d => TextAnalysis.adaptiveQuality(spark, d)),
-      // SemDeDup at a FIXED codebook size is deliberately the honest
-      // worst case: replicas collapse into the same cells, so cells
-      // grow ~10x and within-cell pairs ~100x — the measured ratio
-      // is the n^2/k term the scaladoc says k must absorb (at real
-      // scale numCents grows with the corpus; the harness pins it).
+      // SemDeDup at the CORPUS-SCALED codebook (round 9: k ~ sqrt(n)
+      // via Similarity.numCentsFor — the 10x corpus trains sqrt(10)x
+      // more cells): the n²/k within-cell pair term now grows
+      // ~10^1.5, not the pinned-k 100x, and the measured ratio is
+      // the sizing rule absorbing exactly what its scaladoc claims.
       "dedup_semantic_cells" -> (d => Dedup.semanticCells(spark, d)),
       // 3 fused queries through one shared pass per tower: the ratio
       // should track the single fusion's (the probe count multiplies
@@ -280,7 +280,18 @@ object Scale {
       // docMod is fixed so the sampled doc set ALSO grows 10x — the
       // ratio is the explode+join over 10x sampled occurrences.
       "text_bpe_ids" -> (d => operators.Bpe.tokenIds(spark, d)),
-      "dedup_kept_corpus_best" -> (d => Dedup.keptCorpusBest(spark, d)))
+      "dedup_kept_corpus_best" -> (d => Dedup.keptCorpusBest(spark, d)),
+      // round-9 additions: the artifact-served paths. min-of-reps
+      // serves from the DURABLE artifacts (first rep pays the build;
+      // the min is the serving cost — the number a warm deployment
+      // sees, which is the round-9 design point: no per-session
+      // training/tokenization anywhere in these plans). Recall at
+      // the scaled k rides sim_ivf_recall_scaled's registered row.
+      "sim_ivf_recall_scaled" -> (d => Similarity.ivfRecall(spark, d,
+        numCents = Similarity.autoCents(spark, d),
+        probeMod = if (d == baseDir) 50 else 500)),
+      "text_phrase_topk_indexed" -> (d => TextAnalysis.phraseTopKIndexed(spark, d)),
+      "text_bpe_ids_prod" -> (d => operators.Bpe.tokenIdsProd(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;
