@@ -49,6 +49,15 @@ object TextQueries {
     Q("text_bm25_topk",
       (s, dir) => TextAnalysis.bm25TopK(s, dir),
       Some(TextOracle.bm25TopKSql())),
+    // the artifact-served twin (round 9): tf from the durable
+    // positional index's live view (query terms pushed as one In
+    // predicate), dl from the durable doc-length companion — no
+    // corpus re-tokenization at query time. SAME oracle as the
+    // derived form above: hash equality through the gate proves the
+    // artifacts carry the identical cleaning chain.
+    Q("text_bm25_topk_indexed",
+      (s, dir) => TextAnalysis.bm25TopKIndexed(s, dir),
+      Some(TextOracle.bm25TopKSql())),
     // exact phrase over POSITIONAL postings, rarest-term-anchored
     // starts, row-local adjacency verify; the oracle checks by direct
     // list slicing — a deliberately different formulation.

@@ -90,7 +90,10 @@ object Hybrid {
   private def bm25RankedAs(spark: SparkSession, dir: String, qid: Long,
       kCand: Int, qTerms: Int): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    TextAnalysis.bm25TopK(spark, dir, kCand + 1, qTerms)
+    // artifact-served ([[TextAnalysis.bm25TopKIndexed]] — round 9):
+    // the single fusion's text tower reads the durable positional
+    // index + live doc lengths, like the batched tower.
+    TextAnalysis.bm25TopKIndexed(spark, dir, kCand + 1, qTerms)
       .where(col("doc_id") =!= qid)
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)

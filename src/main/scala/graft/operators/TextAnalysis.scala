@@ -907,6 +907,60 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(docLengthsPath(dir))
     }
 
+  /** Doc lengths of the LIVE corpus: the durable artifact plus
+    * per-document counts of the accumulated positional deltas — the
+    * [[graft.streaming.IndexStream.keyStatsWithDeltas]] merge
+    * discipline for the BM25 normalizer. A document lives in exactly
+    * one delta batch (append-only corpus), so the union IS the grown
+    * corpus's length table; without this, delta documents are
+    * phrase-visible but BM25-invisible until the next artifact
+    * rebuild (the freshness gap `PositionalDeltaSpec` pins).
+    */
+  def docLengthsWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame = {
+    val base = loadOrBuildDocLengths(spark, dir)
+    val batches = graft.streaming.IndexStream.deltaBatches(spark, deltaDir)
+    if (batches.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(batches: _*)
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl")))
+  }
+
+  /** [[bm25TopK]] served from DURABLE artifacts — the single-query
+    * form of [[bm25ScoresBatchIndexed]]: query terms pushed as an
+    * `In(term, ...)` predicate into the positional index's live
+    * view, doc lengths from the live length table. Row-identical to
+    * the derived form (same cleaning chain on both sides of the
+    * artifacts), so it carries `text_bm25_topk`'s oracle unchanged.
+    */
+  def bm25TopKIndexed(spark: SparkSession, dir: String,
+      k: Int = 20, qTerms: Int = 8): DataFrame = {
+    val dd = positionalDeltaDir(dir)
+    val qterms = docs(spark, dir).orderBy("doc_id").limit(1)
+      .select(explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms))
+        .as("term"))
+      .where(col("term") =!= "").distinct()
+    val terms = qterms.collect().map(_.getString(0)).toSeq.sorted
+    val probed = positionalIndexWithDeltas(spark, dir, dd)
+      .where(col("term").isin(terms: _*))
+      .select("doc_id", "term")
+    val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docLengthsWithDeltas(spark, dir, dd)
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
+      .withColumn("avgdl", expr("l_tot div n_docs"))
+    tf.join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_t").cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** [[bm25ScoresBatch]] served from DURABLE artifacts — the
     * fully-artifact-served text tower (round-9 verdict #5): term
     * frequencies come from the positional index's live view with the
@@ -919,11 +973,11 @@ object TextAnalysis {
     * fused queries' oracle stays unchanged (hash-green through this
     * path).
     *
-    * Live-corpus caveat, documented not hidden: delta documents gain
-    * phrase/tf visibility through the positional deltas, but their
-    * `dl` rows land only at the next doc-length rebuild — until
-    * then the BM25 tower scores base-corpus documents only (the
-    * inner dl join), a freshness gap, never a wrong score.
+    * Delta documents stay fully scoreable: tf comes through the live
+    * index view and dl through [[docLengthsWithDeltas]], so a doc
+    * that arrived via streaming deltas ranks exactly as it will
+    * after compaction (`PositionalDeltaSpec` pins it) — no
+    * freshness gap between the phrase path and the BM25 path.
     */
   def bm25ScoresBatchIndexed(spark: SparkSession, dir: String,
       probeIds: Seq[Long], qTerms: Int = 8): DataFrame = {
@@ -941,7 +995,7 @@ object TextAnalysis {
       .select("doc_id", "term")
     val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = loadOrBuildDocLengths(spark, dir)
+    val dl = docLengthsWithDeltas(spark, dir, positionalDeltaDir(dir))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
       .withColumn("avgdl", expr("l_tot div n_docs"))
     tf.join(broadcast(qf), Seq("term"))

@@ -93,7 +93,13 @@ class PlanGoldenSpec extends SparkTestBase {
   }
 
   test("golden exchange counts: the round-8d additions") {
-    pin("hybrid_rrf", Ex(7, 5, 1)) {
+    // 7/5/1 -> 8/4/0 when the text tower went artifact-served
+    // (round 9): the tokenize lineage (and its reused exchange +
+    // one broadcast) left the plan; the extra shuffle is the
+    // doc-length totals aggregation over the THIN durable companion
+    // — exchanges moved off the corpus text onto artifact-sized
+    // frames, which is the trade the wall-clock numbers favor.
+    pin("hybrid_rrf", Ex(8, 4, 0)) {
       graft.operators.Hybrid.rrfTopK(spark, dir)
     }
     pin("quality_adaptive", Ex(4, 2, 1)) {

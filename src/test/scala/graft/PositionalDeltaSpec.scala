@@ -91,6 +91,14 @@ class PositionalDeltaSpec extends SparkTestBase {
     assert(dirs === Set("batch=0", "batch=1"), s"delta dirs: $dirs")
     assert(hits() === Seq((9000001L, 2L), (9000000L, 1L), (9000002L, 1L)))
 
+    // delta docs are BM25-scoreable too: the live doc-length table
+    // carries their exact lengths (no freshness gap between the
+    // phrase path and the BM25 normalizer).
+    val dls = TextAnalysis.docLengthsWithDeltas(spark, dir, deltaDir)
+      .where(col("doc_id") >= 9000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dls === Map(9000000L -> 5L, 9000001L -> 8L, 9000002L -> 4L))
+
     // compaction: base + deltas folded into a fresh index that
     // row-set-equals the live view (zero-downtime swap target).
     val target = Files.createTempDirectory("graft-posdelta-compact").toString + "/ix"
