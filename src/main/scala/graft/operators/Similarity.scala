@@ -1061,7 +1061,11 @@ object Similarity {
     val bytes = quantized(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
     val routed =
       if (bytes <= bruteBytes) cosineTopKAgg(spark, dir, k, probeMod)
-      else ivfPqTopK(spark, dir, k, probeMod)
+      // the big-corpus route is exactly where the codebook sizing
+      // rule matters: route against the corpus-scaled durable book,
+      // not the demo 8 (round-9 sizing rule).
+      else ivfPqTopK(spark, dir, k, probeMod,
+        numCents = autoCents(spark, dir))
     routed.select("qid", "rank", "vec_id", "cos_bp").orderBy("qid", "rank")
   }
 
