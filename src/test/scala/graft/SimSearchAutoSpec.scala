@@ -23,7 +23,10 @@ class SimSearchAutoSpec extends SparkTestBase {
 
   test("zero threshold forces the IVF-PQ route") {
     val auto = rows(Similarity.searchAuto(spark, sf0001, bruteBytes = 0L))
-    val ivfpq = rows(Similarity.ivfPqTopK(spark, sf0001)
+    // the big-corpus route serves at the CORPUS-SCALED codebook
+    // (round-9 sizing rule) — compare at the same k.
+    val ivfpq = rows(Similarity.ivfPqTopK(spark, sf0001,
+        numCents = Similarity.autoCents(spark, sf0001))
       .select("qid", "rank", "vec_id", "cos_bp"))
     assert(auto === ivfpq)
     // the two routes must actually differ on this corpus (recall < 1
