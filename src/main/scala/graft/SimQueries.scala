@@ -24,6 +24,13 @@ object SimQueries {
     Q("sim_ivf_probe",
       (s, dir) => Similarity.ivfProbe(s, dir),
       Some(SimOracle.ivfProbeSql())),
+    // the LIVE-corpus twin (round 9): base + streamed vector deltas
+    // through the same cell-routed probe — with no deltas
+    // accumulated it degrades to the base path, so it carries the
+    // SAME oracle; VectorDeltaSpec pins the with-deltas behavior.
+    Q("sim_ivf_probe_live",
+      (s, dir) => Similarity.ivfProbeLive(s, dir),
+      Some(SimOracle.ivfProbeSql())),
     // the recall dial AS a search operator: candidates from each
     // probe's top-2 routed cells (measured +700bp recall vs own-cell).
     Q("sim_ivf_probe_np2",

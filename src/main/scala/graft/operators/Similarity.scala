@@ -1079,6 +1079,79 @@ object Similarity {
     recallVs(cosineTopK(spark, dir, k, probeMod),
       ivfPqTopK(spark, dir, k, probeMod), k)
 
+  /** The searchable-vector delta location for a given codebook —
+    * where [[graft.streaming.SimStream.maintainVectors]] lands
+    * quantized, cell-routed arrivals. Keyed by the book's
+    * parameters: deltas routed under one codebook are never served
+    * against another.
+    */
+  def vecDeltaDir(dir: String, numCents: Int = 8,
+      iters: Int = CodebookIters): String =
+    annPath(dir, s"ivf$numCents-$iters-vecdeltas")
+
+  private def vecDeltaBatches(spark: SparkSession, dir: String,
+      numCents: Int): Seq[String] =
+    graft.streaming.IndexStream.deltaBatches(spark,
+      vecDeltaDir(dir, numCents))
+
+  /** The LIVE quantized corpus: the session-persisted base plus all
+    * accumulated vector deltas (each delta row already carries its
+    * exact quantized form — landed by the stream, never recomputed).
+    */
+  def quantizedWithDeltas(spark: SparkSession, dir: String,
+      numCents: Int = 8): DataFrame = {
+    val batches = vecDeltaBatches(spark, dir, numCents)
+    val base = quantized(spark, dir)
+    if (batches.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(batches: _*).select("vec_id", "q", "nq"))
+  }
+
+  /** The LIVE cell assignment: the durable artifact plus the deltas'
+    * routed cells. Sound because stream routing is spec-pinned
+    * cell-for-cell equal to the batch assignment under the SAME
+    * durable book ([[graft.streaming.SimStream.routeCells]]) — the
+    * union IS the assignment of the grown corpus.
+    */
+  def ivfCellsWithDeltas(spark: SparkSession, dir: String,
+      numCents: Int = 8): DataFrame = {
+    val batches = vecDeltaBatches(spark, dir, numCents)
+    val base = ivfCells(spark, dir, numCents)
+    if (batches.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(batches: _*).select("vec_id", "cell_id"))
+  }
+
+  /** [[ivfProbe]] over the LIVE vector corpus (base + streamed
+    * deltas): a vector that arrived via
+    * [[graft.streaming.SimStream.maintainVectors]] is a candidate —
+    * and a probe — the moment its batch lands, instead of invisible
+    * until the next corpus re-encode (the positional-index live-view
+    * argument on the vector side; `VectorDeltaSpec` pins the failure
+    * mode). With no deltas accumulated this degrades to [[ivfProbe]]
+    * row for row — the registered form's oracle is unchanged.
+    */
+  def ivfProbeLive(spark: SparkSession, dir: String,
+      k: Int = 5, numCents: Int = 8, probeMod: Int = 50): DataFrame = {
+    val base = quantizedWithDeltas(spark, dir, numCents)
+    val cells = ivfCellsWithDeltas(spark, dir, numCents)
+    val probes = base.join(cells, Seq("vec_id"))
+      .where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),
+        col("cell_id"))
+    val w = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cell_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(base, Seq("vec_id"))
+      .withColumn("dot_q", dotExpr("pq", "q"))
+      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cell_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
     * the candidate set shrinks by ~numCents vs brute force, the
     * 100 TB shape where the codebook has 2^12..2^16 cells and probes

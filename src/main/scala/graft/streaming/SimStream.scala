@@ -42,7 +42,14 @@ object SimStream {
     * and norms), so comparisons agree bit for bit with the batch
     * assignment.
     */
-  def routeCells(stream: DataFrame, codebook: DataFrame): DataFrame = {
+  def routeCells(stream: DataFrame, codebook: DataFrame): DataFrame =
+    routeCellsFull(stream, codebook).select("vec_id", "cell_id")
+
+  /** [[routeCells]] keeping the quantized payload: `(vec_id, q, nq,
+    * cell_id)` — the full row a searchable vector DELTA lands with
+    * ([[maintainVectors]]), so serving never re-quantizes.
+    */
+  def routeCellsFull(stream: DataFrame, codebook: DataFrame): DataFrame = {
     val book = codebook
       .withColumn("cnq", VectorMath.dotLong(col("cq"), col("cq")))
       .agg(collect_list(struct(col("cent_id"), col("cq"), col("cnq")))
@@ -64,7 +71,43 @@ object SimStream {
              (acc, s) -> CASE WHEN s.c > acc.c
                               OR (s.c = acc.c AND s.id < acc.id)
                          THEN s ELSE acc END).id"""))
-      .select("vec_id", "cell_id")
+      .select("vec_id", "q", "nq", "cell_id")
+  }
+
+  /** Searchable-vector delta maintenance (the round-9 positional-
+    * delta pattern on the vector side): every micro-batch of
+    * arriving `(vec_id, embedding)` rows quantizes and routes
+    * against the DURABLE codebook and lands as
+    * `vecDeltaDir/batch=<id>` with its full serving row `(vec_id,
+    * q, nq, cell_id)` — idempotently overwritten on replay. Serving
+    * reads [[Similarity.quantizedWithDeltas]] /
+    * [[Similarity.ivfCellsWithDeltas]]: a vector is a LIVE search
+    * candidate the moment its batch lands, instead of invisible
+    * until the next corpus re-encode (`VectorDeltaSpec` pins the
+    * failure and the fix). Routing is stateless (broadcast-sized
+    * folded book), so the stream shards arbitrarily; the delta dir
+    * is keyed by the book's parameters — deltas routed under one
+    * codebook are never served against another.
+    */
+  def maintainVectors(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      numCents: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val book = Similarity.ivfCodebook(spark, dir, numCents)
+    val deltaDir = Similarity.vecDeltaDir(dir, numCents)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        routeCellsFull(batch.toDF(), book)
+          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** [[routeCells]] against the corpus's DURABLE trained codebook

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.SimStream
+
+/** Searchable-vector deltas (the positional-delta pattern on the
+  * vector side): streamed embeddings quantize + route against the
+  * durable codebook and land as full serving rows, the live views
+  * (quantized/cells + deltas) make them candidates immediately, and
+  * the STALE base path is blind to them until the next corpus
+  * re-encode — the failure the live view exists to prevent. Replay
+  * is idempotent (batch-keyed overwrite).
+  */
+object VectorDeltaSpec {
+  final case class VRow(vec_id: Long, embedding: Seq[Float])
+}
+
+class VectorDeltaSpec extends SparkTestBase {
+  import spark.implicits._
+  import VectorDeltaSpec.VRow
+
+  private def isolatedCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-vecdelta")
+    Files.list(Paths.get(sf0001)).forEach { p =>
+      Files.copy(p, dir.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  test("streamed vectors become live candidates; the stale base path misses them") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-ckpt").toString
+
+    // a delta vector CLONING corpus vector 7's embedding: its nearest
+    // neighbor is unambiguous (cos = 1) and it must join vector 7's
+    // cell by routing determinism.
+    val clone = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 7L).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000007L, clone))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // the stale base path serves WITHOUT the arrival (the failure
+    // mode: a probe in vector 7's cell never sees the clone)...
+    val baseIds = Similarity.ivfProbe(spark, dir, k = 500, probeMod = 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!baseIds.contains(9000007L))
+
+    // ...while the live path retrieves it at exact cos = 1, ranked
+    // first for probe 7 (tie-break favors no lower-id perfect match).
+    val live = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 7)
+      .where(col("qid") === 7L).collect()
+    assert(live.head.getAs[Long]("vec_id") === 9000007L,
+      s"clone not first: ${live.toSeq}")
+    assert(live.head.getAs[Long]("cos_bp") === 10000L)
+
+    // the delta row's routed cell equals the batch assignment of the
+    // SAME embedding (vector 7's cell — routing determinism).
+    val cell7 = Similarity.ivfCells(spark, dir)
+      .where(col("vec_id") === 7L).head().getLong(1)
+    val cellClone = Similarity.ivfCellsWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000007L).head().getLong(1)
+    assert(cellClone === cell7)
+
+    // replay idempotence: a restarted maintainer adds batch=1 beside
+    // batch=0; the live view holds exactly ONE row for the clone.
+    in.addData(VRow(9000008L, clone.map(x => -x)))
+    val q2 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val dirs = new java.io.File(Similarity.vecDeltaDir(dir))
+      .list().filter(_.startsWith("batch=")).toSet
+    assert(dirs === Set("batch=0", "batch=1"), s"delta dirs: $dirs")
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 2L)
+  }
+
+  test("live probe with no deltas equals the base probe row for row") {
+    val dir = isolatedCorpus()
+    val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    val live = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    assert(live === base)
+    assert(base.nonEmpty)
+  }
+}
