@@ -267,7 +267,10 @@ object Hybrid {
       .where(col("term") =!= "").distinct()
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    val text = TextAnalysis.bm25ScoresForTerms(spark, dir, qf)
+    // artifact-served (round 9): the endpoint's text tower reads the
+    // durable positional index + live doc lengths — a serving
+    // process never re-tokenizes the corpus per request batch.
+    val text = TextAnalysis.bm25ScoresForTermsIndexed(spark, dir, qf)
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)
       .select(col("probe_id"), col("doc_id"), col("rank_text"))

@@ -435,6 +435,15 @@ object TextAnalysis {
     * [[graft.streaming.IndexStream.compact]] zero-downtime contract:
     * readers keep serving base+deltas until the caller swaps the
     * compacted index in and clears the delta dir).
+    *
+    * Delta-dir invariant: the delta dir covers exactly the documents
+    * NOT YET in the documents source. Compact (and clear the deltas)
+    * when the corpus parquet lands those documents — the content
+    * fingerprint then rebuilds the positional index and the
+    * doc-length companion together, so nothing is double-counted and
+    * nothing goes dark: clearing deltas BEFORE the corpus lands them
+    * would lose their postings and lengths; landing the corpus
+    * without clearing would serve each document's postings twice.
     */
   def compactPositionalIndex(spark: SparkSession, dir: String,
       deltaDir: String, targetPath: String): String = {
@@ -988,6 +997,39 @@ object TextAnalysis {
     // the union term set as literals: metadata-sized (≤ probes ×
     // qTerms strings — the phraseTopKIndexed routing altitude), the
     // price of a pushed predicate.
+    val terms = qf.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val probed = positionalIndexWithDeltas(spark, dir, positionalDeltaDir(dir))
+      .where(col("term").isin(terms: _*))
+      .select("doc_id", "term")
+    val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docLengthsWithDeltas(spark, dir, positionalDeltaDir(dir))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
+      .withColumn("avgdl", expr("l_tot div n_docs"))
+    tf.join(broadcast(qf), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum("score_t").cast("long").as("score"))
+  }
+
+  /** [[bm25ScoresForTerms]] served from DURABLE artifacts — the
+    * external-request seam through the positional index: the request
+    * batch's term set collects to literals (request-batch-sized —
+    * a serving endpoint's query terms, the metadata altitude) and
+    * pushes as one `In` predicate into the live index view; dl and
+    * totals from the live doc-length table. Same scoring lineage as
+    * the derived form; OOV request terms match nothing (the pushed
+    * probe returns no postings for them), identically to the derived
+    * semi-join behavior.
+    */
+  def bm25ScoresForTermsIndexed(spark: SparkSession, dir: String,
+      qf: DataFrame): DataFrame = {
     val terms = qf.select("term").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val probed = positionalIndexWithDeltas(spark, dir, positionalDeltaDir(dir))
