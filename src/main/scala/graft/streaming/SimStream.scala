@@ -65,12 +65,23 @@ object SimStream {
       .crossJoin(book)
       .withColumn("scored",
         expr(s"transform(book, b -> named_struct('c', $cos, 'id', cast(b.cent_id as bigint)))"))
-      .withColumn("cell_id", expr(
-        """aggregate(scored,
+      // zero-norm arrival (nq = 0): every cosine is 0/0 = NaN, which
+      // this fold's `>` comparisons would leave at the sentinel cell
+      // -1 — while the batch assignment's max(struct(cosd, ...))
+      // orders NaN equal-greatest and tie-breaks to the MINIMUM
+      // cent_id. Route the degenerate case to that same minimum
+      // explicitly so stream and batch agree on every input, not
+      // just well-formed ones (round-9 self-review finding; the
+      // trained book itself never contains zero-norm centroids, so
+      // nq = 0 is the only NaN source).
+      .withColumn("cell_id", when(col("nq") === 0L,
+          expr("array_min(transform(book, b -> cast(b.cent_id as bigint)))"))
+        .otherwise(expr(
+          """aggregate(scored,
              named_struct('c', cast(-2.0 as double), 'id', cast(-1 as bigint)),
              (acc, s) -> CASE WHEN s.c > acc.c
                               OR (s.c = acc.c AND s.id < acc.id)
-                         THEN s ELSE acc END).id"""))
+                         THEN s ELSE acc END).id""")))
       .select("vec_id", "q", "nq", "cell_id")
   }
 

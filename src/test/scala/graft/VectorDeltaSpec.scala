@@ -82,6 +82,20 @@ class VectorDeltaSpec extends SparkTestBase {
       .where(col("vec_id") >= 9000000L).count() === 2L)
   }
 
+  test("zero-norm arrival routes to the batch rule's cell, not the sentinel") {
+    // nq = 0 makes every cosine NaN: the fold's `>` comparisons
+    // would strand it at cell -1 while the batch max(struct) orders
+    // NaN equal-greatest and tie-breaks to the MINIMUM cent_id — the
+    // router must implement that same rule (round-9 self-review).
+    val dir = isolatedCorpus()
+    val book = Similarity.ivfCodebook(spark, dir)
+    val zero = Seq((9000009L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val routed = SimStream.routeCells(zero, book).collect()
+    val minCent = book.agg(min(col("cent_id"))).head().getLong(0)
+    assert(routed.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((9000009L, minCent)))
+  }
+
   test("live probe with no deltas equals the base probe row for row") {
     val dir = isolatedCorpus()
     val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
