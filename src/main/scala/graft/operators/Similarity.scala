@@ -1133,7 +1133,16 @@ object Similarity {
     */
   def ivfProbeLive(spark: SparkSession, dir: String,
       k: Int = 5, numCents: Int = 8, probeMod: Int = 50): DataFrame = {
+    // serving guard: a zero-norm ARRIVAL has no defined cosine — as
+    // a candidate it would score NaN and rank FIRST under the
+    // descending NaN ordering (k arbitrary nulls instead of real
+    // neighbors), and as a probe it would NaN every candidate. The
+    // landed delta keeps the row (ingest is storage; occupancy
+    // still counts it); scoring excludes it — the
+    // cosineTopKAggProbes zero-norm discipline applied to the live
+    // view. No-op on the base corpus (strictly positive norms).
     val base = quantizedWithDeltas(spark, dir, numCents)
+      .where(col("nq") > 0L)
     val cells = ivfCellsWithDeltas(spark, dir, numCents)
     val probes = base.join(cells, Seq("vec_id"))
       .where(col("vec_id") % probeMod === 0)

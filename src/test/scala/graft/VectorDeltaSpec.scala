@@ -96,6 +96,26 @@ class VectorDeltaSpec extends SparkTestBase {
       === Seq((9000009L, minCent)))
   }
 
+  test("a landed zero-norm vector never surfaces in live probe results") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-zn").toString
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000010L, Seq.fill(64)(0.0f)))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q.processAllAvailable(); q.stop()
+    // stored (ingest is storage)...
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000010L).count() === 1L)
+    // ...but never scored: no NaN-ranked rows, results equal the
+    // base probe's (the arrival has no defined cosine to anything).
+    val live = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    val basep = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    assert(live === basep)
+  }
+
   test("live probe with no deltas equals the base probe row for row") {
     val dir = isolatedCorpus()
     val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
