@@ -336,6 +336,23 @@ object Similarity {
     * label-restriction broadcasts back onto the candidates. Both
     * windows run over candidate rows only.
     */
+  /** The embedding near-dup cluster labels as a DURABLE artifact:
+    * star-contraction connected components over the sign-LSH
+    * verified pairs, persisted beside the other ANN state — a
+    * deterministic function of the embeddings source, and the
+    * heaviest per-session lineage the diverse retrieval paid
+    * (banded self-join + O(log n) contraction rounds per session;
+    * now once per corpus).
+    */
+  def loadOrBuildEmbClusters(spark: SparkSession, dir: String,
+      minCosBp: Int = 3000): DataFrame =
+    annArtifact(spark, dir, annPath(dir, s"clusters$minCosBp")) {
+      Dedup.clustersFromPairsStar(
+        lshPairs(spark, dir, minCosBp)
+          .select(col("vec_x").as("doc_x"), col("vec_y").as("doc_y")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }
+
   def cosineTopKDiverse(spark: SparkSession, dir: String,
       k: Int = 10, kCand: Int = 30, probeMod: Int = 50,
       minCosBp: Int = 3000): DataFrame = {
@@ -348,10 +365,7 @@ object Similarity {
       s"sim_diverse_cands:$dir:$kCand:$probeMod")(
       cosineTopKAggWhere(spark, dir, kCand,
         col("vec_id") % probeMod === 0))
-    val labels = Dedup.clustersFromPairsStar(
-      lshPairs(spark, dir, minCosBp)
-        .select(col("vec_x").as("doc_x"), col("vec_y").as("doc_y")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val labels = loadOrBuildEmbClusters(spark, dir, minCosBp)
     val candLabels = labels.join(
       broadcast(cands.select("vec_id").distinct()), Seq("vec_id"))
     val labeled = cands
