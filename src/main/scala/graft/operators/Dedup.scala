@@ -558,13 +558,35 @@ object Dedup {
   def clustersFromPairsStar(pairs: DataFrame): DataFrame =
     formatClusters(starComponents(pairs)._1)
 
+  /** The duplicate-cluster decision table's durable location, beside
+    * the signature artifact.
+    */
+  def docClustersPath(dir: String): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + "-docclusters"
+
   /** Cluster resolution over the MinHash-LSH verified pairs. Default
     * = star contraction (O(log n) rounds on any graph shape); the
     * label-propagation twin ([[clustersLabelProp]]) stays registered
-    * as the cross-check (`dedup_clusters_labelprop`, same oracle).
+    * as the cross-check (`dedup_clusters_labelprop`, same oracle) —
+    * and it stays LIVE-computed, so the shared oracle also proves
+    * the artifact's content every round.
+    *
+    * DURABLE (round 9): the decision table is a deterministic
+    * function of the documents source (deterministic banding,
+    * verification, and contraction — the oracle hash has pinned that
+    * since round 5), and FIVE registered consumers (clusters,
+    * histogram, keep-best, both kept-corpus views) re-ran the
+    * shingle→band→verify→contract lineage per call. It now persists
+    * once per corpus under the content-fingerprint gate — the
+    * drop-list/keeper decisions a production dedup pays once per
+    * crawl, exactly like the signatures they derive from.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairsStar(minhashLsh(spark, dir).select("doc_x", "doc_y"))
+    graft.sources.Artifacts.loadOrBuild(spark, docClustersPath(dir),
+      Seq(s"$dir/documents.parquet")) {
+      clustersFromPairsStar(minhashLsh(spark, dir).select("doc_x", "doc_y"))
+        .write.mode("overwrite").parquet(docClustersPath(dir))
+    }.orderBy("doc_id")
 
   /** The label-propagation twin of [[clusters]] — O(diameter) rounds,
     * fine on replica-clique graphs, kept as the registered
