@@ -70,6 +70,40 @@ class ArtifactStalenessSpec extends SparkTestBase {
       "artifacts rebuilt although fresh")
   }
 
+  test("every round-9 documents-derived artifact rebuilds on source rewrite, serves as-is when fresh") {
+    import graft.operators.{Bpe, Dedup, TextAnalysis}
+    val dir = isolatedCorpus()
+    // one touch per artifact builds it; record the part names.
+    def touchAll(): Unit = {
+      TextAnalysis.loadOrBuildPositionalIndex(spark, dir).count()
+      TextAnalysis.loadOrBuildDocLengths(spark, dir).count()
+      Dedup.clusters(spark, dir).count()
+      Bpe.loadOrTrainProd(spark, dir)._1.count()
+    }
+    val paths = Seq(
+      TextAnalysis.positionalIndexPath(dir),
+      TextAnalysis.docLengthsPath(dir),
+      Dedup.docClustersPath(dir),
+      Bpe.mergesPath(dir, Bpe.ProdMerges),
+      Bpe.segmentsPath(dir))
+    touchAll()
+    val names0 = paths.map(partNames)
+    assert(names0.forall(_.nonEmpty), s"missing artifacts: ${paths.zip(names0)}")
+
+    // fresh over an unchanged source: served as-is, no rebuild.
+    touchAll()
+    assert(paths.map(partNames) == names0,
+      "artifacts rebuilt although the documents source is unchanged")
+
+    // re-crawl (identical rows, fresh part names): all must rebuild.
+    val src = s"$dir/documents.parquet"
+    spark.read.parquet(src).localCheckpoint(true)
+      .write.mode("overwrite").parquet(src)
+    touchAll()
+    assert(paths.map(partNames) != names0,
+      "artifacts not rebuilt after the documents source was rewritten")
+  }
+
   test("doc-signature artifact rebuilds when the documents source is rewritten") {
     import graft.operators.Dedup
     val dir = isolatedCorpus()
