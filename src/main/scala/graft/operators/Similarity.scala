@@ -238,6 +238,23 @@ object Similarity {
     * corpus vector legitimately retrieves it at cos = 1).
     */
   def cosineTopKAggProbes(spark: SparkSession, dir: String,
+      probesRaw: DataFrame, k: Int): DataFrame =
+    cosineTopKAggProbesOver(spark, quantized(spark, dir), probesRaw, k)
+
+  /** [[cosineTopKAggProbes]] over the LIVE corpus (base + streamed
+    * vector deltas, zero-norm arrivals excluded from scoring — the
+    * [[ivfProbeLive]] serving guard): the form
+    * [[graft.streaming.SimStream.serveVectors]] runs, so a request
+    * can retrieve a vector that itself arrived by stream moments
+    * earlier. Degrades to the base path with no deltas.
+    */
+  def cosineTopKAggProbesLive(spark: SparkSession, dir: String,
+      probesRaw: DataFrame, k: Int, numCents: Int = 8): DataFrame =
+    cosineTopKAggProbesOver(spark,
+      quantizedWithDeltas(spark, dir, numCents).where(col("nq") > 0L),
+      probesRaw, k)
+
+  private def cosineTopKAggProbesOver(spark: SparkSession, base: DataFrame,
       probesRaw: DataFrame, k: Int): DataFrame = {
     val probes = probesRaw
       .select(col("qid").cast("long").as("qid"),
@@ -253,7 +270,7 @@ object Similarity {
       // trainer filters the same hazard on the corpus side). Such a
       // probe yields an EMPTY result, the honest answer.
       .where(col("pnq") > 0L)
-    topKAggCore(spark, quantized(spark, dir), probes, k, excludeSelf = false)
+    topKAggCore(spark, base, probes, k, excludeSelf = false)
   }
 
   private def topKAggCore(spark: SparkSession, base: DataFrame,

@@ -166,7 +166,10 @@ object SimStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        onResult(Similarity.cosineTopKAggProbes(spark, dir, batch.toDF(), k),
+        // LIVE corpus (round 9): a request can retrieve a vector
+        // that itself arrived by stream — base + routed deltas,
+        // zero-norm arrivals excluded from scoring.
+        onResult(Similarity.cosineTopKAggProbesLive(spark, dir, batch.toDF(), k),
           batchId)
         ()
       }

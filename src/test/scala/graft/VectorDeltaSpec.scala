@@ -116,6 +116,28 @@ class VectorDeltaSpec extends SparkTestBase {
     assert(live === basep)
   }
 
+  test("a streamed request retrieves a streamed candidate (serveVectors live view)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-srv").toString
+    val clone = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 3L).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000003L, clone))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q.processAllAvailable(); q.stop()
+    // an external request equal to the arrival retrieves BOTH the
+    // arrival and corpus vector 3, each at exact cos = 1.
+    val req = Seq((1L, clone)).toDF("qid", "embedding")
+    val got = Similarity.cosineTopKAggProbesLive(spark, dir, req, k = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    assert(got === Set((3L, 10000L), (9000003L, 10000L)), s"got $got")
+    // the base form (no live view) cannot see the arrival.
+    val baseGot = Similarity.cosineTopKAggProbes(spark, dir, req, k = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(!baseGot.contains(9000003L))
+  }
+
   test("live probe with no deltas equals the base probe row for row") {
     val dir = isolatedCorpus()
     val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
