@@ -274,7 +274,11 @@ object Hybrid {
       .withColumn("rank_text", row_number().over(w).cast("long"))
       .where(col("rank_text") <= kCand)
       .select(col("probe_id"), col("doc_id"), col("rank_text"))
-    val vec = Similarity.cosineTopKAggProbes(spark, dir,
+    // LIVE vector tower to match the live text tower above: one
+    // endpoint must not serve two freshness levels (a document whose
+    // text is phrase-visible through the positional deltas but whose
+    // embedding is invisible would skew every fusion it appears in).
+    val vec = Similarity.cosineTopKAggProbesLive(spark, dir,
         requests.select(col("req_id").cast("long").as("qid"), col("embedding")),
         kCand)
       .select(col("qid").as("probe_id"), col("vec_id").as("doc_id"),
