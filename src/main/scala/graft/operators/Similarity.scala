@@ -361,9 +361,12 @@ object Similarity {
     * (banded self-join + O(log n) contraction rounds per session;
     * now once per corpus).
     */
+  def embClustersPath(dir: String, minCosBp: Int = 3000): String =
+    annPath(dir, s"clusters$minCosBp")
+
   def loadOrBuildEmbClusters(spark: SparkSession, dir: String,
       minCosBp: Int = 3000): DataFrame =
-    annArtifact(spark, dir, annPath(dir, s"clusters$minCosBp")) {
+    annArtifact(spark, dir, embClustersPath(dir, minCosBp)) {
       Dedup.clustersFromPairsStar(
         lshPairs(spark, dir, minCosBp)
           .select(col("vec_x").as("doc_x"), col("vec_y").as("doc_y")))

@@ -34,13 +34,15 @@ class AnnArtifactSpec extends SparkTestBase {
     val dir = isolatedCorpus()
     val paths = Seq(
       Similarity.ivfCodebookPath(dir), Similarity.ivfCellsPath(dir),
-      Similarity.pqCodebookPath(dir), Similarity.pqCodesPath(dir))
+      Similarity.pqCodebookPath(dir), Similarity.pqCodesPath(dir),
+      Similarity.embClustersPath(dir))
 
-    // first touch trains + persists all four artifacts.
+    // first touch trains + persists all five artifacts.
     val book0 = Similarity.ivfCodebook(spark, dir).collect().toSet
     Similarity.ivfCells(spark, dir).count()
     Similarity.pqCodebook(spark, dir).count()
     Similarity.pqCodes(spark, dir).count()
+    Similarity.loadOrBuildEmbClusters(spark, dir).count()
     val names0 = paths.map(partNames)
     assert(names0.forall(_.nonEmpty), "artifacts not materialized")
 
@@ -49,6 +51,7 @@ class AnnArtifactSpec extends SparkTestBase {
     Similarity.ivfCells(spark, dir).count()
     Similarity.pqCodebook(spark, dir).count()
     Similarity.pqCodes(spark, dir).count()
+    Similarity.loadOrBuildEmbClusters(spark, dir).count()
     assert(paths.map(partNames) == names0,
       "artifacts rebuilt although the embeddings source is unchanged")
     assert(book1 == book0)
@@ -65,6 +68,7 @@ class AnnArtifactSpec extends SparkTestBase {
     Similarity.ivfCells(spark, dir).count()
     Similarity.pqCodebook(spark, dir).count()
     Similarity.pqCodes(spark, dir).count()
+    Similarity.loadOrBuildEmbClusters(spark, dir).count()
     assert(paths.map(partNames) != names0,
       "artifacts not rebuilt after the embeddings source was rewritten")
     assert(book2 == book0, "deterministic retrain drifted")
