@@ -78,6 +78,13 @@ object TextQueries {
     Q("text_phrase_near_indexed",
       (s, dir) => TextAnalysis.proximityTopKIndexed(s, dir),
       Some(TextOracle.proximityTopKSql())),
+    // model-based quality scoring: a per-term Laplace-smoothed
+    // pass-probability scorer DISTILLED from the heuristic flags
+    // (the CCNet/GPT-3 classifier-above-heuristics practice), exact
+    // integers end to end; both verdicts emitted side by side.
+    Q("text_quality_model",
+      (s, dir) => TextAnalysis.qualityModel(s, dir),
+      Some(TextOracle.qualityModelSql())),
     // trained BPE tokenizer: merge rules learned over the word-
     // frequency table (vocabulary-sized rounds, never corpus-sized),
     // oracle-unrolled like the Lloyd codebook.

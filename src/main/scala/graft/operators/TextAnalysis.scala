@@ -104,6 +104,91 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality scoring — the classifier-distillation rung
+    * published web-corpus pipelines run ABOVE the hand-written
+    * heuristics (CCNet's LM filter, GPT-3's WebText-similarity
+    * logistic regression, fasttext quality classifiers): train a
+    * per-TERM scorer on weak labels — here [[qualityFlags]]'
+    * verdicts, the standard practice of distilling cheap rules into
+    * a smoother model — then score every document by its terms.
+    * Everything is exact integers (the engine's oracle discipline):
+    *
+    *  - per term, `df_pos`/`df_neg` = distinct passing/failing
+    *    documents containing it (one distinct-explode + one
+    *    vocabulary-sized aggregation);
+    *  - the term weight is the Laplace-smoothed P(pass | term) in
+    *    basis points, `w = (10000·(df_pos+1)) div (df_pos+df_neg+2)`
+    *    — the monotone surrogate of the log-odds (the BM25 idf
+    *    rationalization: thresholding needs monotone, not log);
+    *  - a document's score is the exact mean weight over its term
+    *    OCCURRENCES, `score_bp = Σw div n`; `model_pass` compares
+    *    against the CORPUS PRIOR (`prior_bp`, the same smoothed
+    *    P(pass) with no term evidence) — "this document's vocabulary
+    *    is more pass-like than average" — because an absolute
+    *    midpoint is meaningless under a skewed base rate: at a 70 %
+    *    pass rate every term weight clears 5000 and the model stops
+    *    discriminating (measured at sf0.01 before this rule).
+    *
+    * Output keeps both verdicts (and the prior) side by side —
+    * `(doc_id, n_terms, score_bp, prior_bp, model_pass,
+    * heuristic_pass)` — so model/heuristic agreement is auditable
+    * row by row. On THIS synthetic corpus the disagreements are all
+    * model-only passes, and correctly so: the fixture's quality
+    * signal lives entirely in document LENGTH (every doc draws from
+    * one shared 31-word vocabulary), so a short document of ordinary
+    * vocabulary fails the length heuristic while the model truthfully
+    * reports its vocabulary is unremarkable — the langId
+    * separability honesty note, applied to distillation: the
+    * operator transfers vocabulary signal, and the measurement shows
+    * this corpus has none to transfer. On a real crawl (boilerplate,
+    * lorem-ipsum, SEO spam vocabularies) the same arithmetic
+    * separates classes by construction.
+    *
+    * Scale posture: one corpus explode for training stats
+    * (vocabulary-keyed aggregation, map-side partials), one for
+    * application with the vocabulary-sized weight table broadcast
+    * back — two linear passes, no corpus-keyed join wider than
+    * (doc, term).
+    */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = qualityFlags(spark, dir)
+      .select(col("doc_id"), col("quality_pass"))
+    val dterms = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
+      .where(col("term") =!= "")
+    val weights = dterms.join(labels, Seq("doc_id"))
+      .groupBy("term")
+      .agg(sum(col("quality_pass")).as("df_pos"),
+        sum(lit(1L) - col("quality_pass")).as("df_neg"))
+      .withColumn("w",
+        expr("(10000 * (df_pos + 1)) div (df_pos + df_neg + 2)"))
+      .select("term", "w")
+    val occ = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(Tokenize.clean(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val scored = occ.join(broadcast(weights), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("sw"))
+      .withColumn("score_bp", expr("sw div n_terms"))
+    // the prior: the same smoothed pass probability with no term
+    // evidence — one broadcast row derived from the labels.
+    val prior = labels.agg(
+      expr("(10000 * (sum(quality_pass) + 1)) div (count(1) + 2)")
+        .as("prior_bp"))
+    labels.join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).cast("long").as("n_terms"),
+        coalesce(col("score_bp"), lit(0L)).cast("long").as("score_bp"),
+        col("prior_bp").cast("long").as("prior_bp"),
+        when(coalesce(col("score_bp"), lit(0L)) >= col("prior_bp"), 1L)
+          .otherwise(0L).as("model_pass"),
+        col("quality_pass").as("heuristic_pass"))
+      .orderBy("doc_id")
+  }
+
   /** Function-word language-ID heuristic: predict `en` when the
     * function-word ratio clears `minSwBp` basis points, else `und`.
     * (The 1-gram degenerate of character-n-gram profile scoring; the

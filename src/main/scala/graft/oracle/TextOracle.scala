@@ -49,6 +49,56 @@ FROM tstats_bp ORDER BY doc_id"""
     FROM tstats_bp
   )"""
 
+  /** Mirrors `TextAnalysis.qualityModel`: weak labels from the flag
+    * CTEs, per-term Laplace-smoothed pass probability in basis
+    * points, exact mean over occurrences, midpoint threshold.
+    */
+  def qualityModelSql(minTokens: Int = 30, maxTokens: Int = 100000): String =
+    s"""WITH $statsCte, ${flagsCte(minTokens, maxTokens)},
+  qlabels AS (
+    SELECT doc_id,
+      CAST(flag_len * flag_avg_word_len * flag_stopwords AS BIGINT) AS quality_pass
+    FROM tflags
+  ),
+  qdterms AS (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split(${Tokenize.cleanSql("text")}, ' ')) AS term
+      FROM documents
+    ) WHERE term <> ''
+  ),
+  qweights AS (
+    SELECT term,
+      (10000 * (SUM(quality_pass) + 1)) //
+        (SUM(quality_pass) + SUM(1 - quality_pass) + 2) AS w
+    FROM qdterms JOIN qlabels USING (doc_id)
+    GROUP BY term
+  ),
+  qocc AS (
+    SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split(${Tokenize.cleanSql("text")}, ' ')) AS term
+      FROM documents
+    ) WHERE term <> ''
+  ),
+  qscored AS (
+    SELECT o.doc_id, count(*) AS n_terms, SUM(w.w) // count(*) AS score_bp
+    FROM qocc o JOIN qweights w USING (term)
+    GROUP BY o.doc_id
+  ),
+  qprior AS (
+    SELECT (10000 * (SUM(quality_pass) + 1)) // (count(*) + 2) AS prior_bp
+    FROM qlabels
+  )
+SELECT l.doc_id,
+  CAST(coalesce(s.n_terms, 0) AS BIGINT) AS n_terms,
+  CAST(coalesce(s.score_bp, 0) AS BIGINT) AS score_bp,
+  CAST(p.prior_bp AS BIGINT) AS prior_bp,
+  CAST(CASE WHEN coalesce(s.score_bp, 0) >= p.prior_bp THEN 1 ELSE 0 END AS BIGINT)
+    AS model_pass,
+  l.quality_pass AS heuristic_pass
+FROM qlabels l LEFT JOIN qscored s ON s.doc_id = l.doc_id
+CROSS JOIN qprior p
+ORDER BY l.doc_id"""
+
   def qualityFlagsSql(minTokens: Int = 30, maxTokens: Int = 100000): String =
     s"""WITH $statsCte, ${flagsCte(minTokens, maxTokens)}
 SELECT doc_id, CAST(flag_len AS BIGINT) AS flag_len,
