@@ -150,21 +150,53 @@ object TextAnalysis {
     * back — two linear passes, no corpus-keyed join wider than
     * (doc, term).
     */
-  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
-    val labels = qualityFlags(spark, dir)
-      .select(col("doc_id"), col("quality_pass"))
-    val dterms = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
-      .where(col("term") =!= "")
-    val weights = dterms.join(labels, Seq("doc_id"))
-      .groupBy("term")
-      .agg(sum(col("quality_pass")).as("df_pos"),
-        sum(lit(1L) - col("quality_pass")).as("df_neg"))
-      .withColumn("w",
-        expr("(10000 * (df_pos + 1)) div (df_pos + df_neg + 2)"))
-      .select("term", "w")
-    val occ = docs(spark, dir)
+  /** The trained weight table's durable location (the prior rides
+    * along as the reserved empty-string term — cleaned terms are
+    * never empty, so the key is free; one artifact, one read).
+    */
+  def qualityWeightsPath(dir: String): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + "-qweights"
+
+  /** The DURABLE trained quality scorer: `(term, w)` plus the prior
+    * under the reserved `""` key, fingerprint-gated on the documents
+    * source — train once per crawl, apply forever (batch and at the
+    * ingest door, [[graft.streaming.TextStream.scoreQuality]]).
+    */
+  def loadOrBuildQualityWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.loadOrBuild(spark, qualityWeightsPath(dir),
+      Seq(s"$dir/documents.parquet")) {
+      val labels = qualityFlags(spark, dir)
+        .select(col("doc_id"), col("quality_pass"))
+      val dterms = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
+        .where(col("term") =!= "")
+      val weights = dterms.join(labels, Seq("doc_id"))
+        .groupBy("term")
+        .agg(sum(col("quality_pass")).as("df_pos"),
+          sum(lit(1L) - col("quality_pass")).as("df_neg"))
+        .select(col("term"),
+          expr("(10000 * (df_pos + 1)) div (df_pos + df_neg + 2)").as("w"))
+      val prior = labels.agg(
+        expr("(10000 * (sum(quality_pass) + 1)) div (count(1) + 2)").as("w"))
+        .select(lit("").as("term"), col("w"))
+      weights.unionByName(prior)
+        .write.mode("overwrite").parquet(qualityWeightsPath(dir))
+    }
+
+  /** Score an arbitrary documents frame under a TRAINED weight table
+    * (the [[loadOrBuildQualityWeights]] schema) — the apply half,
+    * shared by the registered batch query and the streaming door.
+    * Terms outside the trained vocabulary contribute nothing (the
+    * inner join drops them — a frozen classifier has no opinion on
+    * unseen words); a document with no trained term scores the
+    * prior's complement of evidence: 0 with model_pass 0.
+    */
+  def qualityScoreOf(documents: DataFrame, weightTable: DataFrame): DataFrame = {
+    val weights = weightTable.where(col("term") =!= "")
+    val prior = weightTable.where(col("term") === "")
+      .select(col("w").as("prior_bp"))
+    val occ = documents
       .select(col("doc_id"),
         explode(split(Tokenize.clean(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
@@ -172,22 +204,24 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("w").as("sw"))
       .withColumn("score_bp", expr("sw div n_terms"))
-    // the prior: the same smoothed pass probability with no term
-    // evidence — one broadcast row derived from the labels.
-    val prior = labels.agg(
-      expr("(10000 * (sum(quality_pass) + 1)) div (count(1) + 2)")
-        .as("prior_bp"))
-    labels.join(scored, Seq("doc_id"), "left")
+    documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
       .select(col("doc_id"),
         coalesce(col("n_terms"), lit(0L)).cast("long").as("n_terms"),
         coalesce(col("score_bp"), lit(0L)).cast("long").as("score_bp"),
         col("prior_bp").cast("long").as("prior_bp"),
         when(coalesce(col("score_bp"), lit(0L)) >= col("prior_bp"), 1L)
-          .otherwise(0L).as("model_pass"),
-        col("quality_pass").as("heuristic_pass"))
-      .orderBy("doc_id")
+          .otherwise(0L).as("model_pass"))
   }
+
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(docs(spark, dir),
+      loadOrBuildQualityWeights(spark, dir))
+      .join(qualityFlags(spark, dir)
+        .select(col("doc_id"), col("quality_pass").as("heuristic_pass")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
 
   /** Function-word language-ID heuristic: predict `en` when the
     * function-word ratio clears `minSwBp` basis points, else `und`.

@@ -74,6 +74,33 @@ object TextStream {
       }
       .start()
 
+  /** Quality scoring AT THE DOOR: every micro-batch of arriving
+    * documents scores under the FROZEN durable weight table
+    * ([[TextAnalysis.loadOrBuildQualityWeights]] — trained once per
+    * crawl) and hands `(doc_id, n_terms, score_bp, prior_bp,
+    * model_pass)` to the caller's sink. Unseen-vocabulary terms
+    * contribute nothing (a frozen classifier has no opinion on
+    * words it never saw), so scoring is a broadcast join + one
+    * batch-local aggregation — no streaming state, no corpus touch.
+    * The batch/stream agreement rides on [[TextAnalysis
+    * .qualityScoreOf]] being the ONE apply for both
+    * (`TextStreamSpec`).
+    */
+  def scoreQuality(spark: SparkSession, dir: String, docs: DataFrame,
+      checkpointDir: String, onResult: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val weights = TextAnalysis.loadOrBuildQualityWeights(spark, dir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onResult(TextAnalysis.qualityScoreOf(batch.toDF(), weights), batchId)
+        ()
+      }
+      .start()
+  }
+
   /** The one writer both maintainers share: each micro-batch passes
     * through `reduce` (its bounded summary) and lands as
     * `deltaDir/batch=<id>`, idempotently overwritten on replay — the

@@ -77,4 +77,42 @@ class TextStreamSpec extends SparkTestBase {
     assert(merged.filterNot(kv => Set("src0", "src1")(kv._1)) ===
       baseOnly.filterNot(kv => Set("src0", "src1")(kv._1)))
   }
+
+  test("door scoring under the frozen weights equals the batch apply; OOV contributes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft-tqscore")
+    // one in-vocabulary doc (corpus text verbatim) and one with alien
+    // vocabulary padding: the frozen classifier must score the known
+    // words only and have no opinion on the rest.
+    val known = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(1).head().getString(1)
+    val in = MemoryStream[DRow]
+    in.addData(
+      DRow(5000000L, known, "srcQ"),
+      DRow(5000001L, "zzqx wwvk " + known, "srcQ"),
+      DRow(5000002L, "zzqx wwvk yyab", "srcQ"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Long)]]
+    val q = TextStream.scoreQuality(spark, sf0001, in.toDF(), ckpt,
+      (df, _) => got += df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq)
+    q.processAllAvailable(); q.stop()
+    val rows = got.flatten.sortBy(_._1)
+    // batch ground truth through the SAME apply.
+    val batchDocs = Seq(
+      (5000000L, known), (5000001L, "zzqx wwvk " + known),
+      (5000002L, "zzqx wwvk yyab")).toDF("doc_id", "text")
+    val want = TextAnalysis.qualityScoreOf(batchDocs,
+        TextAnalysis.loadOrBuildQualityWeights(spark, sf0001))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(rows === want)
+    // OOV padding changed nothing: same trained-term count and score
+    // as the verbatim doc; the all-OOV doc scores 0 / fails.
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(5000001L)._2 === byId(5000000L)._2)
+    assert(byId(5000001L)._3 === byId(5000000L)._3)
+    assert(byId(5000002L) === ((5000002L, 0L, 0L, 0L)))
+    assert(byId(5000000L)._2 > 0L)
+  }
 }
