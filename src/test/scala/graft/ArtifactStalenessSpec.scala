@@ -77,12 +77,14 @@ class ArtifactStalenessSpec extends SparkTestBase {
     def touchAll(): Unit = {
       TextAnalysis.loadOrBuildPositionalIndex(spark, dir).count()
       TextAnalysis.loadOrBuildDocLengths(spark, dir).count()
+      TextAnalysis.loadOrBuildQualityWeights(spark, dir).count()
       Dedup.clusters(spark, dir).count()
       Bpe.loadOrTrainProd(spark, dir)._1.count()
     }
     val paths = Seq(
       TextAnalysis.positionalIndexPath(dir),
       TextAnalysis.docLengthsPath(dir),
+      TextAnalysis.qualityWeightsPath(dir),
       Dedup.docClustersPath(dir),
       Bpe.mergesPath(dir, Bpe.ProdMerges),
       Bpe.segmentsPath(dir))
