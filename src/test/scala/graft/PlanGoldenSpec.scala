@@ -157,6 +157,16 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("tokenids_prod", Ex(3, 1, 0)) {
       graft.operators.Bpe.tokenIdsProd(spark, dir, docMod = 100)
     }
+    // the live vector probe with no deltas must cost exactly the
+    // base probe (the delta union is absent, not an empty subplan).
+    pin("ivf_probe_live", Ex(2, 3, 0)) {
+      graft.operators.Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+    }
+    // model-based quality scoring from the frozen weight artifact:
+    // one corpus explode + the vocabulary-sized weight broadcast.
+    pin("quality_model", Ex(3, 3, 0)) {
+      TextAnalysis.qualityModel(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
