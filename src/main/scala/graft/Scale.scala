@@ -291,7 +291,12 @@ object Scale {
         numCents = Similarity.autoCents(spark, d),
         probeMod = if (d == baseDir) 50 else 500)),
       "text_phrase_topk_indexed" -> (d => TextAnalysis.phraseTopKIndexed(spark, d)),
-      "text_bpe_ids_prod" -> (d => operators.Bpe.tokenIdsProd(spark, d)))
+      "text_bpe_ids_prod" -> (d => operators.Bpe.tokenIdsProd(spark, d)),
+      // the artifact-served single-query BM25 twin and the distilled
+      // quality scorer (two corpus passes + vocabulary broadcast;
+      // min-of-reps serves the frozen durable weights).
+      "text_bm25_topk_indexed" -> (d => TextAnalysis.bm25TopKIndexed(spark, d)),
+      "text_quality_model" -> (d => TextAnalysis.qualityModel(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;
