@@ -39,31 +39,35 @@ object GraftFns {
   * trainer's own words frame — pinned by `BpeSpec`.
   */
 object SegmentFns {
-  /** Last-used memo, not an unbounded map: packed merge lists are
-    * MB-scale at production merge counts and keyed by their full
-    * content, so a ConcurrentHashMap would retain every tokenizer
-    * generation a long-lived session ever trains (round-8 ADVICE) —
-    * and even LOOKING UP such a key costs O(len) per row (hash or
-    * content compare of megabytes). One tokenizer constant is live
-    * per plan, and codegen ships the packed literal as ONE constant
-    * `UTF8String` object, so the memo keys on its REFERENCE: the hot
-    * path is a pointer compare, the O(len) `toString` + parse runs
-    * once per (executor, tokenizer). A non-identical but equal key
-    * (a second plan shipping the same merges) just reparses and
-    * replaces the entry wholesale — a benign race, parsing is
-    * deterministic; nothing accumulates.
+  /** Last-used PER-THREAD memo, not an unbounded map: packed merge
+    * lists are MB-scale at production merge counts and keyed by their
+    * full content, so a ConcurrentHashMap would retain every
+    * tokenizer generation a long-lived session ever trains (round-8
+    * ADVICE) — and even LOOKING UP such a key costs O(len) per row
+    * (hash or content compare of megabytes). The memo keys on the
+    * constant's REFERENCE: codegen ships the packed literal as ONE
+    * `UTF8String` object per deserialized task, so within a task the
+    * hot path is a pointer compare and the O(len) `toString` + parse
+    * runs once. The slot must be thread-local, NOT shared: each
+    * concurrent task holds its OWN deserialized copy of the literal,
+    * so a single shared slot would miss on nearly every row whenever
+    * the stage runs >1 task in parallel — alternating tasks evict
+    * each other and the MB-scale parse degrades to per-row work
+    * (round-9 review). Task threads are pooled, so residency is
+    * bounded by pool size × one tokenizer; nothing accumulates.
     */
-  @volatile private var cached: (UTF8String, Array[Array[String]]) = null
+  private val cached =
+    new ThreadLocal[(UTF8String, Array[Array[String]])]
 
   private def parse(packed: UTF8String): Array[Array[String]] = {
-    val c = cached
+    val c = cached.get()
     if (c != null && (c._1 eq packed)) c._2
     else {
       val p = packed.toString
       val parsed =
         if (p.isEmpty) Array.empty[Array[String]]
         else p.split(',').map(_.split(' '))
-      cached = (packed, parsed)
+      cached.set((packed, parsed))
       parsed
     }
   }

@@ -252,8 +252,15 @@ object Bpe {
     * window, corpus never touched.
     */
   def tokenIdTable(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
-    segmentsOf(spark, docs(spark, dir), n, dir)
-      .select(explode(col("syms")).as("symbol")).distinct()
+    tokenIdsOfSegments(segmentsOf(spark, docs(spark, dir), n, dir))
+
+  /** Lexicographic symbol → id enumeration over a segments frame —
+    * ONE id-assignment rule for the demo and production tables
+    * ([[tokenIdTable]], [[tokenIdTableProd]]), so the runtime's id
+    * space can never fork between them (round-9 review).
+    */
+  private def tokenIdsOfSegments(segments: DataFrame): DataFrame =
+    segments.select(explode(col("syms")).as("symbol")).distinct()
       .select(col("symbol"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("symbol")).cast("long").as("tok_id"))
@@ -526,11 +533,7 @@ object Bpe {
     */
   def tokenIdTableProd(spark: SparkSession, dir: String,
       n: Int = ProdMerges): DataFrame =
-    loadOrTrainProd(spark, dir, n)._2
-      .select(explode(col("syms")).as("symbol")).distinct()
-      .select(col("symbol"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("symbol")).cast("long").as("tok_id"))
+    tokenIdsOfSegments(loadOrTrainProd(spark, dir, n)._2)
 
   /** `text_bpe_ids_prod`: the loader-ready token-id pipeline through
     * the PRODUCTION artifact — durable fast-trained merges shipped

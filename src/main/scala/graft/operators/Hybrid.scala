@@ -126,7 +126,11 @@ object Hybrid {
 
   private def cosineRankedAs(spark: SparkSession, dir: String, qid: Long,
       kCand: Int): DataFrame =
-    Similarity.cosineTopKAggWhere(spark, dir, kCand, col("vec_id") === qid)
+    // LIVE corpus, matching the live text tower (bm25TopKIndexed
+    // reads positional deltas): one fused query, one freshness level
+    // — a streamed doc must be visible to BOTH towers or neither
+    // (round-9 review). Degrades to the base path with no deltas.
+    Similarity.cosineTopKAggWhereLive(spark, dir, kCand, col("vec_id") === qid)
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
   /** `search_hybrid_rrf`: the registered hybrid query — RRF fusion
@@ -150,8 +154,9 @@ object Hybrid {
       kCand: Int): DataFrame =
     // corpus-SCALED codebook (k ~ sqrt(n)): the fusion's 100 TB
     // vector tower routes against the scaled durable book, so a
-    // probe's cell holds ~sqrt(n) candidates, not n/8.
-    Similarity.ivfTopKAggFor(spark, dir, qid, kCand,
+    // probe's cell holds ~sqrt(n) candidates, not n/8. LIVE view for
+    // the same one-freshness reason as [[cosineRankedAs]].
+    Similarity.ivfTopKAggForLive(spark, dir, qid, kCand,
         Similarity.autoCents(spark, dir))
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
 
@@ -205,7 +210,9 @@ object Hybrid {
     */
   def cosineRankedBatch(spark: SparkSession, dir: String,
       probeIds: Seq[Long], kCand: Int): DataFrame =
-    Similarity.cosineTopKAggWhere(spark, dir, kCand,
+    // LIVE view — the batched fusion's freshness matches its live
+    // text tower, like the single-probe form ([[cosineRankedAs]]).
+    Similarity.cosineTopKAggWhereLive(spark, dir, kCand,
       col("vec_id").isin(probeIds: _*))
       .select(col("qid").as("probe_id"), col("vec_id").as("doc_id"),
         col("rank").as("rank_vec"))

@@ -716,13 +716,21 @@ object JoinSearch {
     val reqs = tagged.select("query_id", "key", "map_key").distinct()
       .withColumn("bit", keyBit)
       .groupBy("query_id", "map_key").agg(collect_set("bit").as("rbits"))
-    val tableAgg = sketch.crossJoin(broadcast(qbits))
+    // breadth: how many of the table's columns hit any query bit —
+    // per (query, table), but carrying only a count through the agg.
+    val colsHit = sketch.crossJoin(broadcast(qbits))
       .withColumn("col_hit",
         expr("exists(bits, b -> array_contains(qbits, b))"))
       .groupBy("query_id", "table_id")
-      .agg(sum(when(col("col_hit"), 1).otherwise(0)).as("cols_hit"),
-        array_distinct(flatten(collect_list("bits"))).as("tbits"))
-    tableAgg
+      .agg(sum(when(col("col_hit"), 1).otherwise(0)).as("cols_hit"))
+    // the table's full bit union is query-INDEPENDENT: aggregate it
+    // once per table, not once per (query, table) — at a Q-query
+    // batch the per-pair form shuffles and dedups Q copies of every
+    // table's concatenated bit arrays (round-9 review).
+    val tableBits = sketch.groupBy("table_id")
+      .agg(array_distinct(flatten(collect_list("bits"))).as("tbits"))
+    colsHit
+      .join(broadcast(tableBits), Seq("table_id"))
       .join(broadcast(reqs), Seq("query_id"))
       .join(broadcast(colCounts), Seq("query_id"))
       .where(col("cols_hit") >= col("col_count") &&

@@ -221,8 +221,23 @@ object Similarity {
     * Identical plan (broadcast probe set, bounded TopK aggregator).
     */
   def cosineTopKAggWhere(spark: SparkSession, dir: String,
+      k: Int, probeWhere: Column): DataFrame =
+    cosineTopKAggWhereOver(spark, quantized(spark, dir), k, probeWhere)
+
+  /** [[cosineTopKAggWhere]] over the LIVE corpus (base + streamed
+    * vector deltas, zero-norm arrivals excluded) — the hybrid
+    * fusion's vector tower at the SAME freshness as its live text
+    * tower ([[Hybrid.rrfTopK]]): one fused query must not serve two
+    * freshness levels. Degrades to the base form with no deltas, so
+    * the registered queries' oracles are unchanged.
+    */
+  def cosineTopKAggWhereLive(spark: SparkSession, dir: String,
+      k: Int, probeWhere: Column): DataFrame =
+    cosineTopKAggWhereOver(spark,
+      quantizedWithDeltas(spark, dir).where(col("nq") > 0L), k, probeWhere)
+
+  private def cosineTopKAggWhereOver(spark: SparkSession, base: DataFrame,
       k: Int, probeWhere: Column): DataFrame = {
-    val base = quantized(spark, dir)
     val probes = base.where(probeWhere)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
     topKAggCore(spark, base, probes, k, excludeSelf = true)
@@ -249,9 +264,9 @@ object Similarity {
     * earlier. Degrades to the base path with no deltas.
     */
   def cosineTopKAggProbesLive(spark: SparkSession, dir: String,
-      probesRaw: DataFrame, k: Int, numCents: Int = 8): DataFrame =
+      probesRaw: DataFrame, k: Int): DataFrame =
     cosineTopKAggProbesOver(spark,
-      quantizedWithDeltas(spark, dir, numCents).where(col("nq") > 0L),
+      quantizedWithDeltas(spark, dir).where(col("nq") > 0L),
       probesRaw, k)
 
   private def cosineTopKAggProbesOver(spark: SparkSession, base: DataFrame,
@@ -303,10 +318,25 @@ object Similarity {
     * contract), and per-probe state is O(k) through the aggregator.
     */
   def ivfTopKAggFor(spark: SparkSession, dir: String, qid: Long,
-      k: Int, numCents: Int = 8): DataFrame = {
+      k: Int, numCents: Int = 8): DataFrame =
+    ivfTopKAggForOver(spark, quantized(spark, dir),
+      ivfCells(spark, dir, numCents), qid, k)
+
+  /** [[ivfTopKAggFor]] over the LIVE corpus (base + streamed deltas,
+    * zero-norm arrivals excluded; delta cells under the requested
+    * book via [[ivfCellsWithDeltas]]) — the scale-path hybrid
+    * fusion's vector tower at serving freshness. Degrades to the
+    * base form with no deltas.
+    */
+  def ivfTopKAggForLive(spark: SparkSession, dir: String, qid: Long,
+      k: Int, numCents: Int = 8): DataFrame =
+    ivfTopKAggForOver(spark,
+      quantizedWithDeltas(spark, dir).where(col("nq") > 0L),
+      ivfCellsWithDeltas(spark, dir, numCents), qid, k)
+
+  private def ivfTopKAggForOver(spark: SparkSession, base: DataFrame,
+      cells: DataFrame, qid: Long, k: Int): DataFrame = {
     import spark.implicits._
-    val base = quantized(spark, dir)
-    val cells = ivfCells(spark, dir, numCents)
     val probes = base.join(cells, Seq("vec_id"))
       .where(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),
@@ -703,7 +733,18 @@ object Similarity {
       .select("cent_id", "cq", "cnq"))
     base.crossJoin(bc)
       .withColumn("dot_q", dotExpr("q", "cq"))
-      .withColumn("cosd", cosExpr("dot_q", "nq", "cnq"))
+      // zero-norm row (nq = 0; possible for streamed DELTAS served
+      // through [[ivfCellsWithDeltas]] — the corpus base never has
+      // one): the division is 0/0, which ANSI mode raises on. Pin
+      // the explicit NaN instead — max(struct) orders NaN
+      // equal-greatest and tie-breaks to the MINIMUM cent_id, the
+      // same rule the stream router implements
+      // ([[graft.streaming.SimStream.routeCells]]), so batch
+      // assignment, stream routing, and delta re-derivation agree on
+      // every input. The CASE branch keeps the division unevaluated
+      // for the degenerate row.
+      .withColumn("cosd", when(col("nq") === 0L, lit(Double.NaN))
+        .otherwise(cosExpr("dot_q", "nq", "cnq")))
       .groupBy("vec_id")
       .agg(max(struct(col("cosd"), (-col("cent_id")).as("neg_cent"))).as("m"))
       .select(col("vec_id"), (-col("m.neg_cent")).cast("long").as("cell_id"))
@@ -1113,47 +1154,54 @@ object Similarity {
     recallVs(cosineTopK(spark, dir, k, probeMod),
       ivfPqTopK(spark, dir, k, probeMod), k)
 
-  /** The searchable-vector delta location for a given codebook —
-    * where [[graft.streaming.SimStream.maintainVectors]] lands
-    * quantized, cell-routed arrivals. Keyed by the book's
-    * parameters: deltas routed under one codebook are never served
-    * against another.
+  /** The searchable-vector delta location — ONE canonical dir per
+    * corpus, deliberately NOT keyed by codebook parameters: the
+    * serving row `(vec_id, q, nq)` is codebook-independent, and a
+    * book-keyed dir silently hid deltas from every serving path that
+    * didn't thread the exact maintenance-time k (round-9 review: a
+    * deployment maintaining at `autoCents` while
+    * `cosineTopKAggProbesLive` read the demo-8 dir found an empty
+    * dir, not an error — streamed vectors were never retrievable).
+    * The landed `cell_id` is the ingest-time record under the
+    * maintenance book; serving under any OTHER book re-derives cells
+    * from the exact quantized payload ([[ivfCellsWithDeltas]]).
     */
-  def vecDeltaDir(dir: String, numCents: Int = 8,
-      iters: Int = CodebookIters): String =
-    annPath(dir, s"ivf$numCents-$iters-vecdeltas")
+  def vecDeltaDir(dir: String): String = annPath(dir, "vecdeltas")
 
-  private def vecDeltaBatches(spark: SparkSession, dir: String,
-      numCents: Int): Seq[String] =
-    graft.streaming.IndexStream.deltaBatches(spark,
-      vecDeltaDir(dir, numCents))
+  private def vecDeltaBatches(spark: SparkSession, dir: String): Seq[String] =
+    graft.streaming.IndexStream.deltaBatches(spark, vecDeltaDir(dir))
 
   /** The LIVE quantized corpus: the session-persisted base plus all
     * accumulated vector deltas (each delta row already carries its
     * exact quantized form — landed by the stream, never recomputed).
     */
-  def quantizedWithDeltas(spark: SparkSession, dir: String,
-      numCents: Int = 8): DataFrame = {
-    val batches = vecDeltaBatches(spark, dir, numCents)
+  def quantizedWithDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val batches = vecDeltaBatches(spark, dir)
     val base = quantized(spark, dir)
     if (batches.isEmpty) base
     else base.unionByName(
       spark.read.parquet(batches: _*).select("vec_id", "q", "nq"))
   }
 
-  /** The LIVE cell assignment: the durable artifact plus the deltas'
-    * routed cells. Sound because stream routing is spec-pinned
-    * cell-for-cell equal to the batch assignment under the SAME
-    * durable book ([[graft.streaming.SimStream.routeCells]]) — the
-    * union IS the assignment of the grown corpus.
+  /** The LIVE cell assignment under the REQUESTED book: the durable
+    * artifact plus the deltas' cells. Delta cells are re-derived
+    * through [[assignCells]] against the requested durable codebook
+    * — bit-equal to the landed routing when the books match (stream
+    * routing is spec-pinned cell-for-cell equal to the batch
+    * assignment, [[graft.streaming.SimStream.routeCells]]), and
+    * CORRECT rather than silently empty when serving under a
+    * different k than maintenance used. Deltas are batch-sized, so
+    * the re-derivation is a broadcast-book map over few rows, never
+    * a corpus pass.
     */
   def ivfCellsWithDeltas(spark: SparkSession, dir: String,
       numCents: Int = 8): DataFrame = {
-    val batches = vecDeltaBatches(spark, dir, numCents)
+    val batches = vecDeltaBatches(spark, dir)
     val base = ivfCells(spark, dir, numCents)
     if (batches.isEmpty) base
-    else base.unionByName(
-      spark.read.parquet(batches: _*).select("vec_id", "cell_id"))
+    else base.unionByName(assignCells(
+      spark.read.parquet(batches: _*).select("vec_id", "q", "nq"),
+      ivfCodebook(spark, dir, numCents)))
   }
 
   /** [[ivfProbe]] over the LIVE vector corpus (base + streamed
@@ -1175,7 +1223,7 @@ object Similarity {
     // still counts it); scoring excludes it — the
     // cosineTopKAggProbes zero-norm discipline applied to the live
     // view. No-op on the base corpus (strictly positive norms).
-    val base = quantizedWithDeltas(spark, dir, numCents)
+    val base = quantizedWithDeltas(spark, dir)
       .where(col("nq") > 0L)
     val cells = ivfCellsWithDeltas(spark, dir, numCents)
     val probes = base.join(cells, Seq("vec_id"))

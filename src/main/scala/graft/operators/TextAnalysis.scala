@@ -365,6 +365,18 @@ object TextAnalysis {
         .where(col("dl") > 0),
       k, qTerms)
 
+  /** The exact-bigint BM25 per-(doc, term) contribution (k1 = 1.2,
+    * b = 0.75 held as integer ratios; rationale at [[bm25TopK]]).
+    * ONE definition shared by every scoring path — derived and
+    * indexed, single/batch/request — so a tuning of the formula can
+    * never silently fork the "identical scores to the derived form"
+    * guarantee the oracles and the derived↔indexed twins depend on
+    * (round-9 review: the string existed in five places).
+    */
+  private val Bm25ScoreSql =
+    "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
+      "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"
+
   private def bm25Core(documents: DataFrame, dl: DataFrame,
       k: Int, qTerms: Int): DataFrame = {
     val toks = documents
@@ -383,9 +395,7 @@ object TextAnalysis {
     tf.join(broadcast(dfc), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
-      .withColumn("score_t", expr(
-        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
-          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .withColumn("score_t", expr(Bm25ScoreSql))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("score_t").as("score"))
       .select(col("doc_id"), col("n_terms"), col("score").cast("long").as("score"))
@@ -1006,9 +1016,7 @@ object TextAnalysis {
       .join(broadcast(dfc), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
-      .withColumn("score_t", expr(
-        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
-          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .withColumn("score_t", expr(Bm25ScoreSql))
       .groupBy("probe_id", "doc_id")
       .agg(sum("score_t").cast("long").as("score"))
   }
@@ -1063,12 +1071,31 @@ object TextAnalysis {
     */
   def bm25TopKIndexed(spark: SparkSession, dir: String,
       k: Int = 20, qTerms: Int = 8): DataFrame = {
-    val dd = positionalDeltaDir(dir)
     val qterms = docs(spark, dir).orderBy("doc_id").limit(1)
       .select(explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms))
         .as("term"))
       .where(col("term") =!= "").distinct()
     val terms = qterms.collect().map(_.getString(0)).toSeq.sorted
+    val (tf, dfc, dl, totals) = bm25IndexedInputs(spark, dir, terms)
+    tf.join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(Bm25ScoreSql))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_t").cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Shared inputs for indexed BM25 scoring of a pushed term set:
+    * live-view tf per (doc, term), per-term df, live doc lengths,
+    * and the 1-row corpus totals — ONE lineage for the three indexed
+    * forms (single/batch/request), so the artifact plumbing cannot
+    * fork between them (round-9 review).
+    */
+  private def bm25IndexedInputs(spark: SparkSession, dir: String,
+      terms: Seq[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dd = positionalDeltaDir(dir)
     val probed = positionalIndexWithDeltas(spark, dir, dd)
       .where(col("term").isin(terms: _*))
       .select("doc_id", "term")
@@ -1077,16 +1104,7 @@ object TextAnalysis {
     val dl = docLengthsWithDeltas(spark, dir, dd)
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
       .withColumn("avgdl", expr("l_tot div n_docs"))
-    tf.join(broadcast(dfc), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
-      .withColumn("score_t", expr(
-        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
-          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("score_t").cast("long").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    (tf, dfc, dl, totals)
   }
 
   /** [[bm25ScoresBatch]] served from DURABLE artifacts — the
@@ -1108,34 +1126,16 @@ object TextAnalysis {
     * freshness gap between the phrase path and the BM25 path.
     */
   def bm25ScoresBatchIndexed(spark: SparkSession, dir: String,
-      probeIds: Seq[Long], qTerms: Int = 8): DataFrame = {
-    val qf = docs(spark, dir).where(col("doc_id").isin(probeIds: _*))
-      .select(col("doc_id").as("probe_id"),
-        explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms)).as("term"))
-      .where(col("term") =!= "").distinct()
-    // the union term set as literals: metadata-sized (≤ probes ×
-    // qTerms strings — the phraseTopKIndexed routing altitude), the
-    // price of a pushed predicate.
-    val terms = qf.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val probed = positionalIndexWithDeltas(spark, dir, positionalDeltaDir(dir))
-      .where(col("term").isin(terms: _*))
-      .select("doc_id", "term")
-    val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docLengthsWithDeltas(spark, dir, positionalDeltaDir(dir))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
-      .withColumn("avgdl", expr("l_tot div n_docs"))
-    tf.join(broadcast(qf), Seq("term"))
-      .join(broadcast(dfc), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
-      .withColumn("score_t", expr(
-        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
-          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
-      .groupBy("probe_id", "doc_id")
-      .agg(sum("score_t").cast("long").as("score"))
-  }
+      probeIds: Seq[Long], qTerms: Int = 8): DataFrame =
+    // pure delegation: the batch form IS the request form with a
+    // query-by-example term frame — the same relationship the
+    // derived pair has ([[bm25ScoresBatch]] → [[bm25ScoresForTerms]]).
+    bm25ScoresForTermsIndexed(spark, dir,
+      docs(spark, dir).where(col("doc_id").isin(probeIds: _*))
+        .select(col("doc_id").as("probe_id"),
+          explode(slice(split(Tokenize.clean(col("text")), " "), 1, qTerms))
+            .as("term"))
+        .where(col("term") =!= "").distinct())
 
   /** [[bm25ScoresForTerms]] served from DURABLE artifacts — the
     * external-request seam through the positional index: the request
@@ -1149,23 +1149,17 @@ object TextAnalysis {
     */
   def bm25ScoresForTermsIndexed(spark: SparkSession, dir: String,
       qf: DataFrame): DataFrame = {
+    // the term set as literals: metadata-sized (≤ probes × qTerms
+    // strings — the phraseTopKIndexed routing altitude), the price
+    // of a pushed predicate.
     val terms = qf.select("term").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val probed = positionalIndexWithDeltas(spark, dir, positionalDeltaDir(dir))
-      .where(col("term").isin(terms: _*))
-      .select("doc_id", "term")
-    val tf = probed.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docLengthsWithDeltas(spark, dir, positionalDeltaDir(dir))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
-      .withColumn("avgdl", expr("l_tot div n_docs"))
+    val (tf, dfc, dl, totals) = bm25IndexedInputs(spark, dir, terms)
     tf.join(broadcast(qf), Seq("term"))
       .join(broadcast(dfc), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
-      .withColumn("score_t", expr(
-        "cast((10000 * (2 * n_docs - 2 * df + 1) * (22 * tf * avgdl)) div " +
-          "((2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) as bigint)"))
+      .withColumn("score_t", expr(Bm25ScoreSql))
       .groupBy("probe_id", "doc_id")
       .agg(sum("score_t").cast("long").as("score"))
   }

@@ -70,6 +70,12 @@ object Artifacts {
       stored == currentFp
     }
     if (!fresh) {
+      // An upstream mismatch means the source was rewritten (or never
+      // built): session lineages cached from the old source must not
+      // feed the rebuild, or the artifact would carry stale frames
+      // under the fresh fingerprint — permanently, since every later
+      // session would see fingerprint-match and serve it.
+      DfCache.invalidateDerived(spark, upstreamPaths)
       build
       val out = fs.create(fpPath, true)
       try out.write(currentFp.getBytes(java.nio.charset.StandardCharsets.UTF_8))

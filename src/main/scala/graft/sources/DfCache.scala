@@ -37,4 +37,42 @@ object DfCache {
     Option(cache.get(spark)).foreach { m =>
       m.remove(key).foreach(_.unpersist(false))
     }
+
+  /** Which key families derive from which corpus source file. The
+    * durable-artifact rebuild gate ([[Artifacts.loadOrBuild]])
+    * consults this when an upstream fingerprint mismatch triggers a
+    * rebuild: any session lineage a build closure reads (quantized
+    * vectors, shingle bands, doc stats) was persisted from the OLD
+    * corpus, so rebuilding through it would bake stale frames into an
+    * artifact stamped with the FRESH fingerprint — permanent
+    * cross-session poisoning, the exact failure the gate exists to
+    * prevent. The prefix lists live here beside the keys they match:
+    * a new cached lineage and its map entry are one diff.
+    */
+  private val sourceDerived: Map[String, Seq[String]] = Map(
+    "documents.parquet" -> Seq("doc_", "src_shingles:", "bpe_"),
+    "embeddings.parquet" -> Seq("emb_", "sim_"))
+
+  /** Drop every session entry derived from any of `upstreamPaths`
+    * (`.../documents.parquet`-style source locations). Called by the
+    * artifact gate BEFORE running a rebuild closure; unknown upstreams
+    * (snapshot companions, delta dirs) no-op. Cost: the next reader of
+    * a dropped lineage recomputes it from the — now current — source;
+    * on a first-ever build that recompute is redundant but harmless,
+    * and rebuilds are once-per-crawl by construction.
+    */
+  def invalidateDerived(spark: SparkSession, upstreamPaths: Seq[String]): Unit =
+    Option(cache.get(spark)).foreach { m =>
+      upstreamPaths.foreach { up =>
+        val i = up.lastIndexOf('/')
+        if (i > 0) {
+          val dir = up.substring(0, i)
+          sourceDerived.get(up.substring(i + 1)).foreach { prefixes =>
+            m.keys.filter(k =>
+              prefixes.exists(k.startsWith) && k.contains(dir))
+              .foreach(k => m.remove(k).foreach(_.unpersist(false)))
+          }
+        }
+      }
+    }
 }

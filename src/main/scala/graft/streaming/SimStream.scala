@@ -97,8 +97,12 @@ object SimStream {
     * until the next corpus re-encode (`VectorDeltaSpec` pins the
     * failure and the fix). Routing is stateless (broadcast-sized
     * folded book), so the stream shards arbitrarily; the delta dir
-    * is keyed by the book's parameters — deltas routed under one
-    * codebook are never served against another.
+    * is the ONE canonical per-corpus location — the landed cell_id
+    * records the maintenance book's routing, and a serving path on a
+    * different book re-derives cells from the quantized payload
+    * ([[Similarity.ivfCellsWithDeltas]]), so deltas can never be
+    * silently invisible to a consumer that didn't thread the
+    * maintenance-time k (round-9 review).
     */
   def maintainVectors(spark: org.apache.spark.sql.SparkSession,
       dir: String, stream: DataFrame, checkpointDir: String,
@@ -107,7 +111,7 @@ object SimStream {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val book = Similarity.ivfCodebook(spark, dir, numCents)
-    val deltaDir = Similarity.vecDeltaDir(dir, numCents)
+    val deltaDir = Similarity.vecDeltaDir(dir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

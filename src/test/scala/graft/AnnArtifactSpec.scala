@@ -63,7 +63,10 @@ class AnnArtifactSpec extends SparkTestBase {
     val src = s"$dir/embeddings.parquet"
     spark.read.parquet(src).localCheckpoint(true)
       .write.mode("overwrite").parquet(src)
-    graft.sources.DfCache.invalidate(spark, s"emb_quant:$dir")
+    // NO manual DfCache.invalidate here: the rebuild gate itself
+    // drops the session's embeddings-derived lineages
+    // (Artifacts.loadOrBuild → DfCache.invalidateDerived), so the
+    // production path — not test hygiene — keeps the rebuild honest.
     val book2 = Similarity.ivfCodebook(spark, dir).collect().toSet
     Similarity.ivfCells(spark, dir).count()
     Similarity.pqCodebook(spark, dir).count()
@@ -72,6 +75,28 @@ class AnnArtifactSpec extends SparkTestBase {
     assert(paths.map(partNames) != names0,
       "artifacts not rebuilt after the embeddings source was rewritten")
     assert(book2 == book0, "deterministic retrain drifted")
+  }
+
+  test("a warm session cache cannot poison a rebuilt artifact") {
+    import org.apache.spark.sql.functions.col
+    val dir = isolatedCorpus()
+    // warm the session lineage AND the artifacts from the full corpus.
+    Similarity.quantized(spark, dir).count()
+    Similarity.ivfCells(spark, dir).count()
+    // rewrite the corpus to HALF the vectors — values change, not
+    // just part names (localCheckpoint materializes pre-overwrite).
+    val src = s"$dir/embeddings.parquet"
+    val kept = spark.read.parquet(src)
+      .where(col("vec_id") % 2 === 0).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(src)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    // the rebuilt assignment must cover exactly the NEW corpus: a
+    // rebuild fed by the warm session cache would re-emit the old
+    // vec_ids under the fresh fingerprint — permanently, for every
+    // later session (the gate's invalidateDerived prevents it).
+    val cellIds = Similarity.ivfCells(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cellIds == keptIds, "rebuilt artifact reflects the pre-rewrite corpus")
   }
 
   test("artifact-served queries equal the freshly-trained computation") {

@@ -138,6 +138,64 @@ class VectorDeltaSpec extends SparkTestBase {
     assert(!baseGot.contains(9000003L))
   }
 
+  test("deltas maintained under a scaled book serve under any book") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-xbook").toString
+    // maintain at the corpus-SCALED codebook (the sizing rule a real
+    // deployment follows) — NOT the serving default 8.
+    val kMaint = Similarity.autoCents(spark, dir)
+    assert(kMaint !== 8, "fixture too small to distinguish books")
+    val clone = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 7L).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000077L, clone))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt,
+      numCents = kMaint)
+    q.processAllAvailable(); q.stop()
+    // serving under the DEFAULT book still sees the arrival: the
+    // delta dir is canonical (not book-keyed), and the delta's cell
+    // under the serving book re-derives from its quantized payload.
+    // Under the old book-keyed dir this probe silently read an empty
+    // dir and the streamed vector was never retrievable (round-9
+    // review).
+    val live = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 7)
+      .where(col("qid") === 7L).collect()
+    assert(live.head.getAs[Long]("vec_id") === 9000077L,
+      s"cross-book delta invisible: ${live.toSeq}")
+    // and the re-derived cell equals vector 7's under the serving
+    // book (identical embedding, identical assignment).
+    val cell7 = Similarity.ivfCells(spark, dir)
+      .where(col("vec_id") === 7L).head().getLong(1)
+    val cellClone = Similarity.ivfCellsWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000077L).head().getLong(1)
+    assert(cellClone === cell7)
+  }
+
+  test("the registered hybrid fusion's vector tower serves the live corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-hyb").toString
+    val qid = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val qEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === qid).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000042L, qEmb))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q.processAllAvailable(); q.stop()
+    // the streamed clone of the query embedding is the vector
+    // tower's #1 candidate (cos = 1; the query doc itself is
+    // excluded), so the fused list carries it with rank_vec = 1 —
+    // one fused query, one freshness level: the text tower already
+    // reads positional deltas, and a doc visible to one tower but
+    // not the other skews every fusion (round-9 review).
+    val fused = graft.operators.Hybrid.rrfTopK(spark, dir, k = 60)
+      .where(col("doc_id") === 9000042L).collect()
+    assert(fused.nonEmpty, "streamed vector invisible to the fused query")
+    assert(fused.head.getAs[Long]("rank_vec") === 1L)
+  }
+
   test("live probe with no deltas equals the base probe row for row") {
     val dir = isolatedCorpus()
     val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
