@@ -1168,20 +1168,112 @@ object Similarity {
     */
   def vecDeltaDir(dir: String): String = annPath(dir, "vecdeltas")
 
+  /** Committed delta parts: `batch=<id>` micro-batch dirs (the
+    * [[graft.streaming.IndexStream.deltaBatches]] convention) plus
+    * at most a few `compacted=<id>` consolidations
+    * ([[compactVectorDeltas]]; those additionally require a
+    * committed `_SUCCESS` — a crashed fold must never serve partial
+    * files, while a crashed micro-batch is replayed-in-place by the
+    * checkpoint).
+    */
+  private def vecDeltaParts(spark: SparkSession, dir: String,
+      prefix: String, requireSuccess: Boolean = false): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(vecDeltaDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        (!requireSuccess ||
+          fs.isFile(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+    }.map(_.getPath.toString).toIndexedSeq
+  }
+
   private def vecDeltaBatches(spark: SparkSession, dir: String): Seq[String] =
-    graft.streaming.IndexStream.deltaBatches(spark, vecDeltaDir(dir))
+    vecDeltaParts(spark, dir, "batch=") ++
+      vecDeltaParts(spark, dir, "compacted=", requireSuccess = true)
+
+  /** All accumulated delta rows, deduplicated by vec_id: parts are
+    * disjoint in steady state, but [[compactVectorDeltas]]'s crash
+    * window (consolidation committed, originals not yet deleted)
+    * legitimately double-lists a row, and this delta-sized dedupe —
+    * never a corpus-sized one — is what makes every window
+    * read-consistent. Rows sharing a vec_id are identical by
+    * construction (idempotent batch overwrite; folds copy rows).
+    */
+  private def vecDeltaRows(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val parts = vecDeltaBatches(spark, dir)
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts: _*)
+      .select("vec_id", "q", "nq").dropDuplicates("vec_id"))
+  }
+
+  /** Fold the accumulated vector-delta parts into ONE
+    * `compacted=<max folded batch id>` consolidation and delete the
+    * folded originals — the periodic maintenance that keeps a
+    * long-running ingest's delta listing bounded: months of
+    * micro-batches mean thousands of dirs listed and
+    * footer-inspected per live query, a cost that grows without
+    * bound, while after compaction the live view reads one
+    * consolidated part plus whatever landed since. The positional
+    * index folds deltas into its durable base
+    * ([[TextAnalysis.compactPositionalIndex]]); the vector corpus
+    * has no engine-owned base (the embeddings source is upstream),
+    * so its deltas fold into this consolidated part instead.
+    *
+    * Crash-safe by ordering, not by locking: the consolidation
+    * commits BEFORE any original is deleted, so every row stays
+    * visible to concurrent readers at every point
+    * ([[vecDeltaRows]] dedupes the overlap window), and a re-run
+    * after any crash point converges — residue at or below a
+    * committed consolidation's id is a SUBSET of it (each fold
+    * reads every then-live part) and is deleted without re-reading.
+    * New arrivals land at ids above the folded maximum (checkpointed
+    * batch ids are monotone) and are never touched. Returns the
+    * number of parts folded (0 = nothing to fold).
+    */
+  def compactVectorDeltas(spark: SparkSession, dir: String): Int = {
+    def idOf(p: String): Long = {
+      val n = new org.apache.hadoop.fs.Path(p).getName
+      n.substring(n.indexOf('=') + 1).toLong
+    }
+    val fs = new org.apache.hadoop.fs.Path(vecDeltaDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(p: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    // crash residue first: an older consolidation, or a batch at or
+    // below the newest consolidation's id, is already contained in
+    // the newest consolidation — delete, never re-fold.
+    val comp = vecDeltaParts(spark, dir, "compacted=", requireSuccess = true)
+      .sortBy(idOf)
+    comp.dropRight(1).foreach(rm)
+    val cMax = comp.lastOption.map(idOf).getOrElse(-1L)
+    val (residual, live) =
+      vecDeltaParts(spark, dir, "batch=").partition(idOf(_) <= cMax)
+    residual.foreach(rm)
+    val sources = comp.takeRight(1) ++ live
+    if (sources.size < 2) 0
+    else {
+      // target id is a LIVE batch id (> cMax), so the target path is
+      // never among the sources — no parquet self-overwrite.
+      val target = s"${vecDeltaDir(dir)}/compacted=${live.map(idOf).max}"
+      spark.read.parquet(sources: _*)
+        .select("vec_id", "q", "nq", "cell_id")
+        .dropDuplicates("vec_id")
+        .write.mode("overwrite").parquet(target)
+      sources.foreach(rm)
+      sources.size
+    }
+  }
 
   /** The LIVE quantized corpus: the session-persisted base plus all
     * accumulated vector deltas (each delta row already carries its
     * exact quantized form — landed by the stream, never recomputed).
     */
-  def quantizedWithDeltas(spark: SparkSession, dir: String): DataFrame = {
-    val batches = vecDeltaBatches(spark, dir)
-    val base = quantized(spark, dir)
-    if (batches.isEmpty) base
-    else base.unionByName(
-      spark.read.parquet(batches: _*).select("vec_id", "q", "nq"))
-  }
+  def quantizedWithDeltas(spark: SparkSession, dir: String): DataFrame =
+    vecDeltaRows(spark, dir)
+      .map(quantized(spark, dir).unionByName(_))
+      .getOrElse(quantized(spark, dir))
 
   /** The LIVE cell assignment under the REQUESTED book: the durable
     * artifact plus the deltas' cells. Delta cells are re-derived
@@ -1196,12 +1288,11 @@ object Similarity {
     */
   def ivfCellsWithDeltas(spark: SparkSession, dir: String,
       numCents: Int = 8): DataFrame = {
-    val batches = vecDeltaBatches(spark, dir)
     val base = ivfCells(spark, dir, numCents)
-    if (batches.isEmpty) base
-    else base.unionByName(assignCells(
-      spark.read.parquet(batches: _*).select("vec_id", "q", "nq"),
-      ivfCodebook(spark, dir, numCents)))
+    vecDeltaRows(spark, dir)
+      .map(d => base.unionByName(
+        assignCells(d, ivfCodebook(spark, dir, numCents))))
+      .getOrElse(base)
   }
 
   /** [[ivfProbe]] over the LIVE vector corpus (base + streamed

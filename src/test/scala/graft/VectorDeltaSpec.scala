@@ -196,6 +196,85 @@ class VectorDeltaSpec extends SparkTestBase {
     assert(fused.head.getAs[Long]("rank_vec") === 1L)
   }
 
+  test("delta compaction folds parts, preserves serving, and keeps later arrivals live") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-cmp").toString
+    def emb(id: Long) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === id).head().getSeq[Float](1)
+    def parts() = new java.io.File(Similarity.vecDeltaDir(dir))
+      .list().filter(n => n.startsWith("batch=") || n.startsWith("compacted="))
+      .toSet
+    // two micro-batches land as two delta dirs.
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000011L, emb(11)))
+    val q1 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q1.processAllAvailable(); q1.stop()
+    in.addData(VRow(9000012L, emb(12)))
+    val q2 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(parts() === Set("batch=0", "batch=1"))
+    val before = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    // fold: one consolidated part at the max folded id, originals
+    // gone, serving row-identical.
+    assert(Similarity.compactVectorDeltas(spark, dir) === 2)
+    assert(parts() === Set("compacted=1"), s"parts: ${parts()}")
+    val after = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+    // arrivals after the fold land above it and stay live...
+    in.addData(VRow(9000013L, emb(13)))
+    val q3 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(parts() === Set("compacted=1", "batch=2"))
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 3L)
+    // ...and the next fold consolidates consolidation + newcomers.
+    assert(Similarity.compactVectorDeltas(spark, dir) === 2)
+    assert(parts() === Set("compacted=2"))
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 3L)
+    // nothing left to fold: a single part is already compact.
+    assert(Similarity.compactVectorDeltas(spark, dir) === 0)
+    assert(parts() === Set("compacted=2"))
+  }
+
+  test("the compaction crash window double-lists no row and converges on re-run") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-crash").toString
+    val clone = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 5L).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000055L, clone))
+    val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q.processAllAvailable(); q.stop()
+    // simulate the crash window: consolidation committed
+    // (compacted=0 = a byte copy of batch=0), originals not yet
+    // deleted — the arrival is listed TWICE.
+    val dd = Paths.get(Similarity.vecDeltaDir(dir))
+    Files.walk(dd.resolve("batch=0")).forEach { p =>
+      val t = dd.resolve("compacted=0")
+        .resolve(dd.resolve("batch=0").relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // readers stay consistent through the window: one row, not two.
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000055L).count() === 1L)
+    // re-run converges: the residual batch is a subset of the
+    // committed consolidation and is deleted without a re-fold.
+    assert(Similarity.compactVectorDeltas(spark, dir) === 0)
+    val names = new java.io.File(Similarity.vecDeltaDir(dir)).list().toSet
+    assert(!names.contains("batch=0") && names.contains("compacted=0"))
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000055L).count() === 1L)
+  }
+
   test("live probe with no deltas equals the base probe row for row") {
     val dir = isolatedCorpus()
     val base = Similarity.ivfProbe(spark, dir, k = 3, probeMod = 100)
