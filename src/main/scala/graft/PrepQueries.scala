@@ -12,6 +12,12 @@ object PrepQueries {
     Q("prep_split_assign",
       (s, dir) => CorpusPrep.splitAssign(s, dir),
       Some(PrepOracle.splitAssignSql())),
+    // the near-dup-leakage-free variant: the same bucket rule keyed
+    // by duplicate CLUSTER, so near-duplicates never straddle the
+    // train/eval boundary.
+    Q("prep_split_leakfree",
+      (s, dir) => CorpusPrep.splitLeakfree(s, dir),
+      Some(PrepOracle.splitLeakfreeSql())),
     // the capstone: quality ∘ dedup ∘ split composed in one query —
     // the frame a training run actually reads.
     Q("prep_training_corpus",

@@ -63,9 +63,10 @@ object CorpusPrep {
     * membership must agree by construction), mixing salts with
     * `"mix|"` so its decision is independent of the split's.
     */
-  private def hashBucket(salt: String, mod: Int = 100): org.apache.spark.sql.Column = {
-    val keyed = if (salt.isEmpty) "cast(doc_id as string)"
-      else s"concat('$salt', cast(doc_id as string))"
+  private def hashBucket(salt: String, mod: Int = 100,
+      key: String = "doc_id"): org.apache.spark.sql.Column = {
+    val keyed = if (salt.isEmpty) s"cast($key as string)"
+      else s"concat('$salt', cast($key as string))"
     expr(s"cast(conv(substr(md5(cast($keyed as binary)), 1, 8), 16, 10) as bigint) % $mod")
   }
 
@@ -96,6 +97,54 @@ object CorpusPrep {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("split", "lang")
   }
+
+  /** Per-document near-dup-LEAKAGE-free split assignment:
+    * [[splitAssign]]'s hash-bucket rule keyed by the document's
+    * DUPLICATE CLUSTER instead of its own id, so two near-duplicate
+    * documents can never straddle the train/eval boundary — the
+    * leakage the per-identity rule cannot see (a 95%-identical eval
+    * document IS a leaked training document for measurement
+    * purposes; production dedup pipelines split by cluster for
+    * exactly this reason). Membership key = the cluster id from the
+    * DURABLE decision table ([[Dedup.clusters]] — the min-id member;
+    * a document outside every verified pair is its own cluster), so
+    * assignment stays deterministic and identity-stable, is constant
+    * within a cluster BY CONSTRUCTION (`CorpusPrepSpec` asserts no
+    * cluster straddles), and a cluster's split equals its keeper's
+    * [[splitAssign]] split (the key is the keeper's id).
+    *
+    * Scale: one corpus scan left-joined against the thin durable
+    * cluster table on doc_id, the same row-local hash, one rollup —
+    * [[splitAssign]] plus one key-join against an artifact the dedup
+    * family already pays for once per crawl.
+    */
+  def splitLeakfreePerDoc(spark: SparkSession, dir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"split percentages must be non-negative with pctTrain+pctVal <= 100, " +
+        s"got pctTrain=$pctTrain pctVal=$pctVal")
+    val clusters = Dedup.clusters(spark, dir).select("doc_id", "cluster_id")
+    val bucket = hashBucket("", key = "skey")
+    docs(spark, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < pctTrain, "train")
+          .when(bucket < pctTrain + pctVal, "val")
+          .otherwise("test"))
+  }
+
+  /** The registered rollup of [[splitLeakfreePerDoc]] — the
+    * [[splitAssign]] output shape, so the two rules' corpus-level
+    * effects compare cell for cell.
+    */
+  def splitLeakfree(spark: SparkSession, dir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
+    splitLeakfreePerDoc(spark, dir, pctTrain, pctVal)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split", "lang")
 
   /** Reproducibility manifest — the data-card artifact a corpus
     * release ships: per (split, source), the document count, char

@@ -24,6 +24,31 @@ object PrepOracle {
 SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM assigned GROUP BY split, lang ORDER BY split, lang"""
 
+  /** Mirrors `CorpusPrep.splitLeakfree`: the same md5 bucket over
+    * the CLUSTER id (the recursive dedup closure's label, the
+    * keeper's doc_id; own id outside every cluster) instead of the
+    * document's — an independent DuckDB derivation of both the
+    * clustering AND the bucketing.
+    */
+  def splitLeakfreeSql(pctTrain: Int = 80, pctVal: Int = 10,
+      numSeeds: Int = 8): String =
+    s"""WITH RECURSIVE ${DocOracle.labelCtes(numSeeds)},
+  b AS (
+    SELECT d.lang, d.n_chars,
+      ${DocOracle.hex8IntSql(
+        "md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR))")} % 100 AS bucket
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+  ),
+  assigned AS (
+    SELECT lang, n_chars,
+      CASE WHEN bucket < $pctTrain THEN 'train'
+           WHEN bucket < ${pctTrain + pctVal} THEN 'val'
+           ELSE 'test' END AS split
+    FROM b
+  )
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang ORDER BY split, lang"""
+
   def mixtureSql(rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
       defaultRate: Int = 75): String = {
     // escape embedded quotes: the Spark side binds source names as

@@ -32,6 +32,45 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got.map(_._3).distinct.sorted == got.map(_._3).distinct)
   }
 
+  test("near-dup clusters never straddle the train/eval boundary") {
+    import org.apache.spark.sql.functions._
+    val dirP = java.nio.file.Files.createTempDirectory("graft-leakfree")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sf0001)).forEach { p =>
+      java.nio.file.Files.copy(p, dirP.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dir = dirP.toString
+    // plant exact clones of doc 3 at ids the per-identity split
+    // SCATTERS (md5 buckets: 3 → train, 9000001 → val) — the
+    // leakage case: a 100%-identical "eval" document.
+    val src = s"$dir/documents.parquet"
+    val base = spark.read.parquet(src)
+    val grown = Seq(9000001L, 9000002L)
+      .map(id => base.where(col("doc_id") === 3L)
+        .withColumn("doc_id", lit(id)))
+      .foldLeft(base)(_ unionByName _).localCheckpoint(true)
+    grown.write.mode("overwrite").parquet(src)
+    val perDoc = CorpusPrep.splitLeakfreePerDoc(spark, dir)
+    // split is a function of the cluster key — no key can straddle.
+    assert(perDoc.groupBy("skey")
+      .agg(countDistinct("split").as("ns"))
+      .where(col("ns") > 1).count() === 0L)
+    // the planted cluster takes its keeper's split for EVERY member:
+    // had clustering missed a clone (or the key coalescing broken),
+    // 9000001 would key on itself and land in val — two splits.
+    val got = perDoc.where(col("doc_id").isin(3L, 9000001L, 9000002L))
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(got === Seq("train"), s"planted cluster splits: $got")
+    // the registered rollup is exactly the per-doc rollup.
+    val roll = CorpusPrep.splitLeakfree(spark, dir)
+      .collect().map(_.toString).toSeq
+    val expect = perDoc.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split", "lang").collect().map(_.toString).toSeq
+    assert(roll === expect && roll.nonEmpty)
+  }
+
   test("token-counter seam: a non-default counter re-prices the same packing") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
