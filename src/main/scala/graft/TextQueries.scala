@@ -96,6 +96,12 @@ object TextQueries {
     Q("text_bpe_tokens",
       (s, dir) => graft.operators.Bpe.tokens(s, dir),
       Some(TextOracle.bpeTokensSql())),
+    // per-source fertility (tokens/word, chars/token in exact bp) —
+    // the tokenizer-eval rollup that exposes a vocabulary
+    // fragmenting one source and inflating its token budget.
+    Q("text_bpe_fertility",
+      (s, dir) => graft.operators.Bpe.fertility(s, dir),
+      Some(TextOracle.bpeFertilitySql())),
     // the durable tokenizer artifact (content-fingerprint-gated on
     // the documents source); the oracle retrains from scratch.
     Q("text_bpe_artifact",

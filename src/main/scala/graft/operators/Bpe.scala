@@ -233,6 +233,30 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Per-SOURCE tokenizer fertility — the standard tokenizer-eval
+    * rollup a vocabulary decision is made on: tokens-per-word and
+    * chars-per-token in exact basis points, per source. A tokenizer
+    * that fragments one source's vocabulary silently inflates that
+    * source's effective token budget (and its share of every
+    * token-budgeted mixture); the per-source fertility table is the
+    * number that exposes it. Derived from the [[tokens]] accounting
+    * joined back to document sources — the same one vocabulary
+    * broadcast plus a |sources|-row rollup, nothing corpus-sized.
+    */
+  def fertility(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
+    tokens(spark, dir, n)
+      .join(docs(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_words").cast("long").as("sum_words"),
+        sum("n_word_chars").cast("long").as("sum_chars"),
+        sum("n_bpe_tokens").cast("long").as("sum_tokens"))
+      .withColumn("tokens_per_word_bp",
+        expr("(10000 * sum_tokens) div sum_words"))
+      .withColumn("chars_per_token_bp",
+        expr("(10000 * sum_chars) div sum_tokens"))
+      .orderBy("source")
+
   /** Per-WORD trained segmentations `(word, syms)` — the trainer's
     * words frame with the delimiter framing unpacked to a symbol
     * array. THE scale pivot of segmentation: BPE merge application is

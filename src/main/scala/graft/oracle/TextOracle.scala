@@ -481,6 +481,35 @@ SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM bdocw d JOIN bvocab v USING (word)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** Mirrors `Bpe.fertility`: the per-doc token accounting rolled
+    * up per source with exact floor-division basis points.
+    */
+  def bpeFertilitySql(n: Int = graft.operators.Bpe.Merges): String =
+    s"""WITH ${bpeCtes(n)},
+  bvocab AS (
+    SELECT word,
+      CAST((length(w) - length(replace(w, '|', ''))) // 2 AS BIGINT) AS n_tok
+    FROM bwords$n
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  perdoc AS (
+    SELECT d.doc_id, count(*) AS n_words, sum(length(d.word)) AS n_word_chars,
+      sum(v.n_tok) AS n_bpe_tokens
+    FROM bdocw d JOIN bvocab v USING (word)
+    GROUP BY d.doc_id
+  )
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(p.n_words) AS BIGINT) AS sum_words,
+  CAST(sum(p.n_word_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(p.n_bpe_tokens) AS BIGINT) AS sum_tokens,
+  CAST((10000 * sum(p.n_bpe_tokens)) // sum(p.n_words) AS BIGINT) AS tokens_per_word_bp,
+  CAST((10000 * sum(p.n_word_chars)) // sum(p.n_bpe_tokens) AS BIGINT) AS chars_per_token_bp
+FROM perdoc p JOIN documents s USING (doc_id)
+GROUP BY s.source ORDER BY s.source"""
+
   /** Mirrors `Bpe.tokenIds`: the oracle retrains, segments each
     * distinct word, enumerates symbols lexicographically, and
     * flattens the sampled documents to ordered (wpos, spos) token
