@@ -167,6 +167,16 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("quality_model", Ex(3, 3, 0)) {
       TextAnalysis.qualityModel(spark, dir)
     }
+    // leakage-free split: one corpus scan + the thin durable cluster
+    // join + the rollup — never a clustering subplan in the query.
+    pin("split_leakfree", Ex(2, 1, 0)) {
+      graft.operators.CorpusPrep.splitLeakfree(spark, dir)
+    }
+    // per-source fertility: the token accounting's vocabulary
+    // broadcast + a sources-sized rollup.
+    pin("bpe_fertility", Ex(3, 2, 0)) {
+      graft.operators.Bpe.fertility(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
