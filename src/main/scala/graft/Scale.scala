@@ -296,7 +296,14 @@ object Scale {
       // quality scorer (two corpus passes + vocabulary broadcast;
       // min-of-reps serves the frozen durable weights).
       "text_bm25_topk_indexed" -> (d => TextAnalysis.bm25TopKIndexed(spark, d)),
-      "text_quality_model" -> (d => TextAnalysis.qualityModel(spark, d)))
+      "text_quality_model" -> (d => TextAnalysis.qualityModel(spark, d)),
+      // round-9 closing additions: the cluster-keyed split rides the
+      // durable decision table (min-of-reps = one corpus scan + the
+      // thin cluster join; the 10x corpus is ~90% near-dup, the
+      // brutal case for cluster-table size), and fertility rides the
+      // token accounting's vocabulary broadcast.
+      "prep_split_leakfree" -> (d => CorpusPrep.splitLeakfree(spark, d)),
+      "text_bpe_fertility" -> (d => operators.Bpe.fertility(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

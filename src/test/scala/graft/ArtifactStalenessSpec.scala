@@ -134,4 +134,29 @@ class ArtifactStalenessSpec extends SparkTestBase {
     Dedup.loadOrBuildSignatures(spark, dir).count()
     assert(partNames(sigPath) == names1, "signatures rebuilt although fresh")
   }
+
+  test("a warm session cache cannot poison a rebuilt documents artifact") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val dir = isolatedCorpus()
+    // warm the session shingle/band lineage AND the artifact from
+    // the full corpus.
+    Dedup.bands(spark, dir).count()
+    Dedup.loadOrBuildSignatures(spark, dir).count()
+    // re-crawl to HALF the documents — values change, not just part
+    // names (localCheckpoint materializes before the overwrite).
+    val src = s"$dir/documents.parquet"
+    val kept = spark.read.parquet(src)
+      .where(col("doc_id") % 2 === 0).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(src)
+    // the rebuilt signatures must describe the NEW corpus only: a
+    // rebuild fed by the warm session cache would re-emit odd
+    // doc_ids under the fresh fingerprint — permanently, for every
+    // later session (the gate's invalidateDerived prevents it; the
+    // embeddings-side twin lives in AnnArtifactSpec).
+    val sigIds = Dedup.loadOrBuildSignatures(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigIds.nonEmpty && sigIds.forall(_ % 2 == 0),
+      "rebuilt signatures reference dropped documents")
+  }
 }
