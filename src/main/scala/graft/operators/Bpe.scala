@@ -128,10 +128,11 @@ object Bpe {
     * first's checkpointed rounds instead of retraining.
     */
   private def trained(spark: SparkSession, documents: => DataFrame,
-      n: Int, tag: String): (DataFrame, DataFrame) = {
+      n: Int, tag: String, upstreams: Seq[String] = Nil)
+      : (DataFrame, DataFrame) = {
     lazy val pair = train(spark, documents, n)
-    (DfCache.getOrPersist(spark, s"bpe_merges:$tag:$n")(pair._1),
-      DfCache.getOrPersist(spark, s"bpe_vocab:$tag:$n")(pair._2))
+    (DfCache.getOrPersist(spark, s"bpe_merges:$tag:$n", upstreams)(pair._1),
+      DfCache.getOrPersist(spark, s"bpe_vocab:$tag:$n", upstreams)(pair._2))
   }
 
   /** The trained merge table `(rank, pair_a, pair_b, merged, weight)`
@@ -140,8 +141,9 @@ object Bpe {
     * contribute no row, so the table is also the convergence record.
     */
   def mergesOf(spark: SparkSession, documents: => DataFrame,
-      n: Int = Merges, tag: String = "of"): DataFrame =
-    trained(spark, documents, n, tag)._1
+      n: Int = Merges, tag: String = "of",
+      upstreams: Seq[String] = Nil): DataFrame =
+    trained(spark, documents, n, tag, upstreams)._1
 
   /** `(word, wc, n_tok)` projection of a trained words frame: symbols
     * remaining after the merge sequence, counted from the frame
@@ -155,15 +157,17 @@ object Bpe {
 
   /** Trained per-word token counts `(word, wc, n_tok)`. */
   def vocabOf(spark: SparkSession, documents: => DataFrame,
-      n: Int = Merges, tag: String = "of"): DataFrame =
-    tokCounts(trained(spark, documents, n, tag)._2)
+      n: Int = Merges, tag: String = "of",
+      upstreams: Seq[String] = Nil): DataFrame =
+    tokCounts(trained(spark, documents, n, tag, upstreams)._2)
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** Registered form: the trained merge table over the corpus. */
   def merges(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
-    mergesOf(spark, docs(spark, dir), n, dir)
+    mergesOf(spark, docs(spark, dir), n, dir,
+      Seq(s"$dir/documents.parquet"))
 
   /** Registered form: per-document token accounting under the trained
     * vocabulary — `(doc_id, n_words, n_word_chars, n_bpe_tokens,
@@ -219,7 +223,8 @@ object Bpe {
     loadOrTrain(spark, dir, n)._2.orderBy("word")
 
   def tokens(spark: SparkSession, dir: String, n: Int = Merges): DataFrame = {
-    val vocab = vocabOf(spark, docs(spark, dir), n, dir).drop("wc")
+    val vocab = vocabOf(spark, docs(spark, dir), n, dir,
+      Seq(s"$dir/documents.parquet")).drop("wc")
     docs(spark, dir)
       .select(col("doc_id"), explode(expr(WordsExpr)).as("word"))
       .join(broadcast(vocab), Seq("word"))
@@ -265,8 +270,9 @@ object Bpe {
     * against this table, never by re-running merges per occurrence.
     */
   def segmentsOf(spark: SparkSession, documents: => DataFrame,
-      n: Int = Merges, tag: String = "of"): DataFrame =
-    trained(spark, documents, n, tag)._2
+      n: Int = Merges, tag: String = "of",
+      upstreams: Seq[String] = Nil): DataFrame =
+    trained(spark, documents, n, tag, upstreams)._2
       .select(col("word"),
         split(expr("trim(BOTH '|' FROM w)"), "\\|\\|").as("syms"))
 
@@ -276,7 +282,8 @@ object Bpe {
     * window, corpus never touched.
     */
   def tokenIdTable(spark: SparkSession, dir: String, n: Int = Merges): DataFrame =
-    tokenIdsOfSegments(segmentsOf(spark, docs(spark, dir), n, dir))
+    tokenIdsOfSegments(segmentsOf(spark, docs(spark, dir), n, dir,
+      Seq(s"$dir/documents.parquet")))
 
   /** Lexicographic symbol → id enumeration over a segments frame —
     * ONE id-assignment rule for the demo and production tables
@@ -303,7 +310,8 @@ object Bpe {
     */
   def tokenIds(spark: SparkSession, dir: String,
       n: Int = Merges, docMod: Int = 25): DataFrame = {
-    val segs = segmentsOf(spark, docs(spark, dir), n, dir)
+    val segs = segmentsOf(spark, docs(spark, dir), n, dir,
+      Seq(s"$dir/documents.parquet"))
     val ids = tokenIdTable(spark, dir, n)
     docs(spark, dir)
       .where(col("doc_id") % docMod === 0)

@@ -85,7 +85,8 @@ object Dedup {
     * MinHash, the Jaccard candidate join, and the verification stage.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"doc_shingles:$dir")(
+    DfCache.getOrPersist(spark, s"doc_shingles:$dir",
+      Seq(s"$dir/documents.parquet"))(
       shinglesOf(docsSpread(spark, dir)))
 
   /** Shingle lineage over ANY documents frame — the seam that lets
@@ -140,7 +141,8 @@ object Dedup {
     * self-joins both sides of this.
     */
   def bands(spark: SparkSession, dir: String, numSeeds: Int = 8): DataFrame =
-    DfCache.getOrPersist(spark, s"doc_bands:$dir:$numSeeds")(
+    DfCache.getOrPersist(spark, s"doc_bands:$dir:$numSeeds",
+      Seq(s"$dir/documents.parquet"))(
       bandsOf(docsSpread(spark, dir), numSeeds))
 
   /** Band lineage over ANY documents frame (see [[shinglesOf]]):
@@ -167,7 +169,8 @@ object Dedup {
     val sh = shingles(spark, dir)
     // persisted: joined twice per verification (nx and ny) and used
     // by both the MinHash-LSH and n-gram Jaccard queries.
-    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir") {
+    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir",
+        Seq(s"$dir/documents.parquet")) {
       sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     }
     val inter = cand
@@ -267,7 +270,8 @@ object Dedup {
       maxDf: Int = 100, minShared: Int = 3, minContBp: Int = 8000): DataFrame = {
     val cand = rareSharedCandidates(spark, dir, maxDf, minShared)
     val sh = shingles(spark, dir)
-    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir") {
+    val sizes = DfCache.getOrPersist(spark, s"doc_shingle_sizes:$dir",
+        Seq(s"$dir/documents.parquet")) {
       sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     }
     cand
@@ -372,7 +376,8 @@ object Dedup {
     // corpus), session-cached: the band set feeds both candidate-join
     // sides below.
     val deltaBands = DfCache.getOrPersist(spark,
-      s"doc_bands_delta:$dir:$deltaMod")(
+      s"doc_bands_delta:$dir:$deltaMod",
+      Seq(s"$dir/documents.parquet"))(
       bandsOf(spread(spark,
         docs(spark, dir).where(col("doc_id") % deltaMod === 0))))
     val baseBands = loadOrBuildSignatures(spark, dir)
@@ -707,7 +712,8 @@ object Dedup {
     * [[simhashPairs]]' band self-join consume it.
     */
   def simhashHalves(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"doc_simhash:$dir") {
+    DfCache.getOrPersist(spark, s"doc_simhash:$dir",
+      Seq(s"$dir/documents.parquet")) {
       val sums =
         (0 until 32).map(b =>
           sum(when(shiftright(col("h_lo"), b) % 2 === 1, 1).otherwise(-1)).as(s"lo$b")) ++
@@ -852,7 +858,8 @@ object Dedup {
   private def docSpans(spark: SparkSession, dir: String, n: Int,
       base: DataFrame): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
-    DfCache.getOrPersist(spark, s"doc_spans:$n:$dir") {
+    DfCache.getOrPersist(spark, s"doc_spans:$n:$dir",
+      Seq(s"$dir/documents.parquet")) {
       base.where(col("n_tokens") >= n)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(t) - ${n - 1}),
@@ -967,7 +974,8 @@ object Dedup {
     // the persist the corpus-scale shingle distinct runs twice per
     // query (round-8 self-review finding). Bounded by
     // |sources| x |shingle vocabulary|.
-    val srcSh = DfCache.getOrPersist(spark, s"src_shingles:$dir")(
+    val srcSh = DfCache.getOrPersist(spark, s"src_shingles:$dir",
+      Seq(s"$dir/documents.parquet"))(
       shingles(spark, dir)
         .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("s")).distinct())

@@ -51,7 +51,8 @@ object Similarity {
     * squared norms, persisted once per (session, corpus).
     */
   def quantized(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"emb_quant:$dir") {
+    DfCache.getOrPersist(spark, s"emb_quant:$dir",
+      Seq(s"$dir/embeddings.parquet")) {
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"),
           expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))").as("q"))
@@ -124,7 +125,8 @@ object Similarity {
     * Persisted: both sides of the candidate self-join consume it.
     */
   def signBands(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"emb_bands:$dir") {
+    DfCache.getOrPersist(spark, s"emb_bands:$dir",
+      Seq(s"$dir/embeddings.parquet")) {
       val bandStructs = (0 until NumBands).map { b =>
         val v = (0 until BandBits).map(j =>
           when(element_at(col("q"), b * BandBits + j + 1) >= 0, lit(1L << j))
@@ -329,10 +331,10 @@ object Similarity {
     * base form with no deltas.
     */
   def ivfTopKAggForLive(spark: SparkSession, dir: String, qid: Long,
-      k: Int, numCents: Int = 8): DataFrame =
-    ivfTopKAggForOver(spark,
-      quantizedWithDeltas(spark, dir).where(col("nq") > 0L),
-      ivfCellsWithDeltas(spark, dir, numCents), qid, k)
+      k: Int, numCents: Int = 8): DataFrame = {
+    val (base, cells) = liveVectorFrames(spark, dir, numCents)
+    ivfTopKAggForOver(spark, base, cells, qid, k)
+  }
 
   private def ivfTopKAggForOver(spark: SparkSession, base: DataFrame,
       cells: DataFrame, qid: Long, k: Int): DataFrame = {
@@ -412,7 +414,8 @@ object Similarity {
     // scoring pass runs twice per query (round-8 self-review
     // finding). The frame is bounded (|probes| * kCand rows).
     val cands = graft.sources.DfCache.getOrPersist(spark,
-      s"sim_diverse_cands:$dir:$kCand:$probeMod")(
+      s"sim_diverse_cands:$dir:$kCand:$probeMod",
+      Seq(s"$dir/embeddings.parquet"))(
       cosineTopKAggWhere(spark, dir, kCand,
         col("vec_id") % probeMod === 0))
     val labels = loadOrBuildEmbClusters(spark, dir, minCosBp)
@@ -1165,28 +1168,29 @@ object Similarity {
     * The landed `cell_id` is the ingest-time record under the
     * maintenance book; serving under any OTHER book re-derives cells
     * from the exact quantized payload ([[ivfCellsWithDeltas]]).
+    *
+    * Migration: deltas landed before this dir existed (under the
+    * old book-keyed `ivf<k>-<iters>-vecdeltas` dirs) are not read —
+    * their stream checkpoints have already committed those batch
+    * ids, so they would never be re-emitted either. Move each old
+    * dir's `batch=<id>` entries here once (renumbering on id
+    * collision across books); rows are full serving rows, so a move
+    * is the whole migration.
     */
   def vecDeltaDir(dir: String): String = annPath(dir, "vecdeltas")
 
-  /** Committed delta parts: `batch=<id>` micro-batch dirs (the
-    * [[graft.streaming.IndexStream.deltaBatches]] convention) plus
-    * at most a few `compacted=<id>` consolidations
+  /** Committed delta parts: `batch=<id>` micro-batch dirs plus at
+    * most a few `compacted=<id>` consolidations
     * ([[compactVectorDeltas]]; those additionally require a
     * committed `_SUCCESS` — a crashed fold must never serve partial
     * files, while a crashed micro-batch is replayed-in-place by the
-    * checkpoint).
+    * checkpoint). One listing implementation for every delta family
+    * ([[graft.streaming.IndexStream.deltaBatches]]).
     */
   private def vecDeltaParts(spark: SparkSession, dir: String,
-      prefix: String, requireSuccess: Boolean = false): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(vecDeltaDir(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter { s =>
-      s.isDirectory && s.getPath.getName.startsWith(prefix) &&
-        (!requireSuccess ||
-          fs.isFile(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-    }.map(_.getPath.toString).toIndexedSeq
-  }
+      prefix: String, requireSuccess: Boolean = false): Seq[String] =
+    graft.streaming.IndexStream.deltaBatches(spark, vecDeltaDir(dir),
+      prefix, requireSuccess)
 
   private def vecDeltaBatches(spark: SparkSession, dir: String): Seq[String] =
     vecDeltaParts(spark, dir, "batch=") ++
@@ -1208,11 +1212,10 @@ object Similarity {
   }
 
   /** Fold the accumulated vector-delta parts into ONE
-    * `compacted=<max folded batch id>` consolidation and delete the
-    * folded originals — the periodic maintenance that keeps a
-    * long-running ingest's delta listing bounded: months of
-    * micro-batches mean thousands of dirs listed and
-    * footer-inspected per live query, a cost that grows without
+    * `compacted=<max folded batch id>` consolidation — the periodic
+    * maintenance that keeps a long-running ingest's delta listing
+    * bounded: months of micro-batches mean thousands of dirs listed
+    * and footer-inspected per live query, a cost that grows without
     * bound, while after compaction the live view reads one
     * consolidated part plus whatever landed since. The positional
     * index folds deltas into its durable base
@@ -1220,16 +1223,30 @@ object Similarity {
     * has no engine-owned base (the embeddings source is upstream),
     * so its deltas fold into this consolidated part instead.
     *
-    * Crash-safe by ordering, not by locking: the consolidation
-    * commits BEFORE any original is deleted, so every row stays
-    * visible to concurrent readers at every point
-    * ([[vecDeltaRows]] dedupes the overlap window), and a re-run
-    * after any crash point converges — residue at or below a
-    * committed consolidation's id is a SUBSET of it (each fold
-    * reads every then-live part) and is deleted without re-reading.
-    * New arrivals land at ids above the folded maximum (checkpointed
-    * batch ids are monotone) and are never touched. Returns the
-    * number of parts folded (0 = nothing to fold).
+    * Safety rules (round-9 review hardened both):
+    *  - COMMITTED parts only: a batch dir without `_SUCCESS` — a
+    *    crash-partial write the checkpoint will replay in full, or a
+    *    write in flight right now — is neither folded nor deleted
+    *    (folding a partial and then deleting its replay as "already
+    *    folded residue" would silently lose the missing rows
+    *    forever). Micro-batches commit serially, so an uncommitted
+    *    batch is always the highest id present and simply waits for
+    *    the next fold.
+    *  - DEFERRED deletion: a fold only WRITES; the folded originals
+    *    stay on disk until the NEXT invocation classifies them as
+    *    residue (at or below the newest consolidation's id ⇒ a
+    *    subset of it, since each fold reads every then-live
+    *    committed part) and deletes them without re-reading. A
+    *    reader that listed parts at any moment keeps its files for a
+    *    full compaction interval; [[vecDeltaRows]]' vec_id dedupe
+    *    makes the interim double-listing invisible. Only a query
+    *    outliving TWO compaction invocations can observe a deleted
+    *    file (and fails loudly, never silently short) — schedule
+    *    compaction accordingly.
+    * Any crash point converges on re-run. New arrivals land at ids
+    * above the folded maximum (checkpointed batch ids are monotone)
+    * and are never touched. Returns the number of parts folded this
+    * invocation (0 = nothing new to fold; cleanup may still run).
     */
   def compactVectorDeltas(spark: SparkSession, dir: String): Int = {
     def idOf(p: String): Long = {
@@ -1241,27 +1258,30 @@ object Similarity {
     def rm(p: String): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
-    // crash residue first: an older consolidation, or a batch at or
-    // below the newest consolidation's id, is already contained in
-    // the newest consolidation — delete, never re-fold.
+    // residue of the PREVIOUS fold first: an older consolidation, or
+    // a committed batch at or below the newest consolidation's id,
+    // is already contained in that consolidation — delete, never
+    // re-fold.
     val comp = vecDeltaParts(spark, dir, "compacted=", requireSuccess = true)
       .sortBy(idOf)
     comp.dropRight(1).foreach(rm)
     val cMax = comp.lastOption.map(idOf).getOrElse(-1L)
     val (residual, live) =
-      vecDeltaParts(spark, dir, "batch=").partition(idOf(_) <= cMax)
+      vecDeltaParts(spark, dir, "batch=", requireSuccess = true)
+        .partition(idOf(_) <= cMax)
     residual.foreach(rm)
     val sources = comp.takeRight(1) ++ live
-    if (sources.size < 2) 0
+    if (live.isEmpty || sources.size < 2) 0
     else {
       // target id is a LIVE batch id (> cMax), so the target path is
-      // never among the sources — no parquet self-overwrite.
+      // never among the sources — no parquet self-overwrite. The
+      // sources themselves are NOT deleted here (deferred-deletion
+      // rule above).
       val target = s"${vecDeltaDir(dir)}/compacted=${live.map(idOf).max}"
       spark.read.parquet(sources: _*)
         .select("vec_id", "q", "nq", "cell_id")
         .dropDuplicates("vec_id")
         .write.mode("overwrite").parquet(target)
-      sources.foreach(rm)
       sources.size
     }
   }
@@ -1287,12 +1307,31 @@ object Similarity {
     * a corpus pass.
     */
   def ivfCellsWithDeltas(spark: SparkSession, dir: String,
-      numCents: Int = 8): DataFrame = {
+      numCents: Int = 8): DataFrame =
+    cellsOverDeltas(spark, dir, numCents, vecDeltaRows(spark, dir))
+
+  private def cellsOverDeltas(spark: SparkSession, dir: String,
+      numCents: Int, deltas: Option[DataFrame]): DataFrame = {
     val base = ivfCells(spark, dir, numCents)
-    vecDeltaRows(spark, dir)
-      .map(d => base.unionByName(
+    deltas.map(d => base.unionByName(
         assignCells(d, ivfCodebook(spark, dir, numCents))))
       .getOrElse(base)
+  }
+
+  /** The live (base ∪ deltas) quantized corpus and cell assignment
+    * from ONE delta listing — the pair every live IVF query consumes.
+    * A single listing both halves the per-query filesystem cost and
+    * guarantees the two frames describe the SAME delta snapshot: two
+    * independent listings racing a compaction could pair a base and
+    * a cell frame from different snapshots, and their inner join
+    * would silently drop candidates (round-9 review).
+    */
+  private def liveVectorFrames(spark: SparkSession, dir: String,
+      numCents: Int): (DataFrame, DataFrame) = {
+    val deltas = vecDeltaRows(spark, dir)
+    val base = deltas.map(quantized(spark, dir).unionByName(_))
+      .getOrElse(quantized(spark, dir))
+    (base.where(col("nq") > 0L), cellsOverDeltas(spark, dir, numCents, deltas))
   }
 
   /** [[ivfProbe]] over the LIVE vector corpus (base + streamed
@@ -1314,9 +1353,7 @@ object Similarity {
     // still counts it); scoring excludes it — the
     // cosineTopKAggProbes zero-norm discipline applied to the live
     // view. No-op on the base corpus (strictly positive norms).
-    val base = quantizedWithDeltas(spark, dir)
-      .where(col("nq") > 0L)
-    val cells = ivfCellsWithDeltas(spark, dir, numCents)
+    val (base, cells) = liveVectorFrames(spark, dir, numCents)
     val probes = base.join(cells, Seq("vec_id"))
       .where(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),

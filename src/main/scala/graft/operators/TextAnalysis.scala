@@ -59,7 +59,8 @@ object TextAnalysis {
     * the scan + two cleaning passes.
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"doc_stats:$dir")(statsUncached(spark, dir))
+    DfCache.getOrPersist(spark, s"doc_stats:$dir",
+      Seq(s"$dir/documents.parquet"))(statsUncached(spark, dir))
 
   private def statsUncached(spark: SparkSession, dir: String): DataFrame =
     // spread the narrow doc rows first: the stats projection is five

@@ -18,15 +18,30 @@ object DfCache {
 
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+      scala.collection.concurrent.TrieMap[String, (DataFrame, Seq[String])]]())
 
   /** Get the persisted DataFrame for `key`, building + persisting it
     * (MEMORY_AND_DISK — spills instead of recomputing at scale) on
     * first use within this session.
+    *
+    * `upstreams` registers the durable source paths this lineage
+    * reads (canonical strings — the same helper-built paths the
+    * artifact gates pass, e.g. `s"$dir/documents.parquet"`,
+    * `IndexBuilder.snapshotPath(dir)`): the durable-artifact rebuild
+    * gate drops matching entries before rebuilding
+    * ([[invalidateDerived]]), so a rebuild can never bake a
+    * session-stale frame under a fresh fingerprint. Registration
+    * happens at the getOrPersist call site — the one place that
+    * knows the lineage — so a new cached family cannot silently
+    * escape the gate (round-9 review: a name-prefix allowlist missed
+    * the snapshot-derived `index:` family). Empty = caller-owned
+    * frame (fixture seams), never gate-invalidated.
     */
-  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def getOrPersist(spark: SparkSession, key: String,
+      upstreams: Seq[String] = Nil)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+      .getOrElseUpdate(key,
+        (build.persist(StorageLevel.MEMORY_AND_DISK), upstreams))._1
 
   /** Drop (and unpersist) one entry — for the rare in-session source
     * rewrite (a test fixture re-crawl): a pinned lineage over
@@ -35,43 +50,27 @@ object DfCache {
     */
   def invalidate(spark: SparkSession, key: String): Unit =
     Option(cache.get(spark)).foreach { m =>
-      m.remove(key).foreach(_.unpersist(false))
+      m.remove(key).foreach(e => e._1.unpersist(false))
     }
 
-  /** Which key families derive from which corpus source file. The
-    * durable-artifact rebuild gate ([[Artifacts.loadOrBuild]])
-    * consults this when an upstream fingerprint mismatch triggers a
-    * rebuild: any session lineage a build closure reads (quantized
-    * vectors, shingle bands, doc stats) was persisted from the OLD
-    * corpus, so rebuilding through it would bake stale frames into an
-    * artifact stamped with the FRESH fingerprint — permanent
-    * cross-session poisoning, the exact failure the gate exists to
-    * prevent. The prefix lists live here beside the keys they match:
-    * a new cached lineage and its map entry are one diff.
-    */
-  private val sourceDerived: Map[String, Seq[String]] = Map(
-    "documents.parquet" -> Seq("doc_", "src_shingles:", "bpe_"),
-    "embeddings.parquet" -> Seq("emb_", "sim_"))
-
-  /** Drop every session entry derived from any of `upstreamPaths`
-    * (`.../documents.parquet`-style source locations). Called by the
-    * artifact gate BEFORE running a rebuild closure; unknown upstreams
-    * (snapshot companions, delta dirs) no-op. Cost: the next reader of
-    * a dropped lineage recomputes it from the — now current — source;
-    * on a first-ever build that recompute is redundant but harmless,
-    * and rebuilds are once-per-crawl by construction.
+  /** Drop every session entry registered against any of
+    * `upstreamPaths`. Called by the artifact gate
+    * ([[Artifacts.loadOrBuild]]) BEFORE running a rebuild closure:
+    * an upstream fingerprint mismatch means the source was rewritten,
+    * and any session lineage cached from it (quantized vectors,
+    * shingle bands, doc stats, the persisted index) would feed the
+    * rebuild stale frames that then serve FOREVER under the fresh
+    * fingerprint. Cost: the next reader of a dropped lineage
+    * recomputes it from the now-current source; on a first-ever
+    * build the recompute is redundant but harmless, and rebuilds are
+    * once-per-crawl by construction.
     */
   def invalidateDerived(spark: SparkSession, upstreamPaths: Seq[String]): Unit =
     Option(cache.get(spark)).foreach { m =>
-      upstreamPaths.foreach { up =>
-        val i = up.lastIndexOf('/')
-        if (i > 0) {
-          val dir = up.substring(0, i)
-          sourceDerived.get(up.substring(i + 1)).foreach { prefixes =>
-            m.keys.filter(k =>
-              prefixes.exists(k.startsWith) && k.contains(dir))
-              .foreach(k => m.remove(k).foreach(_.unpersist(false)))
-          }
+      val ups = upstreamPaths.toSet
+      m.foreach { case (k, (df, regs)) =>
+        if (regs.exists(ups.contains)) {
+          m.remove(k); df.unpersist(false)
         }
       }
     }

@@ -198,7 +198,8 @@ object IndexBuilder {
     * re-pay the scan.
     */
   def cached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrPersist(spark, s"index:$dir")(loadOrSnapshot(spark, dir))
+    DfCache.getOrPersist(spark, s"index:$dir",
+      Seq(snapshotPath(dir)))(loadOrSnapshot(spark, dir))
 
   /** The key-stats artifact's location, beside the snapshot (shares
     * its fingerprint, so semantic changes invalidate both together).

@@ -108,13 +108,16 @@ object IndexStream {
     * positional index reuses it — one definition of "committed
     * delta" across artifacts).
     */
-  private[graft] def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
+  private[graft] def deltaBatches(spark: SparkSession, deltaDir: String,
+      prefix: String = "batch=", requireSuccess: Boolean = false): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      fs.listStatus(p).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString).toIndexedSeq
+      fs.listStatus(p).filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+          (!requireSuccess ||
+            fs.isFile(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      }.map(_.getPath.toString).toIndexedSeq
     else Seq.empty
   }
 

@@ -135,6 +135,32 @@ class ArtifactStalenessSpec extends SparkTestBase {
     assert(partNames(sigPath) == names1, "signatures rebuilt although fresh")
   }
 
+  test("a warm index cache cannot poison rebuilt snapshot companions") {
+    import org.apache.spark.sql.functions.col
+    val dir = isolatedCorpus()
+    // warm the session index cache AND the sketch artifact.
+    IndexBuilder.cached(spark, dir).count()
+    IndexBuilder.loadOrBuildTableSketch(spark, dir).count()
+    // compaction-style swap: the snapshot rewritten at the same path
+    // with half the tables dropped — values change, not just part
+    // names (round-9 review: the first cut of the invalidation gate
+    // keyed on source-file basenames and missed the snapshot-derived
+    // `index:` family entirely; upstreams are now registered at the
+    // getOrPersist call site).
+    val pruned = IndexBuilder.cached(spark, dir)
+      .where(col("table_id") % 2 === 0).localCheckpoint(true)
+    IndexBuilder.writeSnapshotAs(pruned, IndexBuilder.snapshotPath(dir))
+    // the rebuilt sketch must describe the swapped snapshot only — a
+    // rebuild fed by the warm cache would re-emit odd table_ids under
+    // the fresh fingerprint, and a stale sketch wrongly PRUNES tables
+    // (silently missing search results, the worst failure class).
+    val ids = IndexBuilder.loadOrBuildTableSketch(spark, dir)
+      .select("table_id").distinct().collect()
+      .map(_.getAs[Number]("table_id").intValue).toSet
+    assert(ids.nonEmpty && ids.forall(_ % 2 == 0),
+      s"rebuilt sketch reflects the pre-swap snapshot: $ids")
+  }
+
   test("a warm session cache cannot poison a rebuilt documents artifact") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col

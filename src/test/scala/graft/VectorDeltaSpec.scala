@@ -216,13 +216,24 @@ class VectorDeltaSpec extends SparkTestBase {
     assert(parts() === Set("batch=0", "batch=1"))
     val before = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
       .collect().map(_.toString).toSeq
-    // fold: one consolidated part at the max folded id, originals
-    // gone, serving row-identical.
+    // fold: one consolidated part at the max folded id. Deletion is
+    // DEFERRED one invocation (readers keep their listed files for a
+    // full compaction interval), so the originals remain beside it
+    // and the read-side vec_id dedupe hides the double-listing.
     assert(Similarity.compactVectorDeltas(spark, dir) === 2)
-    assert(parts() === Set("compacted=1"), s"parts: ${parts()}")
+    assert(parts() === Set("batch=0", "batch=1", "compacted=1"),
+      s"parts: ${parts()}")
     val after = Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
       .collect().map(_.toString).toSeq
     assert(after === before)
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 2L)
+    // the NEXT invocation deletes the folded residue (nothing new to
+    // fold, so it returns 0 — pure cleanup).
+    assert(Similarity.compactVectorDeltas(spark, dir) === 0)
+    assert(parts() === Set("compacted=1"), s"parts: ${parts()}")
+    assert(Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+      .collect().map(_.toString).toSeq === before)
     // arrivals after the fold land above it and stay live...
     in.addData(VRow(9000013L, emb(13)))
     val q3 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
@@ -230,14 +241,42 @@ class VectorDeltaSpec extends SparkTestBase {
     assert(parts() === Set("compacted=1", "batch=2"))
     assert(Similarity.quantizedWithDeltas(spark, dir)
       .where(col("vec_id") >= 9000000L).count() === 3L)
-    // ...and the next fold consolidates consolidation + newcomers.
+    // ...and the next fold consolidates consolidation + newcomers,
+    // with its own deferred cleanup on the invocation after.
     assert(Similarity.compactVectorDeltas(spark, dir) === 2)
+    assert(parts() === Set("compacted=1", "batch=2", "compacted=2"))
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 3L)
+    assert(Similarity.compactVectorDeltas(spark, dir) === 0)
     assert(parts() === Set("compacted=2"))
     assert(Similarity.quantizedWithDeltas(spark, dir)
       .where(col("vec_id") >= 9000000L).count() === 3L)
-    // nothing left to fold: a single part is already compact.
-    assert(Similarity.compactVectorDeltas(spark, dir) === 0)
-    assert(parts() === Set("compacted=2"))
+  }
+
+  test("an uncommitted micro-batch is neither folded nor deleted") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = isolatedCorpus()
+    val ckpt = Files.createTempDirectory("graft-vecdelta-unc").toString
+    def emb(id: Long) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === id).head().getSeq[Float](1)
+    val in = MemoryStream[VRow]
+    in.addData(VRow(9000021L, emb(21)))
+    val q1 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q1.processAllAvailable(); q1.stop()
+    in.addData(VRow(9000022L, emb(22)))
+    val q2 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // simulate a crash-partial batch=1: drop its commit marker. The
+    // checkpoint would replay it in full on restart; until then the
+    // fold must not touch it — folding the partial and later deleting
+    // its full replay as "residue" would lose rows forever.
+    val dd = Paths.get(Similarity.vecDeltaDir(dir))
+    Files.delete(dd.resolve("batch=1").resolve("_SUCCESS"))
+    assert(Similarity.compactVectorDeltas(spark, dir) === 0,
+      "folded with only one committed batch")
+    val names = new java.io.File(Similarity.vecDeltaDir(dir)).list().toSet
+    assert(names.contains("batch=1"), "uncommitted batch deleted")
+    assert(!names.exists(_.startsWith("compacted=")))
   }
 
   test("the compaction crash window double-lists no row and converges on re-run") {
