@@ -46,15 +46,19 @@ object PrepQueries {
         budget = 4096L, bucketSize = 100L),
       Some(PrepOracle.shardPackingBpeSql())),
     // the packer budgeted in PRODUCTION-tokenizer tokens (the durable
-    // fast-trained artifact at the ProdMerges budget) — rows-only for
-    // the same reason as text_bpe_ids_prod; the packing arithmetic
-    // itself is the oracle-proven shardPackingOf core.
+    // fast-trained artifact at the ProdMerges budget). The oracle
+    // reads that segments artifact as parquet for per-word sizes and
+    // replays the packing as one global window — the vocabulary
+    // join, token accounting, and the two-pass running-sum rewrite
+    // are hash-gated end to end (training itself rides on
+    // BpeFastSpec, as for text_bpe_ids_prod).
     Q("prep_shard_packing_bpe_prod",
       (s, dir) => CorpusPrep.shardPackingOf(
         operators.Bpe.tokensProd(s, dir).selectExpr(
           "doc_id", "n_bpe_tokens as n_tokens"),
         budget = 4096L, bucketSize = 100L),
-      None),
+      None,
+      oracleOf = Some(dir => PrepOracle.shardPackingBpeProdSql(dir))),
     // benchmark n-gram decontamination: distinct 5-gram overlap of
     // every training doc against the eval split's gram set.
     Q("prep_decontaminate",

@@ -11,11 +11,23 @@ import graft.sources.IndexBuilder
 
 /** One registered query: a Spark implementation plus (usually) an
   * equivalent DuckDB oracle SQL for the driver's hash compare.
+  *
+  * `oracle` is the usual static SQL over the corpus tables. The rare
+  * oracle that must read a DURABLE ARTIFACT (a parquet path derived
+  * from the corpus dir — e.g. the production tokenizer's segments
+  * table, whose 8192-merge training cannot unroll as CTEs) supplies
+  * `oracleOf` instead: a `dir => sql` the Verify dump resolves
+  * against the actual sf dir, so the emitted `oracle_sql.json` still
+  * holds plain runnable SQL.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleOf: Option[String => String] = None) {
+  def oracleFor(dir: String): Option[String] =
+    oracleOf.map(_(dir)).orElse(oracle)
+}
 
 /** Registry of the reference-surface queries (SURVEY §2 inventory).
   * Extension modules (dedup / similarity / text / events / multimodal)

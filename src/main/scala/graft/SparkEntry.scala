@@ -35,5 +35,13 @@ object SparkEntry {
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+  /** Oracle SQL resolved against a concrete corpus dir: artifact-read
+    * oracles (`Q.oracleOf`) embed the dir-derived durable-artifact
+    * paths; everything else is the static SQL. [[Verify]] dumps this
+    * form so `oracle_sql.json` always matches the dir it verified.
+    */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    registry.flatMap(q => q.oracleFor(dir).map(q.name -> _)).toMap
 }

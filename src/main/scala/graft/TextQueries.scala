@@ -125,13 +125,16 @@ object TextQueries {
     // artifact at the ProdMerges budget (the trainer's merge loop is
     // driver-local over the vocabulary-sized word-frequency table —
     // merge count costs loop iterations, not cluster rounds) shipped
-    // through the packed O(1)-plan-size segmenter. Rows-only: a
-    // production merge budget cannot unroll as oracle CTEs;
-    // BpeFastSpec pins the fast trainer merge-for-merge against the
-    // distributed one and the pipeline's round-trip.
+    // through the packed O(1)-plan-size segmenter. The oracle reads
+    // the durable segments ARTIFACT as parquet (a production merge
+    // budget cannot unroll as retraining CTEs) and re-derives ids,
+    // positions and ordering — everything downstream of training is
+    // hash-gated; BpeFastSpec pins training itself merge-for-merge
+    // against the distributed trainer.
     Q("text_bpe_ids_prod",
       (s, dir) => graft.operators.Bpe.tokenIdsProd(s, dir),
-      None),
+      None,
+      oracleOf = Some(dir => TextOracle.bpeTokenIdsProdSql(dir))),
     // corpus-bigram familiarity (the exact-integer LM-perplexity
     // filter analog): tf-weighted mean corpus frequency per doc.
     Q("text_bigram_surprise",

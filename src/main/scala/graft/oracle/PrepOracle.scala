@@ -194,6 +194,38 @@ FROM cum ORDER BY doc_id"""
 SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id"""
 
+  /** The PRODUCTION-tokenizer packing oracle: per-doc sizes come from
+    * the durable fast-trained segments artifact (`len(syms)` per word
+    * — an 8192-merge budget cannot retrain as CTEs, but the trained
+    * segmentations are plain parquet; `TextOracle.bpeTokenIdsProdSql`
+    * rationale), then the identical global running-sum packing runs
+    * over them — so the vocabulary join, the token accounting, and
+    * `packedOf`'s two-pass rewrite are all hash-compared end to end.
+    * Dir-resolved at Verify-dump time ([[graft.Q.oracleOf]]).
+    */
+  def shardPackingBpeProdSql(dir: String, budget: Long = 4096L,
+      n: Int = graft.operators.Bpe.ProdMerges): String =
+    s"""WITH bvocab AS (
+    SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
+    FROM read_parquet('${graft.operators.Bpe.segmentsPath(dir, n)}/*.parquet')
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  base AS (
+    SELECT d.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_tokens
+    FROM bdocw d JOIN bvocab v USING (word) GROUP BY d.doc_id
+  ),
+  cum AS (
+    SELECT doc_id, n_tokens,
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+    FROM base
+  )
+SELECT doc_id, n_tokens, CAST(tokens_before // $budget AS BIGINT) AS shard_id
+FROM cum ORDER BY doc_id"""
+
   /** [[graft.operators.CorpusPrep.epochPack]]: the per-epoch GLOBAL
     * running sum over the md5 permutation order — the one-window
     * formulation whose equality with the engine's bucketed two-pass

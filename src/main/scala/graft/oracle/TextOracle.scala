@@ -543,6 +543,45 @@ SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
 FROM btoks t JOIN bids i USING (symbol)
 ORDER BY doc_id, wpos, spos"""
 
+  /** Mirrors `Bpe.tokenIdsProd` AGAINST THE DURABLE ARTIFACT: an
+    * 8192-merge production budget cannot unroll as retraining CTEs
+    * (the [[bpeCtes]] route), but the trained per-word segmentations
+    * are a parquet table DuckDB reads directly — so the oracle
+    * consumes `<snapshot>-bpe8192-segments` and re-derives the id
+    * enumeration, the vocabulary joins, positions, and ordering.
+    * Everything DOWNSTREAM of training is hash-compared cross-engine
+    * (and the engine side segments via the packed row-local replay,
+    * not the artifact join, so the hash also pins runtime-vs-trained
+    * segmentation equality on corpus words); training itself stays
+    * carried by `BpeFastSpec`'s merge-for-merge pin against the
+    * distributed trainer. Dir-resolved at Verify-dump time
+    * ([[graft.Q.oracleOf]]).
+    */
+  def bpeTokenIdsProdSql(dir: String,
+      n: Int = graft.operators.Bpe.ProdMerges, docMod: Int = 25): String =
+    s"""WITH bsegs AS (
+    SELECT word, syms FROM read_parquet('${graft.operators.Bpe.segmentsPath(dir, n)}/*.parquet')
+  ),
+  bids AS (
+    SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS tok_id
+    FROM (SELECT DISTINCT unnest(syms) AS symbol FROM bsegs)
+  ),
+  bdocw AS (
+    SELECT doc_id, unnest(warr) AS word,
+      unnest(generate_series(0, len(warr) - 1)) AS wpos
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS warr
+          FROM documents WHERE doc_id % $docMod = 0)
+  ),
+  btoks AS (
+    SELECT d.doc_id, d.wpos, unnest(s.syms) AS symbol,
+      unnest(generate_series(0, len(s.syms) - 1)) AS spos
+    FROM bdocw d JOIN bsegs s USING (word)
+  )
+SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
+  CAST(t.spos AS BIGINT) AS spos, t.symbol, i.tok_id
+FROM btoks t JOIN bids i USING (symbol)
+ORDER BY doc_id, wpos, spos"""
+
   /** Adaptive-quality oracle: the identical histogram-median chain —
     * per-source value histogram, cumulative count, cutoff = smallest
     * value whose cumulative reaches `(n + 1) // 2`, kept rollup.
