@@ -163,6 +163,50 @@ object Scale {
     res
   }
 
+  /** Vocabulary-scaled trainer bench (round-10 verdict #2/#5):
+    * verbatim corpus replication cannot grow the WORD vocabulary, so
+    * the production trainer's true scale axis — distinct words — is
+    * measured here directly: [[graft.operators.Bpe.trainFast]] wall
+    * over synthetic corpora of `v` and `10v` distinct words (seeded
+    * LCG, zipf-ish head), plus the 10v corpus under `maxVocab = v` —
+    * the cutoff row proving the driver loop's cost is bounded by the
+    * CUTOFF, not the corpus vocabulary. Returns (v wall, 10v wall,
+    * 10v-capped-at-v wall) in seconds, each min-of-`reps`.
+    */
+  def bpeVocabBench(spark: SparkSession, v: Int, merges: Int,
+      reps: Int): (Double, Double, Double) = {
+    import spark.implicits._
+    def corpus(nWords: Int): DataFrame = {
+      var seed = 0x1234ABCD5678EF01L
+      def w(): String = {
+        val sb = new StringBuilder
+        (0 until 8).foreach { _ =>
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          sb.append(('a' + math.floorMod(seed >>> 33, 26L).toInt).toChar)
+        }
+        sb.toString
+      }
+      val words = Iterator.continually(w()).distinct.take(nWords).toSeq
+      // zipf-ish: the first 1% of words carry weight 100, the rest 1
+      // (the head/tail shape the cutoff argument is about).
+      val rows = words.zipWithIndex.map { case (word, i) =>
+        (i.toLong, if (i < nWords / 100) (word + " ") * 100 else word)
+      }
+      rows.toDF("doc_id", "text").repartition(32).persist()
+    }
+    val small = corpus(v); small.count()
+    val big = corpus(10 * v); big.count()
+    val tSmall = (1 to reps).map(_ => timed {
+      graft.operators.Bpe.trainFast(spark, small, merges)._1.count() }).min
+    val tBig = (1 to reps).map(_ => timed {
+      graft.operators.Bpe.trainFast(spark, big, merges)._1.count() }).min
+    val tCapped = (1 to reps).map(_ => timed {
+      graft.operators.Bpe.trainFast(spark, big, merges, maxVocab = v)._1
+        .count() }).min
+    small.unpersist(); big.unpersist()
+    (tSmall, tBig, tCapped)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -292,6 +336,15 @@ object Scale {
         probeMod = if (d == baseDir) 50 else 500)),
       "text_phrase_topk_indexed" -> (d => TextAnalysis.phraseTopKIndexed(spark, d)),
       "text_bpe_ids_prod" -> (d => operators.Bpe.tokenIdsProd(spark, d)),
+      // round-10: the production-budget packer (the one round-9 rung
+      // with no measured 10x row). Verbatim replication keeps the
+      // vocabulary identical, so min-of-reps measures the corpus-side
+      // accounting + two-pass packing over the durable segments
+      // artifact — the same linear floor as prep_shard_packing.
+      "prep_shard_packing_bpe_prod" -> (d => CorpusPrep.shardPackingOf(
+        operators.Bpe.tokensProd(spark, d).selectExpr(
+          "doc_id", "n_bpe_tokens as n_tokens"),
+        budget = 4096L, bucketSize = 100L)),
       // the artifact-served single-query BM25 twin and the distilled
       // quality scorer (two corpus passes + vocabulary broadcast;
       // min-of-reps serves the frozen durable weights).
@@ -334,6 +387,27 @@ object Scale {
     // cannot express: 5000 tables x 100 rows, 5 viable.
     val pb = sketchPruneBench(spark,
       tables = 5000, rows = 100, viable = 5, reps = reps)
+    // vocabulary-scaled trainer wall (round-10 #2/#5): the axis
+    // replication can't exercise, plus the cutoff row.
+    val (bvS, bvB, bvC) = bpeVocabBench(spark, v = 20000, merges = 512,
+      reps = reps)
+    // recall discipline at the scaled k under 10x growth (round-10
+    // #6): mean recall_bp at autoCents for nprobe=1 and nprobe=2, at
+    // both scales — the numbers that choose the nprobe rule as k
+    // grows with sqrt(n).
+    def meanRecall(d: String, nprobe: Int): Long = {
+      val k = Similarity.autoCents(spark, d)
+      val pm = if (d == baseDir) 50 else 500
+      val df =
+        if (nprobe == 1) Similarity.ivfRecall(spark, d, numCents = k, probeMod = pm)
+        else Similarity.ivfRecallMulti(spark, d, numCents = k, probeMod = pm,
+          nprobe = nprobe)
+      df.agg(avg("recall_bp")).head().getDouble(0).round
+    }
+    val recallJson =
+      s"""{"base_np1":${meanRecall(baseDir, 1)},"base_np2":${meanRecall(baseDir, 2)},""" +
+      s""""scaled_np1":${meanRecall(workDir, 1)},"scaled_np2":${meanRecall(workDir, 2)},""" +
+      s""""k_base":${Similarity.autoCents(spark, baseDir)},"k_scaled":${Similarity.autoCents(spark, workDir)}}"""
     println(s"""{"metric":"scale","factor":$factor,"reps":$reps,"gen_s":$tGen,""" +
       s""""index_build_base_s":$idxBase,"index_build_scaled_s":$idxScaled,""" +
       s""""families":$rows,""" +
@@ -342,6 +416,9 @@ object Scale {
       f""""lake_plain_s":${pb.lakePlain}%.3f,"lake_part_pruned_s":${pb.lakePartPruned}%.3f,""" +
       s""""files_total":${pb.filesTotal},"files_read":${pb.filesRead},""" +
       s""""parts_total":${pb.partsTotal},"parts_read":${pb.partsRead}},""" +
+      f""""bpe_vocab_bench":{"v20k_s":$bvS%.3f,"v200k_s":$bvB%.3f,""" +
+      f""""v200k_capped20k_s":$bvC%.3f},""" +
+      s""""ivf_recall_scaled_k":$recallJson,""" +
       s""""base":"$baseDir","scaled":"$workDir"}""")
     spark.stop()
   }

@@ -59,9 +59,20 @@ object SegmentFns {
   private val cached =
     new ThreadLocal[(UTF8String, Array[Array[String]])]
 
+  /** CONTRACT: `packedMerges` is meant to be a PLAN LITERAL (the
+    * [[GraftFns.segmentInvoke]] wiring only builds it that way) — the
+    * reference hit is what makes the hot path O(1). A caller passing
+    * a per-row merge column still computes correctly but falls to the
+    * secondary guard below: a length + content compare per row
+    * (O(len) memcmp, round-10 ADVICE) instead of a silent full
+    * re-PARSE per row (O(len) plus per-merge allocation) when the row
+    * value happens to repeat — and a genuinely varying column pays
+    * the parse, which is the semantics it asked for.
+    */
   private def parse(packed: UTF8String): Array[Array[String]] = {
     val c = cached.get()
-    if (c != null && (c._1 eq packed)) c._2
+    if (c != null && ((c._1 eq packed) ||
+        (c._1.numBytes == packed.numBytes && c._1.equals(packed)))) c._2
     else {
       val p = packed.toString
       val parsed =

@@ -703,6 +703,12 @@ object JoinSearch {
   def prunedTablesGrouped(sketch: DataFrame,
       queries: Seq[(String, DataFrame, Int)]): DataFrame = {
     import sketch.sparkSession.implicits._
+    // an empty batch has a well-defined answer — no (query, table)
+    // pairs — not a reduce() UnsupportedOperationException out of a
+    // public API (round-10 ADVICE). table_id keeps the sketch's own
+    // type so downstream unions don't fork schemas.
+    if (queries.isEmpty)
+      return sketch.select(lit("").as("query_id"), col("table_id")).limit(0)
     val keyBit = pmod(hash(col("key")), lit(SketchBits))
     val tagged = queries.map { case (qid, maps, _) =>
       maps.select(lit(qid).as("query_id"), col("key"), col("map_key"))

@@ -1181,28 +1181,25 @@ object Similarity {
 
   /** Committed delta parts: `batch=<id>` micro-batch dirs plus at
     * most a few `compacted=<id>` consolidations
-    * ([[compactVectorDeltas]]; those additionally require a
-    * committed `_SUCCESS` — a crashed fold must never serve partial
-    * files, while a crashed micro-batch is replayed-in-place by the
-    * checkpoint). One listing implementation for every delta family
-    * ([[graft.streaming.IndexStream.deltaBatches]]).
+    * ([[compactVectorDeltas]]). Resolution is the shared
+    * [[graft.streaming.DeltaLog]] manifest — ONE file read returns
+    * both kinds in one consistent snapshot (the round-9 shared
+    * listing, now structural: a racing fold's swap is atomic in the
+    * manifest, so no window can pair a consolidation with its
+    * folded originals, and a mid-write micro-batch is invisible
+    * until its commit — round-10 verdict #3/#4). Legacy dirs with
+    * no manifest fall back to the `_SUCCESS`-gated listing.
     */
-  private def vecDeltaParts(spark: SparkSession, dir: String,
-      prefix: String, requireSuccess: Boolean = false): Seq[String] =
-    graft.streaming.IndexStream.deltaBatches(spark, vecDeltaDir(dir),
-      prefix, requireSuccess)
-
   private def vecDeltaBatches(spark: SparkSession, dir: String): Seq[String] =
-    vecDeltaParts(spark, dir, "batch=") ++
-      vecDeltaParts(spark, dir, "compacted=", requireSuccess = true)
+    graft.streaming.DeltaLog.liveParts(spark, vecDeltaDir(dir), prefix = "")
 
-  /** All accumulated delta rows, deduplicated by vec_id: parts are
-    * disjoint in steady state, but [[compactVectorDeltas]]'s crash
-    * window (consolidation committed, originals not yet deleted)
-    * legitimately double-lists a row, and this delta-sized dedupe —
-    * never a corpus-sized one — is what makes every window
-    * read-consistent. Rows sharing a vec_id are identical by
-    * construction (idempotent batch overwrite; folds copy rows).
+  /** All accumulated delta rows, deduplicated by vec_id. Under the
+    * manifest the live set never lists a consolidation alongside its
+    * folded originals (the [[graft.streaming.DeltaLog.replace]] swap
+    * is one atomic publish), so the dedupe is defense-in-depth for
+    * the legacy listing fallback — delta-sized, never corpus-sized.
+    * Rows sharing a vec_id are identical by construction (idempotent
+    * batch overwrite; folds copy rows).
     */
   private def vecDeltaRows(spark: SparkSession, dir: String): Option[DataFrame] = {
     val parts = vecDeltaBatches(spark, dir)
@@ -1223,65 +1220,65 @@ object Similarity {
     * has no engine-owned base (the embeddings source is upstream),
     * so its deltas fold into this consolidated part instead.
     *
-    * Safety rules (round-9 review hardened both):
-    *  - COMMITTED parts only: a batch dir without `_SUCCESS` — a
-    *    crash-partial write the checkpoint will replay in full, or a
-    *    write in flight right now — is neither folded nor deleted
-    *    (folding a partial and then deleting its replay as "already
-    *    folded residue" would silently lose the missing rows
-    *    forever). Micro-batches commit serially, so an uncommitted
-    *    batch is always the highest id present and simply waits for
-    *    the next fold.
-    *  - DEFERRED deletion: a fold only WRITES; the folded originals
-    *    stay on disk until the NEXT invocation classifies them as
-    *    residue (at or below the newest consolidation's id ⇒ a
-    *    subset of it, since each fold reads every then-live
-    *    committed part) and deletes them without re-reading. A
-    *    reader that listed parts at any moment keeps its files for a
-    *    full compaction interval; [[vecDeltaRows]]' vec_id dedupe
-    *    makes the interim double-listing invisible. Only a query
-    *    outliving TWO compaction invocations can observe a deleted
-    *    file (and fails loudly, never silently short) — schedule
-    *    compaction accordingly.
+    * Safety rules, now manifest-structural
+    * ([[graft.streaming.DeltaLog]] — round-10 verdict #4):
+    *  - MANIFEST parts only: the fold reads exactly the current
+    *    manifest's part set (seeded from the `_SUCCESS`-gated
+    *    listing on first touch of a legacy dir). A crash-partial or
+    *    in-flight micro-batch is un-committed — not in the manifest
+    *    — so it is neither folded nor deleted, and the checkpoint
+    *    replays it in full.
+    *  - ATOMIC swap: [[graft.streaming.DeltaLog.replace]] publishes
+    *    (current set − folded parts) + consolidation as ONE new
+    *    manifest version, re-resolving the current set first so
+    *    batches landed during the fold survive. No reader can ever
+    *    observe the consolidation alongside its folded originals —
+    *    the crash window that previously needed the read-side dedupe
+    *    is gone by construction. A fold that crashes before the swap
+    *    leaves an unreferenced consolidation dir readers never saw;
+    *    the re-run overwrites and swaps it.
+    *  - DEFERRED deletion: a fold only writes + swaps; superseded
+    *    dirs (on disk but no longer in the manifest) are deleted by
+    *    the NEXT invocation, so a reader that resolved the previous
+    *    manifest version keeps its files for a full compaction
+    *    interval — the freshness a reader needs is bounded by its
+    *    own lifetime vs the compaction cadence, not by a listing
+    *    race.
     * Any crash point converges on re-run. New arrivals land at ids
     * above the folded maximum (checkpointed batch ids are monotone)
     * and are never touched. Returns the number of parts folded this
     * invocation (0 = nothing new to fold; cleanup may still run).
     */
   def compactVectorDeltas(spark: SparkSession, dir: String): Int = {
-    def idOf(p: String): Long = {
-      val n = new org.apache.hadoop.fs.Path(p).getName
-      n.substring(n.indexOf('=') + 1).toLong
-    }
-    val fs = new org.apache.hadoop.fs.Path(vecDeltaDir(dir))
+    import graft.streaming.DeltaLog
+    val dd = vecDeltaDir(dir)
+    val fs = new org.apache.hadoop.fs.Path(dd)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rm(p: String): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
-    // residue of the PREVIOUS fold first: an older consolidation, or
-    // a committed batch at or below the newest consolidation's id,
-    // is already contained in that consolidation — delete, never
-    // re-fold.
-    val comp = vecDeltaParts(spark, dir, "compacted=", requireSuccess = true)
-      .sortBy(idOf)
-    comp.dropRight(1).foreach(rm)
-    val cMax = comp.lastOption.map(idOf).getOrElse(-1L)
-    val (residual, live) =
-      vecDeltaParts(spark, dir, "batch=", requireSuccess = true)
-        .partition(idOf(_) <= cMax)
-    residual.foreach(rm)
-    val sources = comp.takeRight(1) ++ live
-    if (live.isEmpty || sources.size < 2) 0
+    val live = DeltaLog.seedIfAbsent(spark, dd)
+    // deferred cleanup of dirs superseded by a PREVIOUS fold: on
+    // disk, not in the manifest, and at or below the newest
+    // referenced id — which also catches a crashed fold's orphan
+    // consolidation (its sources are still referenced, so it is
+    // redundant and the re-fold below rewrites it). The id bound
+    // keeps any future writer part (always the highest id) safe.
+    val maxRef = live.flatMap(n => DeltaLog.idOf(n)) match {
+      case ids if ids.nonEmpty => ids.max
+      case _ => -1L
+    }
+    DeltaLog.unreferencedParts(spark, dd, maxRef).foreach(rm)
+    val batches = live.filter(_.startsWith("batch="))
+    val sources = live.filter(_.startsWith("compacted=")) ++ batches
+    if (batches.isEmpty || sources.size < 2) 0
     else {
-      // target id is a LIVE batch id (> cMax), so the target path is
-      // never among the sources — no parquet self-overwrite. The
-      // sources themselves are NOT deleted here (deferred-deletion
-      // rule above).
-      val target = s"${vecDeltaDir(dir)}/compacted=${live.map(idOf).max}"
-      spark.read.parquet(sources: _*)
+      val target = s"compacted=${batches.flatMap(n => DeltaLog.idOf(n)).max}"
+      spark.read.parquet(sources.map(n => s"$dd/$n"): _*)
         .select("vec_id", "q", "nq", "cell_id")
         .dropDuplicates("vec_id")
-        .write.mode("overwrite").parquet(target)
+        .write.mode("overwrite").parquet(s"$dd/$target")
+      DeltaLog.replace(spark, dd, sources.toSet, Seq(target))
       sources.size
     }
   }
@@ -1352,23 +1349,10 @@ object Similarity {
     // landed delta keeps the row (ingest is storage; occupancy
     // still counts it); scoring excludes it — the
     // cosineTopKAggProbes zero-norm discipline applied to the live
-    // view. No-op on the base corpus (strictly positive norms).
+    // view (inside [[liveVectorFrames]]). No-op on the base corpus
+    // (strictly positive norms).
     val (base, cells) = liveVectorFrames(spark, dir, numCents)
-    val probes = base.join(cells, Seq("vec_id"))
-      .where(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),
-        col("cell_id"))
-    val w = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
-    cells.join(broadcast(probes), Seq("cell_id"))
-      .where(col("vec_id") =!= col("qid"))
-      .join(base, Seq("vec_id"))
-      .withColumn("dot_q", dotExpr("pq", "q"))
-      .withColumn("cosd", cosExpr("dot_q", "nq", "pnq"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cell_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("dot_q"), cosBp(col("cosd")).as("cos_bp"))
-      .orderBy("qid", "rank")
+    ivfProbeCore(base, cells, k, probeMod)
   }
 
   /** IVF probe: each probe searches ONLY its own cell (nprobe=1) —
@@ -1378,9 +1362,19 @@ object Similarity {
     * the cell.
     */
   def ivfProbe(spark: SparkSession, dir: String,
-      k: Int = 5, numCents: Int = 8, probeMod: Int = 50): DataFrame = {
-    val base = quantized(spark, dir)
-    val cells = ivfCells(spark, dir, numCents)
+      k: Int = 5, numCents: Int = 8, probeMod: Int = 50): DataFrame =
+    ivfProbeCore(quantized(spark, dir), ivfCells(spark, dir, numCents),
+      k, probeMod)
+
+  /** The ONE probe/rank pipeline both [[ivfProbe]] and
+    * [[ivfProbeLive]] run, parameterized only by the (base, cells)
+    * frames — so the tie-break order and every scoring rule cannot
+    * drift between the base and live paths (round-10 verdict #7; the
+    * zero-norm serving guard lives in [[liveVectorFrames]], a no-op
+    * frame filter on the base side).
+    */
+  private def ivfProbeCore(base: DataFrame, cells: DataFrame,
+      k: Int, probeMod: Int): DataFrame = {
     val probes = base.join(cells, Seq("vec_id"))
       .where(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"),

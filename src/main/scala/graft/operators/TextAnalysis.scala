@@ -197,6 +197,14 @@ object TextAnalysis {
     val weights = weightTable.where(col("term") =!= "")
     val prior = weightTable.where(col("term") === "")
       .select(col("w").as("prior_bp"))
+    // the reserved ""-term prior row is load-bearing: the crossJoin
+    // below multiplies by its cardinality, so a malformed weight
+    // table (hand-built, or a legacy artifact without the prior)
+    // would silently empty — or duplicate — every document's score.
+    // Fail loudly instead (round-10 ADVICE). One count() on a
+    // metadata-sized frame, paid once per apply call.
+    require(prior.count() == 1L,
+      "weight table must carry exactly one reserved ''-term prior row")
     val occ = documents
       .select(col("doc_id"),
         explode(split(Tokenize.clean(col("text")), " ")).as("term"))

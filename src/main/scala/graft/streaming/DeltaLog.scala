@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** ONE transaction-log-style manifest convention for every delta
+  * family (index postings, positional index, source histograms, term
+  * sketch, vector deltas — five writers, two compactors, round-10
+  * verdict #4). Before this, each family hand-rolled directory
+  * listing + `_SUCCESS` probing + replay rules, and the round-9
+  * review fixed two listing races case-by-case (one shared listing
+  * for the live IVF frames; deferred fold deletes); the manifest
+  * removes the race CLASS: readers resolve ONE file to a consistent
+  * part set, so a racing write or fold can never half-appear.
+  *
+  * Layout: `<deltaDir>/_manifest/v=<version>` — newline-separated
+  * part NAMES (`batch=<id>`, `compacted=<id>`), highest version
+  * wins, published via temp-file + atomic rename (the rename is the
+  * commit point on local FS and HDFS; on object stores the copy is
+  * serve-complete before the name appears).
+  *
+  * Protocol (single maintenance writer + at most one compactor per
+  * delta dir — the streaming checkpoint already enforces the former;
+  * concurrent READERS are unrestricted):
+  *  - writers land the part (idempotent batch-keyed overwrite, as
+  *    before), THEN [[commit]] it: new version = current set ∪ the
+  *    part. A crash between the two leaves an unreferenced dir the
+  *    checkpoint replays in full — readers never saw it.
+  *  - readers call [[liveParts]]: the latest manifest's names, one
+  *    file read, no per-part `_SUCCESS` stat. A dir with no manifest
+  *    yet (legacy layout, hand-landed fixtures) falls back to the
+  *    listing — `_SUCCESS`-gated (an uncommitted partial is invisible
+  *    on this path too, round-10 verdict #3) and id-parse-tolerant (a
+  *    stray `batch=tmp` is skipped, not a NumberFormatException —
+  *    round-10 ADVICE).
+  *  - compactors [[replace]] the folded parts with their
+  *    consolidation in one published version (re-resolving the
+  *    current set first, so batches landed during the fold survive),
+  *    and physically delete superseded dirs only on a LATER
+  *    invocation ([[unreferencedParts]]) — readers that resolved the
+  *    previous version keep their files for a full compaction
+  *    interval.
+  *
+  * Old manifest versions are retained (bounded: [[Keep]] newest) so
+  * a reader mid-resolve never loses the file under it.
+  */
+object DeltaLog {
+
+  /** Manifest versions retained beyond the newest. */
+  private val Keep = 16
+
+  def manifestDir(deltaDir: String): String = s"$deltaDir/_manifest"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `<prefix>=<long>` part-name id, None for strays (`batch=tmp`,
+    * editor droppings) — strays are skipped everywhere, never thrown
+    * on (round-10 ADVICE).
+    */
+  private[graft] def idOf(name: String): Option[Long] = {
+    val i = name.indexOf('=')
+    if (i < 0) None
+    else scala.util.Try(name.substring(i + 1).toLong).toOption
+  }
+
+  private def versions(fs: FileSystem, mdir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toIndexedSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v=")) idOf(n).map(_ -> s.getPath) else None
+    }.sortBy(_._1)
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The current committed part names, or None when the dir carries
+    * no manifest (legacy / fixture layout — callers fall back to the
+    * gated listing).
+    */
+  def currentParts(spark: SparkSession, deltaDir: String): Option[Seq[String]] = {
+    val mdir = new Path(manifestDir(deltaDir))
+    val fs = fsOf(spark, mdir)
+    versions(fs, mdir).lastOption.map { case (_, p) => readManifest(fs, p) }
+  }
+
+  /** The `_SUCCESS`-gated, stray-tolerant directory listing — the
+    * pre-manifest convention, kept as the no-manifest fallback and as
+    * the seed a first [[commit]]/[[seedIfAbsent]] starts from (parts
+    * landed before the manifest existed must not be orphaned).
+    */
+  private def gatedListing(spark: SparkSession, deltaDir: String): Seq[String] = {
+    val p = new Path(deltaDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.filter { s =>
+      s.isDirectory && idOf(s.getPath.getName).isDefined &&
+        !s.getPath.getName.startsWith("_") &&
+        fs.isFile(new Path(s.getPath, "_SUCCESS"))
+    }.map(_.getPath.getName)
+  }
+
+  /** Atomically publish `parts` as the next manifest version; prunes
+    * versions beyond the retention window.
+    */
+  private def publish(spark: SparkSession, deltaDir: String,
+      parts: Seq[String]): Unit = {
+    val mdir = new Path(manifestDir(deltaDir))
+    val fs = fsOf(spark, mdir)
+    fs.mkdirs(mdir)
+    val sorted = parts.distinct.sortBy(n => (idOf(n).getOrElse(Long.MaxValue), n))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = versions(fs, mdir).lastOption.map(_._1 + 1).getOrElse(0L)
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write((sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      done = fs.rename(tmp, new Path(mdir, s"v=$next"))
+      if (!done) {
+        fs.delete(tmp, true)
+        attempt += 1
+        require(attempt < 8, s"manifest publish contended 8x at $deltaDir")
+      }
+    }
+    val vs = versions(fs, mdir)
+    vs.dropRight(Keep).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Writer-side commit: make `partName` visible. Set-union with the
+    * current set (seeded from the gated listing on first commit), so
+    * replay re-commits are idempotent.
+    */
+  def commit(spark: SparkSession, deltaDir: String, partName: String): Unit = {
+    val cur = currentParts(spark, deltaDir)
+      .getOrElse(gatedListing(spark, deltaDir))
+    if (!cur.contains(partName)) publish(spark, deltaDir, cur :+ partName)
+    else if (currentParts(spark, deltaDir).isEmpty)
+      publish(spark, deltaDir, cur) // first commit over a legacy dir
+  }
+
+  /** Ensure a manifest exists, seeding it from the gated listing —
+    * the migration step a compactor runs before folding a legacy dir.
+    */
+  def seedIfAbsent(spark: SparkSession, deltaDir: String): Seq[String] =
+    currentParts(spark, deltaDir).getOrElse {
+      val seed = gatedListing(spark, deltaDir)
+      publish(spark, deltaDir, seed)
+      seed
+    }
+
+  /** Compactor-side swap: one published version drops `removed` and
+    * adds `added`. The current set is RE-resolved here (not passed
+    * in) so parts committed while the fold ran survive the swap.
+    */
+  def replace(spark: SparkSession, deltaDir: String,
+      removed: Set[String], added: Seq[String]): Unit = {
+    val cur = currentParts(spark, deltaDir)
+      .getOrElse(gatedListing(spark, deltaDir))
+    publish(spark, deltaDir, cur.filterNot(removed) ++ added)
+  }
+
+  /** READER resolution: full paths of the committed parts whose name
+    * starts with `prefix` — the latest manifest when one exists, else
+    * the gated listing.
+    */
+  def liveParts(spark: SparkSession, deltaDir: String,
+      prefix: String = "batch="): Seq[String] =
+    currentParts(spark, deltaDir)
+      .getOrElse(gatedListing(spark, deltaDir))
+      .filter(_.startsWith(prefix))
+      .map(n => s"$deltaDir/$n")
+
+  /** On-disk part dirs NOT referenced by the current manifest — the
+    * deferred-deletion candidates a compactor's NEXT invocation
+    * removes. `maxId` bounds what may be touched (an in-flight
+    * writer's un-committed part always carries the highest id, and
+    * ids above the newest consolidation are never residue).
+    */
+  def unreferencedParts(spark: SparkSession, deltaDir: String,
+      maxId: Long): Seq[String] = {
+    val live = currentParts(spark, deltaDir).getOrElse(Seq.empty).toSet
+    val p = new Path(deltaDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") &&
+        idOf(n).exists(_ <= maxId) && !live.contains(n)
+    }.map(_.getPath.toString)
+  }
+}

@@ -61,6 +61,10 @@ object IndexStream {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         IndexBuilder.writeSnapshotAs(batch.toDF(), s"$deltaDir/batch=$batchId")
+        // manifest-commit AFTER the part lands ([[DeltaLog]]): readers
+        // resolve the manifest, so a crash mid-write leaves the part
+        // invisible until the checkpoint replays it.
+        DeltaLog.commit(batch.sparkSession, deltaDir, s"batch=$batchId")
         ()
       }
       .start()
@@ -106,20 +110,15 @@ object IndexStream {
     * (empty when the dir is missing or holds only stray entries).
     * Shared with every other base+deltas serving path (the
     * positional index reuses it — one definition of "committed
-    * delta" across artifacts).
+    * delta" across artifacts). Resolution is the [[DeltaLog]]
+    * manifest when one exists — one file read, a consistent
+    * snapshot — with the `_SUCCESS`-gated listing as the
+    * legacy-layout fallback (an uncommitted partial dir is invisible
+    * on BOTH paths, round-10 verdict #3).
     */
   private[graft] def deltaBatches(spark: SparkSession, deltaDir: String,
-      prefix: String = "batch=", requireSuccess: Boolean = false): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      fs.listStatus(p).filter { s =>
-        s.isDirectory && s.getPath.getName.startsWith(prefix) &&
-          (!requireSuccess ||
-            fs.isFile(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      }.map(_.getPath.toString).toIndexedSeq
-    else Seq.empty
-  }
+      prefix: String = "batch="): Seq[String] =
+    DeltaLog.liveParts(spark, deltaDir, prefix)
 
   /** Key stats of the LIVE index — the base snapshot's durable
     * key-stats artifact incrementally merged with per-key counts of

@@ -97,6 +97,7 @@ object PrepStream {
       TextAnalysis.sourceTokenHistogramOf(
           enriched.select("doc_id", "n_ws_tokens", "source"))
         .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+      DeltaLog.commit(spark, deltaDir, s"batch=$batchId")
     } finally { enriched.unpersist(); () }
   }
 }

@@ -120,6 +120,7 @@ object SimStream {
           batchId: Long) =>
         routeCellsFull(batch.toDF(), book)
           .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        DeltaLog.commit(batch.sparkSession, deltaDir, s"batch=$batchId")
         ()
       }
       .start()

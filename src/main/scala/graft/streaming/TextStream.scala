@@ -70,6 +70,7 @@ object TextStream {
         TextAnalysis.positionalPostings(batch.toDF())
           .repartition(col("term"))
           .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        DeltaLog.commit(batch.sparkSession, deltaDir, s"batch=$batchId")
         ()
       }
       .start()
@@ -119,23 +120,19 @@ object TextStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         reduce(batch.toDF())
           .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
+        DeltaLog.commit(batch.sparkSession, deltaDir, s"batch=$batchId")
         ()
       }
       .start()
 
-  /** The committed `batch=*` delta histogram dirs (the
-    * [[IndexStream]] delta convention: stray non-batch entries are
-    * ignored, a missing dir degrades to base-only).
+  /** The committed `batch=*` delta histogram dirs — the one
+    * [[DeltaLog]] resolution (manifest when present, `_SUCCESS`-gated
+    * listing for legacy/fixture dirs), shared with every other delta
+    * family instead of a private listing variant (round-10 verdict
+    * #4).
     */
-  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      fs.listStatus(p).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString).toIndexedSeq
-    else Seq.empty
-  }
+  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] =
+    DeltaLog.liveParts(spark, deltaDir)
 
   /** Live per-source cutoffs: the base corpus's histogram merged
     * with all accumulated delta histograms. Row-for-row equal to
@@ -169,7 +166,7 @@ object TextStream {
   private def baseWithDeltas(spark: SparkSession, base: DataFrame,
       deltaDir: String, beforeBatch: Long = Long.MaxValue): DataFrame = {
     val batches = deltaBatches(spark, deltaDir).filter { p =>
-      p.substring(p.lastIndexOf("batch=") + 6).toLong < beforeBatch
+      DeltaLog.idOf(p.substring(p.lastIndexOf('/') + 1)).exists(_ < beforeBatch)
     }
     if (batches.isEmpty) base
     else base.unionByName(spark.read.parquet(batches: _*))

@@ -70,6 +70,54 @@ class BpeFastSpec extends SparkTestBase {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("vocabulary cutoff: training under maxVocab equals unbounded training on the kept words") {
+    // long-tail fixture (vocabulary >> cutoff): 50 head words at
+    // frequency >= 2, a 2000-word freq-1 tail — the web-scale shape
+    // whose unbounded collect was the round-9 What's-wrong #1. The
+    // cutoff keeps exactly the head (the freq-2/freq-1 boundary is
+    // unambiguous), and training with maxVocab=50 must equal
+    // UNBOUNDED training on the corpus restricted to those words:
+    // truncation is corpus restriction, not a third semantics.
+    var seed = 0x9E3779B97F4A7C15L
+    def nextWord(len: Int): String = {
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + math.floorMod(seed >>> 33, 26L).toInt).toChar)
+      }
+      sb.toString
+    }
+    val head = Iterator.continually(nextWord(6)).distinct.take(50).toSeq
+    val tail = Iterator.continually(nextWord(9)).distinct.take(2000)
+      .filterNot(head.contains).toSeq
+    val headRows = head.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(2 + i % 7)(w)
+    }
+    val full = (headRows ++ tail).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val headOnly = headRows.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val n = 64
+    val truncated = Bpe.trainFast(spark, full, n, maxVocab = 50)
+    val restricted = Bpe.trainFast(spark, headOnly, n)
+    assert(truncated._1.orderBy("rank").collect().map(_.toString).toSeq ===
+      restricted._1.orderBy("rank").collect().map(_.toString).toSeq)
+    assert(truncated._2.orderBy("word").collect().map(_.toString).toSeq ===
+      restricted._2.orderBy("word").collect().map(_.toString).toSeq)
+    // the kept vocabulary is exactly the head — the collect was
+    // cutoff-bounded, not corpus-vocabulary-proportional.
+    assert(truncated._2.count() === 50L)
+    // and a pruned-tail word still segments at runtime through the
+    // merge-replay path (no vocabulary row needed — the OOV contract
+    // a live ingest depends on).
+    val pairs = truncated._1.orderBy("rank").select("pair_a", "pair_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val oov = Seq(Tuple1(tail.head)).toDF("word")
+      .select(Bpe.segmentExprPacked(col("word"), pairs).as("syms"))
+      .head().getSeq[String](0)
+    assert(oov.mkString("") === tail.head)
+  }
+
   test("a production-sized vocabulary sustains >= 8k merges through the packed segmenter") {
     // deterministic fixture vocabulary: 4000 distinct 8-letter words
     // (seeded LCG), each appearing once — ~28k trainable merges, so

@@ -54,8 +54,9 @@ class IndexStreamSpec extends SparkTestBase {
       ("nebula", 1, 2, 9000002L),
       ("zzyzx quarry", 1, 1, 9000003L), ("automobile", 1, 2, 9000003L))
     assert(got == expected)
-    // restart did not replay batch 0 into a new directory:
-    val dirs = new java.io.File(delta).list().toSet
+    // restart did not replay batch 0 into a new directory (the
+    // _manifest dir is the DeltaLog's, not a data part):
+    val dirs = new java.io.File(delta).list().filter(_.startsWith("batch=")).toSet
     assert(dirs == Set("batch=0", "batch=1"), s"delta dirs: $dirs")
   }
 

@@ -204,6 +204,42 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: manifest-served live views with deltas present") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // land ONE committed delta in each family (the DeltaLog manifest
+    // path — round 10), then pin the live plans: a delta must add
+    // only its own scan-side work (the pushed In(term) predicate
+    // reaches BOTH union sides; the vector delta re-derives cells
+    // against the broadcast book), never a new corpus-sized exchange
+    // class.
+    val pdd = graft.operators.TextAnalysis.positionalDeltaDir(dir)
+    graft.operators.TextAnalysis.positionalPostings(
+        Seq((9200001L, "zzgold zzplan zzgold")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$pdd/batch=0")
+    graft.streaming.DeltaLog.commit(spark, pdd, "batch=0")
+    pin("phrase_indexed_live_delta", Ex(2, 2, 0)) {
+      graft.operators.TextAnalysis.phraseTopKIndexed(spark, dir)
+    }
+    val vdd = graft.operators.Similarity.vecDeltaDir(dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 3L).head().getSeq[Float](1)
+    graft.streaming.SimStream.routeCellsFull(
+        Seq((9200003L, emb)).toDF("vec_id", "embedding"),
+        graft.operators.Similarity.ivfCodebook(spark, dir))
+      .write.mode("overwrite").parquet(s"$vdd/batch=0")
+    graft.streaming.DeltaLog.commit(spark, vdd, "batch=0")
+    // vs the no-delta (2,3,0): +2 shuffles = the delta rows' vec_id
+    // dedupe and the delta-cells derivation — both DELTA-sized, the
+    // corpus side gains nothing; +1 broadcast = the codebook feeding
+    // assignCells; +3 reused = the (base ∪ delta) and cell subplans
+    // shared between the probe and candidate sides of the self-join.
+    pin("ivf_probe_live_delta", Ex(4, 4, 3)) {
+      graft.operators.Similarity.ivfProbeLive(spark, dir, k = 3, probeMod = 100)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)

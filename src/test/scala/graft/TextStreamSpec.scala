@@ -47,7 +47,7 @@ class TextStreamSpec extends SparkTestBase {
     val q2 = TextStream.maintain(in.toDF(), delta, ckpt)
     q2.processAllAvailable(); q2.stop()
 
-    val dirs = new java.io.File(delta).list().toSet
+    val dirs = new java.io.File(delta).list().filter(_.startsWith("batch=")).toSet
     assert(dirs == Set("batch=0", "batch=1"), s"delta dirs: $dirs")
 
     val merged = cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta))

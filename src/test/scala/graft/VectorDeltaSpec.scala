@@ -253,7 +253,7 @@ class VectorDeltaSpec extends SparkTestBase {
       .where(col("vec_id") >= 9000000L).count() === 3L)
   }
 
-  test("an uncommitted micro-batch is neither folded nor deleted") {
+  test("an un-manifested (in-flight) micro-batch is invisible, never folded, never deleted") {
     implicit val sqlCtx = spark.sqlContext
     val dir = isolatedCorpus()
     val ckpt = Files.createTempDirectory("graft-vecdelta-unc").toString
@@ -263,23 +263,32 @@ class VectorDeltaSpec extends SparkTestBase {
     in.addData(VRow(9000021L, emb(21)))
     val q1 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
     q1.processAllAvailable(); q1.stop()
-    in.addData(VRow(9000022L, emb(22)))
-    val q2 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
-    q2.processAllAvailable(); q2.stop()
-    // simulate a crash-partial batch=1: drop its commit marker. The
-    // checkpoint would replay it in full on restart; until then the
-    // fold must not touch it — folding the partial and later deleting
-    // its full replay as "residue" would lose rows forever.
-    val dd = Paths.get(Similarity.vecDeltaDir(dir))
-    Files.delete(dd.resolve("batch=1").resolve("_SUCCESS"))
+    // simulate a crash mid-write of batch=1: the part dir exists on
+    // disk (fully written here — the content is irrelevant) but the
+    // manifest commit never happened. The checkpoint would replay it
+    // in full on restart; until then serving must not read it and
+    // the fold must not touch it — folding it and later deleting its
+    // replay as "residue" would lose rows forever.
+    val book = Similarity.ivfCodebook(spark, dir)
+    SimStream.routeCellsFull(
+        Seq((9000022L, emb(22))).toDF("vec_id", "embedding"), book)
+      .write.parquet(s"${Similarity.vecDeltaDir(dir)}/batch=1")
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000022L).count() === 0L,
+      "un-manifested batch served")
     assert(Similarity.compactVectorDeltas(spark, dir) === 0,
       "folded with only one committed batch")
     val names = new java.io.File(Similarity.vecDeltaDir(dir)).list().toSet
-    assert(names.contains("batch=1"), "uncommitted batch deleted")
+    assert(names.contains("batch=1"), "un-manifested batch deleted")
     assert(!names.exists(_.startsWith("compacted=")))
+    // ...and the moment the replay commits it, it serves.
+    graft.streaming.DeltaLog.commit(spark,
+      Similarity.vecDeltaDir(dir), "batch=1")
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") === 9000022L).count() === 1L)
   }
 
-  test("the compaction crash window double-lists no row and converges on re-run") {
+  test("the compaction crash window (fold written, swap not) double-lists no row and converges") {
     implicit val sqlCtx = spark.sqlContext
     val dir = isolatedCorpus()
     val ckpt = Files.createTempDirectory("graft-vecdelta-crash").toString
@@ -289,12 +298,18 @@ class VectorDeltaSpec extends SparkTestBase {
     in.addData(VRow(9000055L, clone))
     val q = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
     q.processAllAvailable(); q.stop()
-    // simulate the crash window: consolidation committed
-    // (compacted=0 = a byte copy of batch=0), originals not yet
-    // deleted — the arrival is listed TWICE.
+    in.addData(VRow(9000056L, clone.map(x => -x)))
+    val q2 = SimStream.maintainVectors(spark, dir, in.toDF(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // simulate the crash window: the fold WROTE its consolidation
+    // (compacted=1 = a byte copy of batch=0; wrong content on
+    // purpose — it must never be served) but crashed before the
+    // manifest swap. Readers resolve the manifest, which still lists
+    // the originals only — the orphan is invisible, so nothing
+    // double-lists and nothing is missing.
     val dd = Paths.get(Similarity.vecDeltaDir(dir))
     Files.walk(dd.resolve("batch=0")).forEach { p =>
-      val t = dd.resolve("compacted=0")
+      val t = dd.resolve("compacted=1")
         .resolve(dd.resolve("batch=0").relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else {
@@ -302,16 +317,20 @@ class VectorDeltaSpec extends SparkTestBase {
         Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    // readers stay consistent through the window: one row, not two.
     assert(Similarity.quantizedWithDeltas(spark, dir)
-      .where(col("vec_id") === 9000055L).count() === 1L)
-    // re-run converges: the residual batch is a subset of the
-    // committed consolidation and is deleted without a re-fold.
+      .where(col("vec_id") >= 9000000L).count() === 2L)
+    // re-run converges: the fold rewrites the orphan target from the
+    // still-referenced originals and swaps it in — both arrivals
+    // survive (the orphan's missing row is NOT lost).
+    assert(Similarity.compactVectorDeltas(spark, dir) === 2)
+    assert(Similarity.quantizedWithDeltas(spark, dir)
+      .where(col("vec_id") >= 9000000L).count() === 2L)
+    // deferred cleanup on the next invocation; serving unchanged.
     assert(Similarity.compactVectorDeltas(spark, dir) === 0)
     val names = new java.io.File(Similarity.vecDeltaDir(dir)).list().toSet
-    assert(!names.contains("batch=0") && names.contains("compacted=0"))
+    assert(!names.contains("batch=0") && names.contains("compacted=1"))
     assert(Similarity.quantizedWithDeltas(spark, dir)
-      .where(col("vec_id") === 9000055L).count() === 1L)
+      .where(col("vec_id") >= 9000000L).count() === 2L)
   }
 
   test("live probe with no deltas equals the base probe row for row") {
