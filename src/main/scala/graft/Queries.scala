@@ -221,6 +221,10 @@ FROM pl GROUP BY table_id ORDER BY table_id"""
           .withColumn("row_id", col("row_id") + lit(1000000000L))
         val deltaDir = IndexBuilder.snapshotPath(dir) + "-livedelta"
         IndexBuilder.writeSnapshotAs(newRows, s"$deltaDir/batch=0")
+        // manifest-commit like the real maintainer (round 10): the
+        // serve below resolves the DeltaLog manifest, putting the
+        // manifest read path itself under the oracle gate.
+        graft.streaming.DeltaLog.commit(s, deltaDir, "batch=0")
         graft.streaming.IndexStream.keyStatsWithDeltas(s, dir, deltaDir)
           .orderBy("key")
       },

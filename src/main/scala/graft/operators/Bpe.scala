@@ -613,7 +613,14 @@ object Bpe {
   /** Per-document token accounting under the PRODUCTION tokenizer
     * ([[tokens]]'s shape with `n_tok = |syms|` from the durable
     * segments artifact) — what the trained-token shard packer
-    * consumes.
+    * consumes. Vocabulary-cutoff seam: the segments artifact covers
+    * the KEPT vocabulary ([[MaxTrainVocab]]), so on a corpus whose
+    * vocabulary exceeds the cap the pruned-tail words are absent
+    * from this accounting (the inner join drops them — the DuckDB
+    * oracle reads the same artifact, so both sides agree); a
+    * consumer needing tail words counted pays the runtime segmenter
+    * path ([[tokenIdsProd]]'s merge replay), which segments any word
+    * without a vocabulary row.
     */
   def tokensProd(spark: SparkSession, dir: String,
       n: Int = ProdMerges): DataFrame = {

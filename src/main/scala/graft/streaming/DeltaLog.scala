@@ -104,8 +104,24 @@ object DeltaLog {
     }.map(_.getPath.getName)
   }
 
+  /** Serializes every read-modify-write below within this JVM. The
+    * protocol assumes ONE maintenance driver per delta dir (the
+    * streaming checkpoint already implies it for writers), but
+    * within that driver a live stream's [[commit]] CAN race the
+    * compactor's [[replace]] — and two publishes computing the same
+    * next version would have the later rename overwrite the earlier
+    * one on a POSIX rename, silently un-committing a landed batch
+    * (round-10 self-review; the loss the listing convention could
+    * not have). One JVM-wide mutex closes it for the supported
+    * deployment shape; cross-JVM concurrent maintenance of one
+    * delta dir remains out of contract, as before.
+    */
+  private val publishLock = new Object
+
   /** Atomically publish `parts` as the next manifest version; prunes
-    * versions beyond the retention window.
+    * versions beyond the retention window. Call under
+    * [[publishLock]] when the parts derive from a read of the
+    * current manifest.
     */
   private def publish(spark: SparkSession, deltaDir: String,
       parts: Seq[String]): Unit = {
@@ -136,22 +152,25 @@ object DeltaLog {
     * current set (seeded from the gated listing on first commit), so
     * replay re-commits are idempotent.
     */
-  def commit(spark: SparkSession, deltaDir: String, partName: String): Unit = {
-    val cur = currentParts(spark, deltaDir)
-      .getOrElse(gatedListing(spark, deltaDir))
-    if (!cur.contains(partName)) publish(spark, deltaDir, cur :+ partName)
-    else if (currentParts(spark, deltaDir).isEmpty)
-      publish(spark, deltaDir, cur) // first commit over a legacy dir
-  }
+  def commit(spark: SparkSession, deltaDir: String, partName: String): Unit =
+    publishLock.synchronized {
+      val manifest = currentParts(spark, deltaDir)
+      val cur = manifest.getOrElse(gatedListing(spark, deltaDir))
+      if (!cur.contains(partName)) publish(spark, deltaDir, cur :+ partName)
+      else if (manifest.isEmpty)
+        publish(spark, deltaDir, cur) // first commit over a legacy dir
+    }
 
   /** Ensure a manifest exists, seeding it from the gated listing —
     * the migration step a compactor runs before folding a legacy dir.
     */
   def seedIfAbsent(spark: SparkSession, deltaDir: String): Seq[String] =
-    currentParts(spark, deltaDir).getOrElse {
-      val seed = gatedListing(spark, deltaDir)
-      publish(spark, deltaDir, seed)
-      seed
+    publishLock.synchronized {
+      currentParts(spark, deltaDir).getOrElse {
+        val seed = gatedListing(spark, deltaDir)
+        publish(spark, deltaDir, seed)
+        seed
+      }
     }
 
   /** Compactor-side swap: one published version drops `removed` and
@@ -159,11 +178,12 @@ object DeltaLog {
     * in) so parts committed while the fold ran survive the swap.
     */
   def replace(spark: SparkSession, deltaDir: String,
-      removed: Set[String], added: Seq[String]): Unit = {
-    val cur = currentParts(spark, deltaDir)
-      .getOrElse(gatedListing(spark, deltaDir))
-    publish(spark, deltaDir, cur.filterNot(removed) ++ added)
-  }
+      removed: Set[String], added: Seq[String]): Unit =
+    publishLock.synchronized {
+      val cur = currentParts(spark, deltaDir)
+        .getOrElse(gatedListing(spark, deltaDir))
+      publish(spark, deltaDir, cur.filterNot(removed) ++ added)
+    }
 
   /** READER resolution: full paths of the committed parts whose name
     * starts with `prefix` — the latest manifest when one exists, else
@@ -183,15 +203,20 @@ object DeltaLog {
     * ids above the newest consolidation are never residue).
     */
   def unreferencedParts(spark: SparkSession, deltaDir: String,
-      maxId: Long): Seq[String] = {
-    val live = currentParts(spark, deltaDir).getOrElse(Seq.empty).toSet
-    val p = new Path(deltaDir)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toIndexedSeq.filter { s =>
-      val n = s.getPath.getName
-      s.isDirectory && !n.startsWith("_") &&
-        idOf(n).exists(_ <= maxId) && !live.contains(n)
-    }.map(_.getPath.toString)
-  }
+      maxId: Long): Seq[String] =
+    currentParts(spark, deltaDir) match {
+      // no manifest — nothing is PROVABLY superseded; deleting on a
+      // mere listing could destroy live legacy parts.
+      case None => Seq.empty
+      case Some(liveSeq) =>
+        val live = liveSeq.toSet
+        val p = new Path(deltaDir)
+        val fs = fsOf(spark, p)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toIndexedSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && !n.startsWith("_") &&
+            idOf(n).exists(_ <= maxId) && !live.contains(n)
+        }.map(_.getPath.toString)
+    }
 }
