@@ -1249,39 +1249,10 @@ object Similarity {
     * and are never touched. Returns the number of parts folded this
     * invocation (0 = nothing new to fold; cleanup may still run).
     */
-  def compactVectorDeltas(spark: SparkSession, dir: String): Int = {
-    import graft.streaming.DeltaLog
-    val dd = vecDeltaDir(dir)
-    val fs = new org.apache.hadoop.fs.Path(dd)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rm(p: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+  def compactVectorDeltas(spark: SparkSession, dir: String): Int =
+    graft.streaming.DeltaLog.compactLive(spark, vecDeltaDir(dir)) {
+      _.select("vec_id", "q", "nq", "cell_id").dropDuplicates("vec_id")
     }
-    val live = DeltaLog.seedIfAbsent(spark, dd)
-    // deferred cleanup of dirs superseded by a PREVIOUS fold: on
-    // disk, not in the manifest, and at or below the newest
-    // referenced id — which also catches a crashed fold's orphan
-    // consolidation (its sources are still referenced, so it is
-    // redundant and the re-fold below rewrites it). The id bound
-    // keeps any future writer part (always the highest id) safe.
-    val maxRef = live.flatMap(n => DeltaLog.idOf(n)) match {
-      case ids if ids.nonEmpty => ids.max
-      case _ => -1L
-    }
-    DeltaLog.unreferencedParts(spark, dd, maxRef).foreach(rm)
-    val batches = live.filter(_.startsWith("batch="))
-    val sources = live.filter(_.startsWith("compacted=")) ++ batches
-    if (batches.isEmpty || sources.size < 2) 0
-    else {
-      val target = s"compacted=${batches.flatMap(n => DeltaLog.idOf(n)).max}"
-      spark.read.parquet(sources.map(n => s"$dd/$n"): _*)
-        .select("vec_id", "q", "nq", "cell_id")
-        .dropDuplicates("vec_id")
-        .write.mode("overwrite").parquet(s"$dd/$target")
-      DeltaLog.replace(spark, dd, sources.toSet, Seq(target))
-      sources.size
-    }
-  }
 
   /** The LIVE quantized corpus: the session-persisted base plus all
     * accumulated vector deltas (each delta row already carries its

@@ -591,6 +591,28 @@ object TextAnalysis {
     targetPath
   }
 
+  /** IN-DIR positional-delta consolidation (round-10 — the
+    * [[graft.streaming.DeltaLog.compactLive]] protocol with the
+    * index's own term clustering): folds accumulated `batch=<id>`
+    * parts into one `compacted=<id>` part WITHOUT touching the base
+    * artifact or the documents source — the lighter maintenance
+    * between full [[compactPositionalIndex]] rebuilds, bounding the
+    * per-query part count for a long-running ingest exactly as the
+    * vector family's compactor does. Postings are append-only rows
+    * (no dedupe key needed — the manifest's atomic swap means no
+    * window can double-list a part), and term clustering in the
+    * consolidation preserves the literal-pushdown probe's row-group
+    * locality. Serving picks the consolidation up through the
+    * all-parts live view ([[positionalIndexWithDeltas]] /
+    * [[docLengthsWithDeltas]]).
+    */
+  def compactPositionalDeltas(spark: SparkSession, dir: String,
+      deltaDir: String = null): Int =
+    graft.streaming.DeltaLog.compactLive(spark,
+      Option(deltaDir).getOrElse(positionalDeltaDir(dir))) {
+      _.repartition(col("term"))
+    }
+
   /** [[phraseTopK]] served from the durable index with a LITERAL
     * pushdown probe: the phrase's terms (metadata-sized — at most
     * `n` strings, the [[JoinSearch.prunedTableIds]] altitude) become

@@ -196,6 +196,49 @@ object DeltaLog {
       .filter(_.startsWith(prefix))
       .map(n => s"$deltaDir/$n")
 
+  /** ONE in-dir compactor for every delta family (round-10): fold
+    * the current manifest's live parts into a single
+    * `compacted=<max live batch id>` consolidation, swap it in with
+    * [[replace]] (atomic — late-landing batches survive), and defer
+    * physical deletion of superseded dirs to the NEXT invocation
+    * (readers that resolved the previous version keep their files
+    * for a full compaction interval). `transform` shapes the folded
+    * frame (the vector family dedups by vec_id and projects its
+    * serving columns; postings families re-cluster on their key).
+    * Crash points all converge on re-run: a fold written but not
+    * swapped is an unreferenced orphan no reader ever saw — cleaned
+    * and rewritten next time. Returns the number of parts folded
+    * (0 = nothing to fold; cleanup may still run). Seeds a manifest
+    * on first touch of a legacy dir.
+    */
+  def compactLive(spark: SparkSession, deltaDir: String)(
+      transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Int = {
+    val ddPath = new Path(deltaDir)
+    val fs = fsOf(spark, ddPath)
+    val live = seedIfAbsent(spark, deltaDir)
+    val maxRef = live.flatMap(idOf).maxOption.getOrElse(-1L)
+    unreferencedParts(spark, deltaDir, maxRef)
+      .foreach(p => fs.delete(new Path(p), true))
+    val batches = live.filter(_.startsWith("batch="))
+    val comps = live.filter(_.startsWith("compacted="))
+    val sources = comps ++ batches
+    val batchMax = batches.flatMap(idOf).maxOption.getOrElse(-1L)
+    val compMax = comps.flatMap(idOf).maxOption.getOrElse(-1L)
+    // target id must EXCEED every referenced consolidation id, or
+    // the fold would overwrite a source it is reading (possible only
+    // in a legacy-seeded state where a consolidation outranks every
+    // live batch — wait for new arrivals instead).
+    if (batches.isEmpty || sources.size < 2 || batchMax <= compMax) 0
+    else {
+      val target = s"compacted=$batchMax"
+      transform(spark.read.parquet(sources.map(n => s"$deltaDir/$n"): _*))
+        .write.mode("overwrite").parquet(s"$deltaDir/$target")
+      replace(spark, deltaDir, sources.toSet, Seq(target))
+      sources.size
+    }
+  }
+
   /** On-disk part dirs NOT referenced by the current manifest — the
     * deferred-deletion candidates a compactor's NEXT invocation
     * removes. `maxId` bounds what may be touched (an in-flight

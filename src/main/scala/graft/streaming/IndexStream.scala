@@ -106,19 +106,35 @@ object IndexStream {
     else base
   }
 
-  /** The committed `batch=*` delta directories under `deltaDir`
-    * (empty when the dir is missing or holds only stray entries).
-    * Shared with every other base+deltas serving path (the
-    * positional index reuses it — one definition of "committed
-    * delta" across artifacts). Resolution is the [[DeltaLog]]
-    * manifest when one exists — one file read, a consistent
-    * snapshot — with the `_SUCCESS`-gated listing as the
+  /** The committed delta part directories under `deltaDir` — both
+    * `batch=<id>` micro-batches and `compacted=<id>` in-dir
+    * consolidations ([[compactDeltasInPlace]]), so every family's
+    * serving view is compaction-aware by default. Empty when the dir
+    * is missing or holds only stray entries. Shared with every other
+    * base+deltas serving path (the positional index reuses it — one
+    * definition of "committed delta" across artifacts). Resolution
+    * is the [[DeltaLog]] manifest when one exists — one file read, a
+    * consistent snapshot — with the `_SUCCESS`-gated listing as the
     * legacy-layout fallback (an uncommitted partial dir is invisible
     * on BOTH paths, round-10 verdict #3).
     */
   private[graft] def deltaBatches(spark: SparkSession, deltaDir: String,
-      prefix: String = "batch="): Seq[String] =
+      prefix: String = ""): Seq[String] =
     DeltaLog.liveParts(spark, deltaDir, prefix)
+
+  /** IN-DIR delta consolidation for the postings family
+    * ([[graft.streaming.DeltaLog.compactLive]] with the snapshot's
+    * own key clustering): months of micro-batches fold into one
+    * `compacted=<id>` part WITHOUT touching the base snapshot —
+    * the lighter maintenance between full [[compact]] rebuilds
+    * (which additionally fold the base and need the caller's
+    * swap-and-clear). Serving picks the consolidation up through
+    * [[deltaBatches]]' default all-parts view.
+    */
+  def compactDeltasInPlace(spark: SparkSession, deltaDir: String): Int =
+    DeltaLog.compactLive(spark, deltaDir) {
+      _.repartition(org.apache.spark.sql.functions.col("key"))
+    }
 
   /** Key stats of the LIVE index — the base snapshot's durable
     * key-stats artifact incrementally merged with per-key counts of

@@ -129,10 +129,16 @@ object TextStream {
     * [[DeltaLog]] resolution (manifest when present, `_SUCCESS`-gated
     * listing for legacy/fixture dirs), shared with every other delta
     * family instead of a private listing variant (round-10 verdict
-    * #4).
+    * #4). Deliberately batch=-ONLY (no in-dir consolidations for
+    * this family): [[cutoffsWithDeltas]]' replay-determinism filter
+    * needs per-BATCH ids — a `compacted=` part folding batches of
+    * mixed ids would make "deltas with id < beforeBatch" unanswerable
+    * — so histogram/sketch deltas stay per-batch (they are
+    * histogram-sized; the part count, not the volume, is the only
+    * cost, and it is bounded by the crawl cadence).
     */
   private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] =
-    DeltaLog.liveParts(spark, deltaDir)
+    DeltaLog.liveParts(spark, deltaDir, prefix = "batch=")
 
   /** Live per-source cutoffs: the base corpus's histogram merged
     * with all accumulated delta histograms. Row-for-row equal to

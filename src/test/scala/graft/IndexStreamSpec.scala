@@ -107,6 +107,53 @@ class IndexStreamSpec extends SparkTestBase {
     assert(hot == Seq((1, 4L)))
   }
 
+  test("in-dir delta consolidation: searches, key stats and sketch unchanged through the fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-delta-indir"), tmp("graft-ckpt-indir"))
+    val in = MemoryStream[CRow]
+    in.addData(CRow("Inplace Alpha", "NEBULA", 999940001L))
+    val q1 = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    in.addData(CRow("Inplace Alpha", "NEBULA", 999940002L))
+    val q2 = IndexStream.maintain(
+      IndexStream.postings(in.toDF(), Corpus.byName("customer")), delta, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val before = IndexStream.loadWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).sorted.toSeq
+    val statsBefore = IndexStream.keyStatsWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).toSet
+    val sketchBefore = IndexStream.tableSketchWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).toSet
+
+    // fold the two micro-batches into one key-clustered consolidation
+    // (the DeltaLog.compactLive protocol — base snapshot untouched).
+    assert(IndexStream.compactDeltasInPlace(spark, delta) === 2)
+    assert(IndexStream.loadWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(IndexStream.keyStatsWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).toSet === statsBefore)
+    assert(IndexStream.tableSketchWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).toSet === sketchBefore)
+    // deferred cleanup on the next invocation; serving unchanged.
+    assert(IndexStream.compactDeltasInPlace(spark, delta) === 0)
+    val parts = new java.io.File(delta).list()
+      .filter(n => n.startsWith("batch=") || n.startsWith("compacted=")).toSet
+    assert(parts === Set("compacted=1"), s"parts: $parts")
+    assert(IndexStream.loadWithDeltas(spark, sf0001, delta)
+      .collect().map(_.toString).sorted.toSeq === before)
+    // the conjunction over the folded live index still finds the
+    // delta-only rows (score 2 rows x 2 cols on the customer table).
+    val query = Seq(("Inplace Alpha", "NEBULA"), ("Inplace Alpha", "NEBULA"))
+      .toDF("c_name", "c_mktsegment").distinct()
+    val hits = JoinSearch.searchTables(
+        IndexStream.loadWithDeltas(spark, sf0001, delta),
+        query, Seq("c_name", "c_mktsegment"))
+      .as[(Int, Long)].collect().toSeq
+    assert(hits == Seq((1, 4L)), s"got $hits")
+  }
+
   test("merged table sketch equals recomputed; stale base sketch wrongly prunes delta vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     val (delta, ckpt) = (tmp("graft-delta4"), tmp("graft-ckpt4"))

@@ -107,6 +107,32 @@ class PositionalDeltaSpec extends SparkTestBase {
     val live2 = TextAnalysis.positionalIndexWithDeltas(spark, dir, deltaDir)
       .collect().map(_.toString).sorted
     assert(compacted.toSeq === live2.toSeq)
+
+    // IN-DIR consolidation (round-10, the vector family's compactor
+    // generalized): the two batch parts fold into one compacted part
+    // WITHOUT touching the base artifact; phrase results, BM25
+    // lengths, and the full live row set are unchanged through the
+    // swap and through the deferred cleanup on the next invocation.
+    val before = live2.toSeq
+    assert(TextAnalysis.compactPositionalDeltas(spark, dir) === 2)
+    assert(hits() === Seq((9000001L, 2L), (9000000L, 1L), (9000002L, 1L)))
+    assert(TextAnalysis.positionalIndexWithDeltas(spark, dir, deltaDir)
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(TextAnalysis.docLengthsWithDeltas(spark, dir, deltaDir)
+      .where(col("doc_id") >= 9000000L).count() === 3L)
+    // nothing new to fold -> pure cleanup; originals gone, serving same.
+    assert(TextAnalysis.compactPositionalDeltas(spark, dir) === 0)
+    val partNames = new java.io.File(deltaDir).list()
+      .filter(n => n.startsWith("batch=") || n.startsWith("compacted=")).toSet
+    assert(partNames === Set("compacted=1"), s"parts: $partNames")
+    assert(TextAnalysis.positionalIndexWithDeltas(spark, dir, deltaDir)
+      .collect().map(_.toString).sorted.toSeq === before)
+    // a post-fold arrival lands above the consolidation and serves.
+    in.addData(DRow(9000003L, s"postfold $p", "srcX"))
+    val q3 = TextStream.maintainPositional(in.toDF(), deltaDir, ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(hits().toMap ===
+      Map(9000001L -> 2L, 9000000L -> 1L, 9000002L -> 1L, 9000003L -> 1L))
   }
 
   test("indexed phrase/proximity queries serve through the live view with no deltas unchanged") {
