@@ -36,6 +36,14 @@ object PrepQueries {
     Q("prep_shard_packing",
       (s, dir) => CorpusPrep.shardPacking(s, dir),
       Some(PrepOracle.shardPackingSql())),
+    // the RECURSIVE two-pass running sum: no stage ever windows more
+    // than bucketSize rows on one reducer, at ANY corpus size — the
+    // sizing-rule obligation packedOf carries is gone. bucketSize=8
+    // forces multi-level recursion on the verify corpus; the oracle
+    // is the same global window (the output is bucketing-independent).
+    Q("prep_shard_packing_recursive",
+      (s, dir) => CorpusPrep.shardPackingRecursive(s, dir),
+      Some(PrepOracle.shardPackingSql())),
     // the packer fed by the TRAINED tokenizer instead of whitespace
     // counts — the composition a real loader runs (budgets are in
     // model tokens); the `sized`-frame seam makes it one select.

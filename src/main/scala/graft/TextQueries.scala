@@ -140,6 +140,24 @@ object TextQueries {
     Q("text_bigram_surprise",
       (s, dir) => TextAnalysis.bigramSurprise(s, dir),
       Some(TextOracle.bigramSurpriseSql())),
+    // winnowing fingerprints (MOSS): per-window rightmost-argmin
+    // gram selection at ~2/(w+1) density with the >= w+k-1 shared-run
+    // detection floor — row-local array arithmetic end to end.
+    Q("text_winnow_fingerprints",
+      (s, dir) => TextAnalysis.winnowFingerprints(s, dir),
+      Some(TextOracle.winnowFingerprintsSql())),
+    // the sketch's application: fingerprint-keyed doc-pair overlap
+    // (LSH-banding shape, never all pairs); the corpus's planted
+    // re-crawl duplicates surface with near-total overlap.
+    Q("text_winnow_overlap",
+      (s, dir) => TextAnalysis.winnowOverlap(s, dir),
+      Some(TextOracle.winnowOverlapSql())),
+    // Unicode NFC canonicalization (the pre-hash/pre-dedup rung):
+    // decomposed plants on every row, JDK Normalizer vs DuckDB
+    // nfc_normalize — the md5 compare pins one UAX#15 NFC.
+    Q("text_nfc_normalize",
+      (s, dir) => TextAnalysis.nfcNormalize(s, dir),
+      Some(TextOracle.nfcNormalizeSql)),
     // PII scrubbing over planted emails/IPs (the html_extract
     // fixture convention) — counts + redacted hash, RE2-mirrored.
     Q("text_redact_pii",

@@ -66,6 +66,17 @@ object Tokenize {
       propagateNull = true,
       returnNullable = true))
 
+  /** Unicode NFC normalization as a codegen'd column ([[NfcFns]]). */
+  def nfc(c: Column): Column = GraftInternal.column(
+    StaticInvoke(
+      NfcFns.getClass,
+      StringType,
+      "nfc",
+      Seq(GraftInternal.expression(c)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
   /** The original pure-built-in expression chain (kept as a spec
     * cross-check for the property tests; not on the hot path).
     */
@@ -247,4 +258,21 @@ object CleanFns {
   def clean(s: UTF8String): UTF8String =
     if (s == null) null
     else UTF8String.fromString(Tokenize.cleanFast(s.toString))
+}
+
+/** Static entry point for the codegen'd Unicode-NFC normalization
+  * ([[graft.operators.TextAnalysis.nfcNormalize]]'s `StaticInvoke`
+  * target). UAX#15 canonical composition via the JDK's
+  * `java.text.Normalizer` — the pre-hash/pre-dedup rung a real crawl
+  * needs (the byte-identical dedup of `é` vs `e`+U+0301 depends on
+  * normalizing FIRST; so does any content fingerprint). The DuckDB
+  * oracle runs `nfc_normalize` (utf8proc) — hash equality through
+  * the gate pins the two engines to one UAX#15 NFC on the planted
+  * decomposed fixtures. Row-local, codegen'd, no UDF.
+  */
+object NfcFns {
+  def nfc(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
 }

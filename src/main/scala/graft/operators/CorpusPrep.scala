@@ -464,6 +464,79 @@ object CorpusPrep {
         expr(s"cast(tokens_before div $budget as bigint)").as("shard_id"))
       .orderBy("doc_id")
 
+  /** The RECURSIVE two-pass running sum (round-10): [[packedOf]]'s
+    * across-bucket pass windows one thin row per bucket on a single
+    * reducer — fine under the ~sqrt(N) sizing rule, a one-reducer
+    * bottleneck beyond it (10^12 docs at bucketSize 10^4 is 10^8
+    * offset rows on one task). This form closes the gap the
+    * [[shardPacking]] scaladoc only promised: the offsets frame is
+    * ITSELF prefix-summed by the same bucketed rule, recursing until
+    * a level fits inside one `bucketSize`-row window — so NO stage,
+    * at any corpus size, ever sorts more than `bucketSize` rows on
+    * one reducer, and the level count is log_bucketSize(N) (3 levels
+    * cover 10^12 docs at bucketSize 10^4). Exactly the numbers of
+    * the global window and of [[packedOf]] under the same bucketing
+    * (the DuckDB oracle runs the global form; `ShardPackRecSpec`
+    * pins equality on adversarial sizes and that recursion engages).
+    * The per-level `count()` that decides termination is a
+    * metadata-sized footer read, log-many times.
+    */
+  def packedOfRecursive(sized: DataFrame, bucketSize: Long): DataFrame = {
+    val before = exclusivePrefix(
+      sized.select(col("doc_id").as("id"), col("n_tokens").as("v")),
+      bucketSize)
+    sized.join(before.select(col("id").as("doc_id"),
+        col("before").as("tokens_before")), Seq("doc_id"))
+  }
+
+  /** Exclusive prefix sum of `v` in `id` order, never windowing more
+    * than `bucketSize` rows in one partition: buckets window within,
+    * bucket totals recurse. Terminates: each level divides the row
+    * count by `bucketSize` (ids at level k are dense bucket indexes),
+    * and a level at or under `bucketSize` rows pays the one bounded
+    * global window legitimately.
+    */
+  private def exclusivePrefix(df: DataFrame, bucketSize: Long): DataFrame =
+    if (df.count() <= bucketSize)
+      df.withColumn("before",
+        coalesce(sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("id", "before")
+    else {
+      val base = df.withColumn("bucket", expr(s"id div $bucketSize"))
+      val inBucket = Window.partitionBy("bucket").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val btotals = base.groupBy("bucket").agg(sum("v").as("v"))
+        .select(col("bucket").as("id"), col("v"))
+      val offsets = exclusivePrefix(btotals, bucketSize)
+        .select(col("id").as("bucket"), col("before").as("offset"))
+      base
+        .withColumn("within", coalesce(sum("v").over(inBucket), lit(0L)))
+        // deliberately HINT-FREE (unlike packedOf's √N-sized offsets,
+        // which are broadcast-small by the sizing rule): level-1
+        // offsets are N/bucketSize rows — broadcastable at demo
+        // scale, shuffle-joined at 10^12 docs — and the stats-driven
+        // choice is the point of removing the sizing obligation.
+        .join(offsets, Seq("bucket"))
+        .select(col("id"), (col("within") + col("offset")).as("before"))
+    }
+
+  /** [[shardPackingOf]] through the recursive prefix sum — registered
+    * with a deliberately TINY bucketSize so the verify corpus
+    * recurses multiple levels under the oracle gate (the output is
+    * bucketing-independent; the oracle is the same global window).
+    */
+  def shardPackingRecursive(spark: SparkSession, dir: String,
+      budget: Long = 4096L, bucketSize: Long = 8L,
+      counter: TokenCounter = WhitespaceCounter): DataFrame =
+    packedOfRecursive(
+      docs(spark, dir).select(col("doc_id"),
+        counter.count(col("text")).as("n_tokens")),
+      bucketSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cast(tokens_before div $budget as bigint)").as("shard_id"))
+      .orderBy("doc_id")
+
   /** The loader-ready face of the packing: where each document's
     * tokens LAND inside its packed fixed-length training sequence —
     * `seq_id` (= the shard), the 0-based `start_offset` within the

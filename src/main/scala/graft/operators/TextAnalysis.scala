@@ -938,6 +938,98 @@ object TextAnalysis {
       .agg(concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, k)).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) — the standard document-overlap sketch between
+    * whole-doc hashing and all-grams storage: per document, hash
+    * every `k`-token gram, slide a `w`-gram window, and select each
+    * window's MINIMUM hash (rightmost on ties — the paper's rule, so
+    * selections repeat across overlapping windows and density stays
+    * ~2/(w+1)). Guarantee: any shared token run of length ≥ w+k-1
+    * yields a shared selected fingerprint — the bounded-density
+    * complement to [[graft.operators.CorpusPrep.decontaminate]]'s
+    * all-grams join (store ~2/(w+1) of the grams, keep a detection
+    * floor). Everything is ROW-LOCAL array arithmetic over the doc's
+    * own gram list (O(m·w²) per doc with bounded w — no shuffle, no
+    * cross-row state), the shape that fingerprints 100 TB; gram
+    * hashes are md5 hex strings so the min/tie rules are plain
+    * lexicographic string order in both engines. Docs with fewer
+    * than w grams contribute none (contract; the paper's density
+    * argument needs a full window). Output: one row per selected
+    * `(doc_id, pos, fp)`, pos = 1-based gram start.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5): DataFrame =
+    winnowOf(docs(spark, dir), k, w).orderBy("doc_id", "pos")
+
+  private[graft] def winnowOf(documents: DataFrame, k: Int, w: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        split(Tokenize.clean(col("text")), " ").as("t"))
+      .where(col("t")(0) =!= "" && size(col("t")) - k + 1 >= w)
+      .withColumn("g", expr(
+        s"transform(sequence(1, size(t) - $k + 1), " +
+          s"i -> md5(cast(concat_ws(' ', slice(t, i, $k)) as binary)))"))
+      .withColumn("sel", expr(
+        s"array_distinct(transform(sequence(1, size(g) - $w + 1), " +
+          s"j -> array_max(filter(sequence(j, j + $w - 1), " +
+          s"i -> element_at(g, i) = array_min(slice(g, j, $w))))))"))
+      .select(col("doc_id"), explode(col("sel")).as("pos"), col("g"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr("element_at(g, cast(pos as int))").as("fp"))
+
+  /** Cross-document overlap through the winnow sketch: pairs of
+    * documents sharing at least `minShared` distinct selected
+    * fingerprint HASHES, with the shared count — the
+    * contamination/plagiarism surface the sketch exists for. The
+    * pair generation is fingerprint-keyed (the LSH-banding shape:
+    * join only within equal-fp buckets, never all pairs), so cost
+    * follows shared-fingerprint mass; the synthetic corpus's planted
+    * re-crawl duplicates surface with near-total overlap while
+    * unrelated word-salad pairs share nothing.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 3): DataFrame = {
+    val fp = winnowOf(docs(spark, dir), k, w)
+      .select("doc_id", "fp").distinct()
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Unicode NFC normalization rung — the canonicalization a crawl
+    * runs BEFORE any hash-keyed stage: `é` and `e`+U+0301 are
+    * byte-different but canonically equal, so un-normalized text
+    * silently defeats exact dedup, content fingerprints, shingle
+    * hashes, and CDC content comparison. One codegen'd static call
+    * per row ([[graft.functions.NfcFns]], the [[Tokenize.clean]]
+    * pattern — no UDF); the corpus text is ASCII, so the registered
+    * form PLANTS decomposed sequences (combining acute/ring/tilde
+    * plus one pre-composed char for idempotence) on every row and
+    * the oracle re-derives with DuckDB's `nfc_normalize` — the md5
+    * hash compare pins both engines to one UAX#15 NFC. Row-local at
+    * any scale.
+    */
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          // DECOMPOSED plants: e+U+0301, A+U+030A, n+U+0303, plus a
+          // pre-composed U+00E9 (NFC must compose the first three
+          // and leave the fourth alone).
+          lit(" cafe\u0301 A\u030A n\u0303 \u00e9")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        graft.functions.Tokenize.nfc(col("raw")).as("nfc"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        md5(col("nfc").cast("binary")).as("nfc_hash"))
+      .orderBy("doc_id")
+
   /** HTML -> text extraction, the C4/CCNet-style tag-strip rung of a
     * crawl pipeline, as pure column expressions (row-local, codegen,
     * no parser dependency). Documented approximation — this is the

@@ -582,6 +582,69 @@ SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
 FROM btoks t JOIN bids i USING (symbol)
 ORDER BY doc_id, wpos, spos"""
 
+  /** Shared winnow-selection CTEs (the oracle twin of
+    * `TextAnalysis.winnowFingerprints`): per doc, md5 gram hashes,
+    * per-window rightmost argmin, distinct selections — the same
+    * lexicographic-hex min and tie rules, list-comprehension form.
+    */
+  private def winnowCtes(k: Int, w: Int): String = {
+    val clean = graft.functions.Tokenize.cleanSql("text")
+    s"""wt AS (
+    SELECT doc_id, string_split($clean, ' ') AS t FROM documents
+    WHERE $clean <> '' AND len(string_split($clean, ' ')) - ${k - 1} >= $w
+  ),
+  wg AS (
+    SELECT doc_id,
+      [md5(array_to_string(t[i:i+${k - 1}], ' '))
+        for i in generate_series(1, len(t) - ${k - 1})] AS g
+    FROM wt
+  ),
+  wsel AS (
+    SELECT doc_id, g,
+      list_distinct([
+        list_max(list_filter(generate_series(j, j + ${w - 1}),
+          i -> g[i] = list_min(g[j:j+${w - 1}])))
+        for j in generate_series(1, len(g) - ${w - 1})]) AS sel
+    FROM wg
+  ),
+  wfp AS (
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, g[pos] AS fp
+    FROM (SELECT doc_id, g, unnest(sel) AS pos FROM wsel)
+  )"""
+  }
+
+  def winnowFingerprintsSql(k: Int = 4, w: Int = 5): String =
+    s"""WITH ${winnowCtes(k, w)}
+SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos"""
+
+  /** Mirrors `TextAnalysis.winnowOverlap`: fingerprint-keyed pair
+    * counting over the distinct per-doc selections.
+    */
+  def winnowOverlapSql(k: Int = 4, w: Int = 5, minShared: Int = 3): String =
+    s"""WITH ${winnowCtes(k, w)},
+  wd AS (SELECT DISTINCT doc_id, fp FROM wfp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= $minShared
+ORDER BY doc_a, doc_b"""
+
+  /** Mirrors `TextAnalysis.nfcNormalize`: the same decomposed plants
+    * (passed through as real UTF-8 in the dumped SQL) normalized by
+    * DuckDB's `nfc_normalize` (utf8proc) — the md5 compare pins both
+    * engines to one UAX#15 NFC.
+    */
+  def nfcNormalizeSql: String =
+    s"""WITH nraw AS (
+    SELECT doc_id, substr(text, 1, 40) || ' café Å ñ é' AS raw
+    FROM documents
+  )
+SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+  md5(nfc_normalize(raw)) AS nfc_hash
+FROM nraw ORDER BY doc_id"""
+
   /** Adaptive-quality oracle: the identical histogram-median chain —
     * per-source value histogram, cumulative count, cutoff = smallest
     * value whose cumulative reaches `(n + 1) // 2`, kept rollup.
