@@ -356,7 +356,21 @@ object Scale {
       // brutal case for cluster-table size), and fertility rides the
       // token accounting's vocabulary broadcast.
       "prep_split_leakfree" -> (d => CorpusPrep.splitLeakfree(spark, d)),
-      "text_bpe_fertility" -> (d => operators.Bpe.fertility(spark, d)))
+      "text_bpe_fertility" -> (d => operators.Bpe.fertility(spark, d)),
+      // round-11 additions: the four final-round-10 queries that
+      // landed without measured rows. Winnow selection is row-local
+      // array arithmetic (linear floor); winnow OVERLAP under
+      // verbatim replication is the adversarial near-dup case the
+      // sketch exists for — every fingerprint bucket gains 10
+      // members, so pair volume grows ~factor² per original fp group
+      // (quadratic IN PAIRS by design, never all-pairs in docs); the
+      // recursive packer pays log_bucketSize(N) bounded-window levels
+      // (one extra level at 10× with the registered bucketSize=8);
+      // NFC is one codegen'd static call per row.
+      "text_winnow_fingerprints" -> (d => TextAnalysis.winnowFingerprints(spark, d)),
+      "text_winnow_overlap" -> (d => TextAnalysis.winnowOverlap(spark, d)),
+      "prep_shard_packing_recursive" -> (d => CorpusPrep.shardPackingRecursive(spark, d)),
+      "text_nfc_normalize" -> (d => TextAnalysis.nfcNormalize(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

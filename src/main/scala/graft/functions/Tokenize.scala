@@ -77,6 +77,53 @@ object Tokenize {
       propagateNull = true,
       returnNullable = true))
 
+  /** TOTALITY CONVENTION (adopted round 11, after a reproduced sf0.1
+    * crash in the winnow queries): **every higher-order array
+    * expression that feeds a generator (`explode`/`posexplode`) must
+    * be TOTAL — evaluable without error on ANY input row, including
+    * rows an upstream `.where` guard would drop.** The guard is NOT
+    * protection: Catalyst's `InferFiltersFromGenerate` infers
+    * `size(e) > 0 AND isnotnull(e)` from `explode(e)` and pushes the
+    * ENTIRE inlined expression through the projections into the
+    * Filter that holds the guard, where whole-stage-codegen
+    * subexpression elimination evaluates it EAGERLY before the guard
+    * conjunct can short-circuit. The two partial-function footguns
+    * under ANSI mode:
+    *
+    *   1. `sequence(1, size(t) - m)` with `size(t) <= m` flips
+    *      DESCENDING (`sequence(1, 0)` = `[1, 0]`) — window starts of
+    *      0 and below, never an empty array;
+    *   2. `element_at(arr, i)` throws on `i = 0` or `i > size(arr)`
+    *      (and on a missing map key).
+    *
+    * So: build sliding windows with [[windowedSql]] / [[gramsSql]]
+    * (CASE-guarded — short inputs yield `array()`, which the
+    * generator then correctly emits nothing for), and use
+    * `try_element_at` for in-branch indexing. Raw `element_at` /
+    * `sequence` remain legal ONLY where bounds hold by construction
+    * on every row (constant bounds, fixed-layout arrays) — each such
+    * site is pinned by `ConventionSpec`'s per-file allowlist.
+    */
+
+  /** Total sliding-window transform: apply `lambda` at each 1-based
+    * window start `i = 1 .. size(arr) - width + 1`; inputs shorter
+    * than `width` yield `array()` instead of a descending-sequence
+    * crash. `lambda` must itself be total for `i` in that range
+    * (prefer `try_element_at`).
+    */
+  def windowedSql(arr: String, width: Int, lambda: String): String =
+    s"CASE WHEN size($arr) >= $width THEN " +
+      s"transform(sequence(1, size($arr) - ${width - 1}), $lambda) " +
+      s"ELSE array() END"
+
+  /** Total word n-grams over a token-array column: space-joined runs
+    * of `n` adjacent elements, `array()` when fewer than `n` tokens.
+    */
+  def gramsSql(arr: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"try_element_at($arr, i + $j)").mkString(", ")
+    windowedSql(arr, n, s"i -> concat_ws(' ', $parts)")
+  }
+
   /** The original pure-built-in expression chain (kept as a spec
     * cross-check for the property tests; not on the hot path).
     */

@@ -82,9 +82,11 @@ object Bpe {
       .select(col("wc"),
         expr("split(trim(BOTH '|' FROM w), '\\\\|\\\\|')").as("s"))
       .where(size(col("s")) >= 2)
-      .select(col("wc"), explode(expr(
-        "transform(sequence(1, size(s) - 1), " +
-          "i -> struct(element_at(s, i) as a, element_at(s, i + 1) as b))")).as("p"))
+      // total adjacent-pair expression (Tokenize.windowedSql): a
+      // single-symbol word must not crash if the Generate-inferred
+      // filter hoists this below the `.where` — totality convention.
+      .select(col("wc"), explode(expr(graft.functions.Tokenize.windowedSql("s", 2,
+        "i -> struct(try_element_at(s, i) as a, try_element_at(s, i + 1) as b)"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("wc").as("cnt"))
 

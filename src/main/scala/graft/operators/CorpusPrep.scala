@@ -230,10 +230,11 @@ object CorpusPrep {
       .select(col("doc_id"),
         split(graft.functions.Tokenize.clean(col("text")), " ").as("t"))
       .where(expr(s"size(t) >= $n AND t[0] != ''"))
-    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    // total n-gram expression (Tokenize.gramsSql): the `.where` guard
+    // doesn't survive the InferFiltersFromGenerate hoist — totality
+    // convention.
     base.select(col("doc_id"),
-      explode(array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', $parts))")))
+      explode(array_distinct(expr(graft.functions.Tokenize.gramsSql("t", n))))
         .as("gram"))
   }
 
@@ -506,8 +507,20 @@ object CorpusPrep {
       val base = df.withColumn("bucket", expr(s"id div $bucketSize"))
       val inBucket = Window.partitionBy("bucket").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // bucket totals PERSISTED before recursing (round-11 ADVICE):
+      // the next level runs an ACTION on them (the termination
+      // count()) and then windows the same frame — unpersisted, each
+      // deeper level would recompute the entire upstream aggregation
+      // chain (corpus scan + k groupBys) twice per level. The frame
+      // is thin by construction (<= N/bucketSize two-column rows,
+      // spill-safe at any scale); level 0 — the caller's corpus-sized
+      // frame — is deliberately NOT cached: its double evaluation is
+      // one extra scan+project, cheaper than caching a corpus.
+      // Eviction reclaims the thin levels; explicit unpersist would
+      // fire before the caller materializes the lazy result.
       val btotals = base.groupBy("bucket").agg(sum("v").as("v"))
         .select(col("bucket").as("id"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val offsets = exclusivePrefix(btotals, bucketSize)
         .select(col("id").as("bucket"), col("before").as("offset"))
       base

@@ -857,14 +857,17 @@ object Dedup {
     */
   private def docSpans(spark: SparkSession, dir: String, n: Int,
       base: DataFrame): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    // total span expression (Tokenize.windowedSql): the `.where`
+    // guard doesn't survive the InferFiltersFromGenerate hoist —
+    // totality convention.
+    val parts = (0 until n).map(j => s"try_element_at(t, i + $j)").mkString(", ")
     DfCache.getOrPersist(spark, s"doc_spans:$n:$dir",
       Seq(s"$dir/documents.parquet")) {
       base.where(col("n_tokens") >= n)
         .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(t) - ${n - 1}),
-              i -> struct(cast(i as bigint) as start,
-                          concat_ws(' ', $parts) as gram))""")).as("sp"))
+          graft.functions.Tokenize.windowedSql("t", n,
+            s"i -> struct(cast(i as bigint) as start, concat_ws(' ', $parts) as gram)")))
+          .as("sp"))
         .select(col("doc_id"), col("sp.start").as("start"), col("sp.gram").as("gram"))
     }
   }

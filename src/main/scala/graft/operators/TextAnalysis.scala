@@ -860,11 +860,12 @@ object TextAnalysis {
     val base = documents
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
       .where(expr("size(t) >= 2 AND t[0] != ''"))
+    // total n-gram expression (Tokenize.gramsSql): the `.where`
+    // guards don't survive the InferFiltersFromGenerate hoist — see
+    // the totality convention.
     def grams(k: Int) = base.where(size(col("t")) >= k)
       .select(col("doc_id"), lit(k.toLong).as("n"),
-        explode(expr(s"transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(t, i + $j)").mkString(", ")}))"))
-          .as("gram"))
+        explode(expr(Tokenize.gramsSql("t", k))).as("gram"))
     grams(2).unionByName(grams(3))
       .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n")
@@ -909,8 +910,7 @@ object TextAnalysis {
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
       .where(expr("size(t) >= 2 AND t[0] != ''"))
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(t) - 1), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("g"))
+        explode(expr(Tokenize.gramsSql("t", 2))).as("g"))
     val tf = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy("g").agg(sum(col("tf")).as("freq"))
     tf.join(freq, Seq("g"))
@@ -966,16 +966,40 @@ object TextAnalysis {
       .select(col("doc_id"),
         split(Tokenize.clean(col("text")), " ").as("t"))
       .where(col("t")(0) =!= "" && size(col("t")) - k + 1 >= w)
-      .withColumn("g", expr(
-        s"transform(sequence(1, size(t) - $k + 1), " +
-          s"i -> md5(cast(concat_ws(' ', slice(t, i, $k)) as binary)))"))
+      // TOTAL expressions below the `.where` guard — required, not
+      // defensive: `explode(sel)` lets Catalyst's
+      // InferFiltersFromGenerate copy the ENTIRE inlined `sel`
+      // expression into a Filter below the guard projection, where
+      // whole-stage-codegen subexpression elimination evaluates it
+      // EAGERLY on rows the `.where` would have dropped (reproduced
+      // at sf0.1: one 7-token doc -> 4 grams < w=5 -> sequence(1, 0)
+      // flips DESCENDING -> element_at(g, 5) on a 4-element array ->
+      // ANSI crash). [[Tokenize.windowedSql]] CASE-guards each
+      // window so short inputs yield array() on ANY row — see the
+      // totality convention on that helper.
+      .withColumn("g", expr(Tokenize.windowedSql("t", k,
+        s"i -> md5(cast(concat_ws(' ', slice(t, i, $k)) as binary))")))
       .withColumn("sel", expr(
-        s"array_distinct(transform(sequence(1, size(g) - $w + 1), " +
+        s"array_distinct(${Tokenize.windowedSql("g", w,
           s"j -> array_max(filter(sequence(j, j + $w - 1), " +
-          s"i -> element_at(g, i) = array_min(slice(g, j, $w))))))"))
-      .select(col("doc_id"), explode(col("sel")).as("pos"), col("g"))
+            s"i -> try_element_at(g, i) = array_min(slice(g, j, $w))))")})"))
+      // explode_OUTER, deliberately: InferFiltersFromGenerate only
+      // fires on non-outer generates, so no `size(sel) > 0` filter is
+      // ever inferred — which matters twice over. (1) Crash class:
+      // the inferred filter's pushdown is what copied `sel` below the
+      // guard in round 10. (2) COST class: that pushdown substitutes
+      // the full `sel` expression (whose window lambdas reference `g`
+      // per element) into the filter, where every element access
+      // re-evaluates the whole gram-hash array — O(m²·w) md5 calls
+      // per row instead of O(m); measured as minutes-vs-subsecond at
+      // sf0.1. With outer explode, `g` and `sel` stay attribute
+      // references computed once per row, and the empty-sel rows the
+      // inferred filter would have dropped surface as one null `pos`
+      // row each, dropped by the cheap attribute filter below.
+      .select(col("doc_id"), explode_outer(col("sel")).as("pos"), col("g"))
+      .where(col("pos").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr("element_at(g, cast(pos as int))").as("fp"))
+        expr("try_element_at(g, cast(pos as int))").as("fp"))
 
   /** Cross-document overlap through the winnow sketch: pairs of
     * documents sharing at least `minShared` distinct selected

@@ -110,7 +110,13 @@ object BlobSource {
     * batch and streaming reads.
     */
   private def normalize(raw: DataFrame, maxBytes: Long): DataFrame = {
-    val typeByExt = element_at(
+    // try_element_at: under ANSI mode a plain element_at THROWS on a
+    // missing map key, so one stray unknown-extension file in a blob
+    // landing zone would abort the whole ingest. Unknown extensions
+    // instead surface as media_type = null (quarantine rows, visible
+    // downstream) — totality convention
+    // ([[graft.functions.Tokenize.windowedSql]] scaladoc).
+    val typeByExt = try_element_at(
       map(TypeByExt.flatMap { case (e, t) => Seq(lit(e), lit(t)) }: _*),
       regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1))
     Multimodal.withMeta(

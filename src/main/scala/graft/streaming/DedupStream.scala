@@ -67,10 +67,16 @@ object DedupStream {
     */
   def minhashSignature(text: Column, numSeeds: Int = 8): Column = {
     val w = split(Tokenize.clean(text), " ")
+    // total shingle expression: guarded HERE (not only by the outer
+    // `when`) so a <3-word text can never hit the descending
+    // `sequence(1, -1)` even if a rewrite evaluates `sh` eagerly —
+    // totality convention ([[graft.functions.Tokenize.windowedSql]]).
     val sh = array_distinct(
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2))))
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
     val mins = (0 until numSeeds).map(i =>
       array_min(transform(sh, x => md5(concat(lit(s"$i|"), x).cast("binary")))))
     when(text.isNotNull && size(w) >= 3, concat_ws("|", mins: _*))

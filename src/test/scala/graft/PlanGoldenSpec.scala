@@ -240,6 +240,46 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: the round-11 pins for the final-round-10 additions") {
+    // winnow fingerprint selection must be EXCHANGE-FREE before the
+    // output sort: hashing, window arg-min and explode are row-local
+    // array arithmetic (the 100 TB shape — no shuffle touches the
+    // corpus), so the only shuffle is the orderBy's range partition.
+    pin("winnow_fingerprints", Ex(1, 0, 0)) {
+      TextAnalysis.winnowFingerprints(spark, dir)
+    }
+    // overlap adds: one distinct on (doc_id, fp), the fp-keyed
+    // self-join — hint-free, so plan-time stats BROADCAST the small
+    // fingerprint side here (a corpus-sized sketch degrades to a
+    // shuffled join, the dedup drop-list convention) and the other
+    // side REUSES the distinct's exchange (the pair generation never
+    // rebuilds the sketch) — the pair rollup, and the output sort.
+    // Never an all-pairs product.
+    pin("winnow_overlap", Ex(3, 1, 1)) {
+      TextAnalysis.winnowOverlap(spark, dir)
+    }
+    // the recursive packer at the REGISTERED bucketSize: each level
+    // is one bounded window + one thin offsets aggregation, and the
+    // level count (hence exchange budget) is log_bucketSize(N) —
+    // pinned so a rewrite that silently widens a window back to one
+    // reducer (the old packedOf shape) or adds a level shows up.
+    // Broadcasts are the thin per-level offsets frames joining back;
+    // each recursion level's bucket-totals input is PERSISTED
+    // (round-11 ADVICE — the termination count() otherwise recomputes
+    // the whole upstream chain per level), so the deeper levels'
+    // shuffles live inside InMemoryRelations here, invisible by the
+    // suite's counting convention: the visible budget is level 0's.
+    pin("shard_packing_recursive", Ex(4, 3, 0)) {
+      graft.operators.CorpusPrep.shardPackingRecursive(spark, dir)
+    }
+    // NFC normalization is one codegen'd static call per row: scan ->
+    // project -> sort, nothing else.
+    pin("nfc_normalize", Ex(1, 0, 0)) {
+      TextAnalysis.nfcNormalize(spark, dir)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)

@@ -5,7 +5,38 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs (one per suite, lazily built). */
 trait SparkTestBase extends AnyFunSuite {
-  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val spark: SparkSession = {
+    SparkTestBase.sweepStaleTmp()
+    GraftSession.local(4)
+  }
 
   def sf0001 = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  @volatile private var swept = false
+
+  /** Best-effort sweep of stale `graft-*` fixture dirs under the JVM
+    * tmpdir: every suite creates throwaway corpora/checkpoints there
+    * and (deliberately) never deletes mid-run — streaming restarts
+    * re-open them — so long-lived sandboxes accumulate one batch of
+    * dirs per gate run. Deleting only entries older than 2 h can
+    * never race a concurrently running suite; failures are ignored.
+    */
+  private def sweepStaleTmp(): Unit = if (!swept) synchronized {
+    if (swept) return
+    swept = true
+    val cutoff = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft-") && f.lastModified() < cutoff)
+      .foreach(deleteQuietly)
+  }
+
+  private def deleteQuietly(f: java.io.File): Unit =
+    try {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteQuietly)
+      f.delete(): Unit
+    } catch { case _: Throwable => () }
 }

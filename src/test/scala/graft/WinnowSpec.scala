@@ -56,6 +56,37 @@ class WinnowSpec extends SparkTestBase {
       s"density $density out of regime for w=$w")
   }
 
+  test("sub-w-gram docs survive the full registered pipeline (InferFiltersFromGenerate hoist)") {
+    // Round-10 bench crash: explode(sel) lets Catalyst infer
+    // `size(sel) > 0` and copy the inlined sel expression BELOW the
+    // `.where` guard, where codegen evaluates it eagerly on short
+    // docs (sequence(1, 0) flips descending -> element_at OOB under
+    // ANSI). Exercise docs of 0 / <k / 1 / w-1 / w grams through the
+    // REGISTERED queries (winnowOf called directly does not reproduce
+    // the hoist on all paths) — the expressions must be total.
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-short").toString
+    def words(n: Int) = (1 to n).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, ""),                      // 0 tokens
+      (2L, words(k - 1)),            // < k tokens: gram count "negative"
+      (3L, words(k)),                // exactly 1 gram
+      (4L, words(k + w - 3)),        // w-2 grams
+      (5L, words(k + w - 2)),        // w-1 grams: the sf0.1 crash shape
+      (6L, words(k + w - 1)),        // w grams: exactly one window
+      (7L, words(3 * (k + w))))      // a doc long enough to select
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = SparkEntry.queries("text_winnow_fingerprints")(spark, dir).collect()
+    val perDoc = fp.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // docs 1..5 are below the w-window floor -> contribute nothing;
+    // doc 6 has exactly one window -> exactly one selection.
+    (1L to 5L).foreach(d => assert(!perDoc.contains(d), s"doc $d must select nothing"))
+    assert(perDoc(6L) === 1)
+    assert(perDoc(7L) >= 1)
+    // the overlap query runs the same lineage through a self-join.
+    SparkEntry.queries("text_winnow_overlap")(spark, dir).collect()
+  }
+
   test("rightmost tie rule: an all-equal-grams doc selects each window's last slot") {
     val docs = Seq((9L, Seq.fill(12)("same").mkString(" "))).toDF("doc_id", "text")
     // 12 tokens, k=4 -> 9 identical grams; windows j=1..5 all tie ->
