@@ -54,6 +54,10 @@ object DeltaLog {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def fc(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+
   /** `<prefix>=<long>` part-name id, None for strays (`batch=tmp`,
     * editor droppings) — strays are skipped everywhere, never thrown
     * on (round-10 ADVICE).
@@ -88,39 +92,66 @@ object DeltaLog {
     versions(fs, mdir).lastOption.map { case (_, p) => readManifest(fs, p) }
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The `_SUCCESS`-gated, stray-tolerant directory listing — the
     * pre-manifest convention, kept as the no-manifest fallback and as
     * the seed a first [[commit]]/[[seedIfAbsent]] starts from (parts
     * landed before the manifest existed must not be orphaned).
+    *
+    * `_SUCCESS` dependency (round-11 ADVICE): this fallback requires
+    * the committer's marker, where the pre-round-10 family defaults
+    * did not all — a deployment writing legacy parts with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` would
+    * silently serve none of them. Such dirs (parquet present, no
+    * marker) are WARN-logged here rather than silently skipped; the
+    * fix is one [[commit]]/[[seedIfAbsent]] per part, after which the
+    * manifest is authoritative and the marker is never consulted.
     */
   private def gatedListing(spark: SparkSession, deltaDir: String): Seq[String] = {
     val p = new Path(deltaDir)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toIndexedSeq.filter { s =>
-      s.isDirectory && idOf(s.getPath.getName).isDefined &&
-        !s.getPath.getName.startsWith("_") &&
-        fs.isFile(new Path(s.getPath, "_SUCCESS"))
-    }.map(_.getPath.getName)
+    else {
+      val (gated, skipped) = fs.listStatus(p).toIndexedSeq.filter { s =>
+        s.isDirectory && idOf(s.getPath.getName).isDefined &&
+          !s.getPath.getName.startsWith("_")
+      }.partition(s => fs.isFile(new Path(s.getPath, "_SUCCESS")))
+      skipped.filter(s => fs.listStatus(s.getPath)
+          .exists(_.getPath.getName.endsWith(".parquet")))
+        .foreach(s => log.warn(
+          s"delta part ${s.getPath} holds parquet files but no _SUCCESS marker " +
+            "— invisible to the legacy fallback listing; commit it to the " +
+            "manifest (DeltaLog.commit) or re-land it with the marker"))
+      gated.map(_.getPath.getName)
+    }
   }
 
-  /** Serializes every read-modify-write below within this JVM. The
-    * protocol assumes ONE maintenance driver per delta dir (the
+  /** Serializes every read-modify-write below within this JVM, PER
+    * DELTA DIR (round-11 ADVICE: a JVM-global mutex made manifest
+    * publishes of unrelated families serialize against each other).
+    * The protocol assumes ONE maintenance driver per delta dir (the
     * streaming checkpoint already implies it for writers), but
     * within that driver a live stream's [[commit]] CAN race the
     * compactor's [[replace]] — and two publishes computing the same
     * next version would have the later rename overwrite the earlier
     * one on a POSIX rename, silently un-committing a landed batch
     * (round-10 self-review; the loss the listing convention could
-    * not have). One JVM-wide mutex closes it for the supported
-    * deployment shape; cross-JVM concurrent maintenance of one
-    * delta dir remains out of contract, as before.
+    * not have). Cross-JVM concurrent maintenance of one delta dir
+    * remains out of contract — but [[publish]]'s no-overwrite rename
+    * now fails LOUDLY there instead of silently replacing a
+    * committed version.
     */
-  private val publishLock = new Object
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  private def lockFor(deltaDir: String): Object =
+    publishLocks.computeIfAbsent(
+      new Path(deltaDir).toUri.normalize.toString, _ => new Object)
 
   /** Atomically publish `parts` as the next manifest version; prunes
     * versions beyond the retention window. Call under
-    * [[publishLock]] when the parts derive from a read of the
+    * [[lockFor]] when the parts derive from a read of the
     * current manifest.
     */
   private def publish(spark: SparkSession, deltaDir: String,
@@ -131,15 +162,40 @@ object DeltaLog {
     val sorted = parts.distinct.sortBy(n => (idOf(n).getOrElse(Long.MaxValue), n))
     var attempt = 0
     var done = false
+    val fctx = fc(spark, mdir)
     while (!done) {
       val next = versions(fs, mdir).lastOption.map(_._1 + 1).getOrElse(0L)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
-      val out = fs.create(tmp, true)
+      // tmp written through the same FileContext that renames it, so
+      // the local checksum layer never leaves a stray .crc sidecar
+      // behind the rename.
+      val out = fctx.create(tmp, java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
       try out.write((sorted.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      done = fs.rename(tmp, new Path(mdir, s"v=$next"))
+      // no-overwrite rename (FileContext + Rename.NONE): plain
+      // FileSystem.rename OVERWRITES an existing destination on
+      // POSIX local FS, so a cross-JVM concurrent publisher would
+      // silently replace a committed version and this contention
+      // loop could never observe it (round-11 ADVICE). With NONE the
+      // collision surfaces as FileAlreadyExistsException -> re-read
+      // the version counter and retry; content atomicity is
+      // unchanged (readers still only ever see a fully-written,
+      // renamed file).
+      done =
+        try {
+          fctx.rename(tmp, new Path(mdir, s"v=$next"),
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            false
+        }
       if (!done) {
-        fs.delete(tmp, true)
+        fctx.delete(tmp, true)
         attempt += 1
         require(attempt < 8, s"manifest publish contended 8x at $deltaDir")
       }
@@ -153,7 +209,7 @@ object DeltaLog {
     * replay re-commits are idempotent.
     */
   def commit(spark: SparkSession, deltaDir: String, partName: String): Unit =
-    publishLock.synchronized {
+    lockFor(deltaDir).synchronized {
       val manifest = currentParts(spark, deltaDir)
       val cur = manifest.getOrElse(gatedListing(spark, deltaDir))
       if (!cur.contains(partName)) publish(spark, deltaDir, cur :+ partName)
@@ -165,7 +221,7 @@ object DeltaLog {
     * the migration step a compactor runs before folding a legacy dir.
     */
   def seedIfAbsent(spark: SparkSession, deltaDir: String): Seq[String] =
-    publishLock.synchronized {
+    lockFor(deltaDir).synchronized {
       currentParts(spark, deltaDir).getOrElse {
         val seed = gatedListing(spark, deltaDir)
         publish(spark, deltaDir, seed)
@@ -179,7 +235,7 @@ object DeltaLog {
     */
   def replace(spark: SparkSession, deltaDir: String,
       removed: Set[String], added: Seq[String]): Unit =
-    publishLock.synchronized {
+    lockFor(deltaDir).synchronized {
       val cur = currentParts(spark, deltaDir)
         .getOrElse(gatedListing(spark, deltaDir))
       publish(spark, deltaDir, cur.filterNot(removed) ++ added)
@@ -210,8 +266,33 @@ object DeltaLog {
     * and rewritten next time. Returns the number of parts folded
     * (0 = nothing to fold; cleanup may still run). Seeds a manifest
     * on first touch of a legacy dir.
+    *
+    * INVARIANT — a delta dir is bound to ONE checkpoint for its
+    * lifetime (round-11 ADVICE): the deferred-deletion rule treats
+    * on-disk parts with id <= the manifest's max id that are absent
+    * from the manifest as superseded residue, which is only safe
+    * while batch ids grow monotonically. Re-pointing a FRESH
+    * checkpoint (batch ids restart at 0) at a used delta dir would
+    * let cleanup delete an in-flight low-id batch before its commit
+    * lands — wipe the dir (or pick a new one) together with the
+    * checkpoint, exactly as the streaming sinks' recovery contract
+    * already requires.
+    *
+    * `foldBelow` (round-11, for the histogram/sketch family): fold
+    * ONLY parts with id strictly below the bound. A family whose
+    * reader filters by per-batch id for replay determinism (a
+    * restarted batch i must see exactly deltas 0..i-1) can still
+    * compact, because a consolidation's id is the max folded batch
+    * id: "parts with id < beforeBatch" answers EXACTLY over
+    * {compacted=c} ∪ {batch=i} when c < beforeBatch for every
+    * beforeBatch the stream can still replay — which the caller
+    * guarantees by passing its checkpoint's committed watermark
+    * (committed batches never re-execute, so every future
+    * beforeBatch is >= the watermark > every folded id). Default
+    * `Long.MaxValue` = fold everything, the round-10 behavior.
     */
-  def compactLive(spark: SparkSession, deltaDir: String)(
+  def compactLive(spark: SparkSession, deltaDir: String,
+      foldBelow: Long = Long.MaxValue)(
       transform: org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.DataFrame): Int = {
     val ddPath = new Path(deltaDir)
@@ -220,15 +301,18 @@ object DeltaLog {
     val maxRef = live.flatMap(idOf).maxOption.getOrElse(-1L)
     unreferencedParts(spark, deltaDir, maxRef)
       .foreach(p => fs.delete(new Path(p), true))
-    val batches = live.filter(_.startsWith("batch="))
-    val comps = live.filter(_.startsWith("compacted="))
+    val inBound = live.filter(n => idOf(n).exists(_ < foldBelow))
+    val batches = inBound.filter(_.startsWith("batch="))
+    val comps = inBound.filter(_.startsWith("compacted="))
     val sources = comps ++ batches
     val batchMax = batches.flatMap(idOf).maxOption.getOrElse(-1L)
-    val compMax = comps.flatMap(idOf).maxOption.getOrElse(-1L)
-    // target id must EXCEED every referenced consolidation id, or
-    // the fold would overwrite a source it is reading (possible only
-    // in a legacy-seeded state where a consolidation outranks every
-    // live batch — wait for new arrivals instead).
+    // target id must EXCEED every referenced consolidation id — ALL
+    // of them, in or out of bound — or the fold would overwrite a
+    // part it is reading or that still serves (possible only in a
+    // legacy-seeded state where a consolidation outranks every live
+    // batch — wait for new arrivals instead).
+    val compMax = live.filter(_.startsWith("compacted="))
+      .flatMap(idOf).maxOption.getOrElse(-1L)
     if (batches.isEmpty || sources.size < 2 || batchMax <= compMax) 0
     else {
       val target = s"compacted=$batchMax"

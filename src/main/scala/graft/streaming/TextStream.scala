@@ -125,20 +125,61 @@ object TextStream {
       }
       .start()
 
-  /** The committed `batch=*` delta histogram dirs — the one
-    * [[DeltaLog]] resolution (manifest when present, `_SUCCESS`-gated
-    * listing for legacy/fixture dirs), shared with every other delta
-    * family instead of a private listing variant (round-10 verdict
-    * #4). Deliberately batch=-ONLY (no in-dir consolidations for
-    * this family): [[cutoffsWithDeltas]]' replay-determinism filter
-    * needs per-BATCH ids — a `compacted=` part folding batches of
-    * mixed ids would make "deltas with id < beforeBatch" unanswerable
-    * — so histogram/sketch deltas stay per-batch (they are
-    * histogram-sized; the part count, not the volume, is the only
-    * cost, and it is bounded by the crawl cadence).
+  /** The committed delta histogram/sketch dirs — the one [[DeltaLog]]
+    * resolution (manifest when present, `_SUCCESS`-gated listing for
+    * legacy/fixture dirs), shared with every other delta family
+    * instead of a private listing variant (round-10 verdict #4).
+    * Both `batch=` and `compacted=` parts serve (round-11 — this
+    * family was the last without in-dir compaction, so part counts
+    * grew unboundedly under sustained ingest until a full base
+    * rebuild): a consolidation carries id = max folded batch id, so
+    * [[cutoffsWithDeltas]]' replay-determinism filter "parts with
+    * id < beforeBatch" stays EXACT as long as folds respect the
+    * checkpoint watermark ([[compactHistogramDeltas]]). A
+    * consolidation whose id is >= beforeBatch would make the
+    * question unanswerable (it mixes batches the replay must and
+    * must not see) — that is a fold-contract violation and fails
+    * LOUDLY here rather than serving silently wrong cutoffs.
     */
-  private def deltaBatches(spark: SparkSession, deltaDir: String): Seq[String] =
-    DeltaLog.liveParts(spark, deltaDir, prefix = "batch=")
+  private def deltaBatches(spark: SparkSession, deltaDir: String,
+      beforeBatch: Long = Long.MaxValue): Seq[String] = {
+    val live = DeltaLog.liveParts(spark, deltaDir, prefix = "")
+    def id(p: String): Long =
+      DeltaLog.idOf(p.substring(p.lastIndexOf('/') + 1)).getOrElse(Long.MinValue)
+    val offending = live.filter(p =>
+      p.substring(p.lastIndexOf('/') + 1).startsWith("compacted=") &&
+        id(p) >= beforeBatch)
+    require(offending.isEmpty,
+      s"delta consolidation(s) ${offending.mkString(", ")} fold batches at or " +
+        s"above replay bound $beforeBatch — the compactor violated the " +
+        "checkpoint-watermark contract (compactHistogramDeltas scaladoc)")
+    live.filter(id(_) < beforeBatch)
+  }
+
+  /** In-dir compaction for the histogram family (round-11, the last
+    * un-compacted delta family): fold every part with id strictly
+    * below `watermark` — the maintaining stream's COMMITTED batch id
+    * (`query.lastProgress.batchId` once that batch's commit is in
+    * the checkpoint; committed batches never re-execute, so every
+    * future replay's `beforeBatch` is >= the watermark and the
+    * consolidation answers its id filter exactly). Histograms are
+    * additive, so the fold is re-summing (source, value) cells —
+    * the consolidation is at most |sources| x |distinct values|
+    * rows no matter how many batches it folds.
+    */
+  def compactHistogramDeltas(spark: SparkSession, deltaDir: String,
+      watermark: Long): Int =
+    DeltaLog.compactLive(spark, deltaDir, foldBelow = watermark)(
+      _.groupBy("source", "n_ws_tokens").agg(sum(col("c")).as("c")))
+
+  /** [[compactHistogramDeltas]] for the term-sketch family: bucket
+    * totals are additive, so the fold re-sums the <= `buckets`-row
+    * cells.
+    */
+  def compactSketchDeltas(spark: SparkSession, deltaDir: String,
+      watermark: Long): Int =
+    DeltaLog.compactLive(spark, deltaDir, foldBelow = watermark)(
+      _.groupBy("b").agg(sum(col("bt")).as("bt")))
 
   /** Live per-source cutoffs: the base corpus's histogram merged
     * with all accumulated delta histograms. Row-for-row equal to
@@ -171,9 +212,7 @@ object TextStream {
     */
   private def baseWithDeltas(spark: SparkSession, base: DataFrame,
       deltaDir: String, beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val batches = deltaBatches(spark, deltaDir).filter { p =>
-      DeltaLog.idOf(p.substring(p.lastIndexOf('/') + 1)).exists(_ < beforeBatch)
-    }
+    val batches = deltaBatches(spark, deltaDir, beforeBatch)
     if (batches.isEmpty) base
     else base.unionByName(spark.read.parquet(batches: _*))
   }

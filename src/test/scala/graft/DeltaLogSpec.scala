@@ -142,4 +142,77 @@ class DeltaLogSpec extends SparkTestBase {
     assert(TextStream.cutoffsWithDeltas(spark, dir, hdd)
       .where(col("source") === "srcYY").count() === 1L)
   }
+
+  test("foldBelow compaction folds only watermarked parts; later batches stay per-batch") {
+    val dd = tmp("bound")
+    (0 to 4).foreach { i =>
+      Seq((i.toLong, 1L)).toDF("id", "v").write.parquet(s"$dd/batch=$i")
+      DeltaLog.commit(spark, dd, s"batch=$i")
+    }
+    // watermark 3: folds exactly batches 0..2 into compacted=2.
+    assert(DeltaLog.compactLive(spark, dd, foldBelow = 3L)(_.distinct()) === 3)
+    assert(DeltaLog.liveParts(spark, dd, prefix = "").map(_.split('/').last).sorted
+      === Seq("batch=3", "batch=4", "compacted=2"))
+    // content preserved exactly.
+    assert(spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("id").as[Long].collect().sorted.toSeq === (0L to 4L))
+    // a second bounded fold needs a folded-batch id above compacted=2
+    // (the target-id rule): watermark 4 folds {compacted=2, batch=3}.
+    assert(DeltaLog.compactLive(spark, dd, foldBelow = 4L)(_.distinct()) === 2)
+    assert(DeltaLog.liveParts(spark, dd, prefix = "").map(_.split('/').last).sorted
+      === Seq("batch=4", "compacted=3"))
+    // watermark at or below every unfolded batch id: nothing to do.
+    assert(DeltaLog.compactLive(spark, dd, foldBelow = 4L)(_.distinct()) === 0)
+    assert(spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("id").as[Long].collect().sorted.toSeq === (0L to 4L))
+  }
+
+  test("readers need no lock: resolve is never torn under concurrent commit + compactLive") {
+    // round-11 verdict #7: the publish mutex serializes WRITERS (one
+    // maintenance driver per dir); readers are lock-free by contract.
+    // Hammer resolve while a writer commits 30 batches and a
+    // compactor folds repeatedly: every resolved set must be a
+    // CONSISTENT snapshot — batch ids contiguous from 0 once
+    // consolidations are expanded (compacted=c covers 0..c), no
+    // half-published manifests, no exceptions.
+    val dd = tmp("hammer")
+    Seq((0L, 1L)).toDF("id", "v").write.parquet(s"$dd/batch=0")
+    DeltaLog.commit(spark, dd, "batch=0")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => try {
+      (1 to 30).foreach { i =>
+        Seq((i.toLong, 1L)).toDF("id", "v").write.parquet(s"$dd/batch=$i")
+        DeltaLog.commit(spark, dd, s"batch=$i")
+      }
+    } catch { case t: Throwable => failures.add(s"writer: $t") }
+    finally writerDone.set(true))
+    val compactor = new Thread(() => try {
+      while (!writerDone.get()) DeltaLog.compactLive(spark, dd)(_.distinct())
+    } catch { case t: Throwable => failures.add(s"compactor: $t") })
+    val readers = (1 to 3).map(r => new Thread(() => try {
+      var reads = 0
+      while (!writerDone.get() || reads < 50) {
+        val names = DeltaLog.liveParts(spark, dd, prefix = "")
+          .map(_.split('/').last)
+        val covered = names.flatMap { n =>
+          val id = DeltaLog.idOf(n).get
+          if (n.startsWith("compacted=")) 0L to id else Seq(id)
+        }.toSet
+        if (covered.nonEmpty) {
+          val max = covered.max
+          if (covered != (0L to max).toSet)
+            failures.add(s"reader$r: torn set $names -> $covered")
+        } else failures.add(s"reader$r: empty resolve")
+        reads += 1
+      }
+    } catch { case t: Throwable => failures.add(s"reader$r: $t") }))
+    (readers :+ writer :+ compactor).foreach(_.start())
+    (readers :+ writer :+ compactor).foreach(_.join(120000))
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    // quiesced: one more fold then exact content equality.
+    DeltaLog.compactLive(spark, dd)(_.distinct())
+    assert(spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("id").as[Long].collect().sorted.toSeq === (0L to 30L))
+  }
 }

@@ -144,5 +144,18 @@ class HeavyHitterStreamSpec extends SparkTestBase {
     assert(live.exists(_._1 == "zephyr"),
       "the streamed wave must surface in the live top-k")
     assert(live.forall(_._3 == 1L))
+
+    // round-11: fold both landed partials at the committed watermark
+    // (batch 1 is in the checkpoint — a restart replays nothing below
+    // 2) and re-serve: the merged sketch, the live top-k, and its
+    // certificate must be bit-identical through the consolidation.
+    assert(TextStream.compactSketchDeltas(spark, deltaDir, watermark = 2L) === 2)
+    assert(graft.streaming.DeltaLog
+      .liveParts(spark, deltaDir, prefix = "").map(_.split('/').last)
+      === Seq("compacted=1"))
+    assert(TextStream.bucketSketchWithDeltas(spark, sf0001, deltaDir)
+      .orderBy("b").collect().toSeq === recomputedSketch)
+    assert(terms(TextStream.heavyHittersWithDeltas(
+      spark, sf0001, deltaDocs, deltaDir, k = 10)) === truth)
   }
 }

@@ -78,6 +78,52 @@ class TextStreamSpec extends SparkTestBase {
       baseOnly.filterNot(kv => Set("src0", "src1")(kv._1)))
   }
 
+  test("histogram fold at the checkpoint watermark: replay determinism survives, part count bounded") {
+    import graft.streaming.DeltaLog
+    val delta = tmp("graft-tqfold")
+    def land(i: Int): Unit = {
+      Seq((s"srcF$i", 10L + i, 3L), ("srcF0", 20L + i, 1L))
+        .toDF("source", "n_ws_tokens", "c")
+        .write.parquet(s"$delta/batch=$i")
+      DeltaLog.commit(spark, delta, s"batch=$i")
+    }
+    (0 to 5).foreach(land)
+    val fullBefore = cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta))
+    val replay3Before = cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta, 3L))
+    // fold at watermark 3 (batches 0..2 committed, never re-executed).
+    assert(TextStream.compactHistogramDeltas(spark, delta, watermark = 3L) === 3)
+    assert(DeltaLog.liveParts(spark, delta, prefix = "").map(_.split('/').last).sorted
+      === Seq("batch=3", "batch=4", "batch=5", "compacted=2"))
+    // serving view and every still-possible replay are bit-identical.
+    assert(cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta)) === fullBefore)
+    assert(cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta, 3L)) === replay3Before)
+    // a replay BELOW the watermark is a fold-contract violation the
+    // reader refuses loudly (silently wrong cutoffs are the round-10
+    // crash class's quieter sibling).
+    val e = intercept[IllegalArgumentException] {
+      TextStream.cutoffsWithDeltas(spark, sf0001, delta, 2L).collect()
+    }
+    assert(e.getMessage.contains("compacted"))
+    // sustained ingest with periodic watermark folds: the live part
+    // count stays bounded by the fold cadence, never grows with total
+    // batches — the round-10 "unbounded until base rebuild" gap.
+    (6 to 17).foreach { i =>
+      land(i)
+      if (i % 4 == 0)
+        TextStream.compactHistogramDeltas(spark, delta, watermark = i.toLong)
+    }
+    val live = DeltaLog.liveParts(spark, delta, prefix = "").map(_.split('/').last)
+    assert(live.count(_.startsWith("batch=")) <= 4 + 1,
+      s"part count not bounded: $live")
+    assert(live.count(_.startsWith("compacted=")) === 1)
+    // and the serving view still equals the per-batch ground truth.
+    assert(cutoffMap(TextStream.cutoffsWithDeltas(spark, sf0001, delta))
+      === cutoffMap(TextAnalysis.cutoffsFromHistogram(
+        TextStream.baseHistogram(spark, sf0001).unionByName(
+          (0 to 17).map(i => Seq((s"srcF$i", 10L + i, 3L), ("srcF0", 20L + i, 1L))
+            .toDF("source", "n_ws_tokens", "c")).reduce(_ unionByName _)))))
+  }
+
   test("door scoring under the frozen weights equals the batch apply; OOV contributes nothing") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("graft-tqscore")
