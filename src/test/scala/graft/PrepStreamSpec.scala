@@ -127,6 +127,59 @@ class PrepStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a watermark fold between batches changes no admission decision; illegal replays refuse") {
+    // round-11: admitBatch is the real consumer of the
+    // replay-determinism bound — run the SAME batch sequence with and
+    // without a mid-stream histogram fold and require identical
+    // admissions, then pin that a post-fold crash-replay of a
+    // FOLDED-PAST batch fails loudly instead of admitting against a
+    // cutoff its first attempt could not have seen.
+    val ts = new Timestamp(BaseMin * 60000L)
+    def frame(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, text, src) => (ts, id, text, src) }
+        .toDF("ts", "doc_id", "text", "source")
+    val waves = Seq(
+      frame((1 to 30).map(i => (100L + i, words(90, s"f$i"), "src0"))),  // 0
+      frame((1 to 10).map(i => (200L + i, words(85, s"g$i"), "src0"))),  // 1
+      frame(Seq((301L, words(70, "b"), "src0"),                          // 2
+        (302L, words(95, "c"), "src0"))),
+      frame(Seq((401L, words(70, "d"), "src0"),                          // 3
+        (402L, words(90, "e"), "src0"))))
+    val (fold, ctrl) = (
+      Files.createTempDirectory("graft-prepfold").toString,
+      Files.createTempDirectory("graft-prepctrl").toString)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      if (i == 2) {
+        // batches 0 and 1 are committed (never re-executed): fold them.
+        assert(TextStream.compactHistogramDeltas(spark, s"$fold/delta",
+          watermark = 2L) === 2)
+      }
+      PrepStream.admitBatch(w, i.toLong, sf0001, s"$fold/delta", s"$fold/kept")
+      PrepStream.admitBatch(w, i.toLong, sf0001, s"$ctrl/delta", s"$ctrl/kept")
+    }
+    assert(keptByBatch(s"$fold/kept") === keptByBatch(s"$ctrl/kept"))
+    // the moved cutoff really decided batch 2 (the fold-read path was
+    // load-bearing, not vacuous): 70 tokens admits under the base
+    // distribution but not under the accumulated flood.
+    assert(!keptByBatch(s"$fold/kept").values.flatten.toSet.contains(301L))
+    assert(keptByBatch(s"$fold/kept").values.flatten.toSet.contains(302L))
+    // delta dir shape: the fold consolidated 0..1, later batches per-batch.
+    assert(graft.streaming.DeltaLog
+      .liveParts(spark, s"$fold/delta", prefix = "").map(_.split('/').last).sorted
+      === Seq("batch=2", "batch=3", "compacted=1"))
+    // a crash-replay of batch 2 AFTER the fold is legal (compacted=1
+    // < 2) and bit-stable.
+    PrepStream.admitBatch(waves(2), 2L, sf0001, s"$fold/delta", s"$fold/kept")
+    assert(keptByBatch(s"$fold/kept") === keptByBatch(s"$ctrl/kept"))
+    // a replay of batch 1 would need "deltas < 1", which the fold
+    // destroyed — by contract it cannot happen (batch 1 was committed
+    // before the watermark-2 fold); if it does, refuse loudly.
+    val e = intercept[IllegalArgumentException] {
+      PrepStream.admitBatch(waves(1), 1L, sf0001, s"$fold/delta", s"$fold/kept")
+    }
+    assert(e.getMessage.contains("compacted"))
+  }
+
   test("replay determinism: a batch's own delta never feeds itself") {
     val root = Files.createTempDirectory("graft-prepstream").toString
     // a failed earlier attempt already landed batch 3's histogram —
