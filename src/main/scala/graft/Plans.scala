@@ -80,7 +80,23 @@ object Plans {
           "from the positional index (one pushed In over the union " +
           "term set), dl from the doc-length companion — the corpus " +
           "text is never re-tokenized at query time.",
-        TextAnalysis.bm25ScoresBatchIndexed(spark, sfDir, Seq(0L, 50L, 100L))))
+        TextAnalysis.bm25ScoresBatchIndexed(spark, sfDir, Seq(0L, 50L, 100L))),
+      ("winnowFingerprints (row-local selection, round 11)",
+        "The MOSS selection is pure row-local array arithmetic: " +
+          "scan -> project -> outer generate -> project, ZERO " +
+          "exchanges before the output sort. explode_outer is " +
+          "deliberate — InferFiltersFromGenerate skips outer " +
+          "generates, so no inferred filter ever copies the heavy " +
+          "selection expression below the guard (the round-10 crash " +
+          "AND its O(m²·w) re-evaluation pathology).",
+        TextAnalysis.winnowFingerprints(spark, sfDir)),
+      ("winnowScreen (artifact-served crawl screening, round 11)",
+        "The corpus side is ONE parquet scan of the durable winnow " +
+          "sketch — no fingerprinting subplan anywhere on it; the " +
+          "crawl slice fingerprints row-locally, dedupes, and joins " +
+          "fp-keyed (hint-free: the small side broadcasts by stats, " +
+          "a corpus-sized side would degrade to shuffle).",
+        TextAnalysis.winnowScreen(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"

@@ -369,6 +369,11 @@ object Scale {
       // NFC is one codegen'd static call per row.
       "text_winnow_fingerprints" -> (d => TextAnalysis.winnowFingerprints(spark, d)),
       "text_winnow_overlap" -> (d => TextAnalysis.winnowOverlap(spark, d)),
+      // artifact-served screening: min-of-reps is the SERVING cost
+      // (first rep pays the sketch build) — crawl-slice fingerprints
+      // + one fp-keyed join against the durable sketch, never a
+      // corpus re-fingerprint.
+      "text_winnow_screen" -> (d => TextAnalysis.winnowScreen(spark, d)),
       "prep_shard_packing_recursive" -> (d => CorpusPrep.shardPackingRecursive(spark, d)),
       "text_nfc_normalize" -> (d => TextAnalysis.nfcNormalize(spark, d)))
 

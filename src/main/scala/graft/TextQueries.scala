@@ -152,6 +152,13 @@ object TextQueries {
     Q("text_winnow_overlap",
       (s, dir) => TextAnalysis.winnowOverlap(s, dir),
       Some(TextOracle.winnowOverlapSql())),
+    // incremental crawl screening: a doc_id-slice "crawl" fingerprints
+    // row-locally and joins fp-keyed against the DURABLE whole-corpus
+    // winnow sketch (never re-fingerprinting the corpus) — the
+    // artifact-served read path under the hash gate.
+    Q("text_winnow_screen",
+      (s, dir) => TextAnalysis.winnowScreen(s, dir),
+      Some(TextOracle.winnowScreenSql())),
     // Unicode NFC canonicalization (the pre-hash/pre-dedup rung):
     // decomposed plants on every row, JDK Normalizer vs DuckDB
     // nfc_normalize — the md5 compare pins one UAX#15 NFC.

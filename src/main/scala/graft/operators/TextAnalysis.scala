@@ -1025,6 +1025,71 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The winnow sketch's durable location, beside the search snapshot
+    * (shares its semantic fingerprint); `k`/`w` are part of the path —
+    * sketches at different parameters are different artifacts.
+    */
+  def winnowSketchPath(dir: String, k: Int = 4, w: Int = 5): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + s"-winnow-$k-$w"
+
+  /** The DURABLE winnow sketch: each corpus document's distinct
+    * selected fingerprint hashes `(doc_id, fp)`, written once under
+    * the content-fingerprint gate ([[graft.sources.Artifacts]]).
+    * This is the artifact that makes contamination screening
+    * incremental: at 100 TB, re-fingerprinting the corpus per crawl
+    * batch is the dominant cost — the sketch pays it once per crawl
+    * cycle and is ~2/(w+1) of the corpus' grams by the winnowing
+    * density bound, so every later screen touches sketch-mass, never
+    * corpus text.
+    */
+  def loadOrBuildWinnowSketch(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5): DataFrame =
+    graft.sources.Artifacts.loadOrBuild(spark, winnowSketchPath(dir, k, w),
+      Seq(s"$dir/documents.parquet")) {
+      winnowOf(docs(spark, dir), k, w)
+        .select("doc_id", "fp").distinct()
+        .write.mode("overwrite").parquet(winnowSketchPath(dir, k, w))
+    }
+
+  /** Incremental crawl screening against an EXISTING corpus sketch:
+    * fingerprint only `newDocs` (row-local winnow arithmetic over the
+    * arriving batch), then one fp-keyed equi-join against
+    * `corpusFps` — pairs sharing >= `minShared` distinct selected
+    * hashes, the (new doc, corpus doc) contamination surface. The
+    * join is deliberately HINT-FREE (the dedup drop-list
+    * convention): a small crawl batch broadcasts naturally under
+    * plan-time stats/AQE, a pathological corpus-sized one degrades
+    * to a shuffled join, never an OOM. Self-pairs are excluded so a
+    * corpus-resident probe slice screens cleanly (the registered
+    * demo); real crawls carry fresh doc_ids and the guard is inert.
+    */
+  def winnowScreenOf(newDocs: DataFrame, corpusFps: DataFrame,
+      k: Int = 4, w: Int = 5, minShared: Int = 3): DataFrame =
+    winnowOf(newDocs, k, w)
+      .select(col("doc_id").as("new_doc_id"), col("fp")).distinct()
+      .join(corpusFps.select(col("doc_id").as("corpus_doc_id"), col("fp")),
+        Seq("fp"))
+      .where(col("corpus_doc_id") =!= col("new_doc_id"))
+      .groupBy("new_doc_id", "corpus_doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("new_doc_id", "corpus_doc_id")
+
+  /** The registered, oracle-gated screening demo: documents with
+    * `doc_id % crawlMod = crawlRem` play the arriving crawl, screened
+    * against the whole-corpus durable sketch — the artifact-served
+    * read path itself sits under the DuckDB hash gate (the
+    * `idx_live_key_stats` convention). The planted re-crawl
+    * duplicates in the synthetic corpus surface as near-total-overlap
+    * pairs; word-salad slices share nothing.
+    */
+  def winnowScreen(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 3,
+      crawlMod: Int = 20, crawlRem: Int = 7): DataFrame =
+    winnowScreenOf(
+      docs(spark, dir).where(col("doc_id") % crawlMod === crawlRem),
+      loadOrBuildWinnowSketch(spark, dir, k, w), k, w, minShared)
+
   /** Unicode NFC normalization rung — the canonicalization a crawl
     * runs BEFORE any hash-keyed stage: `é` and `e`+U+0301 are
     * byte-different but canonically equal, so un-normalized text

@@ -630,6 +630,24 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= $minShared
 ORDER BY doc_a, doc_b"""
 
+  /** Mirrors `TextAnalysis.winnowScreen`: the crawl slice's distinct
+    * selections joined fp-for-fp against the WHOLE corpus' (the
+    * engine serves the corpus side from the durable sketch artifact;
+    * the oracle re-derives it — same numbers either way is exactly
+    * the artifact gate's claim).
+    */
+  def winnowScreenSql(k: Int = 4, w: Int = 5, minShared: Int = 3,
+      crawlMod: Int = 20, crawlRem: Int = 7): String =
+    s"""WITH ${winnowCtes(k, w)},
+  wd AS (SELECT DISTINCT doc_id, fp FROM wfp)
+SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM wd a JOIN wd b ON a.fp = b.fp AND b.doc_id <> a.doc_id
+WHERE a.doc_id % $crawlMod = $crawlRem
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= $minShared
+ORDER BY new_doc_id, corpus_doc_id"""
+
   /** Mirrors `TextAnalysis.nfcNormalize`: the same decomposed plants
     * (passed through as real UTF-8 in the dumped SQL) normalized by
     * DuckDB's `nfc_normalize` (utf8proc) — the md5 compare pins both

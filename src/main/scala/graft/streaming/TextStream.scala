@@ -241,6 +241,45 @@ object TextStream {
     maintainReduced(docs, deltaDir, checkpointDir, trigger)(
       TextAnalysis.bucketTotalsOf(_, buckets))
 
+  /** Winnow-sketch maintainer (round-11, completing the screening
+    * family's live path): every micro-batch of arriving documents
+    * collapses to its distinct `(doc_id, fp)` winnow selections —
+    * row-local arithmetic plus one batch-local dedupe — and lands as
+    * `deltaDir/batch=<id>` (the [[maintain]] convention: idempotent
+    * replay overwrite, manifest commit). The landed rows are the
+    * WHOLE per-doc obligation: selections are per-document-local, so
+    * base ∪ deltas IS the sketch of the grown corpus.
+    */
+  def maintainWinnowSketch(docs: DataFrame, deltaDir: String,
+      checkpointDir: String, k: Int = 4, w: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    maintainReduced(docs, deltaDir, checkpointDir, trigger)(
+      TextAnalysis.winnowOf(_, k, w).select("doc_id", "fp").distinct())
+
+  /** The LIVE winnow sketch: durable artifact ∪ accumulated deltas —
+    * what [[graft.operators.TextAnalysis.winnowScreenOf]] must read
+    * over a live corpus (a contaminating document that arrived via
+    * deltas is invisible to the stale base until the corpus parquet
+    * lands it — the positional-index one-sidedness argument). The
+    * family is doc-keyed, not replay-id-filtered, so consolidations
+    * serve directly and [[compactWinnowDeltas]] may fold everything.
+    */
+  def winnowSketchWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String, k: Int = 4, w: Int = 5): DataFrame = {
+    val base = TextAnalysis.loadOrBuildWinnowSketch(spark, dir, k, w)
+    val parts = DeltaLog.liveParts(spark, deltaDir, prefix = "")
+    if (parts.isEmpty) base
+    else base.unionByName(spark.read.parquet(parts: _*))
+  }
+
+  /** In-dir compaction for the winnow delta family: selections are
+    * per-document rows, so the fold is a plain distinct — bounded
+    * part counts under sustained ingest, the [[DeltaLog.compactLive]]
+    * crash/cleanup contract.
+    */
+  def compactWinnowDeltas(spark: SparkSession, deltaDir: String): Int =
+    DeltaLog.compactLive(spark, deltaDir)(_.distinct())
+
   /** The live bucket sketch: the base corpus's durable sketch
     * artifact merged with all accumulated delta partials —
     * sum-of-partials IS sketch-of-union (bucket totals are additive),

@@ -277,6 +277,14 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("nfc_normalize", Ex(1, 0, 0)) {
       TextAnalysis.nfcNormalize(spark, dir)
     }
+    // artifact-served screening: the corpus side is ONE parquet scan
+    // of the durable sketch (no winnow subplan anywhere on it); the
+    // crawl side fingerprints row-locally, dedupes, joins fp-keyed
+    // (hint-free — the small side broadcasts by stats), rolls up
+    // pairs, sorts.
+    pin("winnow_screen", Ex(3, 1, 0)) {
+      TextAnalysis.winnowScreen(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 

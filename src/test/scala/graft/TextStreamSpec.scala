@@ -124,6 +124,59 @@ class TextStreamSpec extends SparkTestBase {
             .toDF("source", "n_ws_tokens", "c")).reduce(_ unionByName _)))))
   }
 
+  test("live winnow sketch: delta-arrived contamination screens out; stale base misses it; fold preserves") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DeltaLog
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-winnowdelta"), tmp("graft-winnowckpt"))
+    // a corpus document long enough to fingerprint, re-crawled
+    // verbatim under a fresh id as the DELTA arrival.
+    val victim = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy(length(col("text")).desc, col("doc_id")).limit(1)
+      .select("doc_id", "text").head()
+    val in = MemoryStream[DRow]
+    in.addData(DRow(8800001L, victim.getString(1), "crawl"))
+    val q1 = TextStream.maintainWinnowSketch(in.toDF(), delta, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // restart + second wave (replay idempotence rides batch=<id>).
+    in.addData(DRow(8800002L, (1 to 40).map(i => s"wv$i").mkString(" "), "crawl"))
+    val q2 = TextStream.maintainWinnowSketch(in.toDF(), delta, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    // a LATER crawl batch screens against the live view: the delta
+    // arrival (itself a near-dup source) must surface...
+    val probe = Seq((8900001L, victim.getString(1))).toDF("doc_id", "text")
+    val live = TextAnalysis.winnowScreenOf(probe,
+      TextStream.winnowSketchWithDeltas(spark, sf0001, delta)).collect()
+    assert(live.exists(r => r.getLong(1) == 8800001L),
+      s"delta-arrived near-dup invisible to the live view: ${live.mkString(", ")}")
+    assert(live.exists(r => r.getLong(1) == victim.getLong(0)),
+      "the base corpus original must surface too")
+    // ...while the STALE base-only sketch misses the delta arrival —
+    // the failure mode the live view exists to prevent.
+    val stale = TextAnalysis.winnowScreenOf(probe,
+      TextAnalysis.loadOrBuildWinnowSketch(spark, sf0001)).collect()
+    assert(!stale.exists(r => r.getLong(1) == 8800001L))
+    // the live view equals recompute over base ∪ delta docs.
+    val recomputed = TextAnalysis.winnowFingerprints(spark, sf0001)
+      .select("doc_id", "fp").distinct()
+      .unionByName(TextAnalysis
+        .winnowOf(Seq(
+          (8800001L, victim.getString(1)),
+          (8800002L, (1 to 40).map(i => s"wv$i").mkString(" "))).toDF("doc_id", "text"), 4, 5)
+        .select("doc_id", "fp").distinct())
+    val liveView = TextStream.winnowSketchWithDeltas(spark, sf0001, delta)
+    assert(liveView.exceptAll(recomputed).count() === 0L)
+    assert(recomputed.exceptAll(liveView).count() === 0L)
+    // in-dir fold: serving identical through the consolidation.
+    assert(TextStream.compactWinnowDeltas(spark, delta) === 2)
+    assert(DeltaLog.liveParts(spark, delta, prefix = "").map(_.split('/').last)
+      === Seq("compacted=1"))
+    val folded = TextStream.winnowSketchWithDeltas(spark, sf0001, delta)
+    assert(folded.exceptAll(recomputed).count() === 0L)
+    assert(recomputed.exceptAll(folded).count() === 0L)
+  }
+
   test("door scoring under the frozen weights equals the batch apply; OOV contributes nothing") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("graft-tqscore")

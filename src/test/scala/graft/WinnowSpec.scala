@@ -87,6 +87,58 @@ class WinnowSpec extends SparkTestBase {
     SparkEntry.queries("text_winnow_overlap")(spark, dir).collect()
   }
 
+  test("durable winnow sketch: incremental screening, artifact equality, staleness rebuild") {
+    import org.apache.spark.sql.functions.{length => slen}
+    // isolated corpus copy: the staleness rung rewrites documents.parquet.
+    val d = java.nio.file.Files.createTempDirectory("graft-winnow-sketch")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sf0001)).forEach { p =>
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dir = d.toString
+    val sketch = TextAnalysis.loadOrBuildWinnowSketch(spark, dir)
+    // the artifact is exactly the derived distinct (doc_id, fp) set.
+    val derived = TextAnalysis.winnowFingerprints(spark, dir, k, w)
+      .select("doc_id", "fp").distinct()
+    assert(sketch.exceptAll(derived).count() === 0L)
+    assert(derived.exceptAll(sketch).count() === 0L)
+    // a FRESH-id crawl doc re-crawling a corpus doc's text verbatim
+    // surfaces against the sketch; a same-length word salad does not.
+    val victim = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy(slen(col("text")).desc, col("doc_id")).limit(1)
+      .select("doc_id", "text").head()
+    val crawl = Seq(
+      (9900001L, victim.getString(1)),
+      (9900002L, (1 to 40).map(i => s"zqx$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.winnowScreenOf(crawl, sketch).collect()
+    assert(hits.exists(r => r.getLong(0) == 9900001L &&
+      r.getLong(1) == victim.getLong(0) && r.getLong(2) >= 3L),
+      s"verbatim re-crawl must screen out: ${hits.mkString(", ")}")
+    assert(!hits.exists(_.getLong(0) == 9900002L),
+      "word salad must share nothing")
+    // the registered artifact-served demo equals the artifact-free
+    // derivation (what the DuckDB oracle recomputes).
+    val served = SparkEntry.queries("text_winnow_screen")(spark, dir).collect().toSeq
+    val free = TextAnalysis.winnowScreenOf(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 20 === 7), derived).collect().toSeq
+    assert(served === free)
+    // staleness: rewriting the documents source invalidates the
+    // content fingerprint; the sketch rebuild sees the new doc.
+    val grown = spark.read.parquet(s"$dir/documents.parquet")
+      .unionByName(Seq((777777L, (1 to 30).map(i => s"fresh$i").mkString(" "),
+        "en", "srcW", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(grown.toSeq),
+        spark.read.parquet(s"$dir/documents.parquet").schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rebuilt = TextAnalysis.loadOrBuildWinnowSketch(spark, dir)
+    assert(rebuilt.where(col("doc_id") === 777777L).count() > 0L,
+      "stale sketch served after the corpus was rewritten")
+  }
+
   test("rightmost tie rule: an all-equal-grams doc selects each window's last slot") {
     val docs = Seq((9L, Seq.fill(12)("same").mkString(" "))).toDF("doc_id", "text")
     // 12 tokens, k=4 -> 9 identical grams; windows j=1..5 all tie ->
