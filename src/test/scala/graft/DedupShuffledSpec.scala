@@ -58,6 +58,21 @@ class DedupShuffledSpec extends SparkTestBase {
     }
   }
 
+  test("winnowScreen completes broadcast-free and row-equal under a disabled threshold") {
+    // round-11: the screening join is likewise hint-free — a
+    // corpus-sized crawl batch must degrade to a shuffled fp-keyed
+    // join (never a forced broadcast OOM), bit-identically.
+    import graft.operators.TextAnalysis
+    val base = TextAnalysis.winnowScreen(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    withNoBroadcast {
+      val df = TextAnalysis.winnowScreen(spark, sf0001)
+      assertBroadcastFree(df)
+      assert(df.as[(Long, Long, Long)].collect().toSeq == base,
+        "shuffled screening diverged from the broadcast plan")
+    }
+  }
+
   test("split percentage misconfiguration fails loudly, not silently") {
     intercept[IllegalArgumentException] {
       CorpusPrep.splitAssign(spark, sf0001, pctTrain = 95, pctVal = 10)
