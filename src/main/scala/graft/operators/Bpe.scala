@@ -292,8 +292,21 @@ object Bpe {
     * ([[tokenIdTable]], [[tokenIdTableProd]]), so the runtime's id
     * space can never fork between them (round-9 review).
     */
+  // explode_OUTER at every `syms` generate in this file, deliberately:
+  // a non-outer explode over an aliased column lets
+  // InferFiltersFromGenerate add `size(syms) > 0`, and its pushdown
+  // SUBSTITUTES the full segmenter expression into the filter — the
+  // plan then segments every word twice (measured: the packed
+  // SegmentFns.segment call with the whole production merge list,
+  // duplicated into a Filter). `syms` is never empty (every word has
+  // >= 1 symbol), so the inferred filter can only cost, never fix;
+  // outer generates skip the inference (the winnow lesson applied to
+  // the tokenizer hot path). The null row an outer explode would emit
+  // for an empty array is dropped explicitly where a downstream inner
+  // join doesn't already do it.
   private def tokenIdsOfSegments(segments: DataFrame): DataFrame =
-    segments.select(explode(col("syms")).as("symbol")).distinct()
+    segments.select(explode_outer(col("syms")).as("symbol"))
+      .where(col("symbol").isNotNull).distinct()
       .select(col("symbol"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("symbol")).cast("long").as("tok_id"))
@@ -319,8 +332,10 @@ object Bpe {
       .where(col("doc_id") % docMod === 0)
       .select(col("doc_id"), posexplode(expr(WordsExpr)).as(Seq("wpos", "word")))
       .join(broadcast(segs), Seq("word"))
+      // outer generate: see tokenIdsOfSegments — the inner ids join
+      // below drops the (never-occurring) null-symbol row.
       .select(col("doc_id"), col("wpos"),
-        posexplode(col("syms")).as(Seq("spos", "symbol")))
+        posexplode_outer(col("syms")).as(Seq("spos", "symbol")))
       .join(broadcast(ids), Seq("symbol"))
       .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
         col("spos").cast("long").as("spos"), col("symbol"), col("tok_id"))
@@ -419,8 +434,14 @@ object Bpe {
       // holds at production merge counts; the chain form is the
       // spec cross-check
       .withColumn("syms", segmentExprPacked(col("word"), m))
+      // outer generate: see tokenIdsOfSegments — THIS site is the
+      // per-OCCURRENCE path, where the inferred filter's substitution
+      // would run the packed segmenter twice per word occurrence (the
+      // dominant cost of tokenizing a corpus). The id join below is
+      // LEFT (OOV fallback), so the null row is dropped explicitly.
       .select(col("doc_id"), col("wpos"),
-        posexplode(col("syms")).as(Seq("spos", "symbol")))
+        posexplode_outer(col("syms")).as(Seq("spos", "symbol")))
+      .where(col("symbol").isNotNull)
       // left join + UnkId: every emitted symbol keeps its position
       // even when the id table has never seen it (OOV ingest); on
       // the training corpus itself the fallback never fires (the
