@@ -824,8 +824,16 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"sequence(start, start + ${n - 1})")).as("pos"))
       .distinct()
+    // outer generate (the Bpe.tokenIdsOfSegments rationale): `t`
+    // aliases split(clean(text)), and a non-outer posexplode lets the
+    // inferred size(t) > 0 filter substitute that expression below
+    // the projection — cleaning every document twice on this path.
+    // The n_tokens guard already excludes empty arrays, so the null
+    // row an outer generate would emit never occurs; dropped
+    // explicitly anyway.
     val toks = base.where(col("n_tokens") > 0)
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), posexplode_outer(col("t")).as(Seq("p0", "tok")))
+      .where(col("tok").isNotNull)
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
