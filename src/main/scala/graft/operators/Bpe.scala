@@ -81,10 +81,10 @@ object Bpe {
     words
       .select(col("wc"),
         expr("split(trim(BOTH '|' FROM w), '\\\\|\\\\|')").as("s"))
-      .where(size(col("s")) >= 2)
-      // total adjacent-pair expression (Tokenize.windowedSql): a
-      // single-symbol word must not crash if the Generate-inferred
-      // filter hoists this below the `.where` — totality convention.
+      // guard-free total form (the TextAnalysis.winnowOf pattern):
+      // windowedSql yields array() for single-symbol words, so the
+      // explode emits nothing — no `.where`, no duplicated split in a
+      // pushed-down filter.
       .select(col("wc"), explode(expr(graft.functions.Tokenize.windowedSql("s", 2,
         "i -> struct(try_element_at(s, i) as a, try_element_at(s, i + 1) as b)"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))

@@ -225,18 +225,18 @@ object CorpusPrep {
     * fewer than `n` tokens (or an empty cleaning) have no n-grams and
     * emit no row, as in [[TextAnalysis.repetitionOf]].
     */
-  private def ngramsOf(documents: DataFrame, n: Int): DataFrame = {
-    val base = documents
+  private def ngramsOf(documents: DataFrame, n: Int): DataFrame =
+    // guard-free total form (the TextAnalysis.winnowOf pattern): the
+    // CASE-guarded gramsSql yields array() below n tokens, so the
+    // explode emits nothing for short docs — a `.where` would only
+    // duplicate split(clean(text)) into a pushed-down filter,
+    // cleaning every document twice.
+    documents
       .select(col("doc_id"),
         split(graft.functions.Tokenize.clean(col("text")), " ").as("t"))
-      .where(expr(s"size(t) >= $n AND t[0] != ''"))
-    // total n-gram expression (Tokenize.gramsSql): the `.where` guard
-    // doesn't survive the InferFiltersFromGenerate hoist — totality
-    // convention.
-    base.select(col("doc_id"),
-      explode(array_distinct(expr(graft.functions.Tokenize.gramsSql("t", n))))
-        .as("gram"))
-  }
+      .select(col("doc_id"),
+        explode(array_distinct(expr(graft.functions.Tokenize.gramsSql("t", n))))
+          .as("gram"))
 
   /** Benchmark decontamination: for every training document, how many
     * of its distinct word `n`-grams also appear in the evaluation

@@ -865,13 +865,14 @@ object Dedup {
     */
   private def docSpans(spark: SparkSession, dir: String, n: Int,
       base: DataFrame): DataFrame = {
-    // total span expression (Tokenize.windowedSql): the `.where`
-    // guard doesn't survive the InferFiltersFromGenerate hoist —
-    // totality convention.
+    // guard-free total form (the TextAnalysis.winnowOf pattern):
+    // windowedSql yields array() below n tokens, so the explode
+    // emits nothing for short docs — no `.where`, no duplicated
+    // clean lineage in a pushed-down filter.
     val parts = (0 until n).map(j => s"try_element_at(t, i + $j)").mkString(", ")
     DfCache.getOrPersist(spark, s"doc_spans:$n:$dir",
       Seq(s"$dir/documents.parquet")) {
-      base.where(col("n_tokens") >= n)
+      base
         .select(col("doc_id"), explode(expr(
           graft.functions.Tokenize.windowedSql("t", n,
             s"i -> struct(cast(i as bigint) as start, concat_ws(' ', $parts) as gram)")))

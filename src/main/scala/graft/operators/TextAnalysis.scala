@@ -857,13 +857,13 @@ object TextAnalysis {
     * stats are [[topTerms]]' shape, deliberately not this one.
     */
   def repetitionOf(documents: DataFrame): DataFrame = {
+    // guard-free total form (the winnowOf/shinglesOf pattern): the
+    // CASE-guarded gramsSql yields array() below k tokens, so the
+    // explode emits nothing for short docs — a `.where` would only
+    // duplicate split(clean(text)) into a pushed-down filter.
     val base = documents
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
-      .where(expr("size(t) >= 2 AND t[0] != ''"))
-    // total n-gram expression (Tokenize.gramsSql): the `.where`
-    // guards don't survive the InferFiltersFromGenerate hoist — see
-    // the totality convention.
-    def grams(k: Int) = base.where(size(col("t")) >= k)
+    def grams(k: Int) = base
       .select(col("doc_id"), lit(k.toLong).as("n"),
         explode(expr(Tokenize.gramsSql("t", k))).as("gram"))
     grams(2).unionByName(grams(3))
@@ -908,7 +908,7 @@ object TextAnalysis {
   def bigramSurprise(spark: SparkSession, dir: String): DataFrame = {
     val bi = docs(spark, dir)
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("t"))
-      .where(expr("size(t) >= 2 AND t[0] != ''"))
+      // guard-free total form — see winnowOf.
       .select(col("doc_id"),
         explode(expr(Tokenize.gramsSql("t", 2))).as("g"))
     val tf = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
@@ -965,14 +965,20 @@ object TextAnalysis {
     documents
       .select(col("doc_id"),
         split(Tokenize.clean(col("text")), " ").as("t"))
-      .where(col("t")(0) =!= "" && size(col("t")) - k + 1 >= w)
-      // TOTAL expressions below the `.where` guard — required, not
-      // defensive: `explode(sel)` lets Catalyst's
-      // InferFiltersFromGenerate copy the ENTIRE inlined `sel`
-      // expression into a Filter below the guard projection, where
-      // whole-stage-codegen subexpression elimination evaluates it
-      // EAGERLY on rows the `.where` would have dropped (reproduced
-      // at sf0.1: one 7-token doc -> 4 grams < w=5 -> sequence(1, 0)
+      // NO guard filter, deliberately (the shinglesOf pattern): the
+      // CASE-guarded total expressions below yield array() for every
+      // short/empty/null cleaning, so a `.where` here would be
+      // semantically redundant — and worse than redundant: predicate
+      // pushdown substitutes the aliased split(clean(text)) into the
+      // filter below this projection, cleaning every document TWICE
+      // (measured ~2x on the clean stage corpus-wide).
+      // TOTAL expressions — required, not defensive: the round-10
+      // version guarded with a `.where` instead, and a non-outer
+      // `explode(sel)` let Catalyst's InferFiltersFromGenerate copy
+      // the ENTIRE inlined `sel` expression into a Filter below that
+      // guard, where codegen subexpression elimination evaluated it
+      // EAGERLY on rows the guard would have dropped (reproduced at
+      // sf0.1: one 7-token doc -> 4 grams < w=5 -> sequence(1, 0)
       // flips DESCENDING -> element_at(g, 5) on a 4-element array ->
       // ANSI crash). [[Tokenize.windowedSql]] CASE-guards each
       // window so short inputs yield array() on ANY row — see the
