@@ -63,6 +63,42 @@ class ConventionSpec extends AnyFunSuite {
   private def countIn(lines: Seq[String], re: scala.util.matching.Regex): Int =
     lines.map(l => re.findAllMatchIn(l).size).sum
 
+  /** Non-OUTER generates over an ATTRIBUTE child, file -> count.
+    * This is the shape InferFiltersFromGenerate fires on: it infers
+    * `size(x) > 0` and predicate pushdown SUBSTITUTES the column's
+    * defining expression into the filter below the projection — the
+    * round-10 winnow crash (partial expressions evaluated on guarded
+    * rows) and the round-11 cost class (the packed BPE segmenter and
+    * split(clean(text)) each evaluated twice per row) both came from
+    * exactly this. A site is safe when the attribute comes from an
+    * AGGREGATE (pushdown cannot substitute through it: JoinSearch's
+    * kcs/req, TextAnalysis's plist) or from a cached/scanned relation
+    * (nothing to recompute: IndexStream's bits, Similarity's
+    * persisted q). Anything else should be an outer generate with an
+    * explicit null-row filter — see the Bpe.tokenIdsOfSegments note.
+    */
+  private val allowAttrGen: Map[String, Int] = Map(
+    "streaming/IndexStream.scala" -> 1,
+    "operators/Similarity.scala" -> 2,
+    "operators/TextAnalysis.scala" -> 2,
+    "operators/JoinSearch.scala" -> 2)
+
+  test("non-outer attribute-child generates match the audited allowlist") {
+    val attrGen = "(?<![A-Za-z_])(?:pos)?explode\\(col\\(".r
+    val found = Files.walk(mainSrc).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        mainSrc.relativize(p).toString.replace('\\', '/').stripPrefix("graft/") ->
+          countIn(codeLines(p), attrGen)
+      }
+      .filter(_._2 > 0).toMap
+    assert(found === allowAttrGen,
+      "\nnon-outer explode/posexplode over an attribute changed — audit the new " +
+        "site against BOTH the inferred-filter crash class and the pushdown " +
+        "substitution cost class (see allowAttrGen scaladoc), then re-pin.\nFound: " +
+        found.toSeq.sortBy(_._1).mkString("\n  ", "\n  ", "\n"))
+  }
+
   test("raw element_at / sequence sites in main source match the audited allowlist") {
     val rawElementAt = "(?<![A-Za-z_])element_at\\(".r // try_element_at excluded
     val rawSequence = "(?<![A-Za-z_.])sequence\\(".r
