@@ -1015,12 +1015,16 @@ object TextAnalysis {
     * join only within equal-fp buckets, never all pairs), so cost
     * follows shared-fingerprint mass; the synthetic corpus's planted
     * re-crawl duplicates surface with near-total overlap while
-    * unrelated word-salad pairs share nothing.
+    * unrelated word-salad pairs share nothing. SERVED from the
+    * durable sketch ([[loadOrBuildWinnowSketch]] — overlap IS a
+    * sketch application): per query the corpus is never
+    * re-fingerprinted, the artifact is distinct `(doc_id, fp)` by
+    * construction (no dedupe shuffle), and the self-join's two sides
+    * read one scan.
     */
   def winnowOverlap(spark: SparkSession, dir: String,
       k: Int = 4, w: Int = 5, minShared: Int = 3): DataFrame = {
-    val fp = winnowOf(docs(spark, dir), k, w)
-      .select("doc_id", "fp").distinct()
+    val fp = loadOrBuildWinnowSketch(spark, dir, k, w)
     val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))

@@ -248,14 +248,15 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("winnow_fingerprints", Ex(1, 0, 0)) {
       TextAnalysis.winnowFingerprints(spark, dir)
     }
-    // overlap adds: one distinct on (doc_id, fp), the fp-keyed
-    // self-join — hint-free, so plan-time stats BROADCAST the small
-    // fingerprint side here (a corpus-sized sketch degrades to a
-    // shuffled join, the dedup drop-list convention) and the other
-    // side REUSES the distinct's exchange (the pair generation never
-    // rebuilds the sketch) — the pair rollup, and the output sort.
-    // Never an all-pairs product.
-    pin("winnow_overlap", Ex(3, 1, 1)) {
+    // overlap SERVES from the durable sketch (round-11): the artifact
+    // is distinct (doc_id, fp) by construction, so the pre-join
+    // dedupe shuffle and its reuse are GONE — what remains is the
+    // hint-free fp-keyed self-join (plan-time stats broadcast the
+    // small side; a corpus-sized sketch degrades to a shuffled join,
+    // the dedup drop-list convention), the pair rollup, and the
+    // output sort. Never an all-pairs product, never a corpus
+    // re-fingerprint. 3/1/1 -> 2/1/0 at the artifact switch.
+    pin("winnow_overlap", Ex(2, 1, 0)) {
       TextAnalysis.winnowOverlap(spark, dir)
     }
     // the recursive packer at the REGISTERED bucketSize: each level
