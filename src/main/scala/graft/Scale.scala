@@ -375,7 +375,14 @@ object Scale {
       // corpus re-fingerprint.
       "text_winnow_screen" -> (d => TextAnalysis.winnowScreen(spark, d)),
       "prep_shard_packing_recursive" -> (d => CorpusPrep.shardPackingRecursive(spark, d)),
-      "text_nfc_normalize" -> (d => TextAnalysis.nfcNormalize(spark, d)))
+      "text_nfc_normalize" -> (d => TextAnalysis.nfcNormalize(spark, d)),
+      // repeated-line boilerplate: one line-keyed aggregation (the
+      // in-doc distinct is row-local); under verbatim replication the
+      // template set is UNCHANGED (same lines, 10× the doc counts) so
+      // removal's drop-list join stays broadcast-sized — the linear
+      // floor for both.
+      "text_boilerplate_lines" -> (d => TextAnalysis.boilerplateLines(spark, d)),
+      "text_boilerplate_removed" -> (d => TextAnalysis.boilerplateRemoved(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

@@ -159,6 +159,25 @@ object TextQueries {
     Q("text_winnow_screen",
       (s, dir) => TextAnalysis.winnowScreen(s, dir),
       Some(TextOracle.winnowScreenSql())),
+    // cross-document repeated-line (boilerplate) set — the CCNet/
+    // RefinedWeb line-dedup rung over the planted multi-line page
+    // view: in-doc distinct is row-local, ONE line-keyed shuffle.
+    Q("text_boilerplate_lines",
+      (s, dir) => TextAnalysis.boilerplateLines(s, dir),
+      Some(TextOracle.boilerplateLinesSql())),
+    // per-document boilerplate removal: original line order carried
+    // as data (no window), hint-free drop-list join, doc-keyed
+    // rebuild hashed for the compare.
+    Q("text_boilerplate_removed",
+      (s, dir) => TextAnalysis.boilerplateRemoved(s, dir),
+      Some(TextOracle.boilerplateRemovedSql())),
+    // artifact-served twin: the template set filters the durable
+    // (line, n_docs) artifact at query time — SAME oracle as the
+    // derived form (the bm25_topk_indexed convention: hash equality
+    // proves the artifact carries the identical line accounting).
+    Q("text_boilerplate_removed_indexed",
+      (s, dir) => TextAnalysis.boilerplateRemovedIndexed(s, dir),
+      Some(TextOracle.boilerplateRemovedSql())),
     // Unicode NFC canonicalization (the pre-hash/pre-dedup rung):
     // decomposed plants on every row, JDK Normalizer vs DuckDB
     // nfc_normalize — the md5 compare pins one UAX#15 NFC.

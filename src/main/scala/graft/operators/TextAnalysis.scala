@@ -1666,6 +1666,153 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------
+  // Cross-document repeated-line (boilerplate) removal — the CCNet /
+  // RefinedWeb line-dedup rung: navigation bars, cookie banners and
+  // per-site footers repeat verbatim across a site's pages, so any
+  // line shared by >= minDocs documents is template, not content.
+  // ---------------------------------------------------------------
+
+  /** Deterministic multi-line "page" view of the corpus (the
+    * html_extract / redact_pii fixture convention: the synthetic
+    * documents carry no newlines, so the template structure a web
+    * crawl would have is planted on top of them — a universal nav
+    * line, two per-source template lines, the document body, and a
+    * per-document footer). Docs with null text or source have a null
+    * page and are absent from both outputs (contract; `concat` is
+    * null-propagating in both engines).
+    */
+  private[graft] def pagedOf(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), concat(
+      lit("home | about | contact\n"),
+      lit("subscribe to the "), col("source"), lit(" newsletter\n"),
+      col("text"), lit("\n"),
+      lit("copyright "), col("source"), lit("\n"),
+      lit("ref "), col("doc_id").cast("string")).as("page"))
+
+  /** The boilerplate line set: non-empty lines appearing in at least
+    * `minDocs` DISTINCT documents, with their document counts.
+    *
+    * Scale posture: the in-document distinct is ROW-LOCAL
+    * (`array_distinct` over the doc's own line array — no
+    * (doc, line) dedupe shuffle), so the whole query is one
+    * documents scan -> one line-keyed aggregation shuffle with
+    * map-side partials. The generate is OUTER (the
+    * InferFiltersFromGenerate convention — see [[winnowOf]]): no
+    * inferred `size(..) > 0` filter ever copies the page expression
+    * below the projection.
+    */
+  def boilerplateLinesOf(pages: DataFrame, minDocs: Int): DataFrame =
+    lineCountsOf(pages)
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("line").asc)
+
+  /** Per-line distinct-document counts over a page frame — the one
+    * aggregation the whole family shares (threshold query, durable
+    * artifact build, streaming per-batch partial). ADDITIVE: counts
+    * from disjoint doc sets sum, so partials merge by re-summing.
+    */
+  private[graft] def lineCountsOf(pages: DataFrame): DataFrame =
+    pages
+      .select(explode_outer(array_distinct(split(col("page"), "\n"))).as("line"))
+      .where(col("line") =!= "")
+      .groupBy("line")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+
+  /** Per-document boilerplate removal: drop every line in the
+    * [[boilerplateLinesOf]] set, keep the rest in original order,
+    * and emit `(doc_id, n_lines, n_dropped, clean_md5)` where
+    * `clean_md5` hashes the surviving lines re-joined with `\n`
+    * (null when nothing survives — the all-template page).
+    *
+    * Scale posture: line positions come from one OUTER posexplode
+    * (original order is carried as data, never a window); the
+    * boilerplate set is joined HINT-FREE (the dedup drop-list
+    * convention — it is bounded by distinct-lines/minDocs, so
+    * plan-time stats/AQE broadcast it naturally, and a pathological
+    * template-heavy corpus degrades to a shuffled join, never an
+    * OOM); the per-doc rebuild is one doc-keyed aggregation whose
+    * state is the doc's own surviving lines.
+    */
+  def boilerplateRemovedOf(pages: DataFrame, minDocs: Int): DataFrame =
+    removedAgainst(pages, boilerplateLinesOf(pages, minDocs))
+
+  /** Removal against an EXPLICIT template set (shared by the derived
+    * and the artifact-served routes — `boiler` needs only a `line`
+    * column).
+    */
+  private def removedAgainst(pages: DataFrame, boiler: DataFrame): DataFrame = {
+    val lines = pages
+      .select(col("doc_id"),
+        posexplode_outer(split(col("page"), "\n")).as(Seq("ln", "line")))
+      .where(col("line") =!= "")
+    lines.join(boiler.select(col("line"), lit(1L).as("is_bp")), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dropped"),
+        // collect_list skips the when()'s nulls -> kept lines only;
+        // sort_array orders by the leading ln field -> original order.
+        sort_array(collect_list(when(col("is_bp").isNull,
+          struct(col("ln"), col("line"))))).as("ks"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        when(size(col("ks")) > 0,
+          md5(array_join(transform(col("ks"), x => x.getField("line")), "\n")
+            .cast("binary"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered demo: boilerplate line set over the planted page
+    * view of the corpus.
+    */
+  def boilerplateLines(spark: SparkSession, dir: String,
+      minDocs: Int = 10): DataFrame =
+    boilerplateLinesOf(pagedOf(docs(spark, dir)), minDocs)
+
+  /** Registered demo: per-document boilerplate removal over the
+    * planted page view.
+    */
+  def boilerplateRemoved(spark: SparkSession, dir: String,
+      minDocs: Int = 10): DataFrame =
+    boilerplateRemovedOf(pagedOf(docs(spark, dir)), minDocs)
+
+  /** The durable line-count artifact's location (the snapshot-side
+    * convention). Deliberately minDocs-FREE: the artifact stores the
+    * FULL `(line, n_docs)` counts, so one build serves every
+    * threshold — minDocs is a query-time filter, not a build
+    * parameter (the positional-index convention: index once, query
+    * many ways).
+    */
+  def lineCountsPath(dir: String): String =
+    graft.sources.IndexBuilder.snapshotPath(dir) + "-linecounts"
+
+  /** Durable per-line document counts over the planted page view,
+    * content-fingerprint-gated on the documents source
+    * ([[graft.sources.Artifacts]]) — the aggregation a 100 TB
+    * deployment pays once per corpus instead of once per cleaning
+    * run.
+    */
+  def loadOrBuildLineCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.loadOrBuild(spark, lineCountsPath(dir),
+      Seq(s"$dir/documents.parquet")) {
+      lineCountsOf(pagedOf(docs(spark, dir)))
+        .write.mode("overwrite").parquet(lineCountsPath(dir))
+    }
+
+  /** Artifact-served removal twin (the `bm25TopKIndexed` convention):
+    * the template set comes from the durable line-count artifact
+    * filtered at query time — no per-run corpus-wide line
+    * aggregation; the corpus scan that remains is the rebuild itself,
+    * which removal inherently owns. SAME oracle as
+    * [[boilerplateRemoved]]: hash equality through the gate proves
+    * the artifact carries the identical line accounting.
+    */
+  def boilerplateRemovedIndexed(spark: SparkSession, dir: String,
+      minDocs: Int = 10): DataFrame =
+    removedAgainst(pagedOf(docs(spark, dir)),
+      loadOrBuildLineCounts(spark, dir).where(col("n_docs") >= minDocs))
+
   /** The durable-artifact location of the base corpus's bucket
     * sketch (the [[graft.operators.Dedup.signaturePath]] convention:
     * beside the index snapshot, fingerprint-keyed).

@@ -790,4 +790,51 @@ SELECT CAST(t.rank AS BIGINT) AS rank, t.term, CAST(t.cnt AS BIGINT) AS cnt,
   CAST(CASE WHEN m.n_top = $k AND m.min_cnt >= h.theta
     THEN 1 ELSE 0 END AS BIGINT) AS certified
 FROM topk t, th h, m ORDER BY rank"""
+
+  /** The planted page expression — the oracle twin of
+    * `TextAnalysis.pagedOf` (`||` null-propagates exactly like
+    * Spark's `concat`, so null text/source docs are absent in both
+    * engines).
+    */
+  private def pageExpr: String =
+    "'home | about | contact' || chr(10) || " +
+      "'subscribe to the ' || source || ' newsletter' || chr(10) || " +
+      "text || chr(10) || 'copyright ' || source || chr(10) || " +
+      "'ref ' || CAST(doc_id AS VARCHAR)"
+
+  private def boilerCtes(minDocs: Int): String =
+    s"""pages AS (
+    SELECT doc_id, $pageExpr AS page FROM documents
+  ),
+  nzlines AS (
+    SELECT doc_id,
+      unnest(generate_series(1, len(string_split(page, chr(10))))) AS ln,
+      unnest(string_split(page, chr(10))) AS line
+    FROM pages
+  ),
+  nz AS (SELECT * FROM nzlines WHERE line <> ''),
+  boiler AS (
+    SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT DISTINCT doc_id, line FROM nz)
+    GROUP BY line HAVING count(*) >= $minDocs
+  )"""
+
+  /** [[graft.operators.TextAnalysis.boilerplateLines]]. */
+  def boilerplateLinesSql(minDocs: Int = 10): String =
+    s"""WITH ${boilerCtes(minDocs)}
+SELECT line, n_docs FROM boiler ORDER BY n_docs DESC, line"""
+
+  /** [[graft.operators.TextAnalysis.boilerplateRemoved]]: same CTEs,
+    * left join against the boilerplate set, per-doc rebuild with
+    * `string_agg` skipping the dropped (CASE-nulled) lines — NULL
+    * when every line was template, as in Spark.
+    */
+  def boilerplateRemovedSql(minDocs: Int = 10): String =
+    s"""WITH ${boilerCtes(minDocs)}
+SELECT n.doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(count(b.line) AS BIGINT) AS n_dropped,
+  md5(string_agg(CASE WHEN b.line IS NULL THEN n.line END, chr(10) ORDER BY n.ln)) AS clean_md5
+FROM nz n LEFT JOIN boiler b ON n.line = b.line
+GROUP BY n.doc_id ORDER BY n.doc_id"""
 }

@@ -280,6 +280,46 @@ object TextStream {
   def compactWinnowDeltas(spark: SparkSession, deltaDir: String): Int =
     DeltaLog.compactLive(spark, deltaDir)(_.distinct())
 
+  /** Line-count maintainer (the boilerplate family's live path):
+    * every micro-batch of arriving documents collapses to its
+    * per-line distinct-doc counts over the planted page view
+    * ([[TextAnalysis.lineCountsOf]] — the in-doc distinct is
+    * row-local, so the partial is one batch-local aggregation) and
+    * lands as `deltaDir/batch=<id>` (the [[maintain]] convention).
+    * Counts are ADDITIVE over disjoint doc sets, so base ∪ deltas
+    * re-summed IS the line accounting of the grown corpus.
+    */
+  def maintainLineCounts(docs: DataFrame, deltaDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    maintainReduced(docs, deltaDir, checkpointDir, trigger)(b =>
+      TextAnalysis.lineCountsOf(TextAnalysis.pagedOf(b)))
+
+  /** The LIVE per-line document counts: durable artifact ∪
+    * accumulated delta partials, re-summed — what a live boilerplate
+    * screen must read (a template line crossing the minDocs
+    * threshold via delta-arrived documents is invisible to the stale
+    * base artifact). Additive-family serving cost: the merge touches
+    * only line-count frames, never batch documents.
+    */
+  def lineCountsWithDeltas(spark: SparkSession, dir: String,
+      deltaDir: String): DataFrame =
+    baseWithDeltas(spark,
+      TextAnalysis.loadOrBuildLineCounts(spark, dir), deltaDir)
+      .groupBy("line").agg(sum(col("n_docs")).cast("long").as("n_docs"))
+
+  /** In-dir compaction for the line-count family: counts are
+    * additive (NOT idempotent under batch replay, unlike the
+    * winnow family's distinct), so the fold respects the
+    * checkpoint-watermark contract — fold only parts with id
+    * strictly below the maintaining stream's committed batch id
+    * ([[compactHistogramDeltas]] scaladoc).
+    */
+  def compactLineCountDeltas(spark: SparkSession, deltaDir: String,
+      watermark: Long): Int =
+    DeltaLog.compactLive(spark, deltaDir, foldBelow = watermark)(
+      _.groupBy("line").agg(sum(col("n_docs")).cast("long").as("n_docs")))
+
   /** The live bucket sketch: the base corpus's durable sketch
     * artifact merged with all accumulated delta partials —
     * sum-of-partials IS sketch-of-union (bucket totals are additive),

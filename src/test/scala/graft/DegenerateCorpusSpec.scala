@@ -65,7 +65,10 @@ class DegenerateCorpusSpec extends SparkTestBase {
     "text_bpe_tokens",        // pairCounts adjacent pairs (refactored site)
     "text_winnow_fingerprints",
     "text_winnow_overlap",
-    "text_winnow_screen")     // artifact build + screen on this corpus
+    "text_winnow_screen",     // artifact build + screen on this corpus
+    "text_boilerplate_lines",   // planted-page line explode on null/empty text
+    "text_boilerplate_removed", // left join + per-doc rebuild on same
+    "text_boilerplate_removed_indexed") // line-count artifact build on same
 
   test("registered pipelines complete on empty/null/short/NBSP/punct documents") {
     val failures = queries.flatMap { name =>

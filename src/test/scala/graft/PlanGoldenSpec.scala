@@ -286,6 +286,27 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("winnow_screen", Ex(3, 1, 0)) {
       TextAnalysis.winnowScreen(spark, dir)
     }
+    // boilerplate line set: the in-document distinct is ROW-LOCAL
+    // (array_distinct over the doc's own lines — no (doc, line)
+    // dedupe shuffle), so the whole plan is one line-keyed
+    // aggregation plus the output sort.
+    pin("boilerplate_lines", Ex(2, 0, 0)) {
+      TextAnalysis.boilerplateLines(spark, dir)
+    }
+    // removal adds the hint-free drop-list join (the template set is
+    // bounded by distinct-lines/minDocs — plan-time stats broadcast
+    // it; a template-heavy corpus degrades to a shuffled join, never
+    // an OOM) and the doc-keyed rebuild.
+    pin("boilerplate_removed", Ex(3, 1, 0)) {
+      TextAnalysis.boilerplateRemoved(spark, dir)
+    }
+    // the artifact-served twin drops the corpus-wide line aggregation
+    // (3/1/0 -> 2/1/0): the template side is ONE filtered scan of the
+    // durable (line, n_docs) artifact; the shuffles that remain are
+    // removal's own doc-keyed rebuild and the output sort.
+    pin("boilerplate_removed_indexed", Ex(2, 1, 0)) {
+      TextAnalysis.boilerplateRemovedIndexed(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 

@@ -177,6 +177,58 @@ class TextStreamSpec extends SparkTestBase {
     assert(recomputed.exceptAll(folded).count() === 0L)
   }
 
+  test("live line counts: delta-arrived template crosses the threshold; fold respects the watermark") {
+    import graft.streaming.DeltaLog
+    implicit val sqlCtx = spark.sqlContext
+    val (delta, ckpt) = (tmp("graft-linedelta"), tmp("graft-lineckpt"))
+    val in = MemoryStream[DRow]
+    in.addData((0 until 7).map(i =>
+      DRow(7700000L + i, s"delta body a$i", "crawl")): _*)
+    val q1 = TextStream.maintainLineCounts(in.toDF(), delta, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // restart + second wave: the crawl source reaches 12 documents.
+    in.addData((7 until 12).map(i =>
+      DRow(7700000L + i, s"delta body b$i", "crawl")): _*)
+    val q2 = TextStream.maintainLineCounts(in.toDF(), delta, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    // ground truth: ONE un-merged aggregation over base ∪ delta docs
+    // — additivity of the partials is the claim under test, so the
+    // reference path must not use it.
+    val deltaDocs =
+      (0 until 7).map(i => (7700000L + i, s"delta body a$i", "crawl")) ++
+        (7 until 12).map(i => (7700000L + i, s"delta body b$i", "crawl"))
+    val union = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "source")
+      .unionByName(deltaDocs.toDF("doc_id", "text", "source"))
+    val truth = TextAnalysis.lineCountsOf(TextAnalysis.pagedOf(union))
+    val live = TextStream.lineCountsWithDeltas(spark, sf0001, delta)
+    assert(live.exceptAll(truth).count() === 0L)
+    assert(truth.exceptAll(live).count() === 0L)
+
+    // the crawl source's template lines (12 delta docs) cross
+    // minDocs=10 ONLY in the live view — the stale base artifact
+    // cannot see a threshold crossing driven by delta arrivals.
+    val liveBp = live.where(col("n_docs") >= 10)
+      .collect().map(_.getString(0)).toSet
+    assert(liveBp.contains("subscribe to the crawl newsletter"), liveBp)
+    assert(liveBp.contains("copyright crawl"))
+    val staleBp = TextAnalysis.loadOrBuildLineCounts(spark, sf0001)
+      .where(col("n_docs") >= 10)
+      .collect().map(_.getString(0)).toSet
+    assert(!staleBp.contains("subscribe to the crawl newsletter"))
+
+    // watermark fold: counts are additive, NOT replay-idempotent, so
+    // only batches strictly below the committed watermark fold; the
+    // serving view is bit-identical through the consolidation.
+    assert(TextStream.compactLineCountDeltas(spark, delta, watermark = 2L) === 2)
+    assert(DeltaLog.liveParts(spark, delta, prefix = "").map(_.split('/').last)
+      === Seq("compacted=1"))
+    val folded = TextStream.lineCountsWithDeltas(spark, sf0001, delta)
+    assert(folded.exceptAll(truth).count() === 0L)
+    assert(truth.exceptAll(folded).count() === 0L)
+  }
+
   test("door scoring under the frozen weights equals the batch apply; OOV contributes nothing") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("graft-tqscore")
