@@ -96,7 +96,15 @@ object Plans {
           "crawl slice fingerprints row-locally, dedupes, and joins " +
           "fp-keyed (hint-free: the small side broadcasts by stats, " +
           "a corpus-sized side would degrade to shuffle).",
-        TextAnalysis.winnowScreen(spark, sfDir)))
+        TextAnalysis.winnowScreen(spark, sfDir)),
+      ("boilerplateRemovedIndexed (artifact-served line dedup, round 11)",
+        "The template side is ONE filtered scan of the durable " +
+          "(line, n_docs) artifact (minDocs is a query-time filter, " +
+          "not a build parameter) feeding the hint-free drop-list " +
+          "join's broadcast; the corpus scan that remains is the " +
+          "rebuild itself — line positions carried as posexplode " +
+          "output, no window, one doc-keyed aggregation.",
+        TextAnalysis.boilerplateRemovedIndexed(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
