@@ -382,7 +382,10 @@ object Scale {
       // removal's drop-list join stays broadcast-sized — the linear
       // floor for both.
       "text_boilerplate_lines" -> (d => TextAnalysis.boilerplateLines(spark, d)),
-      "text_boilerplate_removed" -> (d => TextAnalysis.boilerplateRemoved(spark, d)))
+      "text_boilerplate_removed" -> (d => TextAnalysis.boilerplateRemoved(spark, d)),
+      // generator- and shuffle-free per-row line metrics: the pure
+      // scan-bound floor.
+      "text_line_quality" -> (d => TextAnalysis.lineQuality(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;

@@ -171,6 +171,13 @@ object TextQueries {
     Q("text_boilerplate_removed",
       (s, dir) => TextAnalysis.boilerplateRemoved(s, dir),
       Some(TextOracle.boilerplateRemovedSql())),
+    // line-level quality signals (the C4 terminal-punctuation rule +
+    // FineWeb short/duplicated-line fractions) over the page view —
+    // no generator, no shuffle: higher-order functions over each
+    // doc's own line array, one codegen'd projection per row.
+    Q("text_line_quality",
+      (s, dir) => TextAnalysis.lineQuality(s, dir),
+      Some(TextOracle.lineQualitySql)),
     // artifact-served twin: the template set filters the durable
     // (line, n_docs) artifact at query time — SAME oracle as the
     // derived form (the bm25_topk_indexed convention: hash equality

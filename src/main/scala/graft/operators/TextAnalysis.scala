@@ -1777,6 +1777,48 @@ object TextAnalysis {
       minDocs: Int = 10): DataFrame =
     boilerplateRemovedOf(pagedOf(docs(spark, dir)), minDocs)
 
+  /** Line-level quality signals (the published per-line web-corpus
+    * rules, complementing [[qualityFlags]]' document-level ones): per
+    * document over the non-empty page lines — the C4 terminal-
+    * punctuation rule (lines not ending in `.`/`!`/`?` are likely
+    * template/navigation), the short-line fraction (< 4 whitespace
+    * tokens), and the within-document duplicated-line fraction.
+    * Exact integer basis points on a `greatest(n_lines, 1)` floor
+    * (the [[stats]] convention). Docs with a null page are absent
+    * (contract, as the whole page-view family).
+    *
+    * Scale posture: NO generator and NO shuffle — every signal is a
+    * higher-order function over the doc's own line array (filter /
+    * array_distinct / size), one scan -> one codegen'd projection ->
+    * the output sort. The 100 TB cost is the scan.
+    */
+  def lineQualityOf(pages: DataFrame): DataFrame = {
+    val ls = filter(split(col("page"), "\n"), l => l =!= "")
+    pages
+      .where(col("page").isNotNull)
+      .select(col("doc_id"), ls.as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), l => l.rlike("[.!?]$")))
+          .cast("long").as("punct_end"),
+        size(filter(col("ls"), l => size(split(l, " ")) < 4))
+          .cast("long").as("short_lines"),
+        (size(col("ls")) - size(array_distinct(col("ls"))))
+          .cast("long").as("dup_lines"))
+      .select(col("doc_id"), col("n_lines"),
+        expr("cast((10000 * punct_end) div greatest(n_lines, 1L) as bigint)")
+          .as("punct_end_bp"),
+        expr("cast((10000 * short_lines) div greatest(n_lines, 1L) as bigint)")
+          .as("short_bp"),
+        expr("cast((10000 * dup_lines) div greatest(n_lines, 1L) as bigint)")
+          .as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered demo: line-level quality over the planted page view. */
+  def lineQuality(spark: SparkSession, dir: String): DataFrame =
+    lineQualityOf(pagedOf(docs(spark, dir)))
+
   /** The durable line-count artifact's location (the snapshot-side
     * convention). Deliberately minDocs-FREE: the artifact stores the
     * FULL `(line, n_docs)` counts, so one build serves every

@@ -819,6 +819,33 @@ FROM topk t, th h, m ORDER BY rank"""
     GROUP BY line HAVING count(*) >= $minDocs
   )"""
 
+  /** [[graft.operators.TextAnalysis.lineQuality]]: the same page
+    * CTE, all-list-function metrics (no unnest), identical integer
+    * basis-point math on the `greatest(n_lines, 1)` floor.
+    */
+  def lineQualitySql: String =
+    s"""WITH pages AS (
+    SELECT doc_id, $pageExpr AS page FROM documents
+  ),
+  pl AS (
+    SELECT doc_id,
+      list_filter(string_split(page, chr(10)), l -> l <> '') AS ls
+    FROM pages WHERE page IS NOT NULL
+  ),
+  m AS (
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(ls, l -> regexp_matches(l, '[.!?]$$'))) AS BIGINT) AS punct_end,
+      CAST(len(list_filter(ls, l -> len(string_split(l, ' ')) < 4)) AS BIGINT) AS short_lines,
+      CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines
+    FROM pl
+  )
+SELECT doc_id, n_lines,
+  CAST((10000 * punct_end) // greatest(n_lines, 1) AS BIGINT) AS punct_end_bp,
+  CAST((10000 * short_lines) // greatest(n_lines, 1) AS BIGINT) AS short_bp,
+  CAST((10000 * dup_lines) // greatest(n_lines, 1) AS BIGINT) AS dup_bp
+FROM m ORDER BY doc_id"""
+
   /** [[graft.operators.TextAnalysis.boilerplateLines]]. */
   def boilerplateLinesSql(minDocs: Int = 10): String =
     s"""WITH ${boilerCtes(minDocs)}

@@ -53,6 +53,21 @@ class BoilerplateSpec extends SparkTestBase {
     assert(byDoc(4L) === ((2L, 1L, Some(md5Hex("keep d")))))
   }
 
+  test("line-quality signals: terminal punctuation, short lines, within-doc duplicates") {
+    val p = pages(
+      1L -> "this line ends with a period.\nno terminal punctuation here\ntiny\ntiny",
+      2L -> null,          // null page -> absent
+      3L -> "a b\n\na b")  // empty line dropped before the metrics
+    val out = TextAnalysis.lineQualityOf(p).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 3L))
+    // doc 1: 4 lines; 1 punct-terminated; 2 short (< 4 tokens); 1 dup.
+    assert(out(1L) === ((4L, 2500L, 5000L, 2500L)))
+    // doc 3: 2 lines (empty dropped); 0 punct; both short; 1 dup.
+    assert(out(3L) === ((2L, 0L, 10000L, 5000L)))
+  }
+
   test("planted page view: universal + per-source lines are template, body and ref are content") {
     val d = java.nio.file.Files.createTempDirectory("graft-boiler").toString
     val schema = StructType(Seq(

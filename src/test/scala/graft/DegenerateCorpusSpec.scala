@@ -68,7 +68,8 @@ class DegenerateCorpusSpec extends SparkTestBase {
     "text_winnow_screen",     // artifact build + screen on this corpus
     "text_boilerplate_lines",   // planted-page line explode on null/empty text
     "text_boilerplate_removed", // left join + per-doc rebuild on same
-    "text_boilerplate_removed_indexed") // line-count artifact build on same
+    "text_boilerplate_removed_indexed", // line-count artifact build on same
+    "text_line_quality")      // list-function metrics on null/empty pages
 
   test("registered pipelines complete on empty/null/short/NBSP/punct documents") {
     val failures = queries.flatMap { name =>

@@ -307,6 +307,12 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("boilerplate_removed_indexed", Ex(2, 1, 0)) {
       TextAnalysis.boilerplateRemovedIndexed(spark, dir)
     }
+    // line-level quality is generator- and shuffle-free: every signal
+    // is a higher-order function over the doc's own line array — one
+    // scan, one codegen'd projection, the output sort.
+    pin("line_quality", Ex(1, 0, 0)) {
+      TextAnalysis.lineQuality(spark, dir)
+    }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
