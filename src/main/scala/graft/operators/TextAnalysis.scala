@@ -963,6 +963,16 @@ object TextAnalysis {
 
   private[graft] def winnowOf(documents: DataFrame, k: Int, w: Int): DataFrame =
     documents
+      // the stats spread ([[statsUncached]]): the O(m·w) md5/gram
+      // arithmetic below is computed BEFORE any exchange, i.e. at the
+      // scan's split count — one small parquet file means ONE core
+      // does the whole corpus's hashing (round-11 verdict: the
+      // slowest warm query for exactly this reason). The spread is
+      // input-bounded (narrow doc rows) and deliberate; at 100 TB the
+      // scan is already thousands of splits and this is a cheap
+      // rebalance.
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"),
         split(Tokenize.clean(col("text")), " ").as("t"))
       // NO guard filter, deliberately (the shinglesOf pattern): the
@@ -1683,7 +1693,14 @@ object TextAnalysis {
     * null-propagating in both engines).
     */
   private[graft] def pagedOf(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), concat(
+    documents
+      // the stats spread ([[statsUncached]], same rationale as
+      // [[winnowOf]]): every consumer of the page view explodes /
+      // filters the doc's own line array BEFORE its first exchange —
+      // work that otherwise runs at the scan's split count.
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), concat(
       lit("home | about | contact\n"),
       lit("subscribe to the "), col("source"), lit(" newsletter\n"),
       col("text"), lit("\n"),

@@ -241,11 +241,14 @@ class PlanGoldenSpec extends SparkTestBase {
   }
 
   test("golden exchange counts: the round-11 pins for the final-round-10 additions") {
-    // winnow fingerprint selection must be EXCHANGE-FREE before the
-    // output sort: hashing, window arg-min and explode are row-local
-    // array arithmetic (the 100 TB shape — no shuffle touches the
-    // corpus), so the only shuffle is the orderBy's range partition.
-    pin("winnow_fingerprints", Ex(1, 0, 0)) {
+    // winnow fingerprint selection: hashing, window arg-min and
+    // explode are row-local array arithmetic (the 100 TB shape — no
+    // shuffle carries corpus-derived rows), so the budget is the
+    // input-bounded narrow-side spread (round-12: the stats
+    // convention applied to winnowOf — without it the O(m·w) md5
+    // arithmetic runs at the scan's split count, one core for a
+    // one-file corpus) plus the orderBy's range partition.
+    pin("winnow_fingerprints", Ex(2, 0, 0)) {
       TextAnalysis.winnowFingerprints(spark, dir)
     }
     // overlap SERVES from the durable sketch (round-11): the artifact
@@ -282,35 +285,45 @@ class PlanGoldenSpec extends SparkTestBase {
     // of the durable sketch (no winnow subplan anywhere on it); the
     // crawl side fingerprints row-locally, dedupes, joins fp-keyed
     // (hint-free — the small side broadcasts by stats), rolls up
-    // pairs, sorts.
+    // pairs, sorts. The round-12 spread costs zero net shuffles here:
+    // its doc_id partitioning satisfies the crawl-side distinct's
+    // clustering requirement, replacing that exchange one-for-one.
     pin("winnow_screen", Ex(3, 1, 0)) {
       TextAnalysis.winnowScreen(spark, dir)
     }
     // boilerplate line set: the in-document distinct is ROW-LOCAL
     // (array_distinct over the doc's own lines — no (doc, line)
-    // dedupe shuffle), so the whole plan is one line-keyed
-    // aggregation plus the output sort.
-    pin("boilerplate_lines", Ex(2, 0, 0)) {
+    // dedupe shuffle), so the plan is the page view's narrow-side
+    // spread (round-12, the winnowOf rationale) + one line-keyed
+    // aggregation + the output sort.
+    pin("boilerplate_lines", Ex(3, 0, 0)) {
       TextAnalysis.boilerplateLines(spark, dir)
     }
     // removal adds the hint-free drop-list join (the template set is
     // bounded by distinct-lines/minDocs — plan-time stats broadcast
     // it; a template-heavy corpus degrades to a shuffled join, never
-    // an OOM) and the doc-keyed rebuild.
-    pin("boilerplate_removed", Ex(3, 1, 0)) {
+    // an OOM) and the doc-keyed rebuild. Round-12 spread accounting:
+    // the two page-view sides SHARE the spread exchange (the reused
+    // exchange below), and the doc-keyed rebuild's clustering
+    // requirement is satisfied BY the spread's doc_id partitioning —
+    // so the spread costs zero net shuffles here.
+    pin("boilerplate_removed", Ex(3, 1, 1)) {
       TextAnalysis.boilerplateRemoved(spark, dir)
     }
-    // the artifact-served twin drops the corpus-wide line aggregation
-    // (3/1/0 -> 2/1/0): the template side is ONE filtered scan of the
-    // durable (line, n_docs) artifact; the shuffles that remain are
-    // removal's own doc-keyed rebuild and the output sort.
+    // the artifact-served twin drops the corpus-wide line aggregation:
+    // the template side is ONE filtered scan of the durable
+    // (line, n_docs) artifact; the shuffles that remain are the page
+    // view's spread (whose doc_id partitioning satisfies the rebuild's
+    // clustering — zero net cost, as boilerplate_removed) and the
+    // output sort.
     pin("boilerplate_removed_indexed", Ex(2, 1, 0)) {
       TextAnalysis.boilerplateRemovedIndexed(spark, dir)
     }
-    // line-level quality is generator- and shuffle-free: every signal
-    // is a higher-order function over the doc's own line array — one
-    // scan, one codegen'd projection, the output sort.
-    pin("line_quality", Ex(1, 0, 0)) {
+    // line-level quality is generator-free: every signal is a
+    // higher-order function over the doc's own line array — one scan,
+    // the page view's narrow-side spread, one codegen'd projection,
+    // the output sort.
+    pin("line_quality", Ex(2, 0, 0)) {
       TextAnalysis.lineQuality(spark, dir)
     }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
