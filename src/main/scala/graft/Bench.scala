@@ -24,6 +24,11 @@ package graft
   *    its own action over the shared lineage, so numbers are
   *    per-stage-inclusive (stage N re-derives its inputs), matching
   *    how the reference's context-manager timers nest.
+  *  - (VERDICT r11 #3) durable-artifact first-touch builds are
+  *    pre-paid before the reps and reported per-artifact in
+  *    `artifact_build` (+ `artifact_build_total`), the `index_build`
+  *    arrangement generalized — `cold_total` is pure first-rep query
+  *    cost again, comparable across rounds as families accrete.
   *  - (VERDICT r6 #6) totals are emitted at the END of the JSON line
   *    (the driver keeps only the tail), and two totals are labeled:
   *    `value` is the per-query-min composite (+ index_build) used by
@@ -52,6 +57,45 @@ object Bench {
 
     val (tIndex, indexErr) =
       timed { sources.IndexBuilder.cached(spark, sfDir).count() }
+
+    // (VERDICT r11 #3) durable-artifact first-touch cost, separated:
+    // every loadOrBuild* family builds at first touch inside whichever
+    // query hits it first, so cold_total silently absorbed each new
+    // artifact family (145.9 s r10 -> 213.8 s r11 with zero per-query
+    // regression). Pre-touch each build entry point BEFORE the reps,
+    // timed per artifact — cold_total is again comparable round to
+    // round, and a cold regression is attributable line by line.
+    // Entries are the exact (function, params) the registered queries
+    // serve from; a pre-built artifact times as its read+gate cost
+    // (sub-100ms), a missing one as its build.
+    val artifactBuilds: Seq[(String, Double, Option[String])] = {
+      import graft.operators.{Bpe, Dedup, Similarity, TextAnalysis}
+      import graft.sources.IndexBuilder
+      val touches: Seq[(String, () => Unit)] = Seq(
+        ("index_partitioned", () => { IndexBuilder.loadOrSnapshotPartitioned(spark, sfDir); () }),
+        ("key_stats", () => { IndexBuilder.loadOrBuildKeyStats(spark, sfDir); () }),
+        ("table_sketch", () => { IndexBuilder.loadOrBuildTableSketch(spark, sfDir); () }),
+        ("dedup_signatures", () => { Dedup.loadOrBuildSignatures(spark, sfDir); () }),
+        ("dedup_clusters", () => { Dedup.clusters(spark, sfDir); () }),
+        ("quality_weights", () => { TextAnalysis.loadOrBuildQualityWeights(spark, sfDir); () }),
+        ("positional_index", () => { TextAnalysis.loadOrBuildPositionalIndex(spark, sfDir); () }),
+        ("doc_lengths", () => { TextAnalysis.loadOrBuildDocLengths(spark, sfDir); () }),
+        ("winnow_sketch", () => { TextAnalysis.loadOrBuildWinnowSketch(spark, sfDir); () }),
+        ("line_counts", () => { TextAnalysis.loadOrBuildLineCounts(spark, sfDir); () }),
+        ("bucket_sketch", () => { TextAnalysis.loadOrBuildBucketSketch(spark, sfDir); () }),
+        ("bpe_tokenizer", () => { Bpe.loadOrTrain(spark, sfDir); () }),
+        ("bpe_tokenizer_prod", () => { Bpe.loadOrTrainProd(spark, sfDir); () }),
+        ("emb_clusters", () => { Similarity.loadOrBuildEmbClusters(spark, sfDir); () }),
+        ("ivf_codebook_cells", () => {
+          Similarity.ivfCodebook(spark, sfDir); Similarity.ivfCells(spark, sfDir); () }),
+        ("ivf_codebook_cells_scaled", () => {
+          val k = Similarity.autoCents(spark, sfDir)
+          Similarity.ivfCodebook(spark, sfDir, k); Similarity.ivfCells(spark, sfDir, k); () }),
+        ("pq_books_codes", () => {
+          Similarity.pqCodebook(spark, sfDir); Similarity.pqCodes(spark, sfDir); () }))
+      touches.map { case (n, f) => val (t, e) = timed(f()); (n, t, e) }
+    }
+    val tArtifacts = artifactBuilds.map(_._2).filter(_ >= 0).sum
 
     val runs = (1 to reps).map { _ =>
       SparkEntry.orderedQueries.map { case (name, fn) =>
@@ -104,7 +148,10 @@ object Bench {
       .mkString("{", ",", "}")
     val st = stages.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val ab = artifactBuilds.map { case (k, v, _) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val errs = (indexErr.map("index_build" -> _).toSeq ++
+      artifactBuilds.collect { case (k, _, Some(e)) => s"artifact_$k" -> e } ++
       results.collect { case (k, _, Some(e)) => k -> e } ++
       stages.collect { case (k, _, Some(e)) => s"stage_$k" -> e })
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
@@ -114,7 +161,7 @@ object Bench {
     // headline numbers (value = per-query-min composite + index_build;
     // best_rep_total = fastest whole run; cold_total = rep 1) must
     // survive truncation — `queries` is the big map and goes first.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$st,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"value":$total}""")
     spark.stop()
   }
 }
