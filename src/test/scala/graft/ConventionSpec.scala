@@ -64,6 +64,11 @@ class ConventionSpec extends AnyFunSuite {
     lines.map(l => re.findAllMatchIn(l).size).sum
 
   /** Non-OUTER generates over an ATTRIBUTE child, file -> count.
+    * NOTE this grep matches only the `explode(col(` spelling — the
+    * spelling-proof companion is [[GenerateAuditSpec]], which pins
+    * the same convention over the ANALYZED PLANS of every registered
+    * query (an `explode($"x")` or selectExpr-explode site is caught
+    * there even though this grep cannot see it).
     * This is the shape InferFiltersFromGenerate fires on: it infers
     * `size(x) > 0` and predicate pushdown SUBSTITUTES the column's
     * defining expression into the filter below the projection — the
