@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,20 @@ object Events {
   private def raw(spark: SparkSession, dir: String): DataFrame =
     nanos(spark, dir)
 
+  /** `value` -> exact integer cents, TOTAL over crawl-grade inputs:
+    * a non-finite value (NaN/±Inf — a corrupted meter, a float
+    * serialization artifact) behaves as SQL NULL (excluded from sums
+    * and counts of cents, like a null value), where the raw
+    * `round(v*100).cast(long)` is an ANSI CAST_OVERFLOW crash — one
+    * bad row aborting every windowed aggregation over the feed
+    * (found by `DegenerateLakeSpec`, the round-10 totality lesson
+    * applied to the events family). Real corpora carry no non-finite
+    * values, so oracle hashes are unchanged.
+    */
+  private def cents(c: Column): Column =
+    when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity),
+      round(c * 100, 0).cast("long"))
+
   /** Adaptive events scan: the corpus has shipped `ts` both as
     * TIMESTAMP(NANOS) parquet (read as bigint nanos under the
     * session's `nanosAsLong`) and as TIMESTAMP(MICROS) (read as
@@ -86,7 +100,7 @@ object Events {
     raw(spark, dir)
       .select(timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
         col("event_type"), col("user_id"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        cents(col("value")).as("vc"))
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum("vc").cast("long").as("value_cents"),
@@ -110,7 +124,7 @@ object Events {
     raw(spark, dir)
       .select(timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
         col("event_type"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        cents(col("value")).as("vc"))
       .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("vc").cast("long").as("value_cents"))
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
@@ -126,7 +140,7 @@ object Events {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     raw(spark, dir)
       .select(col("user_id"), col("event_id"), expr(floorDivSql("ts", 1000)).as("tus"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        cents(col("value")).as("vc"))
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
@@ -203,7 +217,7 @@ object Events {
       gapUs: Long = DefaultGapUs): DataFrame =
     raw(spark, dir)
       .select(col("user_id"), timestamp_micros(expr(floorDivSql("ts", 1000))).as("ts_t"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        cents(col("value")).as("vc"))
       .groupBy(col("user_id"),
         session_window(col("ts_t"), s"$gapUs microseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"), sum("vc").cast("long").as("value_cents"))
@@ -405,7 +419,7 @@ object Events {
       .rangeBetween(-windowNs, 0)
     events
       .select(col("user_id"), col("ts"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        cents(col("value")).as("vc"))
       .withColumn("n_roll", count(lit(1)).over(w))
       .withColumn("cents_roll", sum("vc").over(w).cast("long"))
       .groupBy("user_id")

@@ -157,10 +157,16 @@ object Multimodal {
         // partition, then reused for every payload in the batch.
         val c = codec
         rows.flatMap { r =>
-          val (frames, w, h) = c.decode(r.getAs[Array[Byte]]("payload"))
-          frames.zipWithIndex.map { case (fh, i) =>
-            Frame(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              i.toLong, fh, w, h)
+          // null payload (failed fetch / stripped blob / null source
+          // text) yields NO frames — the decode-stage contract; the
+          // raw codec call was an NPE aborting the whole partition
+          // (found by DegenerateLakeSpec).
+          Option(r.getAs[Array[Byte]]("payload")).toSeq.flatMap { p =>
+            val (frames, w, h) = c.decode(p)
+            frames.zipWithIndex.map { case (fh, i) =>
+              Frame(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+                i.toLong, fh, w, h)
+            }
           }
         }
       }
@@ -237,9 +243,10 @@ object Multimodal {
     mediaDf.select(col("doc_id"), col("media_type"), col("payload"))
       .mapPartitions { rows: Iterator[Row] =>
         val c = codec
-        rows.map(r => LumaGrid(r.getAs[Long]("doc_id"),
-          r.getAs[String]("media_type"),
-          c.lumaGrid(r.getAs[Array[Byte]]("payload"))))
+        // null payloads yield no grid (the decodeFrames contract).
+        rows.flatMap(r => Option(r.getAs[Array[Byte]]("payload")).map(p =>
+          LumaGrid(r.getAs[Long]("doc_id"),
+            r.getAs[String]("media_type"), c.lumaGrid(p))))
       }.toDF()
   }
 

@@ -47,13 +47,53 @@ object Similarity {
   /** Fixed-point scale: components quantize to `round(x * 10000)`. */
   val QuantScale = 10000
 
+  /** INGEST-DOOR admission: a vector is searchable iff it is present,
+    * exactly [[Dim]]-dimensional, and every component is a finite
+    * float. A 100 TB embedding corpus WILL carry encoder junk — null
+    * rows, truncated/empty arrays, NaN/Inf components from overflowed
+    * encoders — and ONE such row otherwise aborts every serving path
+    * at the ANSI quantization cast (`round(NaN * 10000)` cannot cast
+    * to bigint; found by `DegenerateLakeSpec` across the whole sim
+    * family). Junk is dropped deterministically HERE, the single
+    * place vectors enter the engine (batch [[quantized]] + streaming
+    * [[graft.streaming.SimStream.routeCellsFull]]), so every
+    * downstream path is total by construction; the DuckDB oracle's
+    * shared quantization CTE applies the identical predicate.
+    * Zero-norm vectors are STRUCTURALLY well-formed and pass this
+    * predicate — the stream door routes them by its pinned sentinel
+    * rule and serving excludes them from scoring — but the batch
+    * corpus door ([[quantized]]) additionally drops them, because a
+    * zero vector can never score and the batch tower's invariant is
+    * "the corpus base never has one". A systematically
+    * wrong-dimension corpus surfaces as an empty serving view, not a
+    * silent partial answer.
+    */
+  private[graft] def admissibleVector: Column =
+    col("embedding").isNotNull && size(col("embedding")) === Dim &&
+      expr("forall(embedding, x -> x is not null and not isnan(x) " +
+        "and abs(x) < cast('Infinity' as float))")
+
   /** `(vec_id, q: array<bigint>, nq)` — quantized vectors + exact
-    * squared norms, persisted once per (session, corpus).
+    * squared norms, persisted once per (session, corpus); junk
+    * vectors dropped at the door ([[admissibleVector]]).
+    *
+    * The batch corpus door ALSO drops zero-norm vectors: cosine is
+    * undefined for them, so they can never score — and the whole
+    * batch tower (brute-force windows, LSH pairs, PQ probes,
+    * SemDeDup cells) is built on the long-standing invariant "the
+    * corpus base never has one" ([[assignCells]]'s NaN guard exists
+    * only for streamed DELTAS, which sentinel-route zero-norm
+    * arrivals and exclude them from scoring at serve time). The
+    * degenerate-lake sweep showed one zero-norm corpus row otherwise
+    * aborts every cosine site at the ANSI division — this makes the
+    * invariant true by construction instead of by dataset luck.
     */
   def quantized(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrPersist(spark, s"emb_quant:$dir",
       Seq(s"$dir/embeddings.parquet")) {
       spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(admissibleVector &&
+          expr("exists(embedding, x -> x != cast(0.0 as float))"))
         .select(col("vec_id"),
           expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))").as("q"))
         .withColumn("nq", VectorMath.dotLong(col("q"), col("q")))

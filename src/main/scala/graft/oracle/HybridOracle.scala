@@ -99,6 +99,9 @@ FROM franked WHERE rank <= $k ORDER BY rank"""
     SELECT vec_id,
       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $S) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = $D
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
   ),
   nb AS (
     SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
@@ -183,6 +186,9 @@ ${fusionSql(k)}"""
     SELECT vec_id,
       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $S) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = $D
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
   ),
   nb AS (
     SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq

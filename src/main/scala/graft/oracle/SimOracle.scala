@@ -19,12 +19,21 @@ object SimOracle {
   private val S = Similarity.QuantScale
   private val D = Similarity.Dim
 
-  /** Shared CTEs: quantized vectors + exact squared norms. */
+  /** Shared CTEs: quantized vectors + exact squared norms. The WHERE
+    * mirrors `Similarity.quantized`'s door (structural admission plus
+    * non-null, exactly Dim-dimensional, all components finite) so the
+    * two formulations stay semantic twins on junk-bearing corpora —
+    * the real sf tables carry no junk vectors, so hashes are
+    * unchanged there.
+    */
   private[oracle] def baseCtes: String =
     s"""qbase AS (
     SELECT vec_id,
       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $S) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = $D
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
   ),
   nb AS (
     SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq

@@ -169,7 +169,16 @@ object IndexBuilder {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.isFile(marker)) writePartitionedSnapshot(spark, dir)
-    spark.read.parquet(path)
+    // EXPLICIT schema (data columns in file order, the partition
+    // column last — the inferred layout): a partitionBy write of an
+    // EMPTY postings frame emits `_SUCCESS` and no files at all, so
+    // schema inference fails and a day-one/empty deployment crashed
+    // every partition-pruned search (found by DegenerateLakeSpec).
+    // With the schema supplied the empty dir reads as an empty frame;
+    // a populated dir reads identically to inference.
+    spark.read.schema(
+        "key string, column_id int, row_id bigint, table_id int")
+      .parquet(path)
   }
 
   /** S9 at cluster scale: the bucketed form of the snapshot. Writes

@@ -58,6 +58,12 @@ object SimStream {
       0L, (a, v) -> a + v) as double)
       / (sqrt(cast(nq as double)) * sqrt(cast(b.cnq as double)))"""
     stream
+      // the batch door's admission predicate, applied at the stream
+      // door too ([[Similarity.admissibleVector]]): a null / truncated
+      // / NaN arrival must be dropped HERE, not crash the quantization
+      // cast of a whole micro-batch — and must stay invisible to
+      // serving exactly as the batch path would keep it.
+      .where(Similarity.admissibleVector)
       .select(col("vec_id"),
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * ${Similarity.QuantScale}) as bigint))")
           .as("q"))
