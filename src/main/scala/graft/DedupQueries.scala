@@ -17,6 +17,15 @@ object DedupQueries {
     Q("dedup_exact_normalized",
       (s, dir) => Dedup.exactNormalized(s, dir),
       Some(DocOracle.exactNormalizedSql)),
+    // URL canonicalization — the crawl-frontier identity rung
+    // (scheme case / www / default port / tracking params / param
+    // order / fragment / trailing slash all collapse onto one key).
+    Q("dedup_url_normalize",
+      (s, dir) => Dedup.urlNormalize(s, dir),
+      Some(DocOracle.urlNormalizeSql)),
+    Q("dedup_url_normalized",
+      (s, dir) => Dedup.urlDedup(s, dir),
+      Some(DocOracle.urlDedupSql)),
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some(DocOracle.minhashLshSql())),

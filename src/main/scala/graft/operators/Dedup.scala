@@ -1010,4 +1010,97 @@ object Dedup {
         expr("cast((10000 * n_shared) div n_b as bigint)").as("contain_b_bp"))
       .orderBy("source_a", "source_b")
   }
+
+  // ---------------------------------------------------------------
+  // URL-normalized dedup — the crawl-pipeline rung ABOVE content
+  // dedup: the same page is re-crawled under scheme-case / www /
+  // default-port / tracking-parameter / parameter-order / fragment /
+  // trailing-slash variants of one URL, so crawl frontiers and
+  // re-crawl schedulers key on a CANONICAL url, not the raw string.
+  // The sibling of [[exactNormalized]] (which canonicalizes content;
+  // this canonicalizes identity).
+  // ---------------------------------------------------------------
+
+  /** Deterministic planted URL view (the boilerplate/pagedOf fixture
+    * convention: the synthetic corpus carries no url column, so
+    * crawl-shaped URL noise is planted deterministically on top) —
+    * every noise axis the normalizer must collapse appears on a
+    * doc_id residue: scheme case, `WWW.` prefix, the `:443` default
+    * port, a trailing slash, a tracking parameter before OR after
+    * the real one, and a fragment. Docs sharing (source,
+    * doc_id % 50) are the SAME logical page under different raw
+    * URLs. Docs with a null source have a null url and are absent
+    * from both outputs (contract; concat is null-propagating in the
+    * engine, and the oracle filters the same rows explicitly because
+    * DuckDB's concat skips nulls).
+    */
+  private[graft] def urlsOf(documents: DataFrame): DataFrame = {
+    val page = (col("doc_id") % 50).cast("string")
+    documents.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com"),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), page,
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(col("doc_id") % 3 === 0, concat(lit("utm_source=feed&id="), page))
+        .when(col("doc_id") % 3 === 1, concat(lit("id="), page, lit("&utm_campaign=x")))
+        .otherwise(concat(lit("id="), page)),
+      when(col("doc_id") % 7 === 0, lit("#section2")).otherwise(lit("")))
+      .as("url"))
+  }
+
+  /** Canonical URL per row: `(doc_id, url, url_norm)`. Normalization
+    * rules (each a published crawl-canonicalization step):
+    * fragment dropped; scheme dropped (identity is host+path+query);
+    * host lowercased, `www.` and default ports `:80`/`:443`
+    * stripped; duplicate slashes collapsed and trailing slashes
+    * dropped from the path (which stays case-SENSITIVE — paths are);
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`) and
+    * empty fragments dropped from the query, and the surviving
+    * parameters SORTED so parameter order never splits an identity.
+    *
+    * Scale posture: every step is a codegen'd row-local
+    * regexp/array function — one scan, one projection, no generator,
+    * no shuffle before the consumer's aggregation. The 100 TB cost
+    * is the scan.
+    */
+  def urlNormalizedOf(urls: DataFrame): DataFrame = {
+    val nf = regexp_replace(col("url"), "#.*$", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(nf, "^[a-zA-Z]+://([^/?]+)", 1)),
+      "^www\\.", ""), ":(443|80)$", "")
+    val pathq = regexp_extract(nf, "^[a-zA-Z]+://[^/?]+(.*)$", 1)
+    val path = regexp_replace(regexp_replace(
+      regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"), "/+$", "")
+    val qs = array_join(array_sort(filter(
+      split(regexp_extract(pathq, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))), "&")
+    urls
+      .where(col("url").isNotNull)
+      .select(col("doc_id"), col("url"),
+        concat(host, path,
+          when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+          .as("url_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered mapping demo: raw planted URL -> canonical form. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame =
+    urlNormalizedOf(urlsOf(docs(spark, dir)))
+
+  /** Registered dedup demo: one group per canonical URL — keeper =
+    * min doc_id, copies, and how many RAW url spellings the group
+    * collapsed (`n_raw_forms` > 1 is exactly the noise the
+    * canonicalization exists to absorb). One row-local projection +
+    * one url_norm-keyed aggregation with map-side partials.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlNormalizedOf(urlsOf(docs(spark, dir)))
+      .groupBy("url_norm")
+      .agg(min("doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("copies"),
+        countDistinct("url").as("n_raw_forms"))
+      .orderBy("url_norm")
 }

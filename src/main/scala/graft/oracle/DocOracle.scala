@@ -448,4 +448,68 @@ FROM spairs p
 JOIN ssz na ON na.source = p.source_a
 JOIN ssz nb ON nb.source = p.source_b
 ORDER BY p.source_a, p.source_b"""
+
+  /** The planted-URL CTE chain ending in `unorm(doc_id, url,
+    * url_norm)` — mirrors `Dedup.urlsOf` + `Dedup.urlNormalizedOf`
+    * step for step. The plant filters `source IS NOT NULL` explicitly
+    * where the engine relies on concat's null propagation (DuckDB's
+    * concat SKIPS nulls — the one intentional dialect divergence).
+    * DuckDB regexp_replace replaces the FIRST match by default (Spark
+    * replaces all), so the one multi-occurrence pattern (`/{2,}`)
+    * carries the 'g' flag; every other pattern is anchored.
+    */
+  private val urlCtes: String =
+    """urls AS (
+    SELECT doc_id, concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      source, '.example.com',
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      '/articles/', CAST(doc_id % 50 AS VARCHAR),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      '?',
+      CASE WHEN doc_id % 3 = 0 THEN concat('utm_source=feed&id=', CAST(doc_id % 50 AS VARCHAR))
+           WHEN doc_id % 3 = 1 THEN concat('id=', CAST(doc_id % 50 AS VARCHAR), '&utm_campaign=x')
+           ELSE concat('id=', CAST(doc_id % 50 AS VARCHAR)) END,
+      CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END) AS url
+    FROM documents WHERE source IS NOT NULL
+  ),
+  unf AS (
+    SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM urls
+  ),
+  uparts AS (
+    SELECT doc_id, url,
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?]+)', 1)),
+        '^www\.', ''), ':(443|80)$', '') AS host,
+      regexp_extract(nf, '^[a-zA-Z]+://[^/?]+(.*)$', 1) AS pathq
+    FROM unf
+  ),
+  unorm AS (
+    SELECT doc_id, url,
+      concat(host,
+        regexp_replace(regexp_replace(
+          regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'), '/+$', ''),
+        CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) AS url_norm
+    FROM (
+      SELECT doc_id, url, host, pathq,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+      FROM uparts
+    )
+  )"""
+
+  /** Mirrors `Dedup.urlNormalize`. */
+  def urlNormalizeSql: String =
+    s"""WITH $urlCtes
+SELECT doc_id, url, url_norm FROM unorm ORDER BY doc_id"""
+
+  /** Mirrors `Dedup.urlDedup`. */
+  def urlDedupSql: String =
+    s"""WITH $urlCtes
+SELECT url_norm, min(doc_id) AS keeper_doc_id,
+  CAST(count(*) AS BIGINT) AS copies,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+FROM unorm GROUP BY url_norm ORDER BY url_norm"""
 }

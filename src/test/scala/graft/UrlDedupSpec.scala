@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+
+/** URL canonicalization rung: each planted noise axis must collapse
+  * onto one canonical key (the crawl-frontier identity), and content
+  * the canonicalization must NOT touch must survive (path case,
+  * non-tracking parameters). The registered queries hash against the
+  * DuckDB twin; this spec pins the per-axis behavior on literal URLs
+  * where a corpus-level hash could not say WHICH rule broke.
+  */
+class UrlDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Dedup.urlNormalizedOf(Seq((1L, url)).toDF("doc_id", "url"))
+      .head().getString(2)
+
+  test("each noise axis collapses; meaningful structure survives") {
+    val canonical = "news.example.com/articles/7?id=7"
+    // scheme case + scheme itself
+    assert(norm("https://news.example.com/articles/7?id=7") === canonical)
+    assert(norm("HTTP://news.example.com/articles/7?id=7") === canonical)
+    // www + default ports
+    assert(norm("https://WWW.News.Example.com:443/articles/7?id=7") === canonical)
+    assert(norm("http://news.example.com:80/articles/7?id=7") === canonical)
+    // trailing + duplicate slashes
+    assert(norm("https://news.example.com//articles//7/?id=7") === canonical)
+    // fragment
+    assert(norm("https://news.example.com/articles/7?id=7#section2") === canonical)
+    // tracking params drop, order sorts, real params survive
+    assert(norm("https://news.example.com/articles/7?utm_source=feed&id=7") === canonical)
+    assert(norm("https://news.example.com/articles/7?id=7&utm_campaign=x&fbclid=abc") === canonical)
+    assert(norm("https://news.example.com/articles/7?b=2&a=1")
+      === "news.example.com/articles/7?a=1&b=2")
+    // path stays case-sensitive; an all-tracking query drops entirely
+    assert(norm("https://news.example.com/Articles/7?id=7")
+      === "news.example.com/Articles/7?id=7")
+    assert(norm("https://news.example.com/articles/7?utm_source=feed")
+      === "news.example.com/articles/7")
+  }
+
+  test("the registered dedup collapses exactly the planted variants") {
+    val groups = SparkEntry.queries("dedup_url_normalized")(spark, sf0001)
+    // every group's raw-form count never exceeds its copies, and the
+    // plant guarantees multi-spelling groups exist.
+    val rows = groups.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+    assert(rows.exists(_.getLong(3) > 1L), "no multi-spelling group collapsed")
+    // identity is (source, doc_id % 50): the keeper plus copies
+    // reconstruct the corpus rows with a non-null source.
+    val totalDocs = rows.map(_.getLong(2)).sum
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("source").isNotNull).count()
+    assert(totalDocs === expected)
+    // null-source docs are absent from the mapping (contract).
+    val mapped = SparkEntry.queries("dedup_url_normalize")(spark, sf0001)
+    assert(mapped.where(col("url").isNull).count() === 0L)
+  }
+}
