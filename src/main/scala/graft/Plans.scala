@@ -81,14 +81,18 @@ object Plans {
           "term set), dl from the doc-length companion — the corpus " +
           "text is never re-tokenized at query time.",
         TextAnalysis.bm25ScoresBatchIndexed(spark, sfDir, Seq(0L, 50L, 100L))),
-      ("winnowFingerprints (row-local selection, round 11)",
+      ("winnowFingerprints (row-local selection, round 11; spread round 12)",
         "The MOSS selection is pure row-local array arithmetic: " +
-          "scan -> project -> outer generate -> project, ZERO " +
-          "exchanges before the output sort. explode_outer is " +
-          "deliberate — InferFiltersFromGenerate skips outer " +
-          "generates, so no inferred filter ever copies the heavy " +
-          "selection expression below the guard (the round-10 crash " +
-          "AND its O(m²·w) re-evaluation pathology).",
+          "scan -> narrow-side spread -> project -> outer generate " +
+          "-> project -> output sort. The spread (one input-bounded " +
+          "repartition on doc_id, the stats convention) is the only " +
+          "exchange besides the sort — without it the O(m·w) md5 " +
+          "arithmetic runs at the scan's split count, one core for a " +
+          "one-file corpus. explode_outer is deliberate — " +
+          "InferFiltersFromGenerate skips outer generates, so no " +
+          "inferred filter ever copies the heavy selection expression " +
+          "below the guard (the round-10 crash AND its O(m²·w) " +
+          "re-evaluation pathology).",
         TextAnalysis.winnowFingerprints(spark, sfDir)),
       ("winnowScreen (artifact-served crawl screening, round 11)",
         "The corpus side is ONE parquet scan of the durable winnow " +
@@ -104,7 +108,14 @@ object Plans {
           "join's broadcast; the corpus scan that remains is the " +
           "rebuild itself — line positions carried as posexplode " +
           "output, no window, one doc-keyed aggregation.",
-        TextAnalysis.boilerplateRemovedIndexed(spark, sfDir)))
+        TextAnalysis.boilerplateRemovedIndexed(spark, sfDir)),
+      ("urlDedup (crawl-frontier canonical identity, round 12)",
+        "Every canonicalization step (fragment/scheme/www/port strip, " +
+          "slash collapse, tracking-param filter + param sort) is a " +
+          "codegen'd row-local regexp/array function — one scan, one " +
+          "projection, one url_norm-keyed aggregation with map-side " +
+          "partials, the output sort. No generator, no join.",
+        graft.operators.Dedup.urlDedup(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"

@@ -385,7 +385,13 @@ object Scale {
       "text_boilerplate_removed" -> (d => TextAnalysis.boilerplateRemoved(spark, d)),
       // generator- and shuffle-free per-row line metrics: the pure
       // scan-bound floor.
-      "text_line_quality" -> (d => TextAnalysis.lineQuality(spark, d)))
+      "text_line_quality" -> (d => TextAnalysis.lineQuality(spark, d)),
+      // round-12: URL canonicalization. The 1e8 replica offset is
+      // divisible by 50, so every replica lands in its original's
+      // canonical group — groups stay constant in COUNT while their
+      // copies grow 10x, the adversarial all-duplicates shape for a
+      // keyed aggregation (map-side partials absorb it).
+      "dedup_url_normalized" -> (d => Dedup.urlDedup(spark, d)))
 
     // dev iteration: SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named
     // families (the committed SCALE.md rows come from full runs;
