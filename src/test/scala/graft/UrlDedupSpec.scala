@@ -42,6 +42,37 @@ class UrlDedupSpec extends SparkTestBase {
       === "news.example.com/articles/7")
   }
 
+  test("canonicalization is idempotent over randomized crawl-noise URLs") {
+    // a canonicalizer that moves an already-canonical URL re-splits
+    // identities on every re-crawl cycle; idempotence is the
+    // frontier's convergence guarantee. Property: re-normalizing the
+    // canonical form (re-prefixed with any scheme, since norm drops
+    // it) is a fixed point — over a generator that composes every
+    // noise axis randomly.
+    val rnd = new scala.util.Random(42)
+    val urls = (1 to 200).map { _ =>
+      val scheme = Seq("https://", "HTTP://", "hTTps://")(rnd.nextInt(3))
+      val www = if (rnd.nextBoolean()) "WWW." else ""
+      val host = Seq("News.Example.com", "blog.site.ORG", "a-b.example.net")(rnd.nextInt(3))
+      val port = Seq("", ":443", ":80")(rnd.nextInt(3))
+      val path = (1 to rnd.nextInt(4)).map(_ =>
+        Seq("Articles", "x", "7", "p-q")(rnd.nextInt(4))).mkString("/", "/", "") +
+        Seq("", "/", "//")(rnd.nextInt(3))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        Seq("id=7", "a=1", "utm_source=f", "fbclid=z", "ref=r", "b=2")(rnd.nextInt(6)))
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = Seq("", "#top", "#s2")(rnd.nextInt(3))
+      scheme + www + host + port + path + q + frag
+    }
+    val once = Dedup.urlNormalizedOf(
+        urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+      .select("doc_id", "url_norm").collect().map(r => (r.getLong(0), r.getString(1)))
+    val twice = Dedup.urlNormalizedOf(
+        once.map { case (i, n) => (i, "https://" + n) }.toSeq.toDF("doc_id", "url"))
+      .select("doc_id", "url_norm").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(twice.sorted.toSeq === once.sorted.toSeq)
+  }
+
   test("the registered dedup collapses exactly the planted variants") {
     val groups = SparkEntry.queries("dedup_url_normalized")(spark, sf0001)
     // every group's raw-form count never exceeds its copies, and the
