@@ -26,6 +26,11 @@ object DedupQueries {
     Q("dedup_url_normalized",
       (s, dir) => Dedup.urlDedup(s, dir),
       Some(DocOracle.urlDedupSql)),
+    // the crawl-ops curation table: identity + quality + volume per
+    // canonical domain (what to re-crawl, cap, or drop).
+    Q("url_domain_report",
+      (s, dir) => Dedup.urlDomainReport(s, dir),
+      Some(DocOracle.urlDomainReportSql)),
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some(DocOracle.minhashLshSql())),

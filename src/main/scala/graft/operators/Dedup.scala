@@ -1103,4 +1103,44 @@ object Dedup {
         count(lit(1)).as("copies"),
         countDistinct("url").as("n_raw_forms"))
       .orderBy("url_norm")
+
+  /** Per-DOMAIN crawl-curation report — the table a crawl-ops loop
+    * reads to decide what to re-crawl, cap, or drop: for each
+    * canonical domain (the host component of the canonical URL),
+    * document count, distinct canonical URLs, the URL-dedup rate in
+    * basis points (`copies beyond the canonical set / docs` — the
+    * re-crawl waste), the Gopher quality-pass rate, and exact mean
+    * whitespace tokens in cents (the [[TextAnalysis.stats]] integer
+    * convention). Composes the three towers a curation decision
+    * needs — identity ([[urlNormalizedOf]]), quality
+    * ([[TextAnalysis.qualityFlags]]), and volume
+    * ([[TextAnalysis.stats]]) — as doc_id equi-joins over
+    * session-persisted / thin lineages.
+    *
+    * Scale posture: the URL side is a row-local projection; stats and
+    * flags are the persisted per-doc frames every text query shares;
+    * the joins are doc_id-keyed equi-joins feeding ONE domain-keyed
+    * aggregation with map-side partials (domains ≪ docs). No window,
+    * no generator.
+    */
+  def urlDomainReport(spark: SparkSession, dir: String): DataFrame = {
+    val ids = urlNormalizedOf(urlsOf(docs(spark, dir)))
+      .select(col("doc_id"), col("url_norm"),
+        regexp_extract(col("url_norm"), "^([^/]+)", 1).as("domain"))
+    val flags = TextAnalysis.qualityFlags(spark, dir)
+      .select(col("doc_id"), col("quality_pass"))
+    val toks = TextAnalysis.stats(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    ids.join(flags, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("url_norm").as("n_canonical"),
+        expr("cast((10000 * (count(1) - count(distinct url_norm))) div count(1) as bigint)")
+          .as("dup_bp"),
+        expr("cast((10000 * sum(quality_pass)) div count(1) as bigint)")
+          .as("quality_pass_bp"),
+        expr("cast((100 * sum(n_ws_tokens)) div count(1) as bigint)")
+          .as("mean_tokens_c"))
+      .orderBy("domain")
+  }
 }

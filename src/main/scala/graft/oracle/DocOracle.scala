@@ -512,4 +512,26 @@ SELECT url_norm, min(doc_id) AS keeper_doc_id,
   CAST(count(*) AS BIGINT) AS copies,
   CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
 FROM unorm GROUP BY url_norm ORDER BY url_norm"""
+
+  /** Mirrors `Dedup.urlDomainReport`: the url CTE chain joined to the
+    * shared stats/flags CTEs (`TextOracle`), one domain rollup in
+    * exact integer basis points / cents.
+    */
+  def urlDomainReportSql: String =
+    s"""WITH ${TextOracle.statsCte}, ${TextOracle.flagsCte(30, 100000)},
+  $urlCtes,
+  udom AS (
+    SELECT doc_id, url_norm, regexp_extract(url_norm, '^([^/]+)', 1) AS domain
+    FROM unorm
+  )
+SELECT u.domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT u.url_norm) AS BIGINT) AS n_canonical,
+  CAST((10000 * (count(*) - count(DISTINCT u.url_norm))) // count(*) AS BIGINT) AS dup_bp,
+  CAST((10000 * sum(CAST(f.flag_len * f.flag_avg_word_len * f.flag_stopwords AS BIGINT))) // count(*) AS BIGINT) AS quality_pass_bp,
+  CAST((100 * sum(t.n_ws_tokens)) // count(*) AS BIGINT) AS mean_tokens_c
+FROM udom u
+JOIN tflags f USING (doc_id)
+JOIN tstats_bp t USING (doc_id)
+GROUP BY u.domain ORDER BY u.domain"""
 }

@@ -91,4 +91,16 @@ class UrlDedupSpec extends SparkTestBase {
     val mapped = SparkEntry.queries("dedup_url_normalize")(spark, sf0001)
     assert(mapped.where(col("url").isNull).count() === 0L)
   }
+
+  test("the domain report accounts every url-bearing doc exactly once") {
+    val rep = SparkEntry.queries("url_domain_report")(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("source").isNotNull).count()
+    assert(rep.map(_.getLong(1)).sum === docs)
+    // planted identity guarantees a real dedup rate somewhere, and
+    // rates stay in [0, 10000].
+    assert(rep.exists(_.getLong(3) > 0L))
+    assert(rep.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000 &&
+      r.getLong(4) >= 0 && r.getLong(4) <= 10000))
+  }
 }
