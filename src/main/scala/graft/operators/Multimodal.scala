@@ -100,12 +100,18 @@ object Multimodal {
   /** The media table: documents' text bytes as an opaque binary
     * payload plus a typed metadata struct. media_type assignment is
     * deterministic (doc_id mod 3) to exercise all three modalities.
+    * `pmod`, not `%`: hash-derived doc_ids are negative half the time
+    * in production, and the sign-preserving remainder indexes the
+    * modality array at 0 (ANSI crash — the whole mm family on one
+    * row) or -1 (silently the WRONG modality); found by
+    * `DegenerateLakeSpec`'s negative-id rows. The oracle mirrors the
+    * non-negative form; non-negative ids are unaffected.
     */
   def media(spark: SparkSession, dir: String): DataFrame =
     withMeta(spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("media_type"),
         col("text").cast("binary").as("payload")))
 
   /** Attach the typed metadata struct to any `(doc_id, media_type,
@@ -325,7 +331,7 @@ object Multimodal {
       .where(col("doc_id") % mod === 0 && length(col("text")) > 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("media_type"),
         concat(
           expr("substring(text, 1, greatest(length(text) div 2, 1) - 1)"),
           lit("x"),

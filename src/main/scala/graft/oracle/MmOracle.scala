@@ -10,7 +10,9 @@ package graft.oracle
 object MmOracle {
 
   private val mediaType =
-    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+    // ((x % 3) + 3) % 3 mirrors the engine's pmod (sign-safe on
+  // hash-derived negative ids; identical for non-negative ones).
+  "CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image' WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio' ELSE 'video' END"
 
   private def metaCte: String =
     s"""mmeta AS (
@@ -94,8 +96,8 @@ ORDER BY media_type, payload_md5"""
     val twins = if (withTwins) s"""
     UNION ALL
     SELECT d.doc_id + 1000000 AS doc_id,
-      CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-           WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      CASE WHEN ((d.doc_id % 3) + 3) % 3 = 0 THEN 'image'
+           WHEN ((d.doc_id % 3) + 3) % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
       substr(d.text, 1, greatest(length(d.text) // 2, 1) - 1) || 'x' ||
         substr(d.text, greatest(length(d.text) // 2, 1) + 1) AS text
     FROM documents d WHERE length(d.text) > 0 AND d.doc_id % 5 = 0"""

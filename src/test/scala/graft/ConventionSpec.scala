@@ -25,7 +25,7 @@ class ConventionSpec extends AnyFunSuite {
     *  - Similarity.scala: sign-band indexing of the fixed-64-dim
     *    quantized vector — constant in-range indices; a short vector
     *    is a schema-contract violation that SHOULD fail loudly.
-    *  - Multimodal.scala: 3-element modality array indexed by
+    *  - Multimodal.scala: 3-element modality array indexed by pmod of
     *    `doc_id % 3 + 1`; dHash luma indexing with constant bounds
     *    over the codec's fixed 72-value grid; `sequence(0, 31)`
     *    constant ascending.

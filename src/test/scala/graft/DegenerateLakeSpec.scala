@@ -107,7 +107,7 @@ class DegenerateLakeSpec extends SparkTestBase {
     // empty-array and NaN rows are dropped at the door.
     val admitted = graft.operators.Similarity.quantized(spark, dirMixed)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(admitted === (0L to 21L).toSet)
+    assert(admitted === ((0L to 21L).toSet + -5L))
     // events: the NaN value behaves as null — its (window, type)
     // group still counts the events but sums no cents (2024-01-04
     // 00:00 UTC holds exactly the duplicated NaN 'view' event pair).
@@ -213,7 +213,8 @@ object DegenerateLakeSpec {
     Row(46L, "Dup customer", 2, 0.0, "BUILDING"), // exact duplicate row
     Row(61L, null, 3, 7.0, null),                 // all-null query attrs
     Row(2L, "Customer two", 0, 55.0, "AUTOMOBILE"),
-    Row(3L, "", 1, 0.0, ""))
+    Row(3L, "", 1, 0.0, ""),
+    Row(-14L, "Negative cust", 0, 5.0, "BUILDING")) // hash-derived id
 
   val supplierRows: Seq[Row] = Seq(
     Row(1L, "Supplier one", 0, 10.0),
@@ -257,7 +258,9 @@ object DegenerateLakeSpec {
     Row(9L, ntz("2024-01-04T00:00:01"), 3L, "view", Double.NaN, "{}"),
     Row(9L, ntz("2024-01-04T00:00:01"), 3L, "view", Double.NaN, "{}"), // dup id
     Row(10L, ntz("2024-01-04T00:00:02"), 3L, "", 0.0, """{"k": null}"""),
-    Row(11L, ntz("2024-01-05T08:00:00"), 1L, "view", 4.0, null)) // null props
+    Row(11L, ntz("2024-01-05T08:00:00"), 1L, "view", 4.0, null), // null props
+    // negative (hash-derived) event/user ids
+    Row(-3L, ntz("2024-01-06T09:00:00"), -2L, "view", 1.5, """{"k": 4}"""))
 
   /** The [[DegenerateCorpusSpec]] document shapes plus null lang and
     * null source rows (the page-view and langid contracts).
@@ -278,7 +281,17 @@ object DegenerateLakeSpec {
       Row(10L, normal("w", 60), "en", "srcC", 200L),
       Row(11L, normal("w", 60) + " tail word", "en", "srcC", 210L),
       Row(12L, normal("v", 40), null, null, 150L), // null lang + source
-      Row(13L, normal("u", 35), "xx", "srcA", 120L)) // unknown lang code
+      Row(13L, normal("u", 35), "xx", "srcA", 120L), // unknown lang code
+      // hash-derived ids are NEGATIVE half the time in production
+      // (xxhash64/murmur assignments): modular arithmetic on doc_id
+      // (media modality pick, split/shard residues, fixture plants)
+      // must not crash or mis-index on a negative residue.
+      Row(-7L, normal("n", 25), "en", "srcB", 90L),
+      Row(-1L, normal("m", 20), "en", "srcC", 70L),
+      // a re-crawled DUPLICATE doc_id with different text: keyed
+      // pipelines must complete (dedup/winnow/stats treat it as two
+      // rows of one key — whatever each contract says, no crash).
+      Row(10L, normal("w", 58), "en", "srcC", 195L))
   }
 
   /** 64-dim corpus with the ingest-door shapes: zero-norm, null,
@@ -296,6 +309,8 @@ object DegenerateLakeSpec {
       v.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-4f else x }
     val normals = (0 until 20).map(i => Row(i.toLong, vec(i), i % 10))
     normals ++ Seq(
+      Row(-5L, vec(30), 5),                    // negative (hash-derived) id
+      Row(3L, vec(3), 3),                      // duplicate vec_id, same payload
       Row(20L, jitter(vec(0)), 0),            // near-dup of vec 0
       Row(21L, jitter(vec(1)), 1),            // near-dup of vec 1
       Row(22L, Seq.fill(64)(0.0f), 2),        // zero-norm
