@@ -740,7 +740,16 @@ object Similarity {
       iters: Int = CodebookIters): DataFrame =
     annArtifact(spark, dir, ivfCodebookPath(dir, numCents, iters)) {
       val base = quantized(spark, dir)
-      var cents = base.where(col("vec_id") < numCents)
+      // "first numCents" = the numCents SMALLEST vec_ids (ordered
+      // limit — a bounded TakeOrdered, k <= 65536 rows), NOT
+      // `vec_id < numCents`: the predicate form only equals the
+      // intent on dense 0-based ids, and on hash-derived ids
+      // (negative half the time) it would seed with ~HALF THE CORPUS
+      // — a quadratic assignment blowup and a meaningless codebook
+      // (the DegenerateLakeSpec negative-id lens). Identical seeds on
+      // dense ids, so real-corpus artifacts and hashes are unchanged;
+      // the oracle mirrors with a row_number QUALIFY.
+      var cents = base.orderBy("vec_id").limit(numCents)
         .select(col("vec_id").as("cent_id"), col("q").as("cq"))
       (1 to iters).foreach { _ =>
         val assign = assignCells(base, cents)
@@ -950,7 +959,9 @@ object Similarity {
       val full = quantized(spark, dir)
       (0 until PqSubspaces).map { m =>
         val base = pqSub(full, m)
-        var cents = base.where(col("vec_id") < numCents)
+        // ordered-limit seeding, the ivfCodebook rationale: the
+        // predicate form over-seeds on non-dense / hash-derived ids.
+        var cents = base.orderBy("vec_id").limit(numCents)
           .select(col("vec_id").as("cent_id"), col("q").as("cq"))
         (1 to iters).foreach { _ =>
           val assign = assignL2(base, cents)

@@ -99,7 +99,13 @@ object SimOracle {
     ) WHERE ${dotSql("cq", "cq")} > 0
   )"""
     }.mkString(",\n  ")
-    s"""cents0 AS (SELECT vec_id AS cent_id, q AS cq FROM nb WHERE vec_id < $numCents),
+    s"""cents0 AS (
+    -- the numCents SMALLEST vec_ids (rank form, not `vec_id < k`:
+    -- mirrors the engine's ordered-limit seeding, which the predicate
+    -- only equals on dense 0-based ids)
+    SELECT vec_id AS cent_id, q AS cq FROM nb
+    QUALIFY row_number() OVER (ORDER BY vec_id) <= $numCents
+  ),
   $rounds,
   cents AS (SELECT cent_id, cq, ${dotSql("cq", "cq")} AS cnq FROM cents$iters)"""
   }
@@ -600,7 +606,8 @@ FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
   )"""
       }.mkString(",\n  ")
       s"""sub$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM nb),
-  pc${m}_0 AS (SELECT vec_id AS cent_id, q AS cq FROM sub$m WHERE vec_id < $numCents),
+  pc${m}_0 AS (SELECT vec_id AS cent_id, q AS cq FROM sub$m
+    QUALIFY row_number() OVER (ORDER BY vec_id) <= $numCents),
   $rounds"""
     }.mkString(",\n  ")
     val book = (0 until PqM)
