@@ -291,7 +291,16 @@ object DegenerateLakeSpec {
       // a re-crawled DUPLICATE doc_id with different text: keyed
       // pipelines must complete (dedup/winnow/stats treat it as two
       // rows of one key — whatever each contract says, no crash).
-      Row(10L, normal("w", 58), "en", "srcC", 195L))
+      Row(10L, normal("w", 58), "en", "srcC", 195L),
+      // multi-byte unicode (CJK + emoji + combining marks): byte
+      // offsets != char offsets everywhere a pipeline slices text.
+      Row(14L, "héllo wörld 你好世界 🌍🚀 café " + normal("z", 12),
+        "zh", "srcB", 80L),
+      // regex-metacharacter / quote / backslash soup: any pipeline
+      // interpolating row text into a pattern or SQL fragment (rather
+      // than treating it as data) breaks here.
+      Row(15L, """a.*b (c|d) [e-f] \n \\ ' " ; -- $1 {2} ^x$ %s", """ +
+        normal("q", 12), "en", "srcA", 90L))
   }
 
   /** 64-dim corpus with the ingest-door shapes: zero-norm, null,
