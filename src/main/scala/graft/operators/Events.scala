@@ -67,7 +67,7 @@ object Events {
     * applied to the events family). Real corpora carry no non-finite
     * values, so oracle hashes are unchanged.
     */
-  private def cents(c: Column): Column =
+  private[graft] def cents(c: Column): Column =
     when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity),
       round(c * 100, 0).cast("long"))
 

@@ -45,8 +45,14 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // the batch cents contract (graft.operators.Events.cents):
+      // a non-finite value behaves as SQL NULL. The raw cast was a
+      // streaming POISON PILL — the query dies on one NaN row and
+      // the checkpoint replays the same batch on every restart
+      // (StreamDegenerateSpec).
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+        sum(graft.operators.Events.cents(col("value"))).cast("long")
+          .as("value_cents"),
         approx_count_distinct("user_id").as("approx_users"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"), col("approx_users"))
@@ -64,8 +70,10 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      // NaN-safe cents — the tumblingCounts poison-pill rationale.
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        sum(graft.operators.Events.cents(col("value"))).cast("long")
+          .as("value_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 
@@ -120,6 +128,12 @@ object EventStream {
       watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      // an event with NO event time has no place on any timeline —
+      // dropped at the transform door (contract). Unfiltered, the
+      // state function's ts.getTime is a POISON PILL: the query dies
+      // and the checkpoint replays the same null row on every
+      // restart (StreamDegenerateSpec).
+      .filter((e: Event) => e.ts != null)
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, Session](
@@ -136,7 +150,12 @@ object EventStream {
             val closed = Seq.newBuilder[Session]
             for (e <- sorted) {
               val t = e.ts.getTime
-              val cents = math.round(e.value * 100)
+              // non-finite values contribute zero cents (the batch
+              // NaN-as-null contract in +Long state form; the raw
+              // round maps Infinity to Long.MaxValue and poisons
+              // every later sum).
+              val cents = if (java.lang.Double.isFinite(e.value))
+                math.round(e.value * 100) else 0L
               open match {
                 case Some(s) if t - s.endMs <= gapMs =>
                   open = Some(SessionState(s.startMs, math.max(s.endMs, t),
