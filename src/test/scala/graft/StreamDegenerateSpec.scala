@@ -27,6 +27,9 @@ class StreamDegenerateSpec extends SparkTestBase {
   final case class DocRow(ts: Timestamp, doc_id: Long, text: String,
       lang: String, source: String)
 
+  final case class Chg(doc_id: Long, seq: java.lang.Long, op: String,
+      text: String, lang: String, source: String)
+
   private def degenerateDocs(b: Int): Seq[DocRow] = Seq(
     DocRow(ts(b * 10), b * 100 + 1, "", "en", "srcA"),
     DocRow(ts(b * 10 + 1), b * 100 + 2, null, "en", "srcA"),
@@ -188,5 +191,48 @@ class StreamDegenerateSpec extends SparkTestBase {
     try { q3.processAllAvailable() } finally q3.stop()
     assert(spark.table("sdeg_vec").select("vec_id").as[Long].collect().toSet
       === Set(4L))
+  }
+
+  test("CDC fold and quality admission survive degenerate feeds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // CDC: null op / null text / unknown op code / null seq /
+    // negative keys in one change batch, folded onto a tiny base.
+    val base = Seq((1L, "alpha text", "en", "srcA"),
+        (2L, "beta text", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val feed = MemoryStream[Chg]
+    feed.addData(
+      Chg(1L, 1L, "U", "alpha v2", "en", "srcA"),
+      Chg(2L, 1L, null, null, null, null),       // null op + payload
+      Chg(3L, 1L, "X", "mystery", "en", "srcB"), // unknown op code
+      Chg(-4L, 1L, "I", "negative insert", "en", "srcB"),
+      Chg(5L, null, "I", "null seq", "en", "srcB"))
+    val snapDir = tmp("sdeg-cdc-snap")
+    val q = graft.streaming.CdcStream.applyFeed(
+      feed.toDF(), base, snapDir, tmp("sdeg-cdc-ck"))
+    try { q.processAllAvailable() } finally q.stop()
+    val v1 = spark.read.parquet(
+      graft.streaming.CdcStream.versionPath(snapDir, 1L))
+    // the well-formed ops applied (update + both inserts); the
+    // degenerate rows neither crashed the fold nor deleted anything.
+    val byId = v1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === "alpha v2" && byId(-4L) === "negative insert"
+      && byId.contains(5L), byId.toString)
+
+    // quality admission: degenerate docs at the door — the gate must
+    // decide (admit or reject), never crash, and land its batch
+    // histogram for the next batch's cutoffs.
+    val docs = MemoryStream[DocRow]
+    docs.addData(degenerateDocs(0): _*)
+    val (deltaDir, keptDir) = (tmp("sdeg-admit-delta"), tmp("sdeg-admit-kept"))
+    val q2 = graft.streaming.PrepStream.admit(
+      docs.toDF(), sf0001, deltaDir, keptDir, tmp("sdeg-admit-ck"))
+    try { q2.processAllAvailable() } finally q2.stop()
+    // the histogram delta landed (the maintainer's own obligation) …
+    assert(graft.streaming.DeltaLog.liveParts(spark, deltaDir).nonEmpty)
+    // … and the kept dir exists with a decided subset (possibly
+    // empty — degenerate docs may all fail quality, but deciding is
+    // not crashing).
+    assert(new java.io.File(keptDir).exists())
   }
 }
