@@ -1694,12 +1694,13 @@ object TextAnalysis {
     */
   private[graft] def pagedOf(documents: DataFrame): DataFrame =
     documents
-      // the stats spread ([[statsUncached]], same rationale as
-      // [[winnowOf]]): every consumer of the page view explodes /
-      // filters the doc's own line array BEFORE its first exchange —
-      // work that otherwise runs at the scan's split count.
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+      // NO narrow-side spread here, deliberately — measured and
+      // dropped (round 12, the C2 precedent): unlike [[winnowOf]]'s
+      // O(m·w) md5 selection, the page view's per-doc line work
+      // (split + array_distinct) is too cheap to amortize a
+      // corpus-width exchange of the page strings — the spread cost
+      // the line-set query ~3x warm at sf0.1 (0.25 -> 0.70 s,
+      // min-of-3) while its 10x ratio was already flat without it.
       .select(col("doc_id"), concat(
       lit("home | about | contact\n"),
       lit("subscribe to the "), col("source"), lit(" newsletter\n"),

@@ -293,37 +293,32 @@ class PlanGoldenSpec extends SparkTestBase {
     }
     // boilerplate line set: the in-document distinct is ROW-LOCAL
     // (array_distinct over the doc's own lines — no (doc, line)
-    // dedupe shuffle), so the plan is the page view's narrow-side
-    // spread (round-12, the winnowOf rationale) + one line-keyed
-    // aggregation + the output sort.
-    pin("boilerplate_lines", Ex(3, 0, 0)) {
+    // dedupe shuffle), so the whole plan is one line-keyed
+    // aggregation plus the output sort. NO narrow-side spread,
+    // deliberately — measured and dropped in round 12 (pagedOf
+    // scaladoc: the line work is too cheap to amortize the exchange;
+    // +0.45 s warm at sf0.1 for no gain).
+    pin("boilerplate_lines", Ex(2, 0, 0)) {
       TextAnalysis.boilerplateLines(spark, dir)
     }
     // removal adds the hint-free drop-list join (the template set is
     // bounded by distinct-lines/minDocs — plan-time stats broadcast
     // it; a template-heavy corpus degrades to a shuffled join, never
-    // an OOM) and the doc-keyed rebuild. Round-12 spread accounting:
-    // the two page-view sides SHARE the spread exchange (the reused
-    // exchange below), and the doc-keyed rebuild's clustering
-    // requirement is satisfied BY the spread's doc_id partitioning —
-    // so the spread costs zero net shuffles here.
-    pin("boilerplate_removed", Ex(3, 1, 1)) {
+    // an OOM) and the doc-keyed rebuild.
+    pin("boilerplate_removed", Ex(3, 1, 0)) {
       TextAnalysis.boilerplateRemoved(spark, dir)
     }
-    // the artifact-served twin drops the corpus-wide line aggregation:
-    // the template side is ONE filtered scan of the durable
-    // (line, n_docs) artifact; the shuffles that remain are the page
-    // view's spread (whose doc_id partitioning satisfies the rebuild's
-    // clustering — zero net cost, as boilerplate_removed) and the
-    // output sort.
+    // the artifact-served twin drops the corpus-wide line aggregation
+    // (3/1/0 -> 2/1/0): the template side is ONE filtered scan of the
+    // durable (line, n_docs) artifact; the shuffles that remain are
+    // removal's own doc-keyed rebuild and the output sort.
     pin("boilerplate_removed_indexed", Ex(2, 1, 0)) {
       TextAnalysis.boilerplateRemovedIndexed(spark, dir)
     }
-    // line-level quality is generator-free: every signal is a
-    // higher-order function over the doc's own line array — one scan,
-    // the page view's narrow-side spread, one codegen'd projection,
-    // the output sort.
-    pin("line_quality", Ex(2, 0, 0)) {
+    // line-level quality is generator- and shuffle-free: every signal
+    // is a higher-order function over the doc's own line array — one
+    // scan, one codegen'd projection, the output sort.
+    pin("line_quality", Ex(1, 0, 0)) {
       TextAnalysis.lineQuality(spark, dir)
     }
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
