@@ -76,9 +76,18 @@ object Maintain {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val dir = Files.createTempDirectory("graft-maintain-corpus").toString
-    Files.list(Paths.get(srcDir)).forEach { p =>
-      Files.copy(p, Paths.get(dir).resolve(p.getFileName.toString))
-    }
+    // RECURSIVE copy with the walk stream closed (round-12 review): a
+    // flat Files.list copy leaks the directory handle and copies a
+    // directory-valued table (the Spark-written .parquet layout every
+    // compactor in this engine itself produces) as an EMPTY dir —
+    // the cycle would run green against a corpus it never exercised.
+    val src = Paths.get(srcDir)
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = Paths.get(dir).resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    } finally walk.close()
     def tmp(prefix: String): String =
       Files.createTempDirectory(s"graft-maintain-$prefix").toString
 

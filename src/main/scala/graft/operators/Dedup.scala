@@ -1083,12 +1083,15 @@ object Dedup {
         concat(host, path,
           when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
           .as("url_norm"))
-      .orderBy("doc_id")
+    // NO presentation sort here: the dedup/report consumers aggregate
+    // this frame, and a baked-in orderBy would survive analysis only
+    // to be optimizer-eliminated — a plan shape held up by a rule,
+    // not by construction (round-12 review). The demo adds its own.
   }
 
   /** Registered mapping demo: raw planted URL -> canonical form. */
   def urlNormalize(spark: SparkSession, dir: String): DataFrame =
-    urlNormalizedOf(urlsOf(docs(spark, dir)))
+    urlNormalizedOf(urlsOf(docs(spark, dir))).orderBy("doc_id")
 
   /** Registered dedup demo: one group per canonical URL — keeper =
     * min doc_id, copies, and how many RAW url spellings the group

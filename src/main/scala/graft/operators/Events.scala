@@ -58,17 +58,22 @@ object Events {
     nanos(spark, dir)
 
   /** `value` -> exact integer cents, TOTAL over crawl-grade inputs:
-    * a non-finite value (NaN/±Inf — a corrupted meter, a float
-    * serialization artifact) behaves as SQL NULL (excluded from sums
-    * and counts of cents, like a null value), where the raw
-    * `round(v*100).cast(long)` is an ANSI CAST_OVERFLOW crash — one
-    * bad row aborting every windowed aggregation over the feed
-    * (found by `DegenerateLakeSpec`, the round-10 totality lesson
-    * applied to the events family). Real corpora carry no non-finite
-    * values, so oracle hashes are unchanged.
+    * a non-finite value (NaN/±Inf) OR a finite one whose cents
+    * exceed Long range (a corrupted meter / float-serialization
+    * artifact is as likely to be 1e200 as NaN — round-12 review) is
+    * junk and behaves as SQL NULL (excluded from sums, like a null
+    * value), where the raw `round(v*100).cast(long)` is an ANSI
+    * CAST_OVERFLOW crash — one bad row aborting every windowed
+    * aggregation over the feed, and in streaming a poison pill
+    * (found by `DegenerateLakeSpec`/`StreamDegenerateSpec`). The
+    * bound is conservative (9.2e16 < Long.MaxValue/100, so the
+    * rounded product can never overflow); real corpora carry no
+    * such values, so oracle hashes are unchanged.
     */
+  private[graft] val MaxCentsValue: Double = 9.2e16
+
   private[graft] def cents(c: Column): Column =
-    when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity),
+    when(!isnan(c) && abs(c) < lit(MaxCentsValue),
       round(c * 100, 0).cast("long"))
 
   /** Adaptive events scan: the corpus has shipped `ts` both as

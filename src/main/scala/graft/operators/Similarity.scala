@@ -314,9 +314,26 @@ object Similarity {
   private def cosineTopKAggProbesOver(spark: SparkSession, base: DataFrame,
       probesRaw: DataFrame, k: Int): DataFrame = {
     val probes = probesRaw
+      // the ingest door's admission, applied at the REQUEST door too
+      // ([[admissibleVector]]): requests carry external junk exactly
+      // like crawled vectors, and an unguarded NaN/Inf request was a
+      // serveVectors POISON PILL (the quantization cast kills the
+      // micro-batch and the checkpoint replays it forever), while a
+      // wrong-dimension request crashed the typed aggregator on
+      // null-padded zip_with. The admission is a CASE guard AT the
+      // quantization — total by CONSTRUCTION, not by filter order: a
+      // plain `.where(admissible)` ahead of the projection still
+      // crashed, because pushdown SUBSTITUTES the later `pnq > 0`
+      // filter's defining expression below the projection and
+      // evaluates the raw cast on the junk rows (the
+      // GenerateAuditSpec substitution class, via a Project). A junk
+      // request yields an EMPTY result — the honest answer for a
+      // query that has no direction.
       .select(col("qid").cast("long").as("qid"),
-        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))")
+        when(admissibleVector,
+          expr(s"transform(embedding, x -> cast(round(cast(x as double) * $QuantScale) as bigint))"))
           .as("pq"))
+      .where(col("pq").isNotNull)
       .withColumn("pnq", VectorMath.dotLong(col("pq"), col("pq")))
       // REQUEST input is unvalidated: a zero-norm (or
       // all-subquantization-zero) embedding has no defined cosine —

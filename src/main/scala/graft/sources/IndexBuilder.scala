@@ -37,10 +37,21 @@ import graft.functions.Tokenize
   */
 object IndexBuilder {
 
-  /** Bump when index semantics change (tokenizer, catalog, layout) —
-    * invalidates existing snapshots.
+  /** Bump when index/artifact semantics change (tokenizer, catalog,
+    * layout, any artifact's build rule) — invalidates existing
+    * snapshots AND every companion artifact keyed off
+    * [[snapshotPath]]'s fingerprint.
+    *
+    * 2 -> 3 (round 12): the vector ingest-door admission (junk +
+    * zero-norm vectors dropped at `Similarity.quantized`) and the
+    * rank-based Lloyd seeding changed what durable ANN artifacts
+    * CONTAIN on non-dense-id / junk-bearing corpora. The content
+    * fingerprint gates only on the embeddings SOURCE, which did not
+    * change — without the bump, a deployment dir would keep serving
+    * the stale pre-admission codebook/cells forever (bit-identical
+    * only on clean dense-id corpora).
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   /** Unpivot rows of one catalog table to the raw wire format
     * `(raw, table_id, column_id, row_id)`. Public so streaming

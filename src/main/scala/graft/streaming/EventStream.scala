@@ -26,7 +26,13 @@ object EventStream {
     * `timestamp_micros(nanos div 1000)` for the parquet-nanos
     * encoding used by the batch corpus).
     */
-  final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+  final case class Event(ts: Timestamp, userId: Long, eventType: String,
+      // boxed, deliberately: a primitive Double cannot REPRESENT the
+      // null-value rows a real feed carries, so typed deserialization
+      // would poison-pill the sessionizer before any in-function
+      // guard could run (round-12 review). Null behaves as junk
+      // (zero cents), like the batch cents contract.
+      value: java.lang.Double)
 
   /** A closed session emitted by the sessionizer. */
   final case class Session(userId: Long, startMs: Long, endMs: Long,
@@ -145,17 +151,29 @@ object EventStream {
             state.remove()
             Iterator.single(Session(userId, s.startMs, s.endMs, s.nEvents, s.valueCents))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventType, e.value))
+            // junk values (null / non-finite / beyond exact-cents
+            // Long range) contribute ZERO cents — the batch cents
+            // contract in +Long state form (an unguarded round
+            // saturates huge finites to Long.MaxValue and every later
+            // sum wraps negative — silent corruption, round-12
+            // review). Divergence note: an ALL-junk session reports
+            // 0 where the batch twin's sum-of-nulls reports NULL —
+            // the typed Long state cannot express null, documented.
+            def centsOf(e: Event): Long = {
+              val v = e.value
+              if (v == null || !java.lang.Double.isFinite(v) ||
+                math.abs(v) >= graft.operators.Events.MaxCentsValue) 0L
+              else math.round(v * 100)
+            }
+            // String.valueOf: a null event_type must order totally,
+            // not NPE the sort comparator.
+            val sorted = batch.toSeq.sortBy(e =>
+              (e.ts.getTime, String.valueOf(e.eventType), centsOf(e)))
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             for (e <- sorted) {
               val t = e.ts.getTime
-              // non-finite values contribute zero cents (the batch
-              // NaN-as-null contract in +Long state form; the raw
-              // round maps Infinity to Long.MaxValue and poisons
-              // every later sum).
-              val cents = if (java.lang.Double.isFinite(e.value))
-                math.round(e.value * 100) else 0L
+              val cents = centsOf(e)
               open match {
                 case Some(s) if t - s.endMs <= gapMs =>
                   open = Some(SessionState(s.startMs, math.max(s.endMs, t),

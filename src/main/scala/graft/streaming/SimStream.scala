@@ -62,11 +62,15 @@ object SimStream {
       // door too ([[Similarity.admissibleVector]]): a null / truncated
       // / NaN arrival must be dropped HERE, not crash the quantization
       // cast of a whole micro-batch — and must stay invisible to
-      // serving exactly as the batch path would keep it.
-      .where(Similarity.admissibleVector)
+      // serving exactly as the batch path would keep it. CASE-guarded
+      // AT the quantization (the request-door convention): total by
+      // construction, immune to a downstream filter's pushdown
+      // substituting the raw cast below any admission `.where`.
       .select(col("vec_id"),
-        expr(s"transform(embedding, x -> cast(round(cast(x as double) * ${Similarity.QuantScale}) as bigint))")
+        when(Similarity.admissibleVector,
+          expr(s"transform(embedding, x -> cast(round(cast(x as double) * ${Similarity.QuantScale}) as bigint))"))
           .as("q"))
+      .where(col("q").isNotNull)
       .withColumn("nq", VectorMath.dotLong(col("q"), col("q")))
       .crossJoin(book)
       .withColumn("scored",

@@ -73,7 +73,9 @@ class StreamDegenerateSpec extends SparkTestBase {
       Event(ts(1), 1L, "click", Double.NaN),   // NaN value
       Event(null, 2L, "view", 2.0),            // null event time
       Event(ts(2), -3L, null, 3.0),            // negative id, null type
-      Event(ts(3), 2L, "purchase", Double.PositiveInfinity))
+      Event(ts(3), 2L, "purchase", Double.PositiveInfinity),
+      Event(ts(4), 4L, "error", 1e17),         // finite, cents overflow Long
+      Event(ts(5), 5L, "signup", null))        // null value
     for ((name, mk) <- Seq[(String, org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame)](
       ("tumbling", df => EventStream.tumblingCounts(df)),
@@ -91,14 +93,18 @@ class StreamDegenerateSpec extends SparkTestBase {
         q.processAllAvailable()
       } finally q.stop()
       val got = spark.table(s"sdeg_$name")
-      // the NaN event's window(s) finalized WITH the event counted
-      // and its cents excluded (the batch cents contract, streamed);
-      // a sliding event lands in its two containing windows.
-      val clicks = got.where(col("event_type") === "click").collect()
+      // the NaN / huge-finite / null-value events' windows finalized
+      // WITH the events counted and their cents excluded (the batch
+      // cents contract, streamed); a sliding event lands in its two
+      // containing windows. An unguarded round(1e17*100).cast(long)
+      // would have killed the query (CAST_OVERFLOW poison pill).
       val expectRows = if (name == "sliding") 2 else 1
-      assert(clicks.length === expectRows &&
-        clicks.forall(r => r.getLong(2) === 1L && r.isNullAt(3)),
-        s"$name: ${clicks.mkString}")
+      for (etype <- Seq("click", "error", "signup")) {
+        val rows = got.where(col("event_type") === etype).collect()
+        assert(rows.length === expectRows &&
+          rows.forall(r => r.getLong(2) === 1L && r.isNullAt(3)),
+          s"$name/$etype: ${rows.mkString}")
+      }
     }
   }
 
@@ -110,6 +116,9 @@ class StreamDegenerateSpec extends SparkTestBase {
       Event(ts(0), 1L, "view", 1.0),
       Event(ts(1), 1L, "click", Double.NaN),
       Event(null, 1L, "view", 2.0),
+      Event(ts(2), 1L, "view", null),  // null value: zero cents
+      Event(ts(3), 1L, "view", 1e17),  // huge finite: zero cents, no
+                                       // Long.MaxValue saturation wrap
       Event(ts(2), -3L, "view", 4.0))
     val q = EventStream.sessionize(in.toDS(), gapMs = 5 * 60000L)
       .writeStream.format("memory").queryName("sdeg_sess")
@@ -122,11 +131,13 @@ class StreamDegenerateSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
     val sessions = spark.table("sdeg_sess").as[Session].collect()
-    // user 1's session closed with both timestamped events (the
-    // null-ts event has no place on any timeline — dropped), NaN
-    // cents contributing zero; the negative-id user sessionizes.
+    // user 1's session closed with every timestamped event (the
+    // null-ts event has no place on any timeline — dropped); NaN,
+    // null and cents-overflow values each contribute ZERO cents
+    // (never a saturated Long.MaxValue wrapping later sums); the
+    // negative-id user sessionizes.
     val u1 = sessions.filter(_.userId == 1L)
-    assert(u1.length === 1 && u1.head.nEvents === 2L && u1.head.valueCents === 100L,
+    assert(u1.length === 1 && u1.head.nEvents === 4L && u1.head.valueCents === 100L,
       sessions.mkString(", "))
     assert(sessions.exists(_.userId == -3L), sessions.mkString(", "))
   }
@@ -191,6 +202,29 @@ class StreamDegenerateSpec extends SparkTestBase {
     try { q3.processAllAvailable() } finally q3.stop()
     assert(spark.table("sdeg_vec").select("vec_id").as[Long].collect().toSet
       === Set(4L))
+  }
+
+  test("vector serving answers junk requests with empty results, not a dead query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reqs = MemoryStream[(Long, Seq[Float])]
+    reqs.addData(
+      (1L, null),                              // null request vector
+      (2L, (0 until 63).map(_.toFloat)),       // wrong dimension
+      (3L, Seq.fill(64)(Float.NaN)),           // NaN components
+      (4L, Seq.fill(64)(0.0f)),                // zero-norm
+      (5L, (0 until 64).map(i => math.sin(i).toFloat))) // well-formed
+    var byQid = Map.empty[Long, Long]
+    val q = SimStream.serveVectors(spark, sf0001,
+      reqs.toDF().toDF("qid", "embedding"), tmp("sdeg-vecserve-ck"),
+      (df, _) => {
+        byQid = df.groupBy("qid").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }, k = 5)
+    try { q.processAllAvailable() } finally q.stop()
+    // junk requests (the REQUEST door's admission) answer EMPTY; the
+    // well-formed one ranks k neighbors. An unguarded NaN/wrong-dim
+    // request was a poison pill killing the serving query itself.
+    assert(byQid.keySet === Set(5L) && byQid(5L) === 5L, byQid.toString)
   }
 
   test("CDC fold and quality admission survive degenerate feeds") {
