@@ -149,6 +149,28 @@ class DegenerateLakeSpec extends SparkTestBase {
 
 object DegenerateLakeSpec {
 
+  /** Write the MIXED degenerate lake into a fresh temp dir — exposed
+    * so other suites can compose over the same adversarial corpus
+    * (MaintainSpec runs the full delta lifecycle against it).
+    */
+  def writeMixedLake(spark: org.apache.spark.sql.SparkSession): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-deglake-shared").toString
+    def w(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+        .write.mode("overwrite").parquet(s"$d/$name.parquet")
+    w("region", regionSchema, regionRows)
+    w("nation", nationSchema, nationRows)
+    w("customer", customerSchema, customerRows)
+    w("supplier", supplierSchema, supplierRows)
+    w("part", partSchema, partRows)
+    w("orders", ordersSchema, ordersRows)
+    w("lineitem", lineitemSchema, lineitemRows)
+    w("events", eventsSchema, eventsRows)
+    w("documents", documentsSchema, documentsRows)
+    w("embeddings", embeddingsSchema, embeddingsRows)
+    d
+  }
+
   private def ntz(s: String): LocalDateTime = LocalDateTime.parse(s)
 
   // ----- schemas (mirror /root/testdata exactly) -----

@@ -17,4 +17,14 @@ class MaintainSpec extends SparkTestBase {
     // folding really folded (3 landed batches each), not a no-op.
     assert(reports.forall(_.foldedParts === 3), reports)
   }
+
+  test("the cycle holds over the DEGENERATE lake too") {
+    // maintenance on a junk-bearing corpus (null/NaN/negative-id
+    // rows in every base table — the DegenerateLakeSpec shapes): the
+    // base artifacts the live views merge INTO must build, serve,
+    // fold and stay bit-stable exactly as on a clean corpus.
+    val reports = Maintain.run(spark, DegenerateLakeSpec.writeMixedLake(spark))
+    val bad = reports.filterNot(_.ok)
+    assert(bad.isEmpty, s"families violating the contract on the junk corpus:\n$bad")
+  }
 }
