@@ -146,6 +146,13 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    // per-query FIRST-REP times (round-12 verdict #2): cold_total has
+    // swung 130->233 s across runs of identical code with no way to
+    // name the query responsible — the first rep is already measured
+    // per query, so emit it and the next cold regression is
+    // attributable instead of shrugged at as sandbox noise.
+    val cq = runs.head.map { case (k, v, _) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val st = stages.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val ab = artifactBuilds.map { case (k, v, _) => s"${jstr(k)}:$v" }
@@ -161,7 +168,7 @@ object Bench {
     // headline numbers (value = per-query-min composite + index_build;
     // best_rep_total = fastest whole run; cold_total = rep 1) must
     // survive truncation — `queries` is the big map and goes first.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"cold_queries":$cq,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"value":$total}""")
     spark.stop()
   }
 }

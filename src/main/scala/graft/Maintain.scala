@@ -68,14 +68,36 @@ object Maintain {
   }
 
   /** Drive the full cycle against a scratch COPY of `srcDir`'s
-    * corpus; returns one report per family.
+    * corpus; returns one report per family. All scratch state (the
+    * corpus copy, ~13 delta/checkpoint dirs) is deleted on the way
+    * out — a maintenance exercise that leaves a corpus-sized copy
+    * per invocation accumulates unbounded /tmp state under any
+    * repeated cadence (round-12 ADVICE).
     */
   def run(spark: SparkSession, srcDir: String): Seq[Report] = {
-    val s = spark
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+    try runInScratch(spark, srcDir, scratch)
+    finally scratch.foreach(deleteTree)
+  }
 
+  /** Best-effort recursive delete (cleanup must never mask the
+    * cycle's own failure).
+    */
+  private def deleteTree(d: String): Unit =
+    try {
+      val root = Paths.get(d)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  private def runInScratch(spark: SparkSession, srcDir: String,
+      scratch: scala.collection.mutable.ArrayBuffer[String]): Seq[Report] = {
     val dir = Files.createTempDirectory("graft-maintain-corpus").toString
+    scratch += dir
     // RECURSIVE copy with the walk stream closed (round-12 review): a
     // flat Files.list copy leaks the directory handle and copies a
     // directory-valued table (the Spark-written .parquet layout every
@@ -88,8 +110,36 @@ object Maintain {
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t)
     } finally walk.close()
-    def tmp(prefix: String): String =
-      Files.createTempDirectory(s"graft-maintain-$prefix").toString
+    // durable snapshots/artifacts the cycle builds FOR the scratch
+    // corpus land as `<snapshotPath(dir)><suffix>` siblings under the
+    // artifact root (keyed by the unique temp name, so they can serve
+    // no one after this run) — register whatever actually got built,
+    // exception path included, by listing the prefix family at exit.
+    def registerArtifactSiblings(): Unit = {
+      val stem = Paths.get(graft.sources.IndexBuilder.snapshotPath(dir))
+      val root = stem.getParent
+      val prefix = stem.getFileName.toString
+      if (root != null && Files.isDirectory(root)) {
+        val ls = Files.list(root)
+        try ls.forEach { p =>
+          if (p.getFileName.toString.startsWith(prefix)) scratch += p.toString
+        } finally ls.close()
+      }
+    }
+    try runFamilies(spark, dir, scratch)
+    finally registerArtifactSiblings()
+  }
+
+  private def runFamilies(spark: SparkSession, dir: String,
+      scratch: scala.collection.mutable.ArrayBuffer[String]): Seq[Report] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(prefix: String): String = {
+      val d = Files.createTempDirectory(s"graft-maintain-$prefix").toString
+      scratch += d
+      d
+    }
 
     // ---- batch generators: batch 3 (the LATE one) carries a NEW
     // source and fresh ids so every family's serving view must move.

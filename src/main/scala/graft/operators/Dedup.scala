@@ -1061,6 +1061,17 @@ object Dedup {
     * empty fragments dropped from the query, and the surviving
     * parameters SORTED so parameter order never splits an identity.
     *
+    * The scheme (and a protocol-relative `//`) is OPTIONAL in the
+    * host extraction, so the canonicalizer is IDEMPOTENT over its own
+    * scheme-less output — a frontier that re-normalizes stored
+    * canonical keys must hit a fixed point, not re-split identities
+    * (round-12 ADVICE: the anchored `^[a-zA-Z]+://` made every
+    * scheme-less URL — including this function's own output —
+    * normalize to `''`, silently MERGING all of them into one
+    * identity group). A URL with no extractable host (none at all,
+    * or nothing left after `www.`/default-port stripping) has no
+    * crawl identity and is DROPPED, never merged.
+    *
     * Scale posture: every step is a codegen'd row-local
     * regexp/array function — one scan, one projection, no generator,
     * no shuffle before the consumer's aggregation. The 100 TB cost
@@ -1068,17 +1079,26 @@ object Dedup {
     */
   def urlNormalizedOf(urls: DataFrame): DataFrame = {
     val nf = regexp_replace(col("url"), "#.*$", "")
+    // the scheme is STRIPPED first (anchored replace), not matched
+    // optionally inside the host extraction: an optional
+    // `(?:scheme://)?` group BACKTRACKS on an empty-host URL
+    // (`https://`, `https://?x=1`) and captures `https:` as the
+    // host; and it must only fire together with its `//`, else a
+    // scheme-less `host:port/x` parses `host:` as a scheme and the
+    // port becomes the host — both breaking the idempotence the
+    // optional scheme exists to guarantee.
+    val stripped = regexp_replace(nf, "^(?:[a-zA-Z]+:)?//", "")
     val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(nf, "^[a-zA-Z]+://([^/?]+)", 1)),
+      lower(regexp_extract(stripped, "^([^/?#]+)", 1)),
       "^www\\.", ""), ":(443|80)$", "")
-    val pathq = regexp_extract(nf, "^[a-zA-Z]+://[^/?]+(.*)$", 1)
+    val pathq = regexp_extract(stripped, "^[^/?#]+(.*)$", 1)
     val path = regexp_replace(regexp_replace(
       regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"), "/+$", "")
     val qs = array_join(array_sort(filter(
       split(regexp_extract(pathq, "\\?(.*)$", 1), "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))), "&")
     urls
-      .where(col("url").isNotNull)
+      .where(col("url").isNotNull && host =!= "")
       .select(col("doc_id"), col("url"),
         concat(host, path,
           when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))

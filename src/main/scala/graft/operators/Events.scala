@@ -76,6 +76,25 @@ object Events {
     when(!isnan(c) && abs(c) < lit(MaxCentsValue),
       round(c * 100, 0).cast("long"))
 
+  /** Driver-side scalar twin of [[cents]] for TYPED streaming state
+    * (the sessionizer's +Long accumulator cannot evaluate a Column):
+    * the same HALF_UP away-from-zero rounding Spark's `round` codegen
+    * performs (`java.math.BigDecimal.valueOf(v*100).setScale(0,
+    * HALF_UP)`) — `math.round` is half-up toward +Infinity and
+    * diverged from the batch contract on negative exact half-cents
+    * (-0.125 -> -12 where batch says -13; round-12 ADVICE). Junk
+    * (null / non-finite / beyond [[MaxCentsValue]]) is ZERO cents
+    * here where the Column twin yields SQL NULL: typed Long state
+    * cannot express null — the one documented divergence, visible
+    * only on an all-junk session. `EventStreamSpec` pins scalar ==
+    * Column equality over a sign/half-cent/random grid.
+    */
+  private[graft] def centsScalar(v: java.lang.Double): Long =
+    if (v == null || !java.lang.Double.isFinite(v) ||
+      math.abs(v) >= MaxCentsValue) 0L
+    else java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   /** Adaptive events scan: the corpus has shipped `ts` both as
     * TIMESTAMP(NANOS) parquet (read as bigint nanos under the
     * session's `nanosAsLong`) and as TIMESTAMP(MICROS) (read as

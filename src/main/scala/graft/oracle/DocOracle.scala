@@ -477,13 +477,17 @@ ORDER BY p.source_a, p.source_b"""
   unf AS (
     SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM urls
   ),
+  ustrip AS (
+    SELECT doc_id, url, regexp_replace(nf, '^(?:[a-zA-Z]+:)?//', '') AS st
+    FROM unf
+  ),
   uparts AS (
     SELECT doc_id, url,
       regexp_replace(regexp_replace(
-        lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?]+)', 1)),
+        lower(regexp_extract(st, '^([^/?#]+)', 1)),
         '^www\.', ''), ':(443|80)$', '') AS host,
-      regexp_extract(nf, '^[a-zA-Z]+://[^/?]+(.*)$', 1) AS pathq
-    FROM unf
+      regexp_extract(st, '^[^/?#]+(.*)$', 1) AS pathq
+    FROM ustrip
   ),
   unorm AS (
     SELECT doc_id, url,
@@ -498,6 +502,7 @@ ORDER BY p.source_a, p.source_b"""
           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
       FROM uparts
     )
+    WHERE host <> ''
   )"""
 
   /** Mirrors `Dedup.urlNormalize`. */

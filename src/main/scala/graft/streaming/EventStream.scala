@@ -151,20 +151,18 @@ object EventStream {
             state.remove()
             Iterator.single(Session(userId, s.startMs, s.endMs, s.nEvents, s.valueCents))
           } else {
-            // junk values (null / non-finite / beyond exact-cents
-            // Long range) contribute ZERO cents — the batch cents
-            // contract in +Long state form (an unguarded round
-            // saturates huge finites to Long.MaxValue and every later
-            // sum wraps negative — silent corruption, round-12
-            // review). Divergence note: an ALL-junk session reports
-            // 0 where the batch twin's sum-of-nulls reports NULL —
-            // the typed Long state cannot express null, documented.
-            def centsOf(e: Event): Long = {
-              val v = e.value
-              if (v == null || !java.lang.Double.isFinite(v) ||
-                math.abs(v) >= graft.operators.Events.MaxCentsValue) 0L
-              else math.round(v * 100)
-            }
+            // the shared batch/stream cents contract in +Long state
+            // form ([[graft.operators.Events.centsScalar]] — HALF_UP
+            // away from zero like Spark's round, junk-as-zero; an
+            // inline math.round here both saturated huge finites to
+            // Long.MaxValue, wrapping later sums negative, and
+            // rounded negative half-cents toward +Infinity, off the
+            // batch contract by one — round-12 review + ADVICE).
+            // Divergence note: an ALL-junk session reports 0 where
+            // the batch twin's sum-of-nulls reports NULL — the typed
+            // Long state cannot express null, documented.
+            def centsOf(e: Event): Long =
+              graft.operators.Events.centsScalar(e.value)
             // String.valueOf: a null event_type must order totally,
             // not NPE the sort comparator.
             val sorted = batch.toSeq.sortBy(e =>

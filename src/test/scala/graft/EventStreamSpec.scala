@@ -213,6 +213,27 @@ class EventStreamSpec extends SparkTestBase {
     }
     assert(batch == viaStreamTransform)
   }
+
+  test("scalar cents contract equals the batch Column contract on every admissible value") {
+    // round-12 ADVICE: the sessionizer's math.round rounded negative
+    // exact half-cents toward +Infinity (-0.125 -> -12) where the
+    // batch round(v*100, 0) is HALF_UP away from zero (-13). Pin
+    // scalar == Column over the sign/half-cent corners and a random
+    // grid; junk values (the Column's NULL rows) pin to scalar 0.
+    val corners = Seq(-0.125, 0.125, -0.115, 0.115, -0.005, 0.005,
+      -1.005, 1.005, 0.0, -0.0, 2.675, -2.675, 1e12 + 0.005, -(1e12 + 0.005))
+    val rnd = new scala.util.Random(7)
+    val randoms = Seq.fill(500)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(8)))
+    val vals = corners ++ randoms
+    val viaColumn = vals.toDF("v")
+      .select(expr("round(v * 100, 0)").cast("long")).as[Long].collect()
+    val viaScalar = vals.map(v => Events.centsScalar(v))
+    assert(viaScalar.toSeq === viaColumn.toSeq)
+    for (junk <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 1e17, -1e17, 9.3e16))
+      assert(Events.centsScalar(junk) === 0L, s"junk $junk")
+    assert(Events.centsScalar(null) === 0L)
+  }
 }
 
 object EventStreamSpec {

@@ -40,15 +40,39 @@ class UrlDedupSpec extends SparkTestBase {
       === "news.example.com/Articles/7?id=7")
     assert(norm("https://news.example.com/articles/7?utm_source=feed")
       === "news.example.com/articles/7")
+    // scheme-less and protocol-relative forms carry the same identity
+    // (the canonicalizer's own output is scheme-less — round-12
+    // ADVICE: these normalized to '' and MERGED)
+    assert(norm("news.example.com/articles/7?id=7") === canonical)
+    assert(norm("//news.example.com/articles/7?id=7") === canonical)
+    assert(norm("WWW.News.Example.com:443/articles/7?id=7") === canonical)
+    // a scheme-less host keeps its non-default port as identity
+    assert(norm("localhost:8080/x") === "localhost:8080/x")
+  }
+
+  test("URLs with no extractable host are dropped, never merged") {
+    import org.apache.spark.sql.functions.lit
+    val malformed = Seq((1L, "/path/only"), (2L, "?id=7"), (3L, "https://"),
+      (4L, "www.:443/x"), (5L, "#frag"), (6L, ""))
+      .toDF("doc_id", "url")
+    assert(Dedup.urlNormalizedOf(malformed).count() === 0L)
+    // mixed with a valid row, only the valid identity survives —
+    // the malformed rows form NO shared '' group.
+    val mixed = malformed.union(Seq((7L, "https://a.example.com/x")).toDF("doc_id", "url"))
+    val out = Dedup.urlNormalizedOf(mixed).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(7L))
+    assert(out.head.getString(2) === "a.example.com/x")
+    assert(Dedup.urlNormalizedOf(mixed.withColumn("url", lit(null: String))).count() === 0L)
   }
 
   test("canonicalization is idempotent over randomized crawl-noise URLs") {
     // a canonicalizer that moves an already-canonical URL re-splits
     // identities on every re-crawl cycle; idempotence is the
     // frontier's convergence guarantee. Property: re-normalizing the
-    // canonical form (re-prefixed with any scheme, since norm drops
-    // it) is a fixed point — over a generator that composes every
-    // noise axis randomly.
+    // canonical form AS EMITTED (scheme-less — no re-prefixing; the
+    // round-12 ADVICE hole was exactly that the function was not a
+    // fixed point over its own output) — over a generator that
+    // composes every noise axis randomly.
     val rnd = new scala.util.Random(42)
     val urls = (1 to 200).map { _ =>
       val scheme = Seq("https://", "HTTP://", "hTTps://")(rnd.nextInt(3))
@@ -68,7 +92,7 @@ class UrlDedupSpec extends SparkTestBase {
         urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
       .select("doc_id", "url_norm").collect().map(r => (r.getLong(0), r.getString(1)))
     val twice = Dedup.urlNormalizedOf(
-        once.map { case (i, n) => (i, "https://" + n) }.toSeq.toDF("doc_id", "url"))
+        once.map { case (i, n) => (i, n) }.toSeq.toDF("doc_id", "url"))
       .select("doc_id", "url_norm").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(twice.sorted.toSeq === once.sorted.toSeq)
   }
