@@ -51,6 +51,16 @@ import graft.sources.DfCache
   */
 object Bpe {
 
+  /** Semantics key for the trained tokenizer artifacts (merges,
+    * vocab, segments — round-13 gate): any bytecode change to the
+    * trainer or the segmenter auto-invalidates, so a changed merge
+    * budget or pre-tokenization rule can never serve a stale
+    * tokenizer under an unchanged documents fingerprint.
+    */
+  private lazy val semKey: String = graft.sources.Artifacts
+    .classFingerprint(Bpe.getClass, graft.functions.SegmentFns.getClass,
+      graft.functions.Tokenize.getClass)
+
   /** Default trained merge count. Real vocabs train 10^4-10^5 merges;
     * 12 keeps the unrolled oracle CTE chain readable while exercising
     * multi-generation merges (merged symbols re-merging — the spec's
@@ -207,11 +217,13 @@ object Bpe {
       n: Int = Merges): (DataFrame, DataFrame) = {
     val src = Seq(s"$dir/documents.parquet")
     lazy val fresh = train(spark, docs(spark, dir), n)
-    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src) {
-      fresh._1.write.mode("overwrite").parquet(mergesPath(dir, n))
+    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src,
+        semKey) { t =>
+      fresh._1.write.mode("overwrite").parquet(t)
     }
-    val v = graft.sources.Artifacts.loadOrBuild(spark, vocabPath(dir, n), src) {
-      tokCounts(fresh._2).write.mode("overwrite").parquet(vocabPath(dir, n))
+    val v = graft.sources.Artifacts.loadOrBuild(spark, vocabPath(dir, n), src,
+        semKey) { t =>
+      tokCounts(fresh._2).write.mode("overwrite").parquet(t)
     }
     (m, v)
   }
@@ -601,11 +613,13 @@ object Bpe {
       n: Int = ProdMerges): (DataFrame, DataFrame) = {
     val src = Seq(s"$dir/documents.parquet")
     lazy val fresh = trainFast(spark, docs(spark, dir), n)
-    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src) {
-      fresh._1.write.mode("overwrite").parquet(mergesPath(dir, n))
+    val m = graft.sources.Artifacts.loadOrBuild(spark, mergesPath(dir, n), src,
+        semKey) { t =>
+      fresh._1.write.mode("overwrite").parquet(t)
     }
-    val s = graft.sources.Artifacts.loadOrBuild(spark, segmentsPath(dir, n), src) {
-      fresh._2.write.mode("overwrite").parquet(segmentsPath(dir, n))
+    val s = graft.sources.Artifacts.loadOrBuild(spark, segmentsPath(dir, n), src,
+        semKey) { t =>
+      fresh._2.write.mode("overwrite").parquet(t)
     }
     (m, s)
   }

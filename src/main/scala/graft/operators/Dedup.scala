@@ -32,6 +32,16 @@ import graft.sources.DfCache
   */
 object Dedup {
 
+  /** Semantics key for the durable signature/cluster artifacts
+    * (round-13 gate): any bytecode change to the dedup operators or
+    * the tokenizer (shingles derive from cleaned text)
+    * auto-invalidates — a changed band count, seed rule, or keeper
+    * policy can never serve a stale artifact under an unchanged
+    * documents fingerprint.
+    */
+  private lazy val semKey: String = graft.sources.Artifacts
+    .classFingerprint(Dedup.getClass, Tokenize.getClass)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -335,9 +345,9 @@ object Dedup {
   def loadOrBuildSignatures(spark: SparkSession, dir: String,
       numSeeds: Int = 8): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, signaturePath(dir, numSeeds),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       bands(spark, dir, numSeeds).write.mode("overwrite")
-        .parquet(signaturePath(dir, numSeeds))
+        .parquet(t)
     }
 
   /** Incremental near-dup dedup — the production crawl shape: a
@@ -588,9 +598,9 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, docClustersPath(dir),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       clustersFromPairsStar(minhashLsh(spark, dir).select("doc_x", "doc_y"))
-        .write.mode("overwrite").parquet(docClustersPath(dir))
+        .write.mode("overwrite").parquet(t)
     }.orderBy("doc_id")
 
   /** The label-propagation twin of [[clusters]] — O(diameter) rounds,

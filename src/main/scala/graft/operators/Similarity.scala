@@ -689,9 +689,22 @@ object Similarity {
   private def annArtifact(spark: SparkSession, dir: String, path: String)
       (build: => DataFrame): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, path,
-      Seq(s"$dir/embeddings.parquet")) {
-      build.write.mode("overwrite").parquet(path)
+      Seq(s"$dir/embeddings.parquet"), semKey) { t =>
+      build.write.mode("overwrite").parquet(t)
     }
+
+  /** Semantics key for every embeddings-derived durable artifact
+    * (round-13 gate): any bytecode change to the similarity
+    * operators or the vector math — the exact class round 12's
+    * FormatVersion 2→3 near-miss sat in (ingest-door admission +
+    * Lloyd seeding changed artifact CONTENT under an unchanged
+    * embeddings fingerprint) — now auto-invalidates. Clustering
+    * resolution code ([[Dedup]]) is part of the emb-clusters
+    * artifact's computation and is included.
+    */
+  private lazy val semKey: String = graft.sources.Artifacts
+    .classFingerprint(Similarity.getClass, VectorMath.getClass,
+      Dedup.getClass)
 
   /** Corpus-scaled codebook size: `k(n) = clamp(8, 65536,
     * floor(sqrt(n)))` — the `shardPackingOf` ~sqrt(N) sizing

@@ -26,6 +26,16 @@ import graft.sources.DfCache
   */
 object TextAnalysis {
 
+  /** Semantics key for every documents-derived durable artifact this
+    * object builds (round-13 gate, replacing the manual FormatVersion
+    * convention): any bytecode change to the text operators or the
+    * tokenizer auto-invalidates — a changed window rule, stopword,
+    * or quality predicate can never serve a stale artifact under an
+    * unchanged documents fingerprint.
+    */
+  private lazy val semKey: String = graft.sources.Artifacts
+    .classFingerprint(TextAnalysis.getClass, Tokenize.getClass)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -165,7 +175,7 @@ object TextAnalysis {
     */
   def loadOrBuildQualityWeights(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, qualityWeightsPath(dir),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       val labels = qualityFlags(spark, dir)
         .select(col("doc_id"), col("quality_pass"))
       val dterms = docs(spark, dir)
@@ -182,7 +192,7 @@ object TextAnalysis {
         expr("(10000 * (sum(quality_pass) + 1)) div (count(1) + 2)").as("w"))
         .select(lit("").as("term"), col("w"))
       weights.unionByName(prior)
-        .write.mode("overwrite").parquet(qualityWeightsPath(dir))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** Score an arbitrary documents frame under a TRAINED weight table
@@ -530,10 +540,10 @@ object TextAnalysis {
     */
   def loadOrBuildPositionalIndex(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, positionalIndexPath(dir),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       positionalPostings(docs(spark, dir))
         .repartition(col("term"))
-        .write.mode("overwrite").parquet(positionalIndexPath(dir))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** The conventional delta location beside the durable positional
@@ -1065,10 +1075,10 @@ object TextAnalysis {
   def loadOrBuildWinnowSketch(spark: SparkSession, dir: String,
       k: Int = 4, w: Int = 5): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, winnowSketchPath(dir, k, w),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       winnowOf(docs(spark, dir), k, w)
         .select("doc_id", "fp").distinct()
-        .write.mode("overwrite").parquet(winnowSketchPath(dir, k, w))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** Incremental crawl screening against an EXISTING corpus sketch:
@@ -1269,10 +1279,10 @@ object TextAnalysis {
     */
   def loadOrBuildDocLengths(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, docLengthsPath(dir),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       positionalPostings(docs(spark, dir))
         .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(docLengthsPath(dir))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** Doc lengths of the LIVE corpus: the durable artifact plus
@@ -1855,9 +1865,9 @@ object TextAnalysis {
     */
   def loadOrBuildLineCounts(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, lineCountsPath(dir),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       lineCountsOf(pagedOf(docs(spark, dir)))
-        .write.mode("overwrite").parquet(lineCountsPath(dir))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** Artifact-served removal twin (the `bm25TopKIndexed` convention):
@@ -1889,8 +1899,8 @@ object TextAnalysis {
   def loadOrBuildBucketSketch(spark: SparkSession, dir: String,
       buckets: Int = 4096): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, bucketSketchPath(dir, buckets),
-      Seq(s"$dir/documents.parquet")) {
+      Seq(s"$dir/documents.parquet"), semKey) { t =>
       bucketTotalsOf(docs(spark, dir), buckets).write.mode("overwrite")
-        .parquet(bucketSketchPath(dir, buckets))
+        .parquet(t)
     }
 }

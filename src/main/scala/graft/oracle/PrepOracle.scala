@@ -207,7 +207,7 @@ FROM cum ORDER BY doc_id"""
       n: Int = graft.operators.Bpe.ProdMerges): String =
     s"""WITH bvocab AS (
     SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
-    FROM read_parquet('${graft.operators.Bpe.segmentsPath(dir, n)}/*.parquet')
+    FROM read_parquet('${graft.sources.Artifacts.servedPathLocal(graft.operators.Bpe.segmentsPath(dir, n))}/*.parquet')
   ),
   bdocw AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word

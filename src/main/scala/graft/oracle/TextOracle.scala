@@ -560,7 +560,7 @@ ORDER BY doc_id, wpos, spos"""
   def bpeTokenIdsProdSql(dir: String,
       n: Int = graft.operators.Bpe.ProdMerges, docMod: Int = 25): String =
     s"""WITH bsegs AS (
-    SELECT word, syms FROM read_parquet('${graft.operators.Bpe.segmentsPath(dir, n)}/*.parquet')
+    SELECT word, syms FROM read_parquet('${graft.sources.Artifacts.servedPathLocal(graft.operators.Bpe.segmentsPath(dir, n))}/*.parquet')
   ),
   bids AS (
     SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS tok_id

@@ -37,21 +37,18 @@ import graft.functions.Tokenize
   */
 object IndexBuilder {
 
-  /** Bump when index/artifact semantics change (tokenizer, catalog,
-    * layout, any artifact's build rule) — invalidates existing
-    * snapshots AND every companion artifact keyed off
-    * [[snapshotPath]]'s fingerprint.
-    *
-    * 2 -> 3 (round 12): the vector ingest-door admission (junk +
-    * zero-norm vectors dropped at `Similarity.quantized`) and the
-    * rank-based Lloyd seeding changed what durable ANN artifacts
-    * CONTAIN on non-dense-id / junk-bearing corpora. The content
-    * fingerprint gates only on the embeddings SOURCE, which did not
-    * change — without the bump, a deployment dir would keep serving
-    * the stale pre-admission codebook/cells forever (bit-identical
-    * only on clean dense-id corpora).
+  /** Semantics fingerprint of the snapshot's generating computation
+    * (round-13, replacing the manual `FormatVersion` bump whose
+    * failure mode round 12 proved: a seeding/admission change altered
+    * artifact CONTENT under an unchanged source fingerprint, and only
+    * a self-review remembered the bump). Any bytecode change to the
+    * index build rule ([[IndexBuilder]]), the tokenizer
+    * ([[Tokenize]]) or the catalog ([[Corpus]]) now auto-invalidates
+    * every snapshot AND — via the snapshot's content listing —
+    * every companion artifact keyed off [[snapshotPath]].
     */
-  private val FormatVersion = 3
+  private[graft] lazy val semKey: String = Artifacts.classFingerprint(
+    IndexBuilder.getClass, Tokenize.getClass, Corpus.getClass)
 
   /** Unpivot rows of one catalog table to the raw wire format
     * `(raw, table_id, column_id, row_id)`. Public so streaming
@@ -91,22 +88,50 @@ object IndexBuilder {
     postingsFromRaw(
       Corpus.tables.map(unpivot(spark, dir, _)).reduce(_ unionByName _))
 
-  /** Snapshot location for a corpus dir: keyed by corpus name and a
-    * fingerprint of (format version, catalog, stopword list) so a
-    * semantic change invalidates stale snapshots.
+  /** Snapshot ROOT for a corpus dir: keyed by corpus name and a
+    * fingerprint of (catalog, stopword list) for name-spacing.
+    * Semantic invalidation does NOT live in the path anymore — the
+    * versioned gate ([[Artifacts.loadOrBuildWith]]) stamps
+    * ([[semKey]], corpus-content) per version under this root, so a
+    * code change rebuilds IN PLACE (`v=N+1`) instead of abandoning a
+    * dir per change, and a corpus rewrite at the same path (which
+    * the old `_SUCCESS`-existence probe could never see) also
+    * invalidates.
     */
   def snapshotPath(dir: String): String = {
     val fp = scala.util.hashing.MurmurHash3.stringHash(
-      FormatVersion.toString + Corpus.tables.toString + Tokenize.Stopwords.toString)
+      Corpus.tables.toString + Tokenize.Stopwords.toString)
     val name = new java.io.File(dir).getName
     val base = sys.env.getOrElse(
       "GRAFT_INDEX_DIR", s"${sys.props("user.dir")}/target/graft-index")
     s"$base/$name-${fp.toHexString}"
   }
 
-  /** S9: write the index snapshot, hash-clustered by `key`. */
+  /** The corpus table datasets a snapshot derives from — the gate's
+    * upstream fingerprint set.
+    */
+  private def corpusPaths(dir: String): Seq[String] =
+    Corpus.tables.map(t => s"$dir/${t.name}.parquet")
+
+  /** S9: write the index snapshot, hash-clustered by `key`, as the
+    * next served version under [[snapshotPath]] (atomic swap — a
+    * reader holding the previous version keeps its files for one
+    * rebuild interval).
+    */
   def writeSnapshot(spark: SparkSession, dir: String): String =
-    writeSnapshotAs(build(spark, dir), snapshotPath(dir))
+    publishSnapshot(spark, dir, build(spark, dir))
+
+  /** Publish externally-produced postings (a streaming compaction's
+    * base+delta fold, a pruning swap) as the next served version of
+    * the snapshot. Stamped with the CURRENT (semantics, corpus)
+    * fingerprint: the gate serves it until the corpus or the build
+    * code actually move — the versioned-layout form of the old
+    * "overwrite the snapshot path in place".
+    */
+  def publishSnapshot(spark: SparkSession, dir: String,
+      postings: DataFrame): String =
+    Artifacts.publish(spark, snapshotPath(dir), corpusPaths(dir), semKey)(
+      t => writeSnapshotAs(postings, t))
 
   /** The snapshot's physical form, for any postings source: one
     * hash-cluster shuffle on `key` (matching keys co-locate in few
@@ -122,19 +147,17 @@ object IndexBuilder {
     path
   }
 
-  /** S8: load the snapshot if present, else build + write + load.
-    * Mirrors the reference's read-with-fallback (`Par_Search.py:92-99`).
-    * Success probe goes through the Hadoop FileSystem of the session's
-    * config — `java.io.File` would be local-FS-only and always miss on
-    * S3/HDFS (VERDICT r2 "What's wrong" #5).
+  /** S8: load the snapshot if a FRESH version exists, else build +
+    * publish + load. Mirrors the reference's read-with-fallback
+    * (`Par_Search.py:92-99`), upgraded twice since: Hadoop-FS probing
+    * (VERDICT r2 — `java.io.File` is local-only), and in round 13 the
+    * full versioned gate — the old `_SUCCESS`-existence probe could
+    * never see a corpus rewritten at the same path OR a changed build
+    * rule, and served the stale snapshot forever.
     */
-  def loadOrSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val path = snapshotPath(dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.isFile(marker)) writeSnapshot(spark, dir)
-    spark.read.parquet(path)
-  }
+  def loadOrSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.loadOrBuild(spark, snapshotPath(dir), corpusPaths(dir), semKey)(
+      t => writeSnapshotAs(build(spark, dir), t))
 
   /** The lake-layout snapshot's location, beside the merged one
     * (shares its fingerprint, so semantic changes invalidate both).
@@ -155,7 +178,8 @@ object IndexBuilder {
     * dataset and the "index" federates them.
     */
   def writePartitionedSnapshot(spark: SparkSession, dir: String): String =
-    writePartitionedSnapshotAs(build(spark, dir), partitionedSnapshotPath(dir))
+    Artifacts.publish(spark, partitionedSnapshotPath(dir), corpusPaths(dir),
+      semKey)(t => writePartitionedSnapshotAs(build(spark, dir), t))
 
   /** The lake layout for ANY postings source (the
     * [[writeSnapshotAs]] twin): hive-partitioned by `table_id`,
@@ -175,22 +199,21 @@ object IndexBuilder {
     * partition column — same name, same int values, so every
     * downstream operator (all column-name-addressed) is layout-blind.
     */
-  def loadOrSnapshotPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val path = partitionedSnapshotPath(dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.isFile(marker)) writePartitionedSnapshot(spark, dir)
-    // EXPLICIT schema (data columns in file order, the partition
-    // column last — the inferred layout): a partitionBy write of an
-    // EMPTY postings frame emits `_SUCCESS` and no files at all, so
-    // schema inference fails and a day-one/empty deployment crashed
-    // every partition-pruned search (found by DegenerateLakeSpec).
-    // With the schema supplied the empty dir reads as an empty frame;
-    // a populated dir reads identically to inference.
-    spark.read.schema(
-        "key string, column_id int, row_id bigint, table_id int")
-      .parquet(path)
-  }
+  def loadOrSnapshotPartitioned(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.loadOrBuildWith(spark, partitionedSnapshotPath(dir),
+      corpusPaths(dir), semKey)(
+      t => writePartitionedSnapshotAs(build(spark, dir), t)) { p =>
+      // EXPLICIT schema (data columns in file order, the partition
+      // column last — the inferred layout): a partitionBy write of an
+      // EMPTY postings frame emits `_SUCCESS` and no files at all, so
+      // schema inference fails and a day-one/empty deployment crashed
+      // every partition-pruned search (found by DegenerateLakeSpec).
+      // With the schema supplied the empty dir reads as an empty
+      // frame; a populated dir reads identically to inference.
+      spark.read.schema(
+          "key string, column_id int, row_id bigint, table_id int")
+        .parquet(p)
+    }
 
   /** S9 at cluster scale: the bucketed form of the snapshot. Writes
     * the index `bucketBy(numBuckets, "key")` as a catalog table, so
@@ -218,8 +241,13 @@ object IndexBuilder {
     * re-pay the scan.
     */
   def cached(spark: SparkSession, dir: String): DataFrame =
+    // registered against the snapshot root AND the corpus tables: the
+    // snapshot gate invalidates derived lineages by its UPSTREAM set
+    // (the corpus paths) when it rebuilds, so a corpus rewritten
+    // in-session must drop this entry too — its lineage points at the
+    // superseded version dir.
     DfCache.getOrPersist(spark, s"index:$dir",
-      Seq(snapshotPath(dir)))(loadOrSnapshot(spark, dir))
+      snapshotPath(dir) +: corpusPaths(dir))(loadOrSnapshot(spark, dir))
 
   /** The key-stats artifact's location, beside the snapshot (shares
     * its fingerprint, so semantic changes invalidate both together).
@@ -245,10 +273,10 @@ object IndexBuilder {
     * automatically, not just the fingerprinted semantic changes.
     */
   def loadOrBuildKeyStats(spark: SparkSession, dir: String): DataFrame =
-    loadOrBuildArtifact(spark, dir, keyStatsPath(dir)) {
+    loadOrBuildArtifact(spark, dir, keyStatsPath(dir),
+      Artifacts.classFingerprint(IndexBuilder.getClass)) { t =>
       writeSnapshotAs(
-        cached(spark, dir).groupBy("key").agg(count(lit(1)).as("kdf")),
-        keyStatsPath(dir))
+        cached(spark, dir).groupBy("key").agg(count(lit(1)).as("kdf")), t)
     }
 
   /** The table-sketch artifact's location, beside the snapshot (same
@@ -267,20 +295,25 @@ object IndexBuilder {
     * of rows read in one footprint.
     */
   def loadOrBuildTableSketch(spark: SparkSession, dir: String): DataFrame =
-    loadOrBuildArtifact(spark, dir, tableSketchPath(dir)) {
+    loadOrBuildArtifact(spark, dir, tableSketchPath(dir),
+      Artifacts.classFingerprint(
+        IndexBuilder.getClass, graft.operators.JoinSearch.getClass)) { t =>
       graft.operators.JoinSearch.tableKeySketch(cached(spark, dir))
-        .write.mode("overwrite").parquet(tableSketchPath(dir))
+        .write.mode("overwrite").parquet(t)
     }
 
   /** Shared staleness gate for snapshot-companion artifacts: rebuild
     * whenever the snapshot's content listing changed since the
     * artifact was stamped — a compaction or forced re-snapshot at the
-    * same path invalidates companions automatically, not just the
-    * fingerprinted semantic changes. Content-fingerprinted
+    * same root invalidates companions automatically (the snapshot's
+    * own tokenizer/catalog semantics cascade the same way: a code
+    * change rebuilds the snapshot, whose fresh listing invalidates
+    * every companion). `semantics` therefore only needs the code
+    * that maps SNAPSHOT -> ARTIFACT. Content-fingerprinted
     * ([[Artifacts]]), not mtime-compared: a rewrite landing within
     * one coarse mtime tick still invalidates (round-7 ADVICE).
     */
   private def loadOrBuildArtifact(spark: SparkSession, dir: String,
-      path: String)(build: => Unit): DataFrame =
-    Artifacts.loadOrBuild(spark, path, Seq(snapshotPath(dir)))(build)
+      path: String, semantics: String)(build: String => Unit): DataFrame =
+    Artifacts.loadOrBuild(spark, path, Seq(snapshotPath(dir)), semantics)(build)
 }

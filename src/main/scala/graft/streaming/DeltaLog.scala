@@ -3,6 +3,16 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+/** A second maintainer is running against the same delta dir — the
+  * one-compactor-per-dir contract would be violated, so the late
+  * arrival REFUSES loudly instead of interleaving fold decisions
+  * with the holder's deferred deletes (round-12 verdict #3: the
+  * no-overwrite manifest rename is collision DETECTION, not mutual
+  * exclusion).
+  */
+final class ConcurrentMaintenanceException(msg: String)
+  extends RuntimeException(msg)
+
 /** ONE transaction-log-style manifest convention for every delta
   * family (index postings, positional index, source histograms, term
   * sketch, vector deltas — five writers, two compactors, round-10
@@ -137,10 +147,11 @@ object DeltaLog {
     * next version would have the later rename overwrite the earlier
     * one on a POSIX rename, silently un-committing a landed batch
     * (round-10 self-review; the loss the listing convention could
-    * not have). Cross-JVM concurrent maintenance of one delta dir
-    * remains out of contract — but [[publish]]'s no-overwrite rename
-    * now fails LOUDLY there instead of silently replacing a
-    * committed version.
+    * not have). Cross-JVM concurrent maintenance of one delta dir is
+    * now ENFORCED, not just documented: [[compactLive]] holds the
+    * dir-level [[leasePath]] lease (round-13), and [[publish]]'s
+    * no-overwrite rename remains the last-line collision detector
+    * beneath it.
     */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
@@ -252,6 +263,116 @@ object DeltaLog {
       .filter(_.startsWith(prefix))
       .map(n => s"$deltaDir/$n")
 
+  // ---------------------------------------------------------------
+  // dir-level maintenance lease (round-12 verdict #3): the JVM-wide
+  // publish mutex protects one process; two JVMs compacting the same
+  // dir relied on the no-overwrite rename to fail loudly — which is
+  // collision detection at the PUBLISH, not mutual exclusion over
+  // the whole fold: a second maintainer could interleave its fold
+  // decisions with the first's deferred deletes. The lease makes the
+  // contract enforced: [[compactLive]] acquires before reading the
+  // manifest and releases after the swap; a concurrent holder means
+  // a loud [[ConcurrentMaintenanceException]], never interleaving.
+  // ---------------------------------------------------------------
+
+  /** This process's lease identity. */
+  private val OwnerId =
+    s"${java.lang.ProcessHandle.current.pid}@${java.util.UUID.randomUUID}"
+
+  /** Stale-lease takeover bound: a holder that has not re-acquired
+    * within the TTL is presumed crashed (a fold is seconds; 15 min is
+    * orders of magnitude past any healthy hold). Env-overridable for
+    * unusual deployments.
+    */
+  private[graft] val LeaseTtlMs: Long =
+    sys.env.get("GRAFT_MAINT_LEASE_TTL_MS").map(_.toLong).getOrElse(900000L)
+
+  def leasePath(deltaDir: String): String = s"${manifestDir(deltaDir)}/_lease"
+
+  /** Acquire the dir-level maintenance lease via no-overwrite rename
+    * (the manifest-publish primitive — atomic create on local FS and
+    * HDFS). Held lease: [[ConcurrentMaintenanceException]]. A lease
+    * older than `ttlMs` (by FS modification time) is taken over —
+    * crashed maintainers must not freeze a family forever. Takes a
+    * bare Hadoop Configuration so a probe process needs no Spark.
+    */
+  private[graft] def acquireLease(conf: org.apache.hadoop.conf.Configuration,
+      deltaDir: String, ttlMs: Long = LeaseTtlMs,
+      owner: String = OwnerId): Unit = {
+    val lease = new Path(leasePath(deltaDir))
+    val mdir = lease.getParent
+    val fs = mdir.getFileSystem(conf)
+    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(mdir.toUri, conf)
+    fs.mkdirs(mdir)
+    var takeovers = 0
+    while (true) {
+      val tmp = new Path(mdir, s".lease-tmp-${java.util.UUID.randomUUID}")
+      val out = fctx.create(tmp, java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(owner.getBytes("UTF-8")) finally out.close()
+      val acquired =
+        try {
+          fctx.rename(tmp, lease, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            false
+        }
+      if (acquired) return
+      fctx.delete(tmp, false)
+      val holder =
+        try {
+          val st = fs.getFileStatus(lease)
+          val in = fs.open(lease)
+          val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          Some((who, System.currentTimeMillis() - st.getModificationTime))
+        } catch { // released between rename and stat: retry the create
+          case _: java.io.FileNotFoundException => None
+        }
+      holder match {
+        case None => ()
+        case Some((who, age)) if age > ttlMs =>
+          takeovers += 1
+          require(takeovers <= 3,
+            s"lease takeover livelock at $deltaDir (holder $who)")
+          fs.delete(lease, false) // stale: presumed crashed; take over
+        case Some((who, age)) =>
+          throw new ConcurrentMaintenanceException(
+            s"delta dir $deltaDir is being maintained by $who " +
+              s"(lease age ${age}ms < ttl ${ttlMs}ms) — one maintainer " +
+              "per delta dir; if the holder crashed, the lease expires " +
+              s"after the TTL or can be removed at ${leasePath(deltaDir)}")
+      }
+    }
+  }
+
+  /** Release the lease if THIS owner still holds it (a takeover may
+    * have transferred it — never delete another maintainer's lease).
+    */
+  private[graft] def releaseLease(conf: org.apache.hadoop.conf.Configuration,
+      deltaDir: String, owner: String = OwnerId): Unit = {
+    val lease = new Path(leasePath(deltaDir))
+    val fs = lease.getFileSystem(conf)
+    try {
+      val in = fs.open(lease)
+      val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      if (who == owner) fs.delete(lease, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** Run `body` under the dir's maintenance lease. */
+  def withMaintenanceLease[T](spark: SparkSession, deltaDir: String)(
+      body: => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    acquireLease(conf, deltaDir)
+    try body finally releaseLease(conf, deltaDir)
+  }
+
   /** ONE in-dir compactor for every delta family (round-10): fold
     * the current manifest's live parts into a single
     * `compacted=<max live batch id>` consolidation, swap it in with
@@ -293,6 +414,14 @@ object DeltaLog {
     */
   def compactLive(spark: SparkSession, deltaDir: String,
       foldBelow: Long = Long.MaxValue)(
+      transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Int =
+    withMaintenanceLease(spark, deltaDir) {
+      compactLiveHeld(spark, deltaDir, foldBelow)(transform)
+    }
+
+  private def compactLiveHeld(spark: SparkSession, deltaDir: String,
+      foldBelow: Long)(
       transform: org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.DataFrame): Int = {
     val ddPath = new Path(deltaDir)

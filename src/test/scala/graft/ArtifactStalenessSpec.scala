@@ -28,9 +28,23 @@ class ArtifactStalenessSpec extends SparkTestBase {
     dir.toString
   }
 
-  private def partNames(path: String): Set[String] =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("part-")).toSet
+  private def partNames(path: String): Set[String] = {
+    // RECURSIVE (round-13 versioned artifact layout): parts live in
+    // `v=<n>/` subdirs; relative paths distinguish versions, so a
+    // rebuild into v=N+1 reads as a part-name change exactly like the
+    // old in-place overwrite did.
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) Set.empty
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val b = Set.newBuilder[String]
+        walk.forEach(p => if (p.getFileName.toString.startsWith("part-"))
+          b += root.relativize(p).toString)
+        b.result()
+      } finally walk.close()
+    }
+  }
 
   test("companion artifacts rebuild when the snapshot is rewritten") {
     val dir = isolatedCorpus()
@@ -149,7 +163,7 @@ class ArtifactStalenessSpec extends SparkTestBase {
     // getOrPersist call site).
     val pruned = IndexBuilder.cached(spark, dir)
       .where(col("table_id") % 2 === 0).localCheckpoint(true)
-    IndexBuilder.writeSnapshotAs(pruned, IndexBuilder.snapshotPath(dir))
+    IndexBuilder.publishSnapshot(spark, dir, pruned)
     // the rebuilt sketch must describe the swapped snapshot only — a
     // rebuild fed by the warm cache would re-emit odd table_ids under
     // the fresh fingerprint, and a stale sketch wrongly PRUNES tables

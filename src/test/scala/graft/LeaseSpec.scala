@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{ConcurrentMaintenanceException, DeltaLog}
+
+/** The dir-level maintenance lease (round-12 verdict #3): the
+  * one-compactor-per-delta-dir contract is ENFORCED, not documented.
+  * The cross-JVM half runs a REAL second JVM ([[graft.streaming
+  * .LeaseProbe]] — plain Hadoop FS, no Spark, so it starts in
+  * milliseconds) against a lease held by this test's JVM.
+  */
+class LeaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-lease").toString + "/delta"
+
+  test("a held lease refuses a second in-process maintainer; release frees it") {
+    val dd = tmp()
+    DeltaLog.acquireLease(conf, dd, owner = "maintainer-1")
+    val e = intercept[ConcurrentMaintenanceException] {
+      DeltaLog.acquireLease(conf, dd, owner = "maintainer-2")
+    }
+    assert(e.getMessage.contains("maintainer-1"))
+    DeltaLog.releaseLease(conf, dd, owner = "maintainer-1")
+    DeltaLog.acquireLease(conf, dd, owner = "maintainer-2")
+    DeltaLog.releaseLease(conf, dd, owner = "maintainer-2")
+  }
+
+  test("compactLive refuses while another maintainer holds the dir") {
+    val dd = tmp()
+    Seq((1L, 1L), (2L, 1L)).toDF("id", "v").write.parquet(s"$dd/batch=0")
+    DeltaLog.commit(spark, dd, "batch=0")
+    Seq((3L, 1L)).toDF("id", "v").write.parquet(s"$dd/batch=1")
+    DeltaLog.commit(spark, dd, "batch=1")
+    DeltaLog.acquireLease(conf, dd, owner = "other-jvm")
+    intercept[ConcurrentMaintenanceException] {
+      DeltaLog.compactLive(spark, dd)(_.distinct())
+    }
+    DeltaLog.releaseLease(conf, dd, owner = "other-jvm")
+    // freed: the fold proceeds and serves the same content
+    assert(DeltaLog.compactLive(spark, dd)(_.distinct()) === 2)
+    assert(spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("a stale lease (crashed maintainer) is taken over after the TTL") {
+    val dd = tmp()
+    DeltaLog.acquireLease(conf, dd, owner = "crashed")
+    // age the lease past the TTL (FS mtime is the staleness clock)
+    val lease = Paths.get(DeltaLog.leasePath(dd))
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "successor")
+    // the takeover replaced the holder; the crashed owner's release
+    // must NOT delete the successor's lease
+    DeltaLog.releaseLease(conf, dd, owner = "crashed")
+    intercept[ConcurrentMaintenanceException] {
+      DeltaLog.acquireLease(conf, dd, owner = "third")
+    }
+    DeltaLog.releaseLease(conf, dd, owner = "successor")
+  }
+
+  test("TWO REAL JVMS: a probe process is refused while held, acquires once released") {
+    val dd = tmp()
+    // minimal classpath: this repo's classes + the Spark jar dir
+    // (hadoop + slf4j live there). No Spark session starts in the
+    // probe, so the spawn is sub-second.
+    val cp = Seq(
+      s"${sys.props("user.dir")}/target/scala-2.13/classes",
+      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    def probe(): (Int, String) = {
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.streaming.LeaseProbe", dd)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(done, s"probe hung:\n$out")
+      (p.exitValue(), out)
+    }
+    DeltaLog.acquireLease(conf, dd, owner = "this-jvm")
+    val (rcHeld, outHeld) = probe()
+    assert(rcHeld === 2, s"probe should be refused while held:\n$outHeld")
+    assert(outHeld.contains("refused"))
+    DeltaLog.releaseLease(conf, dd, owner = "this-jvm")
+    val (rcFree, outFree) = probe()
+    assert(rcFree === 0, s"probe should acquire once released:\n$outFree")
+    // the probe released on its way out — the dir is free again
+    DeltaLog.acquireLease(conf, dd, owner = "this-jvm")
+    DeltaLog.releaseLease(conf, dd, owner = "this-jvm")
+  }
+}

@@ -9,13 +9,31 @@ package graft
   */
 class MaintainSpec extends SparkTestBase {
 
+  private def scratchDirs(): Set[String] = {
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val ls = java.nio.file.Files.list(tmp)
+    try {
+      val b = Set.newBuilder[String]
+      ls.forEach(p => if (p.getFileName.toString.startsWith("graft-maintain-"))
+        b += p.toString)
+      b.result()
+    } finally ls.close()
+  }
+
   test("one maintenance cycle holds every family's lifecycle contract") {
+    val before = scratchDirs()
     val reports = Maintain.run(spark, sf0001)
     assert(reports.size === 7)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, s"families violating the lifecycle contract:\n$bad")
     // folding really folded (3 landed batches each), not a no-op.
     assert(reports.forall(_.foldedParts === 3), reports)
+    // the cycle cleans up after itself (round-12 ADVICE: a corpus
+    // copy + ~13 delta/checkpoint dirs leaked per invocation — any
+    // repeated cadence accumulates unbounded /tmp state).
+    assert(scratchDirs() === before,
+      "maintenance scratch dirs leaked past the run")
   }
 
   test("the cycle holds over the DEGENERATE lake too") {
@@ -23,7 +41,7 @@ class MaintainSpec extends SparkTestBase {
     // rows in every base table — the DegenerateLakeSpec shapes): the
     // base artifacts the live views merge INTO must build, serve,
     // fold and stay bit-stable exactly as on a clean corpus.
-    val reports = Maintain.run(spark, DegenerateLakeSpec.writeMixedLake(spark))
+    val reports = Maintain.run(spark, DegenLake.writeMixedLake(spark))
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, s"families violating the contract on the junk corpus:\n$bad")
   }
