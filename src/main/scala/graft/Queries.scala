@@ -748,11 +748,20 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
         .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
           min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, count(*) AS n,
-CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events GROUP BY event_type ORDER BY event_type""")),
+      // `jk`: Spark's get_json_object is TOTAL over crawl-grade props
+      // (malformed JSON, JSON null, missing key, NULL column all ->
+      // SQL NULL); json_valid + TRY_CAST is the DuckDB spelling of
+      // the same contract (a bare json_extract THROWS on malformed
+      // input — found by the degenerate-lake hash gate, round 13).
+      Some("""WITH e AS (SELECT event_type,
+    CASE WHEN json_valid(props)
+      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS jk
+  FROM events)
+SELECT event_type, count(*) AS n,
+CAST(sum(jk) AS BIGINT) AS sum_k,
+CAST(min(jk) AS BIGINT) AS min_k,
+CAST(max(jk) AS BIGINT) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type""")),
     // Date/time scalar surface: month-bucketed rollup (o_orderdate is
     // a millis timestamp; session timezone UTC in both engines).
     Q("orders_monthly_rollup",
@@ -804,7 +813,11 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
           .select(col("d").cast("string").as("d"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
             coalesce(col("n_events"), lit(0L)).as("n_events"))
-          .orderBy("d")
+          // counts as tiebreakers: a full-outer join keeps each
+          // side's NULL-key rows SEPARATE, so "ORDER BY d" alone is
+          // not total when both sides carry one (degenerate lake) —
+          // an underdetermined sort hashes nondeterministically
+          .orderBy("d", "n_orders", "n_events")
       },
       Some("""SELECT CAST(d AS VARCHAR) AS d,
   coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events
@@ -812,7 +825,7 @@ FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
       FROM orders GROUP BY 1) o
 FULL OUTER JOIN (SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
       count(*) AS n_events FROM events GROUP BY 1) e USING (d)
-ORDER BY d""")),
+ORDER BY d, coalesce(n_orders, 0), coalesce(n_events, 0)""")),
     // Range join (§2.3 breadth): band each event's value by [lo, hi)
     // containment against a tiny bands dimension. The scale shape is
     // a broadcast nested-loop join — the big side never shuffles and

@@ -57,7 +57,7 @@ object TextQueries {
     // artifacts carry the identical cleaning chain.
     Q("text_bm25_topk_indexed",
       (s, dir) => TextAnalysis.bm25TopKIndexed(s, dir),
-      Some(TextOracle.bm25TopKSql())),
+      Some(TextOracle.bm25TopKIndexedSql())),
     // exact phrase over POSITIONAL postings, rarest-term-anchored
     // starts, row-local adjacency verify; the oracle checks by direct
     // list slicing — a deliberately different formulation.

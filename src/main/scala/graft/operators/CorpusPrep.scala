@@ -237,6 +237,11 @@ object CorpusPrep {
       .select(col("doc_id"),
         explode(array_distinct(expr(graft.functions.Tokenize.gramsSql("t", n))))
           .as("gram"))
+      // cross-row SET union per doc identity (the Dedup.shinglesOf
+      // contract, round-13 degenerate hash gate): a re-crawled
+      // duplicate doc_id must not double-count its grams in the
+      // contamination denominator
+      .dropDuplicates("doc_id", "gram")
 
   /** Benchmark decontamination: for every training document, how many
     * of its distinct word `n`-grams also appear in the evaluation
@@ -483,11 +488,29 @@ object CorpusPrep {
     * metadata-sized footer read, log-many times.
     */
   def packedOfRecursive(sized: DataFrame, bucketSize: Long): DataFrame = {
-    val before = exclusivePrefix(
-      sized.select(col("doc_id").as("id"), col("n_tokens").as("v")),
-      bucketSize)
-    sized.join(before.select(col("id").as("doc_id"),
-        col("before").as("tokens_before")), Seq("doc_id"))
+    // level 0 keeps the caller's ROWS and joins its offsets by
+    // BUCKET (the packedOf shape): a rejoin by doc_id was quadratic
+    // on re-crawled duplicate ids — two rows of one id came back
+    // 2x2 (round-13 degenerate hash gate). The recursion itself is
+    // safe: bucket ids are dense and distinct at every deeper level.
+    val base = sized
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted for the same reason as exclusivePrefix's levels: the
+    // recursion runs an action (its termination count) then windows
+    // the same thin frame.
+    val btotals = base.groupBy("bucket").agg(sum("n_tokens").as("v"))
+      .select(col("bucket").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = exclusivePrefix(btotals, bucketSize)
+      .select(col("id").as("bucket"), col("before").as("offset"))
+    base
+      .withColumn("within", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+      // hint-free (see exclusivePrefix's join note)
+      .join(offsets, Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("within") + col("offset")).as("tokens_before"))
   }
 
   /** Exclusive prefix sum of `v` in `id` order, never windowing more
@@ -700,14 +723,20 @@ object CorpusPrep {
       highTokens: Int = 100): DataFrame = {
     require(Seq(rateHigh, rateMid, rateLow).forall(r => r >= 0 && r <= 100),
       s"rates must be percentages, got high=$rateHigh mid=$rateMid low=$rateLow")
+    // n_chars from the COMPUTED stats, not the documents metadata
+    // column: a crawl's stored n_chars is unverified metadata that
+    // can contradict the text (the degenerate lake plants exactly
+    // that), and the kept-volume accounting must describe the bytes
+    // actually kept (round-13 hash gate; identical where metadata is
+    // honest).
     val st = TextAnalysis.stats(spark, dir)
-      .select(col("doc_id"), col("n_ws_tokens"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_chars"))
     val qf = TextAnalysis.qualityFlags(spark, dir, minTokens, maxTokens)
       .select(col("doc_id"), col("quality_pass"))
     val tier = when(col("quality_pass") === 1L && col("n_ws_tokens") >= highTokens, "high")
       .when(col("quality_pass") === 1L, "mid")
       .otherwise("low")
-    docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(st, Seq("doc_id"))
       .join(qf, Seq("doc_id"))
       .withColumn("tier", tier)

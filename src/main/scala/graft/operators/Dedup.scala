@@ -106,17 +106,23 @@ object Dedup {
     * batch).
     */
   private def shinglesOf(docsDf: DataFrame): DataFrame =
-    // dedup is per-document by construction (doc_id is part of the
-    // output key), so array_distinct BEFORE the explode gives the
-    // exact rows a post-explode global .distinct() would — without
-    // shuffling the full shingle set. Zero-exchange lineage:
-    // scan -> project -> explode.
+    // SET semantics per document identity: array_distinct dedups
+    // within one row exchange-free, and the final dropDuplicates
+    // dedups ACROSS rows sharing a doc_id — a re-crawled duplicate
+    // id (two rows, near-same text) must contribute its shingle
+    // UNION once, not a multiset that double-counts intersections
+    // and emits (x,x) self-pairs (found by the round-13
+    // degenerate-lake HASH gate; Broder resemblance is defined on
+    // sets). On a duplicate-free corpus the dropDuplicates is a
+    // values-identity map-side-combined exchange, paid once per
+    // session at the persisted lineage's materialization.
     docsDf
       .select(col("doc_id"), split(Tokenize.clean(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(
         when(size(col("w")) >= 3,
           expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
           .otherwise(array().cast("array<string>")))).as("s"))
+      .dropDuplicates("doc_id", "s")
 
   /** All `numSeeds` MinHash minima in ONE aggregation: a wide row
     * `(doc_id, mh0..mhN-1)` via conditional min aggregates. The
@@ -708,9 +714,14 @@ object Dedup {
     docsSpread(spark, dir)
       .select(col("doc_id"), Tokenize.clean(col("text")).as("cleaned"))
       .where(col("cleaned") =!= "")
-      // per-doc distinct via array_distinct: same rows as a global
-      // .distinct() (doc_id is in the key), no shuffle.
+      // per-ROW distinct via array_distinct (exchange-free), then a
+      // cross-row dropDuplicates so a re-crawled duplicate doc_id
+      // contributes its token SET union once (the shinglesOf
+      // contract; degenerate-lake hash gate, round 13). Feeds the
+      // session-persisted simhash lineage, so the exchange is paid
+      // once.
       .select(col("doc_id"), explode(array_distinct(split(col("cleaned"), " "))).as("t"))
+      .dropDuplicates("doc_id", "t")
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("h_lo"),
         expr("cast(conv(substr(md5(cast(t as binary)), 9, 8), 16, 10) as bigint)").as("h_hi"))

@@ -74,22 +74,25 @@ object Multimodal {
     }
 
     /** Deterministic stand-in "decode + resize": slice the payload's
-      * text into 72 even character ranges (the thumbnail cells) and
+      * text into 72 even CODE-POINT ranges (the thumbnail cells) and
       * take the first md5 byte of each slice as its luma. LOCAL like
       * a real decode: a same-length edit perturbs only the cells it
       * touches (so re-encodes land at small Hamming distance), while
       * an insertion shifts every later cell — the crop analogue.
-      * Char-sliced + md5'd, so DuckDB reproduces every bit
-      * (`MmOracle.lumaListSql`; ASCII corpus — char/byte offsets
-      * coincide, the established mm contract).
+      * Code points, not UTF-16 units: Java's String.length counts a
+      * non-BMP char (emoji) as TWO where SQL character semantics
+      * (DuckDB len/substr) count one — the degenerate lake's emoji
+      * doc diverged every cell after the first surrogate pair
+      * (round-13 hash gate). Identical on ascii and on all BMP text.
       */
     def lumaGrid(payload: Array[Byte]): Seq[Int] = {
       val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-      val n = s.length.toLong
+      val cps = s.codePoints.toArray
+      val n = cps.length.toLong
       (0 until 72).map { i =>
         val from = ((i * n) / 72).toInt
         val until = (((i + 1) * n) / 72).toInt
-        val chunk = s.substring(from, until)
+        val chunk = new String(cps, from, until - from)
         Integer.parseInt(
           md5hex(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .substring(0, 2), 16)

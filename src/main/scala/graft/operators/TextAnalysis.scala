@@ -176,12 +176,16 @@ object TextAnalysis {
   def loadOrBuildQualityWeights(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, qualityWeightsPath(dir),
       Seq(s"$dir/documents.parquet"), semKey) { t =>
+      // per-IDENTITY training rows: label = min over the id's crawl
+      // rows, term set = distinct union — a duplicate doc_id must
+      // count once in every df (round-13 degenerate hash gate)
       val labels = qualityFlags(spark, dir)
-        .select(col("doc_id"), col("quality_pass"))
+        .groupBy("doc_id").agg(min(col("quality_pass")).as("quality_pass"))
       val dterms = docs(spark, dir)
         .select(col("doc_id"),
           explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
         .where(col("term") =!= "")
+        .dropDuplicates("doc_id", "term")
       val weights = dterms.join(labels, Seq("doc_id"))
         .groupBy("term")
         .agg(sum(col("quality_pass")).as("df_pos"),
@@ -223,7 +227,11 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("w").as("sw"))
       .withColumn("score_bp", expr("sw div n_terms"))
-    documents.select("doc_id")
+    // ONE row per document identity: a re-crawled duplicate doc_id
+    // scores once over the union of its rows' occurrences — without
+    // the distinct, each input row re-emits the per-id aggregate
+    // (round-13 degenerate hash gate)
+    documents.select("doc_id").distinct()
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
       .select(col("doc_id"),
@@ -237,8 +245,12 @@ object TextAnalysis {
   def qualityModel(spark: SparkSession, dir: String): DataFrame =
     qualityScoreOf(docs(spark, dir),
       loadOrBuildQualityWeights(spark, dir))
+      // heuristic label per IDENTITY: min = every crawl row of the id
+      // must pass (conservative fold; one row per doc_id keeps the
+      // equi-join blowup-free on duplicate ids)
       .join(qualityFlags(spark, dir)
-        .select(col("doc_id"), col("quality_pass").as("heuristic_pass")),
+          .groupBy("doc_id")
+          .agg(min(col("quality_pass")).as("heuristic_pass")),
         Seq("doc_id"))
       .orderBy("doc_id")
 
@@ -290,6 +302,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(Tokenize.clean(col("text")), " "))).as("term"))
       .where(col("term") =!= "")
+      // df = distinct DOCUMENTS containing the term: a re-crawled
+      // duplicate doc_id counts once (round-13 degenerate hash gate)
+      .dropDuplicates("doc_id", "lang", "term")
     val dfCounts = terms.groupBy("lang", "term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term").asc)
     dfCounts.withColumn("rank", row_number().over(w))
@@ -1742,8 +1757,12 @@ object TextAnalysis {
     */
   private[graft] def lineCountsOf(pages: DataFrame): DataFrame =
     pages
-      .select(explode_outer(array_distinct(split(col("page"), "\n"))).as("line"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(split(col("page"), "\n"))).as("line"))
       .where(col("line") =!= "")
+      // n_docs counts DOCUMENTS, so a re-crawled duplicate doc_id
+      // contributes each line once (round-13 degenerate hash gate)
+      .dropDuplicates("doc_id", "line")
       .groupBy("line")
       .agg(count(lit(1)).cast("long").as("n_docs"))
 
@@ -1781,7 +1800,11 @@ object TextAnalysis {
         sum(when(col("is_bp").isNotNull, 1L).otherwise(0L))
           .cast("long").as("n_dropped"),
         // collect_list skips the when()'s nulls -> kept lines only;
-        // sort_array orders by the leading ln field -> original order.
+        // sort_array orders by (ln, line): position first (original
+        // order), line VALUE breaking position ties — the only tie
+        // source is a re-crawled duplicate doc_id contributing two
+        // pages whose positions collide (round-13 degenerate gate;
+        // the oracle's string_agg mirrors both keys).
         sort_array(collect_list(when(col("is_bp").isNull,
           struct(col("ln"), col("line"))))).as("ks"))
       .select(col("doc_id"), col("n_lines"), col("n_dropped"),

@@ -12,9 +12,12 @@ object EventOracle {
 
   def tumblingHourlySql: String =
     s"""WITH e AS (
+    -- Spark's window() DROPS null event-times (no place on any
+    -- timeline exists); mirror the door, not a NULL-window group
     SELECT epoch_ns(ts) AS tns, event_type, user_id,
-      CAST(round(value * 100) AS BIGINT) AS vc
-    FROM events
+      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+        THEN CAST(round(value * 100) AS BIGINT) END AS vc
+    FROM events WHERE ts IS NOT NULL
   )
 SELECT (tns // ${Events.NanosPerHour}) * 3600 AS window_start_s, event_type,
   count(*) AS n, CAST(sum(vc) AS BIGINT) AS value_cents,
@@ -30,8 +33,9 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
     val nanos30 = Events.NanosPerHour / 2
     s"""WITH e AS (
     SELECT epoch_ns(ts) AS tns, event_type,
-      CAST(round(value * 100) AS BIGINT) AS vc
-    FROM events
+      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+        THEN CAST(round(value * 100) AS BIGINT) END AS vc
+    FROM events WHERE ts IS NOT NULL
   ),
   g AS (
     SELECT ((tns - i * $nanos30) // ${Events.NanosPerHour}) * 3600 + i * 1800 AS window_start_s,
@@ -57,12 +61,24 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
     SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
       max(o_orderkey) AS o_orderkey
     FROM orders GROUP BY 1, 2
+  ),
+  matched AS (
+    SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey, o.order_us,
+      e.ts_us - o.order_us AS staleness_us
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts_us >= o.order_us
+    WHERE e.ts_us IS NOT NULL
   )
-SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey, o.order_us,
-  e.ts_us - o.order_us AS staleness_us
-FROM e ASOF LEFT JOIN o
-  ON e.user_id = o.o_custkey AND e.ts_us >= o.order_us
-ORDER BY e.event_id"""
+SELECT * FROM matched
+UNION ALL
+-- a NULL-timestamp probe has NO point in time, hence NO as-of match
+-- (the engine's inequality is simply never satisfied); DuckDB's
+-- native ASOF instead pairs a NULL probe with the LATEST entry —
+-- carve those probes out and emit them unmatched
+SELECT event_id, user_id, ts_us,
+  NULL AS o_orderkey, NULL AS order_us, NULL AS staleness_us
+FROM e WHERE ts_us IS NULL
+ORDER BY event_id"""
 
   /** Lag-form sessions under the native operator's STRICT boundary
     * (new session when diff >= gap — `session_window`'s `[ts,
@@ -71,9 +87,11 @@ ORDER BY e.event_id"""
     */
   def sessionizeNativeSql(gapUs: Long = Events.DefaultGapUs): String =
     s"""WITH e AS (
+    -- Spark's session_window drops null event-times (window() door)
     SELECT user_id, event_id, epoch_us(ts) AS tus,
-      CAST(round(value * 100) AS BIGINT) AS vc
-    FROM events
+      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+        THEN CAST(round(value * 100) AS BIGINT) END AS vc
+    FROM events WHERE ts IS NOT NULL
   ),
   flagged AS (
     SELECT *, CASE WHEN tus - lag(tus) OVER w >= $gapUs OR lag(tus) OVER w IS NULL
@@ -92,7 +110,8 @@ FROM numbered GROUP BY user_id, session_ix ORDER BY user_id, start_us"""
   def sessionizeSql(gapUs: Long = Events.DefaultGapUs): String =
     s"""WITH e AS (
     SELECT user_id, event_id, epoch_us(ts) AS tus,
-      CAST(round(value * 100) AS BIGINT) AS vc
+      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+        THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events
   ),
   flagged AS (
@@ -177,7 +196,8 @@ FROM t ORDER BY hour_s, event_type"""
   def rollingPeaksSql(windowNs: Long = Events.NanosPerDay): String =
     s"""WITH e AS (
     SELECT user_id, epoch_ns(ts) AS tsn,
-      CAST(round(value * 100) AS BIGINT) AS vc
+      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+        THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events
   ),
   r AS (

@@ -14,12 +14,16 @@ object MmOracle {
   // hash-derived negative ids; identical for non-negative ones).
   "CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image' WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio' ELSE 'video' END"
 
+  // encode(text) = the UTF-8 payload bytes (CAST(STRING AS BLOB)
+  // THROWS on non-ascii text, and substr(text,1,8) is chars, not
+  // bytes — both found by the degenerate-lake hash gate, round 13;
+  // byte-identical to the old spelling on ascii corpora).
   private def metaCte: String =
     s"""mmeta AS (
     SELECT doc_id, $mediaType AS media_type,
-      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       md5(text) AS payload_md5,
-      hex(CAST(substr(text, 1, 8) AS BLOB)) AS header_hex,
+      substr(hex(encode(text)), 1, 16) AS header_hex,
       CAST(16 + ${DocOracle.hex8IntSql("md5(text)")} % 240 AS BIGINT) AS width,
       CAST(16 + ${DocOracle.hex8IntSql("substr(md5(text), 9, 8)")} % 240 AS BIGINT) AS height
     FROM documents
@@ -84,10 +88,11 @@ ORDER BY media_type, payload_md5"""
     s"((strpos('0123456789abcdef', substr($hexExpr, 1, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr($hexExpr, 2, 1)) - 1))"
 
-  /** The fake codec's luma grid in SQL: 72 even char slices of the
-    * text (cell i covers chars [(i*len)//72, ((i+1)*len)//72)), luma
-    * = first md5 byte of the slice — `FakeCodec.lumaGrid` bit for
-    * bit (ASCII corpus: char slicing == byte slicing). With
+  /** The fake codec's luma grid in SQL: 72 even CODE-POINT slices of
+    * the text (cell i covers chars [(i*len)//72, ((i+1)*len)//72)),
+    * luma = first md5 byte of the slice — `FakeCodec.lumaGrid` bit
+    * for bit (the engine slices by code points too, round 13 — SQL
+    * character semantics, surrogate-pair-safe). With
     * `withTwins`, the planted re-encode fixture rows
     * (`Multimodal.mediaReencoded`: one mid-text char spliced, id
     * shifted by 1000000) join the frame.
@@ -110,7 +115,10 @@ ORDER BY media_type, payload_md5"""
                 l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 1 AS INT)]
            THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
     s"""mdocs AS (
-    SELECT doc_id, $mediaType AS media_type, text FROM documents$twins
+    -- null payloads yield no frames/grids (the engine's decode-stage
+    -- contract): a null-text doc has NO dhash row, not a (0,0) one
+    SELECT doc_id, $mediaType AS media_type, text FROM documents
+    WHERE text IS NOT NULL$twins
   ),
   luma AS (
     SELECT doc_id, media_type,

@@ -56,9 +56,11 @@ FROM tstats_bp ORDER BY doc_id"""
   def qualityModelSql(minTokens: Int = 30, maxTokens: Int = 100000): String =
     s"""WITH $statsCte, ${flagsCte(minTokens, maxTokens)},
   qlabels AS (
+    -- ONE label per document identity: min over the id's crawl rows
+    -- (the engine's conservative fold on re-crawled duplicate ids)
     SELECT doc_id,
-      CAST(flag_len * flag_avg_word_len * flag_stopwords AS BIGINT) AS quality_pass
-    FROM tflags
+      CAST(min(flag_len * flag_avg_word_len * flag_stopwords) AS BIGINT) AS quality_pass
+    FROM tflags GROUP BY doc_id
   ),
   qdterms AS (
     SELECT DISTINCT doc_id, term FROM (
@@ -167,6 +169,21 @@ ORDER BY doc_id, rank"""
     * query-by-example term source, same floored avgdl, same per-term
     * basis-point floor before the per-doc sum.
     */
+  /** [[bm25TopKSql]]'s twin for the ARTIFACT-SERVED path
+    * (`TextAnalysis.bm25TopKIndexed`): document length is keyed by
+    * doc IDENTITY — `sum(n_clean_tokens) GROUP BY doc_id` — because
+    * an index merges a re-crawled duplicate id's postings into one
+    * document (the doc-lengths artifact is `groupBy(doc_id)` by
+    * construction), where the derived/live path scores each crawl
+    * ROW (round-13 degenerate hash gate; identical on corpora
+    * without duplicate ids). The documented artifact-vs-live
+    * contract difference on duplicate identities.
+    */
+  def bm25TopKIndexedSql(k: Int = 20, qTerms: Int = 8): String =
+    bm25TopKSql(k, qTerms).replace(
+      "dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),",
+      "dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats WHERE n_clean_tokens > 0 GROUP BY doc_id),")
+
   def bm25TopKSql(k: Int = 20, qTerms: Int = 8): String =
     s"""WITH $statsCte,
   qsrc AS (
@@ -347,9 +364,12 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id"""
     }
     // explicit whitespace class shared with the Spark side: RE2's \s
     // excludes \x0B (vertical tab) while Java's includes it, so `\s`
-    // on both sides is NOT one definition (round-7 ADVICE).
+    // on both sides is NOT one definition (round-7 ADVICE). The trim
+    // charset is explicit too: DuckDB's bare trim() strips UNICODE
+    // whitespace (an all-NBSP body emptied) where Spark's trim
+    // strips ASCII space only (round-13 degenerate hash gate).
     def collapse(x: String) =
-      s"trim(regexp_replace($x, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+      s"trim(regexp_replace($x, '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ')"
     val blocks = Seq("head", "script", "style").foldLeft("html") { (c, t) =>
       s"regexp_replace($c, '(?is)<$t[^>]*>.*?</$t>', ' ', 'g')"
     }
@@ -861,7 +881,8 @@ SELECT line, n_docs FROM boiler ORDER BY n_docs DESC, line"""
 SELECT n.doc_id,
   CAST(count(*) AS BIGINT) AS n_lines,
   CAST(count(b.line) AS BIGINT) AS n_dropped,
-  md5(string_agg(CASE WHEN b.line IS NULL THEN n.line END, chr(10) ORDER BY n.ln)) AS clean_md5
+  md5(string_agg(CASE WHEN b.line IS NULL THEN n.line END, chr(10)
+    ORDER BY n.ln, n.line)) AS clean_md5
 FROM nz n LEFT JOIN boiler b ON n.line = b.line
 GROUP BY n.doc_id ORDER BY n.doc_id"""
 }

@@ -273,7 +273,11 @@ class PlanGoldenSpec extends SparkTestBase {
     // the whole upstream chain per level), so the deeper levels'
     // shuffles live inside InMemoryRelations here, invisible by the
     // suite's counting convention: the visible budget is level 0's.
-    pin("shard_packing_recursive", Ex(4, 3, 0)) {
+    // Round 13 DROPPED one broadcast (3 -> 2): level 0 now joins its
+    // offsets by BUCKET (the packedOf shape) instead of rejoining
+    // the corpus by doc_id — the rejoin was quadratic on re-crawled
+    // duplicate ids AND cost an extra join of corpus-width rows.
+    pin("shard_packing_recursive", Ex(4, 2, 0)) {
       graft.operators.CorpusPrep.shardPackingRecursive(spark, dir)
     }
     // NFC normalization is one codegen'd static call per row: scan ->
@@ -291,21 +295,25 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("winnow_screen", Ex(3, 1, 0)) {
       TextAnalysis.winnowScreen(spark, dir)
     }
-    // boilerplate line set: the in-document distinct is ROW-LOCAL
-    // (array_distinct over the doc's own lines — no (doc, line)
-    // dedupe shuffle), so the whole plan is one line-keyed
-    // aggregation plus the output sort. NO narrow-side spread,
-    // deliberately — measured and dropped in round 12 (pagedOf
-    // scaladoc: the line work is too cheap to amortize the exchange;
-    // +0.45 s warm at sf0.1 for no gain).
-    pin("boilerplate_lines", Ex(2, 0, 0)) {
+    // boilerplate line set: the in-document distinct is row-local
+    // WITHIN a page (array_distinct) plus — round 13 — one
+    // (doc_id, line) dedup exchange ACROSS pages, so a re-crawled
+    // duplicate doc_id counts each line once in n_docs (the
+    // degenerate hash gate; map-side partials absorb the duplicate
+    // mass, and the dedup's hash partitioning feeds the line-keyed
+    // aggregation). Still NO narrow-side spread — measured and
+    // dropped in round 12 (pagedOf scaladoc: the line work is too
+    // cheap to amortize the exchange; +0.45 s warm at sf0.1).
+    pin("boilerplate_lines", Ex(3, 0, 0)) {
       TextAnalysis.boilerplateLines(spark, dir)
     }
     // removal adds the hint-free drop-list join (the template set is
     // bounded by distinct-lines/minDocs — plan-time stats broadcast
     // it; a template-heavy corpus degrades to a shuffled join, never
     // an OOM) and the doc-keyed rebuild.
-    pin("boilerplate_removed", Ex(3, 1, 0)) {
+    // (+1 in round 13: the template set inherits boilerplate_lines'
+    // cross-page dedup exchange.)
+    pin("boilerplate_removed", Ex(4, 1, 0)) {
       TextAnalysis.boilerplateRemoved(spark, dir)
     }
     // the artifact-served twin drops the corpus-wide line aggregation

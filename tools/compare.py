@@ -9,7 +9,7 @@ Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 parquet tables in <sfDir>, and compares rows / schema / value-hash
 with columns sorted by name (the driver's documented semantics).
 """
-import sys, json, glob, hashlib
+import os, sys, json, glob, hashlib
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -35,9 +35,20 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # dialect normalization, same class as the column-name sort: SQL
+    # leaves NULL sort position implementation-defined; Spark's
+    # default is NULLS FIRST on ASC / LAST on DESC, DuckDB's is the
+    # opposite. Invisible on corpora without null sort keys (the
+    # driver's sf0.01 gate); required for the degenerate-lake gate.
+    con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
     for t in TABLES:
+        # a table may be a single parquet FILE (the driver's testdata)
+        # or a Spark-written DIRECTORY (the degenerate lake, scaled
+        # corpora) — glob the parts in the directory case.
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     ok = True
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
