@@ -31,6 +31,17 @@ object SparkTestBase {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft-") && f.lastModified() < cutoff)
       .foreach(deleteQuietly)
+    // same sweep for the ARTIFACT root: every throwaway fixture
+    // corpus (a `graft-*` temp-dir name) leaves snapshots/companions
+    // keyed by its unique name under target/graft-index — ~30 dirs
+    // per gate run that can serve no one once the corpus is gone
+    // (round-13 hygiene; 4k+ had accumulated). Real corpora
+    // (sf0.001/sf0.1/lake-*/…) never match the prefix.
+    val artifactRoot = new java.io.File(sys.env.getOrElse(
+      "GRAFT_INDEX_DIR", s"${sys.props("user.dir")}/target/graft-index"))
+    Option(artifactRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft-") && f.lastModified() < cutoff)
+      .foreach(deleteQuietly)
   }
 
   private def deleteQuietly(f: java.io.File): Unit =
