@@ -81,7 +81,10 @@ object Maintain {
   }
 
   /** Best-effort recursive delete (cleanup must never mask the
-    * cycle's own failure).
+    * cycle's own failure). NonFatal, not just IOException: the
+    * Files.walk stream surfaces traversal races as
+    * UncheckedIOException, which would otherwise escape a finally
+    * and REPLACE the cycle's real result (round-13 review).
     */
   private def deleteTree(d: String): Unit =
     try {
@@ -92,7 +95,7 @@ object Maintain {
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
       }
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def runInScratch(spark: SparkSession, srcDir: String,
       scratch: scala.collection.mutable.ArrayBuffer[String]): Seq[Report] = {

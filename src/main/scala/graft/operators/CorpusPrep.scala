@@ -447,7 +447,13 @@ object CorpusPrep {
     val base = sized
       .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id div $bucketSize").as("bucket"))
-    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    // n_tokens as the running-total tiebreaker: duplicate doc_ids
+    // (re-crawl rows) make ORDER BY doc_id alone underdetermined, and
+    // an underdetermined prefix sum is nondeterministic exactly at
+    // shard boundaries (round-13 review; rows tied on BOTH keys are
+    // interchangeable — identical outputs either way). Oracle windows
+    // carry the same tiebreak.
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id", "n_tokens")
       .rowsBetween(Window.unboundedPreceding, -1)
     val acrossBuckets = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -495,7 +501,8 @@ object CorpusPrep {
     // safe: bucket ids are dense and distinct at every deeper level.
     val base = sized
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
-    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    // (doc_id, n_tokens) tiebreak: the packedOf convention.
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id", "n_tokens")
       .rowsBetween(Window.unboundedPreceding, -1)
     // persisted for the same reason as exclusivePrefix's levels: the
     // recursion runs an action (its termination count) then windows
@@ -636,8 +643,10 @@ object CorpusPrep {
       .withColumn("okey", expr(
         "md5(cast(concat(cast(epoch as string), '|', cast(doc_id as string)) as binary))"))
       .withColumn("bucket", expr("substring(okey, 1, 2)"))
+    // duplicate doc_ids share an okey too (it derives from the id),
+    // so n_tokens is the final tiebreak (the packedOf convention).
     val inBucket = Window.partitionBy("epoch", "bucket")
-      .orderBy("okey", "doc_id")
+      .orderBy("okey", "doc_id", "n_tokens")
       .rowsBetween(Window.unboundedPreceding, -1)
     val acrossBuckets = Window.partitionBy("epoch").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)

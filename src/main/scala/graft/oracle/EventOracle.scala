@@ -15,7 +15,7 @@ object EventOracle {
     -- Spark's window() DROPS null event-times (no place on any
     -- timeline exists); mirror the door, not a NULL-window group
     SELECT epoch_ns(ts) AS tns, event_type, user_id,
-      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+      CASE WHEN isfinite(value) AND abs(value) < ${Events.MaxCentsValue}
         THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events WHERE ts IS NOT NULL
   )
@@ -33,7 +33,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
     val nanos30 = Events.NanosPerHour / 2
     s"""WITH e AS (
     SELECT epoch_ns(ts) AS tns, event_type,
-      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+      CASE WHEN isfinite(value) AND abs(value) < ${Events.MaxCentsValue}
         THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events WHERE ts IS NOT NULL
   ),
@@ -89,7 +89,7 @@ ORDER BY event_id"""
     s"""WITH e AS (
     -- Spark's session_window drops null event-times (window() door)
     SELECT user_id, event_id, epoch_us(ts) AS tus,
-      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+      CASE WHEN isfinite(value) AND abs(value) < ${Events.MaxCentsValue}
         THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events WHERE ts IS NOT NULL
   ),
@@ -110,7 +110,7 @@ FROM numbered GROUP BY user_id, session_ix ORDER BY user_id, start_us"""
   def sessionizeSql(gapUs: Long = Events.DefaultGapUs): String =
     s"""WITH e AS (
     SELECT user_id, event_id, epoch_us(ts) AS tus,
-      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+      CASE WHEN isfinite(value) AND abs(value) < ${Events.MaxCentsValue}
         THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events
   ),
@@ -196,7 +196,7 @@ FROM t ORDER BY hour_s, event_type"""
   def rollingPeaksSql(windowNs: Long = Events.NanosPerDay): String =
     s"""WITH e AS (
     SELECT user_id, epoch_ns(ts) AS tsn,
-      CASE WHEN isfinite(value) AND abs(value) < 9.2e16
+      CASE WHEN isfinite(value) AND abs(value) < ${Events.MaxCentsValue}
         THEN CAST(round(value * 100) AS BIGINT) END AS vc
     FROM events
   ),

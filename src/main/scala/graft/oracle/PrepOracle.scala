@@ -154,7 +154,7 @@ FROM agg ORDER BY doc_id"""
   ),
   cum AS (
     SELECT doc_id, n_tokens,
-      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
     FROM base
   )
@@ -187,7 +187,7 @@ FROM cum ORDER BY doc_id"""
   ),
   cum AS (
     SELECT doc_id, n_tokens,
-      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
     FROM base
   )
@@ -219,7 +219,7 @@ FROM cum ORDER BY doc_id"""
   ),
   cum AS (
     SELECT doc_id, n_tokens,
-      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
     FROM base
   )
@@ -245,7 +245,7 @@ FROM cum ORDER BY doc_id"""
   ),
   cum AS (
     SELECT epoch, doc_id, n_tokens,
-      coalesce(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY okey, doc_id
+      coalesce(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY okey, doc_id, n_tokens
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
     FROM e
   )
@@ -265,7 +265,7 @@ FROM cum WHERE doc_id % $outMod = 0 ORDER BY epoch, doc_id"""
   ),
   cum AS (
     SELECT doc_id, n_tokens,
-      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
     FROM base
   )

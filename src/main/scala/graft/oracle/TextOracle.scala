@@ -179,10 +179,16 @@ ORDER BY doc_id, rank"""
     * without duplicate ids). The documented artifact-vs-live
     * contract difference on duplicate identities.
     */
-  def bm25TopKIndexedSql(k: Int = 20, qTerms: Int = 8): String =
-    bm25TopKSql(k, qTerms).replace(
+  def bm25TopKIndexedSql(k: Int = 20, qTerms: Int = 8): String = {
+    val base = bm25TopKSql(k, qTerms)
+    val patched = base.replace(
       "dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),",
       "dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats WHERE n_clean_tokens > 0 GROUP BY doc_id),")
+    // a drifted base CTE must fail HERE, not silently gate the
+    // indexed query against the wrong (per-row) contract
+    require(patched != base, "bm25TopKSql's dl CTE drifted; re-anchor the indexed patch")
+    patched
+  }
 
   def bm25TopKSql(k: Int = 20, qTerms: Int = 8): String =
     s"""WITH $statsCte,

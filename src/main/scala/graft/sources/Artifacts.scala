@@ -101,11 +101,11 @@ object Artifacts {
     * of `classes` and their nested/companion classfiles (`Foo$…` —
     * Scala compiles anonymous classes and inner objects to sibling
     * files; lambda bodies are methods of the object class itself, so
-    * they are covered by the object's own bytes). Resolution is from
-    * each class's code-source directory when it is a directory (the
-    * sbt/cluster `classes` layout); inside a jar the named class
-    * resource alone is hashed — still covering every constant,
-    * predicate and literal the builder object defines.
+    * they are covered by the object's own bytes). The SAME family is
+    * enumerated from a code-source DIRECTORY (the sbt/cluster
+    * `classes` layout) or from a code-source JAR's entries — both
+    * layouts cover nested classes, so a semantics change confined to
+    * `Foo$Inner` moves the key in deployment too.
     *
     * Pass the builder object's class plus the function objects whose
     * code determines artifact CONTENT, e.g.
@@ -121,34 +121,64 @@ object Artifacts {
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** Does `name` (a bare classfile name, no package, no `.class`)
+    * belong to `stem`'s compilation family? The object class itself
+    * (`Stem` / `Stem$`) plus every nested/anonymous sibling
+    * (`Stem$Inner`, `Stem$$anon$1`, `Stem$$typecreator1$1`, …).
+    */
+  private def inFamily(name: String, stem: String): Boolean =
+    name == stem || name == stem + "$" || name.startsWith(stem + "$")
+
   private def computeClassFp(classes: Seq[Class[_]]): String = {
     val blobs = classes.flatMap { c =>
       val bin = c.getName // e.g. graft.operators.Similarity$
-      val res = "/" + bin.replace('.', '/') + ".class"
-      val fromDir: Seq[(String, Array[Byte])] = {
-        val src = Option(c.getProtectionDomain)
-          .flatMap(d => Option(d.getCodeSource))
-          .map(s => new java.io.File(s.getLocation.toURI))
-          .filter(_.isDirectory)
-        src.toSeq.flatMap { root =>
-          val pkg = bin.take(math.max(bin.lastIndexOf('.'), 0)).replace('.', '/')
-          val stem = bin.drop(bin.lastIndexOf('.') + 1).stripSuffix("$")
+      val pkg = bin.take(math.max(bin.lastIndexOf('.'), 0)).replace('.', '/')
+      val stem = bin.drop(bin.lastIndexOf('.') + 1).stripSuffix("$")
+      val src = Option(c.getProtectionDomain)
+        .flatMap(d => Option(d.getCodeSource))
+        .map(s => new java.io.File(s.getLocation.toURI))
+      val family: Seq[(String, Array[Byte])] = src match {
+        case Some(root) if root.isDirectory => // sbt/cluster classes dir
           val pkgDir = new java.io.File(root, pkg)
           Option(pkgDir.listFiles()).toSeq.flatten
-            .filter { f =>
-              val n = f.getName
-              n.endsWith(".class") && {
-                val s = n.stripSuffix(".class")
-                s == stem || s == stem + "$" || s.startsWith(stem + "$")
-              }
-            }
+            .filter(f => f.getName.endsWith(".class") &&
+              inFamily(f.getName.stripSuffix(".class"), stem))
             .sortBy(_.getName)
             .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
-        }
+        case Some(jar) if jar.isFile => // jar deployment: enumerate
+          // the SAME family from the jar entries — hashing only the
+          // named classfile would miss nested classes (Corpus$Table,
+          // $anon, $typecreator siblings), recreating exactly the
+          // forgotten-bump staleness this key exists to kill
+          // (round-13 review). NOTE dev classes-dir and jar layouts
+          // may order/compile identically but are not guaranteed
+          // byte-identical — a layout switch costs at most one
+          // spurious rebuild, never a stale serve.
+          val jf = new java.util.jar.JarFile(jar)
+          try {
+            import scala.jdk.CollectionConverters._
+            jf.entries().asScala
+              .filter { e =>
+                val n = e.getName
+                n.startsWith(if (pkg.isEmpty) "" else pkg + "/") &&
+                n.endsWith(".class") && !n.stripPrefix(pkg + "/").contains("/") &&
+                inFamily(n.drop(if (pkg.isEmpty) 0 else pkg.length + 1)
+                  .stripSuffix(".class"), stem)
+              }
+              .toSeq.sortBy(_.getName)
+              .map { e =>
+                val in = jf.getInputStream(e)
+                try e.getName.split('/').last -> in.readAllBytes()
+                finally in.close()
+              }
+          } finally jf.close()
+        case _ => Seq.empty
       }
-      if (fromDir.nonEmpty) fromDir
-      else { // jar / unknown code source: the named classfile alone
-        val in = c.getResourceAsStream(res)
+      if (family.nonEmpty) family
+      else { // unknown code source (e.g. a module image): the named
+        // classfile alone — better than nothing, and loud when even
+        // that is unresolvable.
+        val in = c.getResourceAsStream("/" + bin.replace('.', '/') + ".class")
         require(in != null, s"classfile resource not found for $bin")
         try Seq(bin -> in.readAllBytes()) finally in.close()
       }

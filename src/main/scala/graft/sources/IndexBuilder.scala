@@ -154,6 +154,14 @@ object IndexBuilder {
     * full versioned gate — the old `_SUCCESS`-existence probe could
     * never see a corpus rewritten at the same path OR a changed build
     * rule, and served the stale snapshot forever.
+    *
+    * COST NOTE: the freshness check lists all corpus datasets
+    * recursively per call (~10 LISTs on an object store), a
+    * deliberate correctness-over-probe-cost default. The hot search
+    * path amortizes it through [[cached]] (one check per session);
+    * callers on a per-query path against an immutable corpus can
+    * layer the same session memoization — what must NOT come back is
+    * the existence-only probe this replaced.
     */
   def loadOrSnapshot(spark: SparkSession, dir: String): DataFrame =
     Artifacts.loadOrBuild(spark, snapshotPath(dir), corpusPaths(dir), semKey)(

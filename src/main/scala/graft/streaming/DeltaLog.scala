@@ -365,12 +365,47 @@ object DeltaLog {
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
-  /** Run `body` under the dir's maintenance lease. */
-  def withMaintenanceLease[T](spark: SparkSession, deltaDir: String)(
+  /** Run `body` under the dir's maintenance lease, with a HEARTBEAT:
+    * a daemon thread re-touches the lease's mtime every TTL/3 while
+    * held, so a fold that legitimately runs longer than the TTL (the
+    * "a fold is seconds" rationale does not hold at 10^12-doc delta
+    * dirs) is not silently stolen by the stale-takeover branch
+    * (round-13 review). The beat verifies ownership before each
+    * touch — after a takeover (only possible if this JVM was frozen
+    * past the TTL) it must not refresh the successor's lease; a
+    * frozen-then-resumed holder's in-flight publish is still caught
+    * by the manifest's no-overwrite rename, the last-line collision
+    * detector beneath the lease.
+    */
+  def withMaintenanceLease[T](spark: SparkSession, deltaDir: String,
+      ttlMs: Long = LeaseTtlMs)(
       body: => T): T = {
     val conf = spark.sparkContext.hadoopConfiguration
-    acquireLease(conf, deltaDir)
-    try body finally releaseLease(conf, deltaDir)
+    acquireLease(conf, deltaDir, ttlMs)
+    val lease = new Path(leasePath(deltaDir))
+    val fs = lease.getFileSystem(conf)
+    val beat = new Thread(() => {
+      try {
+        var mine = true
+        while (mine && !Thread.interrupted()) {
+          Thread.sleep(math.max(ttlMs / 3, 1000L))
+          try {
+            val in = fs.open(lease)
+            val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            if (who == OwnerId) fs.setTimes(lease, System.currentTimeMillis(), -1)
+            else mine = false
+          } catch { case _: java.io.IOException => () } // transient; retry next beat
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$deltaDir")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      beat.interrupt()
+      releaseLease(conf, deltaDir)
+    }
   }
 
   /** ONE in-dir compactor for every delta family (round-10): fold

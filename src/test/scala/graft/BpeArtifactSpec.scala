@@ -24,23 +24,8 @@ class BpeArtifactSpec extends SparkTestBase {
     dir.toString
   }
 
-  private def partNames(path: String): Set[String] = {
-    // RECURSIVE (round-13 versioned artifact layout): parts live in
-    // `v=<n>/` subdirs; relative paths distinguish versions, so a
-    // rebuild into v=N+1 reads as a part-name change exactly like the
-    // old in-place overwrite did.
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) Set.empty
-    else {
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        val b = Set.newBuilder[String]
-        walk.forEach(p => if (p.getFileName.toString.startsWith("part-"))
-          b += root.relativize(p).toString)
-        b.result()
-      } finally walk.close()
-    }
-  }
+  private def partNames(path: String): Set[String] =
+    SparkTestBase.partNames(path)
 
   test("tokenizer artifact trains once, rebuilds on source rewrite") {
     val dir = isolatedCorpus()

@@ -65,6 +65,32 @@ class LeaseSpec extends SparkTestBase {
     DeltaLog.releaseLease(conf, dd, owner = "successor")
   }
 
+  test("the heartbeat keeps a long-running hold from being stolen as stale") {
+    // round-13 review: the first cut set the lease mtime once at
+    // acquire, so any fold longer than the TTL was silently taken
+    // over by the staleness branch and two maintainers interleaved.
+    // Hold via withMaintenanceLease at a 3 s TTL for 4.5 s (longer
+    // than the TTL, so a beat at ttl/3 MUST have refreshed the
+    // mtime), observing mid-hold that a would-be successor at the
+    // same TTL is refused — exactly what the pre-heartbeat code
+    // failed.
+    val dd = tmp()
+    val t0 = System.currentTimeMillis()
+    DeltaLog.withMaintenanceLease(spark, dd, ttlMs = 3000) {
+      Thread.sleep(4500)
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(Paths.get(DeltaLog.leasePath(dd))).toMillis
+      assert(age < 3000, s"heartbeat never refreshed the lease (age ${age}ms)")
+      intercept[ConcurrentMaintenanceException] {
+        DeltaLog.acquireLease(conf, dd, ttlMs = 3000, owner = "successor")
+      }
+    }
+    assert(System.currentTimeMillis() - t0 >= 4500)
+    // released on exit: free again
+    DeltaLog.acquireLease(conf, dd, owner = "after")
+    DeltaLog.releaseLease(conf, dd, owner = "after")
+  }
+
   test("TWO REAL JVMS: a probe process is refused while held, acquires once released") {
     val dd = tmp()
     // minimal classpath: this repo's classes + the Spark jar dir

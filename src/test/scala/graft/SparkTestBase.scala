@@ -14,6 +14,28 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+
+  /** Part files under an artifact root, RECURSIVE, as root-relative
+    * paths (round-13 versioned layout: parts live in `v=<n>/`
+    * subdirs, so a rebuild into v=N+1 reads as a part-name change
+    * exactly like the old in-place overwrite did). ONE definition for
+    * every staleness spec — four private copies drifting is how two
+    * specs end up disagreeing about what "a rebuild happened" means.
+    */
+  def partNames(path: String): Set[String] = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) Set.empty
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val b = Set.newBuilder[String]
+        walk.forEach(p => if (p.getFileName.toString.startsWith("part-"))
+          b += root.relativize(p).toString)
+        b.result()
+      } finally walk.close()
+    }
+  }
+
   @volatile private var swept = false
 
   /** Best-effort sweep of stale `graft-*` fixture dirs under the JVM
