@@ -73,6 +73,11 @@ object SimQueries {
     Q("sim_cluster_balance",
       (s, dir) => Similarity.clusterBalance(s, dir),
       Some(SimOracle.clusterBalanceSql())),
+    // the cap APPLIED: per-vector keep/drop decisions (the D4-style
+    // diversified corpus view a balanced sampler actually reads).
+    Q("sim_cell_cap",
+      (s, dir) => Similarity.cellCapApplied(s, dir),
+      Some(SimOracle.cellCapAppliedSql())),
     // product quantization: the compressed-domain rung (64x smaller
     // representation; ADC scores from codes + a per-probe lookup
     // table, raw vectors touched only for the bounded re-rank).

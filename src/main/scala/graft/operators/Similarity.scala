@@ -870,6 +870,40 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** [[clusterBalance]] APPLIED — the D4-style diversity cap's
+    * per-vector decision table: within every trained cell, KEEP the
+    * `keep_cap` members with the smallest vec_id (deterministic,
+    * identity-stable keeper rule — re-running the sampler on the
+    * same corpus keeps the same vectors) and emit
+    * `(vec_id, cell_id, cell_rank, kept)`. Composes the two
+    * artifacts the plan already pays for: the cell assignment and
+    * the balance table; nothing touches the raw vectors.
+    *
+    * Scale posture: ONE row_number window PARTITIONED BY cell —
+    * bounded partitions by construction at the corpus-scaled
+    * codebook (k = √n ⇒ ~√n members per cell; a deployment pinning
+    * a small k over a huge corpus would swap in the bounded TopK
+    * aggregator, the `sourceCap` precedent) — plus a broadcast join
+    * of the ≤65536-row cap table. Output ordering is total:
+    * (vec_id, cell_rank) — a duplicate-id pair (same payload, same
+    * cell) is tie-broken by the rank the window gave it, and the
+    * two rows are interchangeable under it.
+    */
+  def cellCapApplied(spark: SparkSession, dir: String,
+      numCents: Int = 8): DataFrame = {
+    val cells = ivfCells(spark, dir, numCents).select("vec_id", "cell_id")
+    val caps = clusterBalance(spark, dir, numCents)
+      .select(col("cell_id").cast("int").as("cell_id"), col("keep_cap"))
+    val w = Window.partitionBy("cell_id").orderBy("vec_id")
+    cells
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .join(broadcast(caps), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        col("cell_rank"),
+        when(col("cell_rank") <= col("keep_cap"), 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id", "cell_rank")
+  }
+
   /** Multi-probe IVF search: each probe searches its top-`nprobe`
     * cells by centroid cosine (nprobe=1 degenerates to [[ivfProbe]]'s
     * own-cell rule) — the standard recall dial [[ivfRecallMulti]]

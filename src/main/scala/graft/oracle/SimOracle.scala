@@ -155,6 +155,41 @@ SELECT CAST(cell_id AS BIGINT) AS cell_id,
   CAST(least(10000, ((n_total // n_cells) * 10000) // n_members) AS BIGINT) AS weight_bp
 FROM sizes CROSS JOIN tot ORDER BY cell_id"""
 
+  /** Mirrors `Similarity.cellCapApplied`: the balanced-sampling cap
+    * applied — per-vector keep/drop under the per-cell keep_cap,
+    * keeper = smallest vec_id first, rank ties on duplicate ids
+    * interchangeable (same payload, same cell), final order total on
+    * (vec_id, cell_rank).
+    */
+  def cellCapAppliedSql(numCents: Int = 8,
+      iters: Int = Similarity.CodebookIters): String =
+    s"""WITH $baseCtes,
+  ${codebookCtes(numCents, iters)},
+  assign AS (
+    SELECT n.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        ${cosSql(dotSql("n.q", "c.cq"), "n.nq", "c.cnq")} DESC, c.cent_id ASC) AS rn
+    FROM nb n, cents c
+  ),
+  cells AS (SELECT vec_id, cent_id AS cell_id FROM assign WHERE rn = 1),
+  sizes AS (SELECT cell_id, count(*) AS n_members FROM cells GROUP BY cell_id),
+  tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_total,
+    count(*) AS n_cells FROM sizes),
+  caps AS (
+    SELECT cell_id, least(n_members, n_total // n_cells) AS keep_cap
+    FROM sizes CROSS JOIN tot
+  ),
+  ranked AS (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS cell_rank
+    FROM cells
+  )
+SELECT r.vec_id, CAST(r.cell_id AS BIGINT) AS cell_id,
+  CAST(r.cell_rank AS BIGINT) AS cell_rank,
+  CAST(CASE WHEN r.cell_rank <= c.keep_cap THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked r JOIN caps c USING (cell_id)
+ORDER BY r.vec_id, r.cell_rank"""
+
   def cosineTopKSql(k: Int = 10, probeMod: Int = 50): String =
     s"""WITH $baseCtes,
   probes AS (SELECT vec_id AS qid, q AS pq, nq AS pnq FROM nb WHERE vec_id % $probeMod = 0),
