@@ -283,6 +283,18 @@ object DeltaLog {
     * within the TTL is presumed crashed (a fold is seconds; 15 min is
     * orders of magnitude past any healthy hold). Env-overridable for
     * unusual deployments.
+    *
+    * CLOCK-DOMAIN ASSUMPTION (round-13 ADVICE): staleness compares
+    * the FS modification time against this process's
+    * `System.currentTimeMillis` — correct when the FS serving the
+    * delta dir shares a clock domain with the maintainers (local FS,
+    * or NTP-synced HDFS/NFS; object-store mtimes are server-stamped
+    * and NTP-disciplined). Skew shifts the EFFECTIVE ttl by the skew
+    * amount in either direction; the 15-minute default dwarfs
+    * realistic NTP drift, and a takeover of a still-healthy holder is
+    * additionally caught by the manifest's no-overwrite rename, the
+    * last-line collision detector beneath the lease. Deployments with
+    * unsynced clocks must raise the TTL past their skew bound.
     */
   private[graft] val LeaseTtlMs: Long =
     sys.env.get("GRAFT_MAINT_LEASE_TTL_MS").map(_.toLong).getOrElse(900000L)
@@ -304,43 +316,95 @@ object DeltaLog {
     val fs = mdir.getFileSystem(conf)
     val fctx = org.apache.hadoop.fs.FileContext.getFileContext(mdir.toUri, conf)
     fs.mkdirs(mdir)
-    var takeovers = 0
-    while (true) {
+    def atomicCreate(target: Path, content: String): Boolean = {
       val tmp = new Path(mdir, s".lease-tmp-${java.util.UUID.randomUUID}")
       val out = fctx.create(tmp, java.util.EnumSet.of(
         org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(owner.getBytes("UTF-8")) finally out.close()
-      val acquired =
-        try {
-          fctx.rename(tmp, lease, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-              if e.getMessage != null && e.getMessage.contains("already exists") =>
-            false
-        }
-      if (acquired) return
-      fctx.delete(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      try {
+        fctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fctx.delete(tmp, false); false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          fctx.delete(tmp, false); false
+      }
+    }
+    // GC tombstones older than the TTL: a takeover winner that crashed
+    // between claiming its tombstone and deleting the stale lease must
+    // not freeze the dir forever — once the tombstone itself is stale,
+    // the next waiter may re-claim the same identity and finish the
+    // recovery. (Completed takeovers leave their tombstone in place ON
+    // PURPOSE: it is the single-winner token for that lease
+    // incarnation; deleting it early would let the identity be claimed
+    // twice. Manifest resolution only matches `v=` names, so
+    // tombstones are invisible to readers.)
+    def gcTombstones(): Unit =
+      try fs.listStatus(mdir).toIndexedSeq
+        .filter(s => s.getPath.getName.startsWith(".lease-tomb-") &&
+          System.currentTimeMillis() - s.getModificationTime > ttlMs)
+        .foreach(s => try fs.delete(s.getPath, false)
+          catch { case _: java.io.IOException => () })
+      catch { case _: java.io.FileNotFoundException => () }
+    var takeovers = 0
+    var spins = 0
+    gcTombstones() // bound accumulation: one tombstone per takeover
+    while (true) {
+      if (atomicCreate(lease, owner)) return
       val holder =
         try {
           val st = fs.getFileStatus(lease)
           val in = fs.open(lease)
           val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-          Some((who, System.currentTimeMillis() - st.getModificationTime))
+          Some((who, System.currentTimeMillis() - st.getModificationTime,
+            st.getModificationTime))
         } catch { // released between rename and stat: retry the create
           case _: java.io.FileNotFoundException => None
         }
       holder match {
         case None => ()
-        case Some((who, age)) if age > ttlMs =>
-          takeovers += 1
-          require(takeovers <= 3,
-            s"lease takeover livelock at $deltaDir (holder $who)")
-          fs.delete(lease, false) // stale: presumed crashed; take over
-        case Some((who, age)) =>
+        case Some((who, age, mtime)) if age > ttlMs =>
+          // Stale: presumed crashed. SINGLE-WINNER takeover (round-13
+          // ADVICE, medium): with unconditional delete, two waiters
+          // that both observed the expired lease each remove it — the
+          // slower waiter deletes the faster waiter's freshly-CREATED
+          // lease and both then hold the dir. Worse, ANY act-on-path
+          // step (delete or rename alike) can hit a lease that changed
+          // since it was judged stale. So the right to delete a given
+          // lease INCARNATION — identified by (holder id, mtime) — is
+          // claimed through a no-overwrite create of a tombstone NAMED
+          // by that identity: exactly one waiter per incarnation wins
+          // the tombstone, and only the winner deletes. A loser knows
+          // the incarnation is being handled and re-reads; if it then
+          // sees the winner's fresh lease it gets the normal refusal.
+          // Residual (documented frozen-JVM caveat): a holder judged
+          // stale that is actually alive-and-frozen can release and a
+          // fresh lease appear between the winner's claim and delete;
+          // the manifest's no-overwrite rename stays the last-line
+          // collision detector.
+          val ident = java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(who)) + "-" + mtime
+          val tomb = new Path(mdir, s".lease-tomb-$ident")
+          if (atomicCreate(tomb, s"takeover of $who by $owner")) {
+            takeovers += 1
+            require(takeovers <= 3,
+              s"lease takeover livelock at $deltaDir (holder $who)")
+            try fs.delete(lease, false)
+            catch { case _: java.io.FileNotFoundException => () }
+          } else { // this incarnation's takeover belongs to another
+            // waiter (or to a crashed one — GC below unfreezes that):
+            // brief backoff, then re-read the state.
+            spins += 1
+            require(spins <= 100,
+              s"lease takeover spin bound exceeded at $deltaDir (holder $who)")
+            gcTombstones()
+            Thread.sleep(20)
+          }
+        case Some((who, age, _)) =>
           throw new ConcurrentMaintenanceException(
             s"delta dir $deltaDir is being maintained by $who " +
               s"(lease age ${age}ms < ttl ${ttlMs}ms) — one maintainer " +
@@ -352,16 +416,53 @@ object DeltaLog {
 
   /** Release the lease if THIS owner still holds it (a takeover may
     * have transferred it — never delete another maintainer's lease).
+    *
+    * Removal is rename-to-tombstone-then-verify, not read-then-delete
+    * (round-13 ADVICE): with read-then-delete, a TTL takeover landing
+    * BETWEEN the read (sees my owner id) and the delete — only
+    * possible if this JVM froze past the TTL right there — deletes
+    * the successor's lease. The rename is atomic, so what lands in
+    * the tombstone is inspected AFTER it is exclusively ours: if it
+    * is ours, delete it (released); if a successor's, rename it back.
+    * Residual window: between stealing the successor's lease and
+    * restoring it, a third maintainer can acquire — the same
+    * frozen-then-resumed-holder caveat as the heartbeat, and the
+    * manifest's no-overwrite rename remains the last-line detector.
     */
   private[graft] def releaseLease(conf: org.apache.hadoop.conf.Configuration,
-      deltaDir: String, owner: String = OwnerId): Unit = {
+      deltaDir: String, owner: String = OwnerId,
+      precheck: Boolean = true): Unit = {
     val lease = new Path(leasePath(deltaDir))
     val fs = lease.getFileSystem(conf)
+    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      lease.getParent.toUri, conf)
     try {
-      val in = fs.open(lease)
-      val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      if (who == owner) fs.delete(lease, false)
+      // cheap pre-check: after a takeover the common case is "not
+      // mine anymore" — return without touching the successor's file.
+      // `precheck = false` (spec-only) jumps straight to the rename,
+      // simulating a takeover landing INSIDE the read/rename gap so
+      // the restore branch below is exercised.
+      if (precheck) {
+        val in = fs.open(lease)
+        val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (who != owner) return
+      }
+      val tomb = new Path(lease.getParent,
+        s".lease-tomb-${java.util.UUID.randomUUID}")
+      fctx.rename(lease, tomb, org.apache.hadoop.fs.Options.Rename.NONE)
+      val in2 = fs.open(tomb)
+      val got = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+      finally in2.close()
+      if (got == owner) fs.delete(tomb, false)
+      else { // we renamed a successor's lease (takeover raced the
+        // pre-check): give it back. A collision here means a third
+        // party acquired in the gap — drop the tombstone; the
+        // displaced successor's heartbeat observes the foreign owner
+        // and stands down.
+        try fctx.rename(tomb, lease, org.apache.hadoop.fs.Options.Rename.NONE)
+        catch { case _: java.io.IOException => fs.delete(tomb, false) }
+      }
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
@@ -376,6 +477,15 @@ object DeltaLog {
     * frozen-then-resumed holder's in-flight publish is still caught
     * by the manifest's no-overwrite rename, the last-line collision
     * detector beneath the lease.
+    *
+    * The beat's check-then-setTimes has a read/act gap (round-13
+    * ADVICE): a takeover landing between them gets its lease mtime
+    * refreshed by the displaced holder — once, since the NEXT beat
+    * reads the foreign owner and stands down. The effect is strictly
+    * conservative: a fresher mtime only defers a future staleness
+    * takeover of the live successor by at most one beat; it can never
+    * revive this holder or delete anything. Accepted and documented
+    * rather than locked, matching the frozen-JVM caveat above.
     */
   def withMaintenanceLease[T](spark: SparkSession, deltaDir: String,
       ttlMs: Long = LeaseTtlMs)(

@@ -1,35 +1,43 @@
 package graft.streaming
 
-/** Ops/diagnostic probe for the delta-dir maintenance lease: attempt
-  * to acquire (and immediately release) the lease on `args(0)`.
-  * Exit 0 = acquired (no other maintainer), exit 2 = refused (a
-  * maintainer holds it — live OR stale; the message carries holder
-  * and age). Needs no Spark session — the lease protocol is pure
-  * Hadoop-FS — so a cron health check or a second-JVM spec
-  * (`LeaseSpec`) can run it in milliseconds.
+import org.apache.hadoop.fs.Path
+
+/** Ops/diagnostic probe for the delta-dir maintenance lease on
+  * `args(0)`: PURELY OBSERVATIONAL — stat + read the lease file and
+  * report holder and age without ever creating, refreshing, or
+  * removing it. Exit 0 = free (no lease file), exit 2 = held (stdout
+  * carries holder id and age in ms). Needs no Spark session — the
+  * lease protocol is pure Hadoop-FS — so a cron health check or a
+  * second-JVM spec (`LeaseSpec`) runs it in milliseconds.
   *
-  * The probe NEVER takes over: it acquires with an infinite
-  * staleness bound, because a health check that deletes a live (or
-  * even stale) maintainer's lease is a read that destroys the lock
-  * it observes (round-13 review — the first cut took a TTL
-  * argument, so `LeaseProbe dir 1000` against a 2-second-old healthy
-  * fold would have stolen it). Stale-lease REMOVAL is a maintenance
-  * decision: the next real maintainer's TTL takeover, or a human at
-  * the reported path.
+  * Why observational (round-13 ADVICE, superseding the round-13
+  * review's acquire-with-infinite-TTL cut): a probe that ACQUIRES the
+  * real lease is itself a mutation — a probe killed between acquire
+  * and release leaves an orphan lease owned by a dead process that
+  * blocks all maintenance for the full TTL, and a cron probe racing a
+  * real maintainer's acquire spuriously refuses one of them. A health
+  * check must not be able to change the health it reports. Stale
+  * lease REMOVAL stays a maintenance decision: the next real
+  * maintainer's TTL takeover, or a human at the reported path.
   */
 object LeaseProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val conf = new org.apache.hadoop.conf.Configuration()
+    val lease = new Path(DeltaLog.leasePath(dir))
+    val fs = lease.getFileSystem(conf)
     try {
-      DeltaLog.acquireLease(conf, dir, ttlMs = Long.MaxValue)
-      DeltaLog.releaseLease(conf, dir)
-      println("acquired")
-      sys.exit(0)
+      val st = fs.getFileStatus(lease)
+      val in = fs.open(lease)
+      val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val age = System.currentTimeMillis() - st.getModificationTime
+      println(s"held: $who age ${age}ms at ${lease.toUri.getPath}")
+      sys.exit(2)
     } catch {
-      case e: ConcurrentMaintenanceException =>
-        println(s"refused: ${e.getMessage}")
-        sys.exit(2)
+      case _: java.io.FileNotFoundException =>
+        println("free")
+        sys.exit(0)
     }
   }
 }

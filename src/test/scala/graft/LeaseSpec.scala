@@ -91,7 +91,7 @@ class LeaseSpec extends SparkTestBase {
     DeltaLog.releaseLease(conf, dd, owner = "after")
   }
 
-  test("TWO REAL JVMS: a probe process is refused while held, acquires once released") {
+  test("TWO REAL JVMS: the probe reports held-with-owner, then free — without mutating") {
     val dd = tmp()
     // minimal classpath: this repo's classes + the Spark jar dir
     // (hadoop + slf4j live there). No Spark session starts in the
@@ -111,14 +111,81 @@ class LeaseSpec extends SparkTestBase {
       (p.exitValue(), out)
     }
     DeltaLog.acquireLease(conf, dd, owner = "this-jvm")
+    val mtimeBefore =
+      Files.getLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)))
     val (rcHeld, outHeld) = probe()
-    assert(rcHeld === 2, s"probe should be refused while held:\n$outHeld")
-    assert(outHeld.contains("refused"))
+    assert(rcHeld === 2, s"probe should report held:\n$outHeld")
+    assert(outHeld.contains("held") && outHeld.contains("this-jvm"))
+    // observational: the probe touched nothing — the lease file is
+    // intact with an unchanged mtime, and this holder can release it.
+    assert(Files.getLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)))
+      === mtimeBefore, "a health check must not mutate the lease")
     DeltaLog.releaseLease(conf, dd, owner = "this-jvm")
     val (rcFree, outFree) = probe()
-    assert(rcFree === 0, s"probe should acquire once released:\n$outFree")
-    // the probe released on its way out — the dir is free again
+    assert(rcFree === 0, s"probe should report free once released:\n$outFree")
+    assert(outFree.contains("free"))
+    assert(!Files.exists(Paths.get(DeltaLog.leasePath(dd))),
+      "a free-dir probe must not create the lease it reports on")
     DeltaLog.acquireLease(conf, dd, owner = "this-jvm")
     DeltaLog.releaseLease(conf, dd, owner = "this-jvm")
+  }
+
+  test("stale-lease takeover is single-winner under concurrent waiters (rename, not delete)") {
+    // round-13 ADVICE (medium): with delete-based takeover, two
+    // waiters that both observe the expired lease each remove it —
+    // the slower delete kills the faster waiter's freshly-acquired
+    // lease and BOTH hold the dir. The tombstone-rename takeover
+    // admits exactly one winner per stale lease. Race N threads
+    // against one aged lease, repeatedly.
+    for (round <- 1 to 5) {
+      val dd = tmp()
+      DeltaLog.acquireLease(conf, dd, owner = "crashed")
+      Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 8).map { i =>
+        val t = new Thread(() => {
+          start.await()
+          try {
+            DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = s"waiter-$i-r$round")
+            winners.incrementAndGet()
+          } catch { case _: ConcurrentMaintenanceException => () }
+        })
+        t.start(); t
+      }
+      start.countDown()
+      threads.foreach(_.join(30000))
+      assert(winners.get === 1,
+        s"round $round: expected exactly one takeover winner, got ${winners.get}")
+      // the winning waiter holds a healthy lease; clean up via a
+      // fresh takeover after aging it (owner ids are per-thread).
+      Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+      DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "cleanup")
+      DeltaLog.releaseLease(conf, dd, owner = "cleanup")
+    }
+  }
+
+  test("release restores a successor's lease it raced (rename-verify, not read-then-delete)") {
+    // round-13 ADVICE: the read-then-delete TOCTOU — a takeover
+    // landing between release's ownership read and its removal used
+    // to DELETE the successor's lease. Simulate the takeover landing
+    // inside that gap (precheck = false jumps straight to the rename
+    // with the successor's file already in place): the displaced
+    // release must put the successor's lease BACK, not delete it.
+    val dd = tmp()
+    DeltaLog.acquireLease(conf, dd, owner = "successor")
+    DeltaLog.releaseLease(conf, dd, owner = "crashed", precheck = false)
+    val e = intercept[ConcurrentMaintenanceException] {
+      DeltaLog.acquireLease(conf, dd, owner = "third")
+    }
+    assert(e.getMessage.contains("successor"),
+      "the successor's lease must survive a displaced release")
+    DeltaLog.releaseLease(conf, dd, owner = "successor")
+    DeltaLog.acquireLease(conf, dd, owner = "third")
+    DeltaLog.releaseLease(conf, dd, owner = "third")
   }
 }
