@@ -184,4 +184,36 @@ class ArtifactStalenessSpec extends SparkTestBase {
     assert(sigIds.nonEmpty && sigIds.forall(_ % 2 == 0),
       "rebuilt signatures reference dropped documents")
   }
+
+  test("a same-name SAME-LENGTH in-place rewrite of an upstream file still invalidates") {
+    // Round-13 verdict #6: the fingerprint was a name+length listing,
+    // so a NON-Spark writer rewriting a file in place with identical
+    // name and byte count (an out-of-band tool regenerating an input)
+    // served stale artifacts forever. The listing entry now carries
+    // mtime, which any real rewrite moves. Upstream here is a raw
+    // text file — exactly the external-drop shape Spark's own
+    // UUID-part-named writes never produce.
+    import graft.sources.Artifacts
+    val base = Files.createTempDirectory("graft-inplace").toString
+    val up = Paths.get(base, "drop.txt")
+    Files.writeString(up, "AAAA\nBBBB\n")
+    val root = s"$base/artifact"
+    def load() = Artifacts.loadOrBuild(spark, root, Seq(up.toString), "sem") { t =>
+      spark.read.textFile(up.toString).toDF("line")
+        .write.mode("overwrite").parquet(t)
+    }
+    val first = load().collect().map(_.getString(0)).toSet
+    assert(first === Set("AAAA", "BBBB"))
+    // in-place rewrite: same name, same 10-byte length, new content;
+    // pin the mtime explicitly ahead so the test never depends on FS
+    // timestamp granularity (a real tool's rewrite moves it too).
+    Files.writeString(up, "AAAA\nCCCC\n")
+    Files.setLastModifiedTime(up,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    assert(Files.size(up) === 10)
+    val second = load().collect().map(_.getString(0)).toSet
+    assert(second === Set("AAAA", "CCCC"),
+      "same-length in-place rewrite served a STALE artifact")
+  }
 }
