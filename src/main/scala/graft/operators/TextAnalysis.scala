@@ -382,20 +382,38 @@ object TextAnalysis {
     */
   def bm25TopK(spark: SparkSession, dir: String,
       k: Int = 20, qTerms: Int = 8): DataFrame =
-    bm25Core(docs(spark, dir),
-      stats(spark, dir).where(col("n_clean_tokens") > 0)
-        .select(col("doc_id"), col("n_clean_tokens").as("dl")),
-      k, qTerms)
+    bm25Core(docs(spark, dir), identityDocLengths(spark, dir), k, qTerms)
+
+  /** THE BM25 document-length contract (round-14, verdict #7 —
+    * unifying what round 13 documented as an artifact-vs-live
+    * divergence): document length is keyed by document IDENTITY —
+    * `sum(n_clean_tokens) GROUP BY doc_id` — on EVERY scoring path,
+    * because an index merges a re-crawled duplicate id's postings
+    * into one document (the [[loadOrBuildDocLengths]] artifact is
+    * `groupBy(doc_id)` over the positional postings by construction,
+    * and tf is `groupBy(doc_id, term)` on BOTH the derived and
+    * indexed paths — an identity-level tf scored against a per-ROW
+    * dl was the live path's inconsistency, visible only on corpora
+    * with duplicate ids). One row per identity with >= 1 cleaned
+    * token, exactly the frame the artifact serves; identical to the
+    * per-row form on duplicate-free corpora.
+    */
+  private def identityDocLengths(spark: SparkSession, dir: String): DataFrame =
+    stats(spark, dir).groupBy("doc_id")
+      .agg(sum("n_clean_tokens").cast("long").as("dl"))
+      .where(col("dl") > 0)
 
   /** [[bm25TopK]] over an arbitrary documents frame (fixture seam —
-    * computes doc lengths inline instead of the persisted stats).
+    * computes doc lengths inline instead of the persisted stats;
+    * same identity-keyed contract as [[identityDocLengths]]).
     */
   def bm25TopKOf(documents: DataFrame, k: Int = 20, qTerms: Int = 8): DataFrame =
     bm25Core(documents,
       documents.select(col("doc_id"),
           when(Tokenize.clean(col("text")) === "", 0L)
             .otherwise(size(split(Tokenize.clean(col("text")), " ")))
-            .cast("long").as("dl"))
+            .cast("long").as("row_dl"))
+        .groupBy("doc_id").agg(sum("row_dl").cast("long").as("dl"))
         .where(col("dl") > 0),
       k, qTerms)
 
@@ -1265,8 +1283,7 @@ object TextAnalysis {
     val tf = toks.join(broadcast(qf.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = stats(spark, dir).where(col("n_clean_tokens") > 0)
-      .select(col("doc_id"), col("n_clean_tokens").as("dl"))
+    val dl = identityDocLengths(spark, dir) // ONE dl contract everywhere
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tot"))
       .withColumn("avgdl", expr("l_tot div n_docs"))
     tf.join(broadcast(qf), Seq("term"))

@@ -50,7 +50,8 @@ object HybridOracle {
     GROUP BY doc_id, term
   ),
   dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-  dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),
+  dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats
+         GROUP BY doc_id HAVING sum(n_clean_tokens) > 0),
   tot AS (
     SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl
   ),
@@ -157,7 +158,8 @@ ${fusionSql(k)}"""
     GROUP BY doc_id, term
   ),
   dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-  dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),
+  dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats
+         GROUP BY doc_id HAVING sum(n_clean_tokens) > 0),
   tot AS (
     SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl
   ),

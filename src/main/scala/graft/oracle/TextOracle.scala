@@ -169,26 +169,16 @@ ORDER BY doc_id, rank"""
     * query-by-example term source, same floored avgdl, same per-term
     * basis-point floor before the per-doc sum.
     */
-  /** [[bm25TopKSql]]'s twin for the ARTIFACT-SERVED path
-    * (`TextAnalysis.bm25TopKIndexed`): document length is keyed by
-    * doc IDENTITY — `sum(n_clean_tokens) GROUP BY doc_id` — because
-    * an index merges a re-crawled duplicate id's postings into one
-    * document (the doc-lengths artifact is `groupBy(doc_id)` by
-    * construction), where the derived/live path scores each crawl
-    * ROW (round-13 degenerate hash gate; identical on corpora
-    * without duplicate ids). The documented artifact-vs-live
-    * contract difference on duplicate identities.
+  /** The indexed path's oracle IS the derived path's oracle
+    * (round-14, verdict #7): BM25 document length is identity-keyed —
+    * `sum(n_clean_tokens) GROUP BY doc_id` — on every engine path
+    * (the contract and its rationale live at
+    * `TextAnalysis.identityDocLengths`), so the round-13 per-row /
+    * per-identity fork and its string-patch machinery are gone: one
+    * contract, one oracle, two engine paths hash-gated against it.
     */
-  def bm25TopKIndexedSql(k: Int = 20, qTerms: Int = 8): String = {
-    val base = bm25TopKSql(k, qTerms)
-    val patched = base.replace(
-      "dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),",
-      "dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats WHERE n_clean_tokens > 0 GROUP BY doc_id),")
-    // a drifted base CTE must fail HERE, not silently gate the
-    // indexed query against the wrong (per-row) contract
-    require(patched != base, "bm25TopKSql's dl CTE drifted; re-anchor the indexed patch")
-    patched
-  }
+  def bm25TopKIndexedSql(k: Int = 20, qTerms: Int = 8): String =
+    bm25TopKSql(k, qTerms)
 
   def bm25TopKSql(k: Int = 20, qTerms: Int = 8): String =
     s"""WITH $statsCte,
@@ -208,7 +198,8 @@ ORDER BY doc_id, rank"""
     GROUP BY doc_id, term
   ),
   dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-  dl AS (SELECT doc_id, n_clean_tokens AS dl FROM tstats WHERE n_clean_tokens > 0),
+  dl AS (SELECT doc_id, sum(n_clean_tokens) AS dl FROM tstats
+         GROUP BY doc_id HAVING sum(n_clean_tokens) > 0),
   tot AS (
     SELECT count(*) AS n_docs, sum(dl) AS l_tot, sum(dl) // count(*) AS avgdl
     FROM dl
