@@ -18,7 +18,10 @@ import graft.sources.IndexBuilder
   * Generator notes:
   *  - key shifting preserves each table's schema (the shifted pk is
   *    cast back to its original type) and injectivity of the derived
-  *    row ids; replica i's keys live at `i * 10^8`;
+  *    row ids; replica i's keys live at `i * shift` with ONE shift
+  *    for all tables (1e8 historically; automatically reduced to the
+  *    smallest fitting power of 10 when a factor like 100 would
+  *    overflow an INT pk — see [[shiftFor]]);
   *  - replicated documents keep their text verbatim, so the scaled
   *    corpus has a >= (factor-1)/factor near-dup rate — deliberately
   *    brutal for the dedup family: the drop list becomes
@@ -34,6 +37,36 @@ import graft.sources.IndexBuilder
 object Scale {
 
   private val Offset = 100000000L
+
+  /** The replica key shift for this (corpus, factor): the historical
+    * 1e8 whenever it fits every INT pk at this factor (keeps the
+    * committed x10 corpora byte-identical), else the smallest power
+    * of 10 above every table's max key that does fit. ONE shift for
+    * ALL tables — per-table shifts would break cross-table key
+    * relationships (l_orderkey ↔ o_orderkey, doc_id ↔ vec_id) inside
+    * each replica, changing the joins this harness times.
+    */
+  private def shiftFor(spark: SparkSession, baseDir: String,
+      factor: Int): Long = {
+    val maxKeyAll = pkCol.toSeq.map { case (t, pk) =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .agg(max(col(pk).cast("long"))).head().getLong(0)
+    }.max
+    val intPk = pkCol.keys.exists { t =>
+      val df = spark.read.parquet(s"$baseDir/$t.parquet")
+      df.schema(pkCol(t)).dataType == org.apache.spark.sql.types.IntegerType
+    }
+    def fits(s: Long): Boolean =
+      !intPk || (factor - 1).toLong * s + maxKeyAll <= Int.MaxValue
+    if (fits(Offset)) Offset
+    else {
+      var s = 10L
+      while (s <= maxKeyAll) s *= 10
+      require(fits(s), s"factor=$factor cannot fit an INT pk even at " +
+        s"the minimal shift $s — use a smaller factor")
+      s
+    }
+  }
 
   private val pkCol = Map(
     "customer" -> "c_custkey", "documents" -> "doc_id",
@@ -52,6 +85,7 @@ object Scale {
     // partial corpus.
     val marker = new java.io.File(s"$workDir/supplier.parquet/_SUCCESS")
     if (marker.exists()) return
+    val shift = shiftFor(spark, baseDir, factor)
     pkCol.toSeq.sortBy(_._1).foreach { case (t, pk) =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
       val pkType = df.schema(pk).dataType
@@ -60,13 +94,13 @@ object Scale {
       // silently wrap and collide row ids — corrupting the very
       // timings this harness measures).
       val maxKey = df.agg(max(col(pk).cast("long"))).head().getLong(0)
-      require(maxKey < Offset,
-        s"$t.$pk max $maxKey >= shift offset $Offset: replicas would collide")
+      require(maxKey < shift,
+        s"$t.$pk max $maxKey >= shift offset $shift: replicas would collide")
       if (pkType == org.apache.spark.sql.types.IntegerType)
-        require((factor - 1).toLong * Offset + maxKey <= Int.MaxValue,
+        require((factor - 1).toLong * shift + maxKey <= Int.MaxValue,
           s"$t.$pk is INT and factor=$factor overflows it; use a smaller factor")
       val scaled = (0 until factor).map(i =>
-          df.withColumn(pk, (col(pk) + lit(i * Offset)).cast(pkType)))
+          df.withColumn(pk, (col(pk) + lit(i * shift)).cast(pkType)))
         .reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$workDir/$t.parquet")
     }
@@ -218,6 +252,17 @@ object Scale {
       s"${new java.io.File(baseDir).getName}-x$factor"
 
     val tGen = timed { generate(spark, baseDir, workDir, factor) }
+
+    // generate-only mode (round-14): the x100 corpus is produced here
+    // and MEASURED under graft.Stress's constrained heap — running
+    // this harness's full family sweep at x100 would time the
+    // saturation-by-design generators, not the flagship operators.
+    if (args.lift(2).contains("generate-only")) {
+      println(s"""{"metric":"scale-generate","factor":$factor,""" +
+        s""""gen_s":$tGen,"work_dir":"$workDir"}""")
+      spark.stop()
+      return
+    }
 
     // query tables pinned to the BASE corpus.
     val custQ = Queries.customerQuery(spark, baseDir)

@@ -36,7 +36,22 @@ object Stress {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cpus)
+    // Constrained-heap geometry (round-14, found by the x100 drill):
+    // GraftSession.local sizes shuffle partitions to the CORE count —
+    // right for the sf-scale corpora it serves, but a FIXED partition
+    // count is exactly what breaks when the data grows 100x under a
+    // small heap (6M-row sort partitions into a 4 GiB/8-core heap
+    // OOM'd in the sorter's pointer-array doubling before spill could
+    // help). This harness's whole point is the constrained regime, so
+    // it applies the engine's own cluster guidance (partitions 2-3x
+    // cores scaled WITH the data, erring high — AQE coalesces the
+    // small stages back down) and halves the scan splits per factor
+    // decade so scan-side explodes stay heap-bounded too.
+    val parts = math.max(cpus, cpus * factor / 8)
+    val splitBytes = if (factor >= 100) 32L << 20 else 128L << 20
+    val spark = GraftSession.local(cpus, Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.files.maxPartitionBytes" -> splitBytes.toString))
     spark.sparkContext.setLogLevel("WARN")
     val workDir = s"${sys.props("user.dir")}/target/graft-scale/" +
       s"${new java.io.File(baseDir).getName}-x$factor"
@@ -58,7 +73,7 @@ object Stress {
     })
 
     val custQ = Queries.customerQuery(spark, baseDir)
-    val families: Seq[(String, String => DataFrame)] = Seq(
+    val allFamilies: Seq[(String, String => DataFrame)] = Seq(
       "search_customer" -> (d =>
         JoinSearch.searchTables(IndexBuilder.cached(spark, d), custQ, Queries.customerCols)),
       "dedup_minhash_lsh" -> (d => Dedup.minhashLsh(spark, d)),
@@ -72,7 +87,24 @@ object Stress {
       // worst 10x ratio — the one most worth proving spill-safe) and
       // the certified sketch's two corpus passes.
       "dedup_kept_corpus_best" -> (d => Dedup.keptCorpusBest(spark, d)),
-      "text_heavy_hitters" -> (d => TextAnalysis.heavyHitters(spark, d)))
+      "text_heavy_hitters" -> (d => TextAnalysis.heavyHitters(spark, d)),
+      // round-14 (verdict #5): shard packing joins the flagship set
+      // for the x100 trend point.
+      "prep_shard_packing" -> (d => CorpusPrep.shardPacking(spark, d)))
+
+    // GRAFT_STRESS_FAMILIES=a,b,c restricts the run (the x100 trend
+    // point measures the flagship subset; saturation-by-design
+    // worst cases like span coverage are 10x-bounded on purpose —
+    // verbatim x100 replication makes their input quadratic in the
+    // factor, which measures the generator, not the operator).
+    val families = sys.env.get("GRAFT_STRESS_FAMILIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- allFamilies.map(_._1).toSet
+        require(missing.isEmpty, s"unknown stress families: $missing")
+        allFamilies.filter { case (n, _) => want(n) }
+      case None => allFamilies
+    }
 
     def drain(): Unit = Thread.sleep(300) // listener events are async
 
