@@ -38,26 +38,41 @@ object Scale {
 
   private val Offset = 100000000L
 
-  /** The replica key shift for this (corpus, factor): the historical
-    * 1e8 whenever it fits every INT pk at this factor (keeps the
-    * committed x10 corpora byte-identical), else the smallest power
-    * of 10 above every table's max key that does fit. ONE shift for
-    * ALL tables — per-table shifts would break cross-table key
-    * relationships (l_orderkey ↔ o_orderkey, doc_id ↔ vec_id) inside
-    * each replica, changing the joins this harness times.
+  /** Per-table `(max key, pk is INT)` in ONE pass over the base
+    * corpus — shared by [[shiftFor]] and [[generate]]'s injectivity
+    * guards (round-14 review: the first cut scanned every table's max
+    * twice per generation).
     */
-  private def shiftFor(spark: SparkSession, baseDir: String,
-      factor: Int): Long = {
-    val maxKeyAll = pkCol.toSeq.map { case (t, pk) =>
-      spark.read.parquet(s"$baseDir/$t.parquet")
-        .agg(max(col(pk).cast("long"))).head().getLong(0)
-    }.max
-    val intPk = pkCol.keys.exists { t =>
+  private def keyMaxima(spark: SparkSession,
+      baseDir: String): Map[String, (Long, Boolean)] =
+    pkCol.map { case (t, pk) =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
-      df.schema(pkCol(t)).dataType == org.apache.spark.sql.types.IntegerType
+      val maxKey = df.agg(max(col(pk).cast("long"))).head().getLong(0)
+      val isInt =
+        df.schema(pk).dataType == org.apache.spark.sql.types.IntegerType
+      t -> (maxKey, isInt)
     }
+
+  /** The replica key shift for this (corpus, factor): the historical
+    * 1e8 whenever it clears every table's max key AND fits every
+    * INT pk at this factor (keeps the committed x10 corpora
+    * byte-identical), else the smallest power of 10 above every
+    * table's max key — required to fit, loudly, at construction. The
+    * INT-overflow bound uses the max key over INT-TYPED pks only (a
+    * BIGINT table's larger keys must not veto a factor the INT
+    * tables can take). ONE shift for ALL tables — per-table shifts
+    * would break cross-table key relationships (l_orderkey ↔
+    * o_orderkey, doc_id ↔ vec_id) inside each replica, changing the
+    * joins this harness times.
+    */
+  private def shiftFor(maxima: Map[String, (Long, Boolean)],
+      factor: Int): Long = {
+    val maxKeyAll = maxima.values.map(_._1).max
+    val maxIntKey = maxima.values.collect { case (k, true) => k }
+      .maxOption
     def fits(s: Long): Boolean =
-      !intPk || (factor - 1).toLong * s + maxKeyAll <= Int.MaxValue
+      maxKeyAll < s && maxIntKey.forall(k =>
+        (factor - 1).toLong * s + k <= Int.MaxValue)
     if (fits(Offset)) Offset
     else {
       var s = 10L
@@ -85,18 +100,20 @@ object Scale {
     // partial corpus.
     val marker = new java.io.File(s"$workDir/supplier.parquet/_SUCCESS")
     if (marker.exists()) return
-    val shift = shiftFor(spark, baseDir, factor)
+    val maxima = keyMaxima(spark, baseDir)
+    val shift = shiftFor(maxima, factor)
     pkCol.toSeq.sortBy(_._1).foreach { case (t, pk) =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
       val pkType = df.schema(pk).dataType
       // injectivity guards: replica key ranges must not overlap, and
       // the shifted key must fit the pk's type (a non-ANSI cast would
       // silently wrap and collide row ids — corrupting the very
-      // timings this harness measures).
-      val maxKey = df.agg(max(col(pk).cast("long"))).head().getLong(0)
+      // timings this harness measures). shiftFor chose shift to pass
+      // both; these requires keep the invariant loud if it drifts.
+      val (maxKey, isInt) = maxima(t)
       require(maxKey < shift,
         s"$t.$pk max $maxKey >= shift offset $shift: replicas would collide")
-      if (pkType == org.apache.spark.sql.types.IntegerType)
+      if (isInt)
         require((factor - 1).toLong * shift + maxKey <= Int.MaxValue,
           s"$t.$pk is INT and factor=$factor overflows it; use a smaller factor")
       val scaled = (0 until factor).map(i =>

@@ -160,15 +160,9 @@ object ServeDrill {
   def run(spark: SparkSession, base: String, nBatches: Int = 24,
       compactEvery: Int = 4): Seq[Report] = {
     Files.createDirectories(Paths.get(base))
-    val cp = Seq(
-      s"${sys.props("user.dir")}/target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val pb = new ProcessBuilder(
-      s"${sys.props("java.home")}/bin/java", "-Xmx2g", "-cp", cp,
-      "graft.ServeDrill", "reader", base, nBatches.toString)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(new java.io.File(s"$base/reader.log"))
-    val reader = pb.start()
+    val reader = JvmSpawn.spawn("graft.ServeDrill",
+      Seq("reader", base, nBatches.toString),
+      new java.io.File(s"$base/reader.log"), xmx = "2g")
     try {
       var deadline = System.currentTimeMillis() + 180000
       while (!Files.exists(Paths.get(s"$base/reader.ready"))) {
@@ -228,13 +222,17 @@ object ServeDrill {
     val base = sys.env.get("GRAFT_SERVEDRILL_BASE")
       .getOrElse(Files.createTempDirectory("graft-servedrill").toString)
     val keep = sys.env.contains("GRAFT_SERVEDRILL_BASE") // debug runs keep scratch
+    // failure is signaled AFTER the finally: sys.exit inside the try
+    // would skip the finally entirely and leak the scratch tree on
+    // exactly the failing runs (round-14 review #3).
+    var failed = false
     try {
       val reports = run(spark, base)
       reports.foreach(r => println(r.json))
       val enough = reports.headOption.exists(_.reads >= MinReads)
       if (!enough) println(s"""{"error":"fewer than $MinReads reads"}""")
       spark.stop()
-      if (!reports.forall(_.ok) || !enough) sys.exit(1)
+      failed = !reports.forall(_.ok) || !enough
     } finally {
       // scratch hygiene (Maintain's contract): nothing left behind
       if (!keep) try {
@@ -244,5 +242,6 @@ object ServeDrill {
         finally walk.close()
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+    if (failed) sys.exit(1)
   }
 }

@@ -45,8 +45,9 @@ object Stress {
     // help). This harness's whole point is the constrained regime, so
     // it applies the engine's own cluster guidance (partitions 2-3x
     // cores scaled WITH the data, erring high — AQE coalesces the
-    // small stages back down) and halves the scan splits per factor
-    // decade so scan-side explodes stay heap-bounded too.
+    // small stages back down) and drops scan splits one tier
+    // (128 MiB -> 32 MiB at factor >= 100) so scan-side explodes
+    // stay heap-bounded too.
     val parts = math.max(cpus, cpus * factor / 8)
     val splitBytes = if (factor >= 100) 32L << 20 else 128L << 20
     val spark = GraftSession.local(cpus, Map(

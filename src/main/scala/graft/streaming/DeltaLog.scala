@@ -356,11 +356,22 @@ object DeltaLog {
       if (atomicCreate(lease, owner)) return
       val holder =
         try {
+          // (owner, mtime) must describe ONE lease incarnation: stat,
+          // read, then re-stat and discard unless the mtime held — a
+          // stat from incarnation X paired with an owner read from a
+          // successor Y would forge a never-claimed tombstone ident
+          // whose atomicCreate trivially wins, and the follow-up
+          // delete would kill Y's LIVE lease (round-14 review #1: the
+          // deschedule-between-two-FS-calls race during a waiter
+          // stampede). A heartbeat touch between the stats also
+          // retries — one wasted loop, never a wrong identity.
           val st = fs.getFileStatus(lease)
           val in = fs.open(lease)
           val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-          Some((who, System.currentTimeMillis() - st.getModificationTime,
+          val st2 = fs.getFileStatus(lease)
+          if (st2.getModificationTime != st.getModificationTime) None
+          else Some((who, System.currentTimeMillis() - st.getModificationTime,
             st.getModificationTime))
         } catch { // released between rename and stat: retry the create
           case _: java.io.FileNotFoundException => None

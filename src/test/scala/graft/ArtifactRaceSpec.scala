@@ -19,18 +19,8 @@ import org.apache.spark.sql.functions.col
   */
 class ArtifactRaceSpec extends SparkTestBase {
 
-  private def spawn(root: String, upstream: String, out: String): Process = {
-    val cp = Seq(
-      s"${sys.props("user.dir")}/target/scala-2.13/test-classes",
-      s"${sys.props("user.dir")}/target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val pb = new ProcessBuilder(
-      s"${sys.props("java.home")}/bin/java", "-Xmx1g", "-cp", cp,
-      "graft.ArtifactRaceMain", root, upstream, out)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(java.io.File.createTempFile("racer", ".log"))
-    pb.start()
-  }
+  private def spawn(root: String, upstream: String, out: String): Process =
+    JvmSpawn.spawn("graft.ArtifactRaceMain", root, upstream, out)
 
   test("TWO REAL JVMS racing loadOrBuild serve ONE consistent version — no torn artifact") {
     import spark.implicits._

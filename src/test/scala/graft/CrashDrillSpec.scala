@@ -30,18 +30,8 @@ class CrashDrillSpec extends SparkTestBase {
     sys.env.get("GRAFT_DRILL_SEED").map(_.toLong)
       .getOrElse(System.nanoTime()))
 
-  private def spawn(mode: String, args: String*): Process = {
-    val cp = Seq(
-      s"${sys.props("user.dir")}/target/scala-2.13/test-classes",
-      s"${sys.props("user.dir")}/target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val pb = new ProcessBuilder(
-      (Seq(s"${sys.props("java.home")}/bin/java", "-Xmx1g", "-cp", cp,
-        "graft.CrashDrillMain", mode) ++ args): _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(java.io.File.createTempFile("drill", ".log"))
-    pb.start()
-  }
+  private def spawn(mode: String, args: String*): Process =
+    JvmSpawn.spawn("graft.CrashDrillMain", (mode +: args): _*)
 
   /** Wait for the child's marker, sleep a random slice of the
     * operation window, SIGKILL. Returns the delay used.

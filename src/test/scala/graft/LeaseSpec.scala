@@ -93,20 +93,13 @@ class LeaseSpec extends SparkTestBase {
 
   test("TWO REAL JVMS: the probe reports held-with-owner, then free — without mutating") {
     val dd = tmp()
-    // minimal classpath: this repo's classes + the Spark jar dir
-    // (hadoop + slf4j live there). No Spark session starts in the
-    // probe, so the spawn is sub-second.
-    val cp = Seq(
-      s"${sys.props("user.dir")}/target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val javaBin = s"${sys.props("java.home")}/bin/java"
+    // No Spark session starts in the probe (pure Hadoop-FS), so the
+    // spawn is sub-second.
     def probe(): (Int, String) = {
-      val pb = new ProcessBuilder(javaBin, "-cp", cp,
-        "graft.streaming.LeaseProbe", dd)
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val log = java.io.File.createTempFile("leaseprobe", ".log")
+      val p = JvmSpawn.spawn("graft.streaming.LeaseProbe", Seq(dd), log)
       val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      val out = java.nio.file.Files.readString(log.toPath)
       assert(done, s"probe hung:\n$out")
       (p.exitValue(), out)
     }
@@ -137,19 +130,24 @@ class LeaseSpec extends SparkTestBase {
     // lease and BOTH hold the dir. The tombstone-rename takeover
     // admits exactly one winner per stale lease. Race N threads
     // against one aged lease, repeatedly.
+    // ttl 10s >> the waiters' 20ms spin cadence: with a 1s ttl, a
+    // loser thread descheduled past 1s would judge the WINNER's fresh
+    // lease stale and legitimately take it over — a test flake, not a
+    // product bug (round-14 review #4).
+    val ttl = 10000L
     for (round <- 1 to 5) {
       val dd = tmp()
       DeltaLog.acquireLease(conf, dd, owner = "crashed")
       Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 10000))
+          System.currentTimeMillis() - 3 * ttl))
       val winners = new java.util.concurrent.atomic.AtomicInteger(0)
       val start = new java.util.concurrent.CountDownLatch(1)
       val threads = (1 to 8).map { i =>
         val t = new Thread(() => {
           start.await()
           try {
-            DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = s"waiter-$i-r$round")
+            DeltaLog.acquireLease(conf, dd, ttlMs = ttl, owner = s"waiter-$i-r$round")
             winners.incrementAndGet()
           } catch { case _: ConcurrentMaintenanceException => () }
         })
@@ -163,8 +161,8 @@ class LeaseSpec extends SparkTestBase {
       // fresh takeover after aging it (owner ids are per-thread).
       Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 10000))
-      DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "cleanup")
+          System.currentTimeMillis() - 3 * ttl))
+      DeltaLog.acquireLease(conf, dd, ttlMs = ttl, owner = "cleanup")
       DeltaLog.releaseLease(conf, dd, owner = "cleanup")
     }
   }
