@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone (oracle parity and sane timestamps);
   *  - `nanosAsLong` for the corpus's TIMESTAMP(NANOS) parquet;
   *  - AQE on (runtime coalescing + skew-join splitting).
+  *
+  * PARTITION-GEOMETRY WARNING (round-14, found by the x100 stress
+  * drill): partitions-=-cores is right for the sf-scale corpora this
+  * helper serves, and WRONG for data that outgrows them — a fixed
+  * partition count turns a 100x corpus into ~6M-row sort partitions
+  * that OOM a constrained heap in the sorter's pointer-array doubling
+  * before spill can help. AQE coalesces an over-partitioned shuffle
+  * DOWN at runtime but can never split an under-partitioned one, so
+  * when pointing a local session at substantially more data, pass
+  * `extra = Map("spark.sql.shuffle.partitions" -> <scaled>,
+  * "spark.sql.files.maxPartitionBytes" -> <smaller>)` — the exact
+  * geometry [[Stress]] applies and [[cluster]]'s scaladoc prescribes
+  * (partitions 2-3x total cores, erring HIGH).
   */
 object GraftSession {
 

@@ -73,11 +73,46 @@ object Maintain {
     * out — a maintenance exercise that leaves a corpus-sized copy
     * per invocation accumulates unbounded /tmp state under any
     * repeated cadence (round-12 ADVICE).
+    *
+    * A SIGKILLED cycle's `finally` never runs (round-14, found while
+    * building the crash drills), so each run also SWEEPS prior runs'
+    * stale leftovers first: `graft-maintain-*` temp dirs and their
+    * artifact siblings under the index root, older than
+    * [[ScratchTtlMs]] (age-guarded so a concurrent live cycle's
+    * minutes-old scratch is never touched). Crash recovery of the
+    * scratch is thereby the NEXT run's first act, matching the
+    * artifact gate's stray-sweep discipline.
     */
   def run(spark: SparkSession, srcDir: String): Seq[Report] = {
+    sweepStaleScratch()
     val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
     try runInScratch(spark, srcDir, scratch)
     finally scratch.foreach(deleteTree)
+  }
+
+  /** Stale-scratch bound: a healthy cycle is minutes; anything
+    * `graft-maintain-*` older than this is a crashed run's leftover.
+    */
+  private[graft] val ScratchTtlMs: Long =
+    sys.env.get("GRAFT_MAINTAIN_SCRATCH_TTL_MS").map(_.toLong)
+      .getOrElse(6L * 3600 * 1000)
+
+  private[graft] def sweepStaleScratch(
+      ttlMs: Long = ScratchTtlMs): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sweepDir(root: java.io.File, prefix: String): Unit = {
+      Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith(prefix) &&
+          now - f.lastModified() > ttlMs)
+        .foreach { f => swept += f.toString; deleteTree(f.toString) }
+    }
+    sweepDir(new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft-maintain-")
+    sweepDir(new java.io.File(sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/target/graft-index")),
+      "graft-maintain-corpus")
+    swept.toSeq
   }
 
   /** Best-effort recursive delete (cleanup must never mask the

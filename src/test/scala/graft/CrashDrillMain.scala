@@ -25,12 +25,19 @@ object CrashDrillMain {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "started")
     args(0) match {
       case "fold" =>
+        // optional 4th arg picks the fold-transform shape: "distinct"
+        // (row dedup — the default) or "recluster" (key re-cluster,
+        // the postings families' shape).
         val Array(_, dd, marker) = args.take(3)
+        val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          args.lift(3) match {
+            case Some("recluster") => df => {
+              Thread.sleep(1500); df.repartition(col("key"))
+            }
+            case _ => df => { Thread.sleep(1500); df.distinct() }
+          }
         mark(marker)
-        graft.streaming.DeltaLog.compactLive(spark, dd) { df =>
-          Thread.sleep(1500)
-          df.distinct()
-        }
+        graft.streaming.DeltaLog.compactLive(spark, dd)(transform)
       case "build" =>
         val Array(_, root, upstream, marker) = args.take(4)
         mark(marker)

@@ -104,6 +104,32 @@ class CrashDrillSpec extends SparkTestBase {
     assert(fin === expected.sorted.toSeq)
   }
 
+  test("SIGKILL mid-fold (key-recluster transform): the postings shape converges too") {
+    // the other fold-transform shape the engine's families use
+    // (postings re-cluster by key); drill one randomized kill on it.
+    val base = Files.createTempDirectory("graft-drill-foldB").toString
+    val dd = s"$base/delta"
+    val rows = (0 until 3).flatMap { b =>
+      (0 until 40).map(j => (s"k${(b + j) % 5}", b * 1000L + j))
+    }
+    for (b <- 0 until 3) {
+      rows.slice(b * 40, b * 40 + 40).toDF("key", "doc")
+        .write.parquet(s"$dd/batch=$b")
+      DeltaLog.commit(spark, dd, s"batch=$b")
+    }
+    val marker = s"$base/fold.marker"
+    val p = spawn("fold", dd, marker, "recluster")
+    val delay = killInsideWindow(p, marker, windowMs = 2600)
+    info(s"recluster fold: killed ${delay}ms after start")
+    ageFile(DeltaLog.leasePath(dd), 20 * 60 * 1000)
+    DeltaLog.compactLive(spark, dd)(_.repartition(col("key")))
+    val got = spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("key", "doc").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got === rows.sorted,
+      s"postings multiset diverged after recluster-fold crash (delay ${delay}ms)")
+  }
+
   test("SIGKILL mid-artifact-build x2: no torn version ever visible; stale temp swept") {
     val base = Files.createTempDirectory("graft-drill-build").toString
     val upstream = s"$base/up.parquet"

@@ -45,4 +45,33 @@ class MaintainSpec extends SparkTestBase {
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, s"families violating the contract on the junk corpus:\n$bad")
   }
+
+  test("a SIGKILLED run's stale scratch is swept by the next run; live scratch is not") {
+    // round-14: the in-run finally cleans a HEALTHY cycle, but a
+    // kill -9 mid-cycle skips it — without a startup sweep, every
+    // crashed cycle leaks a corpus-sized copy forever.
+    import java.nio.file.{Files, Paths}
+    val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val idxRoot = s"${sys.props("user.dir")}/target/graft-index"
+    Files.createDirectories(Paths.get(idxRoot))
+    def plant(parent: String, name: String, ageMs: Long): String = {
+      val d = Paths.get(parent, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("leftover.parquet"), "x")
+      Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - ageMs))
+      d.toString
+    }
+    val staleTmp = plant(tmpRoot, "graft-maintain-corpus-crashed1", 7200000)
+    val staleArt = plant(idxRoot, "graft-maintain-corpus-crashed1-ab12cd", 7200000)
+    val liveTmp = plant(tmpRoot, "graft-maintain-corpus-live1", 1000)
+    val swept = Maintain.sweepStaleScratch(ttlMs = 3600000)
+    assert(swept.contains(staleTmp) && swept.contains(staleArt),
+      s"stale scratch not swept: $swept")
+    assert(!Files.exists(Paths.get(staleTmp)) && !Files.exists(Paths.get(staleArt)))
+    assert(Files.exists(Paths.get(liveTmp)),
+      "a CONCURRENT live cycle's scratch must never be touched")
+    Maintain.sweepStaleScratch(ttlMs = 0) // cleanup the live plant too
+    assert(!Files.exists(Paths.get(liveTmp)))
+  }
 }
