@@ -27,7 +27,10 @@ object CrashDrillMain {
       case "fold" =>
         // optional 4th arg picks the fold-transform shape: "distinct"
         // (row dedup — the default) or "recluster" (key re-cluster,
-        // the postings families' shape).
+        // the postings families' shape). Optional 5th arg is a
+        // go-file to await AFTER marking ready — lets a spec start
+        // two folders within milliseconds of each other (the
+        // two-real-compactors lease race).
         val Array(_, dd, marker) = args.take(3)
         val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           args.lift(3) match {
@@ -37,6 +40,13 @@ object CrashDrillMain {
             case _ => df => { Thread.sleep(1500); df.distinct() }
           }
         mark(marker)
+        args.lift(4).foreach { go =>
+          val deadline = System.currentTimeMillis() + 120000
+          while (!java.nio.file.Files.exists(java.nio.file.Paths.get(go))) {
+            require(System.currentTimeMillis() < deadline, "go-file wait timed out")
+            Thread.sleep(20)
+          }
+        }
         graft.streaming.DeltaLog.compactLive(spark, dd)(transform)
       case "build" =>
         val Array(_, root, upstream, marker) = args.take(4)

@@ -167,6 +167,52 @@ class LeaseSpec extends SparkTestBase {
     }
   }
 
+  test("TWO REAL COMPACTORS race one dir: exactly one folds, the other is refused, content intact") {
+    // LeaseSpec proved cross-process REFUSAL with an observational
+    // probe; this races two REAL maintainer JVMs both actually
+    // calling compactLive (1.5 s mid-fold sleep; ready/go handshake
+    // so both acquire within milliseconds) — the enforced
+    // one-compactor-per-dir contract at full fidelity.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lease-race").toString
+    val dd = s"$base/delta"
+    val expected = (0 until 3).flatMap(b => (b * 10) until (b * 10 + 10))
+    for (b <- 0 until 3) {
+      ((b * 10L) until (b * 10L + 10L)).toDF("id").write.parquet(s"$dd/batch=$b")
+      DeltaLog.commit(spark, dd, s"batch=$b")
+    }
+    val logs = Seq("a", "b").map(n => new java.io.File(s"$base/fold-$n.log"))
+    val ps = Seq("a", "b").zip(logs).map { case (n, log) =>
+      JvmSpawn.spawn("graft.CrashDrillMain",
+        Seq("fold", dd, s"$base/fold-$n.marker", "distinct", s"$base/go"),
+        log)
+    }
+    val deadline = System.currentTimeMillis() + 120000
+    while (!Seq("a", "b").forall(n =>
+        Files.exists(Paths.get(s"$base/fold-$n.marker")))) {
+      assert(System.currentTimeMillis() < deadline, "folders never ready")
+      assert(ps.forall(_.isAlive), "a folder died before the race")
+      Thread.sleep(20)
+    }
+    Files.writeString(Paths.get(s"$base/go"), "go")
+    ps.foreach(p => assert(
+      p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "folder hung"))
+    val exits = ps.map(_.exitValue())
+    assert(exits.count(_ == 0) === 1,
+      s"exactly one compactor must win the lease; exits=$exits")
+    val loserLog = java.nio.file.Files.readString(
+      logs(exits.indexWhere(_ != 0)).toPath)
+    assert(loserLog.contains("ConcurrentMaintenanceException") ||
+      loserLog.contains("is being maintained by"),
+      s"loser must fail with the loud lease refusal, not something else:\n" +
+        loserLog.takeRight(500))
+    // content intact and the dir is serviceable after the race
+    val got = spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === expected.map(_.toLong))
+    DeltaLog.compactLive(spark, dd)(_.distinct())
+  }
+
   test("release restores a successor's lease it raced (rename-verify, not read-then-delete)") {
     // round-13 ADVICE: the read-then-delete TOCTOU — a takeover
     // landing between release's ownership read and its removal used
