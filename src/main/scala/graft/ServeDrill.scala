@@ -93,31 +93,81 @@ object ServeDrill {
         s""""ok":$ok}"""
   }
 
-  /** READER-MODE entry (child JVM): args(1)=base dir. Loops both
+  /** Family C plants this term (absent from every base corpus) once
+    * per delta document, so the live positional index's posting count
+    * for it — and the indexed-BM25 scored-doc count — are ADDITIVE in
+    * landed batches: the prefix oracle applies to the REAL serving
+    * path (round-13 verdict #4 named "indexed phrase / search over
+    * base ∪ deltas" — families A/B cover the two fold-transform
+    * shapes on raw delta dirs; C reads through
+    * `positionalIndexWithDeltas` + `bm25ScoresForTermsIndexed`, i.e.
+    * durable artifact ∪ deltas with the literal-pushdown probe).
+    */
+  private[graft] val PlantedTerm = "zqxaardvarkz"
+  private[graft] val DocsPerBatchC = 5
+
+  private[graft] def batchCDocs(spark: SparkSession, i: Int): DataFrame = {
+    import spark.implicits._
+    (0 until DocsPerBatchC).map { j =>
+      (900000000L + i.toLong * DocsPerBatchC + j,
+        s"$PlantedTerm arrived with batch $i doc $j filler words")
+    }.toDF("doc_id", "text")
+  }
+
+  /** READER-MODE entry (child JVM): args(1)=base dir. Loops all
     * families until the stop file appears, validating every read
-    * against the prefix oracle; writes a verdict file the maintainer
+    * against its prefix oracle; writes a verdict file the maintainer
     * parses. Never holds any lease — it is a pure reader.
     */
   private def readerMain(base: String, nBatches: Int): Unit = {
     val spark = GraftSession.local(2)
     spark.sparkContext.setLogLevel("ERROR")
-    val fams = Seq(
-      ("A", s"$base/deltaA", prefixStates(spark, nBatches, batchA(spark, _))),
-      ("B", s"$base/deltaB", prefixStates(spark, nBatches, batchB(spark, _))))
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val preA = prefixStates(spark, nBatches, batchA(spark, _))
+    val preB = prefixStates(spark, nBatches, batchB(spark, _))
+    def byState(dd: String, pre: IndexedSeq[(Long, Long)])(): Option[Int] = {
+      val i = pre.indexOf(liveState(spark, dd))
+      if (i < 0) None else Some(i)
+    }
+    val corpus = s"$base/servedrill-corpus"
+    val cdd = TextAnalysis.positionalDeltaDir(corpus)
+    val probeFrame = Seq((0L, PlantedTerm)).toDF("probe_id", "term")
+    def observeC(): Option[Int] = {
+      // two sequential observations over a LIVE view: batches can land
+      // between them, so the later (bm25) count may legitimately run
+      // AHEAD of the earlier (postings) count — each must be a whole
+      // number of batches and the later must never be BEHIND; the
+      // prefix index reported for monotonicity is the earlier read's.
+      val cnt = TextAnalysis.positionalIndexWithDeltas(spark, corpus, cdd)
+        .where(col("term") === PlantedTerm).count()
+      val scored =
+        TextAnalysis.bm25ScoresForTermsIndexed(spark, corpus, probeFrame).count()
+      if (cnt % DocsPerBatchC == 0 && scored % DocsPerBatchC == 0 &&
+          scored >= cnt && scored / DocsPerBatchC <= nBatches)
+        Some((cnt / DocsPerBatchC).toInt)
+      else {
+        System.err.println(
+          s"[C] inconsistent live view: postings=$cnt bm25_docs=$scored")
+        None
+      }
+    }
+    val fams: Seq[(String, () => Option[Int])] = Seq(
+      ("A", byState(s"$base/deltaA", preA) _),
+      ("B", byState(s"$base/deltaB", preB) _),
+      ("C", () => observeC()))
     var reads, retries, violations = 0L
-    val lastIdx = scala.collection.mutable.Map("A" -> 0, "B" -> 0)
+    val lastIdx = scala.collection.mutable.Map(fams.map(_._1 -> 0): _*)
     val stop = Paths.get(s"$base/stop")
     Files.writeString(Paths.get(s"$base/reader.ready"), "ready")
-    def oneRead(name: String, dd: String,
-        prefixes: IndexedSeq[(Long, Long)]): Unit = {
-      def attempt(): (Long, Long) = liveState(spark, dd)
+    def oneRead(name: String, observe: () => Option[Int]): Unit = {
       val st =
-        try attempt()
+        try observe()
         catch { case scala.util.control.NonFatal(_) =>
           // the documented deferred-deletion bound: a reader slower
           // than one compaction interval re-resolves once.
           retries += 1
-          try attempt()
+          try observe()
           catch { case scala.util.control.NonFatal(e2) =>
             violations += 1
             System.err.println(s"[$name] read failed twice: $e2")
@@ -125,28 +175,31 @@ object ServeDrill {
           }
         }
       reads += 1
-      val idx = prefixes.indexOf(st)
-      if (idx < 0) {
-        violations += 1
-        System.err.println(s"[$name] TORN READ: state $st matches no prefix")
-      } else if (idx < lastIdx(name)) {
-        violations += 1
-        System.err.println(
-          s"[$name] REGRESSION: index $idx after ${lastIdx(name)}")
-      } else lastIdx(name) = idx
+      st match {
+        case None =>
+          violations += 1
+          System.err.println(s"[$name] TORN READ: state matches no prefix")
+        case Some(idx) if idx < lastIdx(name) =>
+          violations += 1
+          System.err.println(
+            s"[$name] REGRESSION: index $idx after ${lastIdx(name)}")
+        case Some(idx) => lastIdx(name) = idx
+      }
     }
+    def progress(): String =
+      fams.map(f => lastIdx(f._1)).mkString(",") +
+        s",$reads,$retries,$violations"
     while (!Files.exists(stop)) {
-      fams.foreach { case (n, dd, pre) => oneRead(n, dd, pre) }
+      fams.foreach { case (n, ob) => oneRead(n, ob) }
       // progress for the maintainer's final-state wait
-      Files.writeString(Paths.get(s"$base/reader.progress.tmp"),
-        s"${lastIdx("A")},${lastIdx("B")},$reads,$retries,$violations")
+      Files.writeString(Paths.get(s"$base/reader.progress.tmp"), progress())
       Files.move(Paths.get(s"$base/reader.progress.tmp"),
         Paths.get(s"$base/reader.progress"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
     // one final validated read after the maintainer quiesced
-    fams.foreach { case (n, dd, pre) => oneRead(n, dd, pre) }
-    val fin = fams.forall { case (n, _, pre) => lastIdx(n) == pre.length - 1 }
+    fams.foreach { case (n, ob) => oneRead(n, ob) }
+    val fin = fams.forall { case (n, _) => lastIdx(n) == nBatches }
     Files.writeString(Paths.get(s"$base/reader.verdict"),
       s"$reads,$retries,$violations,$fin")
     spark.stop()
@@ -158,8 +211,19 @@ object ServeDrill {
     * are whole-drill; they are attributed to both lines).
     */
   def run(spark: SparkSession, base: String, nBatches: Int = 24,
-      compactEvery: Int = 4): Seq[Report] = {
+      compactEvery: Int = 4,
+      srcDir: String = "/root/testdata/sf0.001"): Seq[Report] = {
     Files.createDirectories(Paths.get(base))
+    // family C's scratch corpus (documents only): the positional
+    // index + doc-length artifacts key on this path; prebuilt HERE so
+    // the reader serves the committed version from its first read
+    // (two JVMs racing the build would also be safe — the round-14
+    // gate — just slower and less deterministic for the drill).
+    val corpus = s"$base/servedrill-corpus"
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .write.parquet(s"$corpus/documents.parquet")
+    graft.operators.TextAnalysis.loadOrBuildPositionalIndex(spark, corpus).count()
+    graft.operators.TextAnalysis.loadOrBuildDocLengths(spark, corpus).count()
     val reader = JvmSpawn.spawn("graft.ServeDrill",
       Seq("reader", base, nBatches.toString),
       new java.io.File(s"$base/reader.log"), xmx = "2g")
@@ -171,19 +235,31 @@ object ServeDrill {
         Thread.sleep(50)
       }
       val dds = Seq(s"$base/deltaA", s"$base/deltaB")
+      val cdd = graft.operators.TextAnalysis.positionalDeltaDir(
+        s"$base/servedrill-corpus")
       for (i <- 0 until nBatches) {
         batchA(spark, i).write.parquet(s"${dds.head}/batch=$i")
         DeltaLog.commit(spark, dds.head, s"batch=$i")
         batchB(spark, i).write.parquet(s"${dds(1)}/batch=$i")
         DeltaLog.commit(spark, dds(1), s"batch=$i")
+        // family C: REAL positional-postings deltas, exactly the
+        // frame TextStream.maintainPositional lands per batch.
+        graft.operators.TextAnalysis.positionalPostings(batchCDocs(spark, i))
+          .repartition(col("term"))
+          .write.parquet(s"$cdd/batch=$i")
+        DeltaLog.commit(spark, cdd, s"batch=$i")
         if ((i + 1) % compactEvery == 0) {
           DeltaLog.compactLive(spark, dds.head)(_.distinct())
           DeltaLog.compactLive(spark, dds(1))(_.repartition(col("key")))
+          graft.operators.TextAnalysis.compactPositionalDeltas(spark,
+            s"$base/servedrill-corpus", cdd)
         }
       }
       // final folds (incl. the deferred physical cleanup pass)
       DeltaLog.compactLive(spark, dds.head)(_.distinct())
       DeltaLog.compactLive(spark, dds(1))(_.repartition(col("key")))
+      graft.operators.TextAnalysis.compactPositionalDeltas(spark,
+        s"$base/servedrill-corpus", cdd)
       // wait until the reader OBSERVES the final state, then stop it
       deadline = System.currentTimeMillis() + 180000
       var caughtUp = false
@@ -192,8 +268,8 @@ object ServeDrill {
         val p = Paths.get(s"$base/reader.progress")
         if (Files.exists(p)) {
           val f = Files.readString(p).split(",")
-          caughtUp = f(0).toInt == nBatches && f(1).toInt == nBatches
-          if (f(4).toLong > 0) caughtUp = true // fail fast on violations
+          caughtUp = (0 to 2).forall(f(_).toInt == nBatches)
+          if (f(5).toLong > 0) caughtUp = true // fail fast on violations
         }
         if (!caughtUp) Thread.sleep(100)
       }
@@ -203,9 +279,24 @@ object ServeDrill {
       val v = Files.readString(Paths.get(s"$base/reader.verdict")).split(",")
       val (reads, retries, violations, fin) =
         (v(0).toLong, v(1).toLong, v(2).toLong, v(3).toBoolean)
-      Seq("A", "B").map(f => Report(f, reads, retries, violations, fin))
+      Seq("A", "B", "C").map(f => Report(f, reads, retries, violations, fin))
     } finally {
       if (reader.isAlive) reader.destroyForcibly()
+      // family C's durable artifacts key on the scratch corpus path
+      // and live under the INDEX root, not `base` — sweep them so a
+      // drill run leaves nothing behind anywhere.
+      val idxRoot = new java.io.File(sys.env.getOrElse("GRAFT_INDEX_DIR",
+        s"${sys.props("user.dir")}/target/graft-index"))
+      Option(idxRoot.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("servedrill-corpus"))
+        .foreach { f =>
+          try {
+            val walk = Files.walk(f.toPath)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
   }
 

@@ -13,13 +13,21 @@ class ServeDrillSpec extends SparkTestBase {
 
   test("a second-JVM reader sees zero torn reads / zero drift through landings + compactions") {
     val base = Files.createTempDirectory("graft-servedrill-spec").toString
-    val reports = ServeDrill.run(spark, base, nBatches = 10, compactEvery = 3)
-    assert(reports.nonEmpty)
-    for (r <- reports) {
-      assert(r.violations === 0, s"${r.family}: torn reads/drift: $r")
-      assert(r.finalIndexReached, s"${r.family}: reader never saw the final state")
+    try {
+      val reports = ServeDrill.run(spark, base, nBatches = 10, compactEvery = 3)
+      assert(reports.map(_.family) === Seq("A", "B", "C"),
+        "all three families (two fold shapes + the REAL indexed text path) must report")
+      for (r <- reports) {
+        assert(r.violations === 0, s"${r.family}: torn reads/drift: $r")
+        assert(r.finalIndexReached, s"${r.family}: reader never saw the final state")
+      }
+      assert(reports.head.reads >= ServeDrill.MinReads,
+        s"reader too slow to matter: ${reports.head.reads} reads")
+    } finally {
+      val walk = Files.walk(java.nio.file.Paths.get(base))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
-    assert(reports.head.reads >= ServeDrill.MinReads,
-      s"reader too slow to matter: ${reports.head.reads} reads")
   }
 }
