@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The standalone-cluster paths (GraftSession.standalone, ClusterDrill)
+// ship code to executor processes via the packaged jar; keep it fresh
+// whenever tests or mains run so executors never load stale classes.
+Test / test := (Test / test dependsOn (Compile / packageBin)).value
+Test / testOnly := (Test / testOnly dependsOn (Compile / packageBin)).evaluated
+Compile / run := (Compile / run dependsOn (Compile / packageBin)).evaluated
+Compile / runMain := (Compile / runMain dependsOn (Compile / packageBin)).evaluated

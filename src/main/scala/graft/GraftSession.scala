@@ -66,4 +66,68 @@ object GraftSession {
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
+
+  /** The packaged engine jar, shipped to standalone executors. The
+    * classes DIRECTORY (what local mode runs off) is not shippable as
+    * `spark.jars`, so standalone sessions require `sbt package` first
+    * — fail fast with that message rather than a mid-query
+    * ClassNotFoundException on an executor.
+    */
+  private[graft] def engineJar: String =
+    sys.env.get("SPARK_GRAFT_JAR").getOrElse {
+      val dir = new java.io.File(s"${sys.props("user.dir")}/target/scala-2.13")
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".jar") &&
+          !f.getName.endsWith("-tests.jar") && !f.getName.contains("-sources"))
+        .sortBy(-_.lastModified())
+        .headOption
+        .map(_.getAbsolutePath)
+        .getOrElse(sys.error(
+          s"no engine jar under $dir — run `sbt package` (or set " +
+            "SPARK_GRAFT_JAR) before connecting to a standalone master"))
+    }
+
+  /** Session against a REAL standalone cluster (`spark://` master) —
+    * executor processes, netty shuffle/broadcast transport, closure
+    * serialization: everything local[*] structurally cannot exercise
+    * (round-14 verdict #1). Same engine contract as [[local]]; code
+    * reaches executors BOTH ways a deployment would:
+    *  - `spark.jars` — the driver's file server ships the packaged
+    *    jar, the path every multi-host cluster needs;
+    *  - `spark.executor.extraClassPath` — same-box absolute path, so
+    *    executor-side class loading never depends on fetch timing.
+    */
+  def standalone(master: String, shufflePartitions: Int,
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    val jar = engineJar
+    val b = SparkSession.builder()
+      .master(master)
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfStrategy))
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.jars", jar)
+      .config("spark.executor.extraClassPath", jar)
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  /** [[local]] unless `SPARK_GRAFT_MASTER` names a `spark://` master
+    * — the seam that lets [[Verify]] and [[Bench]] run their exact
+    * batteries against real executor processes ([[ClusterDrill]]
+    * stands the cluster up).
+    */
+  def fromEnv(cores: Int, extra: Map[String, String] = Map.empty): SparkSession =
+    sys.env.get("SPARK_GRAFT_MASTER") match {
+      case Some(m) if m.nonEmpty =>
+        // shuffle partitions: the env core count is per-executor
+        // sizing on the cluster path; total parallelism is what the
+        // master granted, so default to 2x the local request (erring
+        // high — AQE coalesces down), overridable via `extra`.
+        standalone(m, 2 * cores, extra)
+      case _ => local(cores, extra)
+    }
 }

@@ -8,7 +8,9 @@ object Verify {
     // optional extra args: restrict to these query names (dev iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus.toInt)
+    // SPARK_GRAFT_MASTER=spark://... runs the same battery against a
+    // real standalone cluster (ClusterDrill stands one up).
+    val spark = GraftSession.fromEnv(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.orderedQueries
