@@ -36,6 +36,74 @@ package graft
   *    whole-set run — a number one run actually achieved.
   */
 object Bench {
+
+  /** Machine-checked regression gate (round-14 verdict #3): judge the
+    * new per-query steady-state MINS against the prior round's full
+    * artifact instead of leaving a silent 2x single-query regression
+    * inside a stable composite to judge-eyeballing. Pure so the spec
+    * feeds synthetic prior/current maps.
+    *
+    * Rules (from the round-14 verdict, calibrated to the measured
+    * noise band): a query FAILS if its steady min regressed more than
+    * 2x AND the new time is at least 0.5 s (sub-half-second timings
+    * swing multiples on sandbox load — the floor keeps 0.02->0.05 s
+    * blips out); the composite FAILS beyond +25 % (two same-code
+    * runs measured 112.3 vs 117.7 s — a ~5 % band). Verdict "none"
+    * when there is no comparable prior (first run, or a different
+    * corpus dir).
+    */
+  private[graft] def benchGate(
+      prior: Option[(String, Map[String, Double], Double)],
+      sf: String, cur: Map[String, Double],
+      curValue: Double): (String, Seq[String]) =
+    prior match {
+      case None => ("none", Seq("no prior bench artifact"))
+      case Some((psf, _, _)) if psf != sf =>
+        ("none", Seq(s"prior sf '$psf' != '$sf' — not comparable"))
+      case Some((_, pq, pvalue)) =>
+        val qflags = cur.toSeq.sortBy(_._1).flatMap { case (n, t) =>
+          pq.get(n) match {
+            case Some(p) if p > 0 && t > 2 * p && t >= 0.5 =>
+              Some(f"$n: $p%.2f -> $t%.2f s (>2x)")
+            case _ => None
+          }
+        }
+        val cflag = // +25 % AND at least 5 s absolute — percentage alone
+          // would flag startup-noise swings of second-scale composites
+          if (pvalue > 0 && curValue > 1.25 * pvalue && curValue - pvalue > 5)
+            Seq(f"composite: $pvalue%.1f -> $curValue%.1f s (>25%%)")
+          else Seq.empty
+        val flags = qflags ++ cflag
+        (if (flags.isEmpty) "ok" else "fail", flags)
+    }
+
+  /** Parse the prior full artifact's (sf, per-query mins, value).
+    * Tolerant: any malformed/missing field means "no prior" — the
+    * gate must never crash the bench that feeds the round.
+    */
+  private[graft] def parsePrior(
+      json: String): Option[(String, Map[String, Double], Double)] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(json)
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      for {
+        sf <- (j \ "sf") match { case JString(s) => Some(s); case _ => None }
+        qs <- (j \ "queries") match {
+          case JObject(fs) =>
+            Some(fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap)
+          case _ => None
+        }
+        value <- num(j \ "value")
+      } yield (sf, qs, value)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -172,20 +240,40 @@ object Bench {
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(tIndex, 0)
+    // CWD-independent artifact path (round-14 ADVICE): resolved
+    // against user.dir and emitted resolved, so a bench run from an
+    // unexpected working directory never claims a path it did not
+    // write.
+    val fullPath = java.nio.file.Paths.get(sys.props("user.dir"))
+      .resolve("target/bench_full.json")
+    // The regression gate reads the PRIOR artifact before this run
+    // overwrites it (round-14 verdict #3).
+    val prior =
+      try {
+        if (java.nio.file.Files.exists(fullPath))
+          parsePrior(java.nio.file.Files.readString(fullPath))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val (gateVerdict, gateFlags) = benchGate(prior, sfDir,
+      results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap, total)
+    val gate = s"""{"verdict":${jstr(gateVerdict)},"flags":[${
+      gateFlags.map(jstr).mkString(",")}]}"""
     // totals LAST: the driver keeps only the tail of this line, so the
     // headline numbers (value = per-query-min composite + index_build;
-    // best_rep_total = fastest whole run; cold_total = rep 1) must
-    // survive truncation — `queries` is the big map and goes first.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"cold_queries":$cq,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"full":"target/bench_full.json","value":$total}"""
+    // best_rep_total = fastest whole run; cold_total = rep 1; the
+    // regression-gate verdict) must survive truncation — `queries` is
+    // the big map and goes first.
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"cold_queries":$cq,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"full":${jstr(fullPath.toString)},"bench_gate":$gate,"value":$total}"""
     // The FULL artifact, truncation-proof (round-13 verdict #2): the
     // judge diffs per-query mins across rounds from this file even
     // when the driver's kept tail cuts the stdout line.
     try {
-      val f = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.write(f,
+      java.nio.file.Files.createDirectories(fullPath.getParent)
+      java.nio.file.Files.write(fullPath,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the tail
+    } catch { case scala.util.control.NonFatal(e) => // stdout still carries the tail
+      System.err.println(s"[bench] WARNING: could not write $fullPath: $e")
+    }
     println(line)
     spark.stop()
   }

@@ -111,6 +111,11 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.jars", jar)
       .config("spark.executor.extraClassPath", jar)
+      // standalone's 1g executor default is a toy; size like the
+      // drill cluster unless the caller overrides.
+      .config("spark.executor.memory",
+        sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "4g"))
+      .config("spark.executor.cores", "8")
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

@@ -387,6 +387,16 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_orders_dfcap",
       (s, dir) => JoinSearch.searchTablesCapped(index(s, dir), ordersQuery(s, dir), ordersCols, 10000L),
       Some(SearchOracle.tableScoresCapped(ordersSpec, 10000L))),
+    // The FRACTION default (round-14 verdict #4): cap = 5 % of total
+    // postings, derived from the key-stats the guard already reads —
+    // scale-INVARIANT where the absolute cap above is scale-relative
+    // (at sf0.01 it lands at ~9 k: drops the ~19 % status keys, keeps
+    // 'p' at 2.8 % and the priorities at ~1.7 %; the ratios — and so
+    // the behavior — are identical at sf0.1 and at 100 TB).
+    Q("search_orders_dfcap_frac",
+      (s, dir) => JoinSearch.searchTablesCapped(index(s, dir), ordersQuery(s, dir), ordersCols),
+      Some(SearchOracle.tableScoresCappedFraction(
+        ordersSpec, JoinSearch.DefaultCapFractionBp))),
     // Sketch pre-filtered search: the table-pruning pre-filter is
     // provably conservative, so ALL pruned forms hash against the
     // UNPRUNED oracles — the equality is the point. The part query

@@ -151,6 +151,35 @@ object JoinSearch {
     index.join(broadcast(allowed), Seq("key"), "left_semi")
   }
 
+  /** Default hot-key cap as a CORPUS FRACTION, in basis points: a key
+    * is degenerate when it carries more than 5 % of ALL postings
+    * (round-14 verdict #4: a fixed absolute cap is scale-relative by
+    * nature — 10000 is a guard at sf0.01 and a no-op at 100 TB; the
+    * fraction is scale-invariant because per-key df and total
+    * postings grow together). 5 % sits far above any healthy join
+    * key's share and well below the reference corpus's degenerate
+    * single-char status codes (~19 % each, measured at sf0.01).
+    */
+  val DefaultCapFractionBp: Long = 500L
+
+  /** [[probeCapped]] with the threshold derived from the corpus
+    * instead of supplied: cap = `fracBp`/10000 of total postings,
+    * where the total is one aggregate over the same key-stats table
+    * the guard already broadcasts — integer arithmetic
+    * (`kdf * 10000 <= total * fracBp`), no collect, no extra index
+    * scan; the one-row total joins in as a broadcast literal.
+    */
+  def probeCappedFraction(index: DataFrame, maps: DataFrame,
+      fracBp: Long, stats: DataFrame): DataFrame = {
+    val total = stats.agg(sum(col("kdf")).cast("long").as("total_postings"))
+    val allowed = stats
+      .join(broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
+      .crossJoin(broadcast(total))
+      .where(col("kdf") * lit(10000L) <= col("total_postings") * lit(fracBp))
+      .select("key")
+    index.join(broadcast(allowed), Seq("key"), "left_semi")
+  }
+
   /** [[searchTables]] with the hot-key guard in the probe. */
   def searchTablesCapped(index: DataFrame, query: DataFrame, cols: Seq[String],
       maxDf: Long, maxTables: Int = 20): DataFrame = {
@@ -158,6 +187,29 @@ object JoinSearch {
     val top = topColumns(
       columnScores(conjunctionAnchored(probeCapped(index, m, maxDf), m, cols.size,
         Some(indexKeyStats(index)))),
+      cols.size)
+    tableScores(top)
+      .orderBy(col("join_score").desc, col("table_id").asc)
+      .limit(maxTables)
+  }
+
+  /** [[searchTablesCapped]] with the FRACTION default — the form a
+    * deployment should reach for (the absolute overload stays for
+    * callers that know their corpus).
+    */
+  def searchTablesCapped(index: DataFrame, query: DataFrame,
+      cols: Seq[String]): DataFrame =
+    searchTablesCappedFraction(index, query, cols)
+
+  def searchTablesCappedFraction(index: DataFrame, query: DataFrame,
+      cols: Seq[String], fracBp: Long = DefaultCapFractionBp,
+      maxTables: Int = 20): DataFrame = {
+    val m = mappings(prepareInput(query, cols), cols)
+    val stats = indexKeyStats(index)
+    val top = topColumns(
+      columnScores(conjunctionAnchored(
+        probeCappedFraction(index, m, fracBp, stats), m, cols.size,
+        Some(stats))),
       cols.size)
     tableScores(top)
       .orderBy(col("join_score").desc, col("table_id").asc)

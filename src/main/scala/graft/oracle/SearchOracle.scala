@@ -49,7 +49,16 @@ object SearchOracle {
     * between the probe and the reduction (mirrors
     * `JoinSearch.probeCapped`).
     */
-  def searchCtes(q: QuerySpec, maxDf: Option[Long]): String = {
+  def searchCtes(q: QuerySpec, maxDf: Option[Long]): String =
+    searchCtesCapPred(q, maxDf.map(cap => s"kdf <= $cap"))
+
+  /** Cap generalized to a predicate over `kdf` (the per-key df) so
+    * the fraction form can reference the corpus total (mirrors
+    * `JoinSearch.probeCappedFraction`: integer arithmetic, df over
+    * the whole index — which equals the window count here because
+    * every posting of a probed key survives the probe).
+    */
+  private def searchCtesCapPred(q: QuerySpec, capPred: Option[String]): String = {
     val n = q.cols.size
     val colList = q.cols.map(c => s""""$c"""").mkString(", ")
     val notNull = q.cols.map(c => s""""$c" IS NOT NULL""").mkString(" AND ")
@@ -74,10 +83,10 @@ object SearchOracle {
     SELECT i.key, i.table_id, i.column_id, i.row_id FROM idxf i
     WHERE i.key IN (SELECT key FROM maps)
   ),
-  postings AS (${maxDf.fold("SELECT * FROM postings_raw")(cap =>
+  postings AS (${capPred.fold("SELECT * FROM postings_raw")(pred =>
     s"""SELECT key, table_id, column_id, row_id FROM (
       SELECT p.*, count(*) OVER (PARTITION BY key) AS kdf FROM postings_raw p
-    ) WHERE kdf <= $cap""")}
+    ) WHERE $pred""")}
   ),
   reduced AS (
     SELECT key, table_id, min(column_id) AS column_id, row_id
@@ -128,6 +137,17 @@ object SearchOracle {
   /** Oracle for the df-capped table-score search. */
   def tableScoresCapped(q: QuerySpec, maxDf: Long, maxTables: Int = 20): String =
     s"WITH ${indexCtes},\n  ${searchCtes(q, Some(maxDf))}\n" +
+      s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables"
+
+  /** Oracle for the FRACTION-capped search: same rule as
+    * `JoinSearch.probeCappedFraction` — a key survives iff
+    * `10000 * df <= fracBp * total_postings`, the total taken over
+    * the whole index (`idxf`).
+    */
+  def tableScoresCappedFraction(q: QuerySpec, fracBp: Long,
+      maxTables: Int = 20): String =
+    s"WITH ${indexCtes},\n  ${searchCtesCapPred(q,
+      Some(s"10000 * kdf <= $fracBp * (SELECT count(*) FROM idxf)"))}\n" +
       s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables"
 
   /** Oracle for the seq-parity search: A3 score — sum of the top-2

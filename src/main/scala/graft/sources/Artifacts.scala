@@ -464,8 +464,10 @@ object Artifacts {
     // deferred cleanup: keep the new build and the one a concurrent
     // reader may still hold (the immediately-preceding STAMPED
     // version); drop everything older, plus `.build-*` strays from
-    // crashed builders once they exceed the stray TTL (a LIVE
-    // concurrent build's temp dir is younger than that by contract).
+    // crashed builders once every file inside is older than the
+    // stray TTL (a LIVE build keeps landing task files with fresh
+    // mtimes, so the TTL only needs to exceed the gap BETWEEN file
+    // landings, not total build wall time).
     val after = versionDirs(fs, root)
     val prevServed = after.filter(_._1 < publishedId).reverse
       .find { case (_, p) => readStamp(fs, p).isDefined }
@@ -473,10 +475,32 @@ object Artifacts {
     after.filterNot { case (id, _) => keep(id) }
       .filter(_._1 < publishedId) // never touch a CONCURRENT newer publish's dirs
       .foreach { case (_, p) => fs.delete(p, true) }
+    // Stray liveness is judged by the newest mtime found RECURSIVELY
+    // inside the temp dir (round-14 ADVICE): a Spark write works under
+    // `_temporary/` and only bumps the TOP-LEVEL dir at job start and
+    // commit, so a live build running past the TTL would look stale
+    // for its whole middle by top-level mtime — while its task files
+    // keep landing with fresh stamps. The walk is bounded (one temp
+    // build's parts); a dir that vanishes mid-walk was a concurrent
+    // publisher's — treated as fresh, never swept from here.
     val now = System.currentTimeMillis()
+    def newestInside(p: Path, top: Long): Long =
+      try {
+        var newest = top
+        val it = fs.listFiles(p, true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+        newest
+      } catch {
+        // NonFatal, not just IOException: the local FS surfaces a
+        // file vanishing mid-walk (a concurrent publisher swept or
+        // committed this dir) as a RuntimeException from its
+        // permission loader.
+        case scala.util.control.NonFatal(_) => Long.MaxValue
+      }
     fs.listStatus(root).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".build-") &&
-        now - s.getModificationTime > BuildStrayTtlMs)
+        now - newestInside(s.getPath, s.getModificationTime) > BuildStrayTtlMs)
       .foreach(s => try fs.delete(s.getPath, true)
         catch { case _: java.io.IOException => () })
     // legacy pre-versioned layout: root-level data files are

@@ -284,22 +284,94 @@ object DeltaLog {
     * orders of magnitude past any healthy hold). Env-overridable for
     * unusual deployments.
     *
-    * CLOCK-DOMAIN ASSUMPTION (round-13 ADVICE): staleness compares
-    * the FS modification time against this process's
-    * `System.currentTimeMillis` — correct when the FS serving the
-    * delta dir shares a clock domain with the maintainers (local FS,
-    * or NTP-synced HDFS/NFS; object-store mtimes are server-stamped
-    * and NTP-disciplined). Skew shifts the EFFECTIVE ttl by the skew
-    * amount in either direction; the 15-minute default dwarfs
-    * realistic NTP drift, and a takeover of a still-healthy holder is
-    * additionally caught by the manifest's no-overwrite rename, the
-    * last-line collision detector beneath the lease. Deployments with
-    * unsynced clocks must raise the TTL past their skew bound.
+    * CLOCK DOMAINS (round-14 verdict #7, closing the round-13
+    * caveat): staleness is judged in the MAINTAINER clock domain —
+    * the holder writes its own `System.currentTimeMillis` into the
+    * lease payload at acquire (`ts=` line) and into the `_lease.beat`
+    * sidecar on every heartbeat, and a waiter compares those stamps
+    * against ITS clock: maintainer processes are NTP-synced to each
+    * other even when the FS serving the delta dir (NFS, an object
+    * store) stamps mtimes from a skewed server clock. The FS mtime
+    * remains the FALLBACK for legacy leases without a payload stamp.
+    * Remaining assumption: maintainers share an NTP domain — the
+    * 15-minute default dwarfs realistic drift, and a takeover of a
+    * still-healthy holder is additionally caught by the manifest's
+    * no-overwrite rename, the last-line collision detector beneath
+    * the lease.
     */
   private[graft] val LeaseTtlMs: Long =
     sys.env.get("GRAFT_MAINT_LEASE_TTL_MS").map(_.toLong).getOrElse(900000L)
 
   def leasePath(deltaDir: String): String = s"${manifestDir(deltaDir)}/_lease"
+
+  /** Heartbeat sidecar: `owner\nts=<holder clock millis>`, rewritten
+    * atomically each beat. Kept separate from the lease file so
+    * refreshing freshness never rewrites (and can never clobber) the
+    * mutual-exclusion token itself.
+    */
+  def leaseBeatPath(deltaDir: String): String =
+    s"${manifestDir(deltaDir)}/_lease.beat"
+
+  /** First line of a lease/beat payload: the owner id. */
+  private[graft] def leaseOwner(content: String): String =
+    content.linesIterator.nextOption().getOrElse("")
+
+  /** The holder-clock stamp (`ts=` line), absent on legacy leases. */
+  private[graft] def leaseTs(content: String): Option[Long] =
+    content.linesIterator.drop(1).find(_.startsWith("ts="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("ts=").trim.toLong).toOption)
+
+  private def leasePayload(owner: String): String =
+    s"$owner\nts=${System.currentTimeMillis()}"
+
+  /** Age of the lease incarnation `(content, mtime)` in the waiter's
+    * clock, preferring maintainer-domain signals: the FRESHEST of the
+    * payload stamp and a beat-sidecar stamp whose owner matches (a
+    * stale beat from a previous hold can only be OLDER than the
+    * current payload and so never wins); the FS mtime only when no
+    * stamp parses (legacy lease). Future-dated stamps clamp to age 0
+    * — never stale.
+    */
+  private def leaseAge(fs: FileSystem, mdir: Path, content: String,
+      mtime: Long): Long = {
+    val now = System.currentTimeMillis()
+    val beatTs =
+      try {
+        val bp = new Path(mdir, "_lease.beat")
+        val in = fs.open(bp)
+        val b = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (leaseOwner(b) == leaseOwner(content)) leaseTs(b) else None
+      } catch { case _: java.io.IOException => None }
+    val stamps = Seq(leaseTs(content), beatTs).flatten
+    if (stamps.isEmpty) now - mtime
+    else math.max(0L, now - stamps.max)
+  }
+
+  /** Test/ops helper: move EVERY staleness signal of the current
+    * lease (payload stamp, beat stamp, file mtime) back by `byMs`,
+    * simulating a holder that crashed that long ago.
+    */
+  private[graft] def ageLease(conf: org.apache.hadoop.conf.Configuration,
+      deltaDir: String, byMs: Long): Unit = {
+    val then_ = System.currentTimeMillis() - byMs
+    def rewind(p: Path): Unit = {
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val aged =
+          if (leaseTs(content).isDefined) s"${leaseOwner(content)}\nts=$then_"
+          else content
+        val out = fs.create(p, true)
+        try out.write(aged.getBytes("UTF-8")) finally out.close()
+        fs.setTimes(p, then_, -1)
+      }
+    }
+    rewind(new Path(leasePath(deltaDir)))
+    rewind(new Path(leaseBeatPath(deltaDir)))
+  }
 
   /** Acquire the dir-level maintenance lease via no-overwrite rename
     * (the manifest-publish primitive — atomic create on local FS and
@@ -353,7 +425,7 @@ object DeltaLog {
     var spins = 0
     gcTombstones() // bound accumulation: one tombstone per takeover
     while (true) {
-      if (atomicCreate(lease, owner)) return
+      if (atomicCreate(lease, leasePayload(owner))) return
       val holder =
         try {
           // (owner, mtime) must describe ONE lease incarnation: stat,
@@ -371,7 +443,7 @@ object DeltaLog {
           finally in.close()
           val st2 = fs.getFileStatus(lease)
           if (st2.getModificationTime != st.getModificationTime) None
-          else Some((who, System.currentTimeMillis() - st.getModificationTime,
+          else Some((who, leaseAge(fs, mdir, who, st.getModificationTime),
             st.getModificationTime))
         } catch { // released between rename and stat: retry the create
           case _: java.io.FileNotFoundException => None
@@ -400,24 +472,41 @@ object DeltaLog {
           val ident = java.lang.Integer.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(who)) + "-" + mtime
           val tomb = new Path(mdir, s".lease-tomb-$ident")
-          if (atomicCreate(tomb, s"takeover of $who by $owner")) {
+          if (atomicCreate(tomb, s"takeover of ${leaseOwner(who)} by $owner")) {
             takeovers += 1
             require(takeovers <= 3,
-              s"lease takeover livelock at $deltaDir (holder $who)")
+              s"lease takeover livelock at $deltaDir (holder ${leaseOwner(who)})")
             try fs.delete(lease, false)
             catch { case _: java.io.FileNotFoundException => () }
           } else { // this incarnation's takeover belongs to another
             // waiter (or to a crashed one — GC below unfreezes that):
             // brief backoff, then re-read the state.
             spins += 1
-            require(spins <= 100,
-              s"lease takeover spin bound exceeded at $deltaDir (holder $who)")
+            if (spins > 100) {
+              // the frozen-by-crashed-takeover state, made actionable
+              // (round-14 ADVICE): a winner that died between claiming
+              // its tombstone and deleting the stale lease leaves every
+              // waiter spinning here until the TOMBSTONE ages past the
+              // TTL — name the tombstone and its age so an operator can
+              // tell this from a live-holder refusal.
+              val tombAge =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(tomb).getModificationTime
+                catch { case _: java.io.IOException => -1L }
+              throw new ConcurrentMaintenanceException(
+                s"lease takeover spin bound exceeded at $deltaDir (stale " +
+                  s"holder ${leaseOwner(who)}): takeover tombstone $tomb " +
+                  s"(age ${tombAge}ms) is claimed but the stale lease was " +
+                  "never removed — its claimant likely crashed mid-takeover; " +
+                  s"the tombstone expires ${ttlMs}ms after creation " +
+                  "(waiters then re-claim), or remove it manually")
+            }
             gcTombstones()
             Thread.sleep(20)
           }
         case Some((who, age, _)) =>
           throw new ConcurrentMaintenanceException(
-            s"delta dir $deltaDir is being maintained by $who " +
+            s"delta dir $deltaDir is being maintained by ${leaseOwner(who)} " +
               s"(lease age ${age}ms < ttl ${ttlMs}ms) — one maintainer " +
               "per delta dir; if the holder crashed, the lease expires " +
               s"after the TTL or can be removed at ${leasePath(deltaDir)}")
@@ -457,7 +546,7 @@ object DeltaLog {
         val in = fs.open(lease)
         val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        if (who != owner) return
+        if (leaseOwner(who) != owner) return
       }
       val tomb = new Path(lease.getParent,
         s".lease-tomb-${java.util.UUID.randomUUID}")
@@ -465,29 +554,58 @@ object DeltaLog {
       val in2 = fs.open(tomb)
       val got = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
       finally in2.close()
-      if (got == owner) fs.delete(tomb, false)
-      else { // we renamed a successor's lease (takeover raced the
+      if (leaseOwner(got) == owner) {
+        fs.delete(tomb, false)
+        // the beat sidecar is freshness metadata for THIS hold; a
+        // stale one is harmless (older than any future payload) but
+        // tidy it while we are the verified owner.
+        try fs.delete(new Path(leaseBeatPath(deltaDir)), false)
+        catch { case _: java.io.IOException => () }
+      } else { // we renamed a successor's lease (takeover raced the
         // pre-check): give it back. A collision here means a third
         // party acquired in the gap — drop the tombstone; the
         // displaced successor's heartbeat observes the foreign owner
-        // and stands down.
+        // and stands down — but put the event ON RECORD (round-14
+        // ADVICE: a later torn-maintenance investigation needs the
+        // moment the lease was dropped, not just the eventual
+        // stand-down).
         try fctx.rename(tomb, lease, org.apache.hadoop.fs.Options.Rename.NONE)
-        catch { case _: java.io.IOException => fs.delete(tomb, false) }
+        catch {
+          case _: java.io.IOException =>
+            val third =
+              try {
+                val in3 = fs.open(lease)
+                try leaseOwner(
+                  scala.io.Source.fromInputStream(in3, "UTF-8").mkString)
+                finally in3.close()
+              } catch { case _: java.io.IOException => "<unreadable>" }
+            System.err.println(
+              s"[graft] WARNING: lease restore collision at $deltaDir — " +
+                s"displaced successor '${leaseOwner(got)}' lost its lease " +
+                s"while '$third' acquired; the successor's next heartbeat " +
+                "stands down")
+            fs.delete(tomb, false)
+        }
       }
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Run `body` under the dir's maintenance lease, with a HEARTBEAT:
-    * a daemon thread re-touches the lease's mtime every TTL/3 while
-    * held, so a fold that legitimately runs longer than the TTL (the
-    * "a fold is seconds" rationale does not hold at 10^12-doc delta
-    * dirs) is not silently stolen by the stale-takeover branch
-    * (round-13 review). The beat verifies ownership before each
-    * touch — after a takeover (only possible if this JVM was frozen
-    * past the TTL) it must not refresh the successor's lease; a
-    * frozen-then-resumed holder's in-flight publish is still caught
-    * by the manifest's no-overwrite rename, the last-line collision
-    * detector beneath the lease.
+    * a daemon thread refreshes freshness every TTL/3 while held —
+    * an atomic rewrite of the `_lease.beat` sidecar with the holder's
+    * clock (the maintainer-domain signal [[leaseAge]] prefers) plus
+    * the legacy mtime touch — so a fold that legitimately runs longer
+    * than the TTL (the "a fold is seconds" rationale does not hold at
+    * 10^12-doc delta dirs) is not silently stolen by the
+    * stale-takeover branch (round-13 review). The beat verifies
+    * ownership before each touch — after a takeover (only possible if
+    * this JVM was frozen past the TTL) it must not refresh the
+    * successor's lease; a frozen-then-resumed holder's in-flight
+    * publish is still caught by the manifest's no-overwrite rename,
+    * the last-line collision detector beneath the lease. The sidecar
+    * being separate means a mis-timed beat can only ever defer a
+    * takeover by one beat (the round-13 setTimes caveat, unchanged) —
+    * it can never replace the lease token itself.
     *
     * The beat's check-then-setTimes has a read/act gap (round-13
     * ADVICE): a takeover landing between them gets its lease mtime
@@ -505,6 +623,9 @@ object DeltaLog {
     acquireLease(conf, deltaDir, ttlMs)
     val lease = new Path(leasePath(deltaDir))
     val fs = lease.getFileSystem(conf)
+    val beatPath = new Path(leaseBeatPath(deltaDir))
+    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      lease.getParent.toUri, conf)
     val beat = new Thread(() => {
       try {
         var mine = true
@@ -514,8 +635,21 @@ object DeltaLog {
             val in = fs.open(lease)
             val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-            if (who == OwnerId) fs.setTimes(lease, System.currentTimeMillis(), -1)
-            else mine = false
+            if (leaseOwner(who) == OwnerId) {
+              // maintainer-domain freshness: atomic overwrite-rename of
+              // the sidecar (never the lease file itself).
+              val tmp = new Path(lease.getParent,
+                s".beat-tmp-${java.util.UUID.randomUUID}")
+              val out = fctx.create(tmp, java.util.EnumSet.of(
+                org.apache.hadoop.fs.CreateFlag.CREATE,
+                org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+              try out.write(leasePayload(OwnerId).getBytes("UTF-8"))
+              finally out.close()
+              fctx.rename(tmp, beatPath,
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              // legacy-fallback freshness for mtime-only observers.
+              fs.setTimes(lease, System.currentTimeMillis(), -1)
+            } else mine = false
           } catch { case _: java.io.IOException => () } // transient; retry next beat
         }
       } catch { case _: InterruptedException => () }

@@ -31,8 +31,15 @@ object LeaseProbe {
       val in = fs.open(lease)
       val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      val age = System.currentTimeMillis() - st.getModificationTime
-      println(s"held: $who age ${age}ms at ${lease.toUri.getPath}")
+      val mtimeAge = System.currentTimeMillis() - st.getModificationTime
+      // maintainer-domain age (payload/beat stamp) when present —
+      // what the takeover branch actually judges; mtime reported too
+      // for legacy leases and skew diagnosis.
+      val stampAge = DeltaLog.leaseTs(who)
+        .map(t => s"${System.currentTimeMillis() - t}ms")
+        .getOrElse("n/a (legacy lease, mtime governs)")
+      println(s"held: ${DeltaLog.leaseOwner(who)} age $stampAge " +
+        s"(mtime age ${mtimeAge}ms) at ${lease.toUri.getPath}")
       sys.exit(2)
     } catch {
       case _: java.io.FileNotFoundException =>

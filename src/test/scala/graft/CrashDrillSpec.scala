@@ -82,7 +82,7 @@ class CrashDrillSpec extends SparkTestBase {
       // the crashed holder's lease must be RECOVERED BY THE PROTOCOL:
       // age it past the TTL (standing in for waiting 15 min) and let
       // the restart's acquire take it over — never hand-delete.
-      ageFile(DeltaLog.leasePath(dd), 20 * 60 * 1000)
+      DeltaLog.ageLease(conf, dd, 20 * 60 * 1000)
       val folded = DeltaLog.compactLive(spark, dd)(_.distinct())
       info(s"fold iter $iter: restart folded $folded parts")
       // manifest resolves consistent: every referenced part exists
@@ -121,7 +121,7 @@ class CrashDrillSpec extends SparkTestBase {
     val p = spawn("fold", dd, marker, "recluster")
     val delay = killInsideWindow(p, marker, windowMs = 2600)
     info(s"recluster fold: killed ${delay}ms after start")
-    ageFile(DeltaLog.leasePath(dd), 20 * 60 * 1000)
+    DeltaLog.ageLease(conf, dd, 20 * 60 * 1000)
     DeltaLog.compactLive(spark, dd)(_.repartition(col("key")))
     val got = spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
       .select("key", "doc").collect()
@@ -163,10 +163,16 @@ class CrashDrillSpec extends SparkTestBase {
       assert(served === expect, s"restart served wrong content iter $iter")
     }
     // crashed builders' temp dirs: invisible to readers, swept by the
-    // next publish once past the stray TTL.
+    // next publish once past the stray TTL. Liveness is judged by the
+    // newest mtime INSIDE the dir (round-14 ADVICE — the killed
+    // builder's task files carry fresh stamps), so age the whole tree.
     val strays = Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith(".build-"))
-    strays.foreach(s => ageFile(s.toString, 2 * 3600 * 1000))
+    strays.foreach { s =>
+      val walk = Files.walk(s.toPath)
+      try walk.forEach(p => ageFile(p.toString, 2 * 3600 * 1000))
+      finally walk.close()
+    }
     Artifacts.publish(spark, root, Seq(upstream), "drill-sem") { t =>
       spark.read.parquet(upstream).withColumn("doubled", col("id") * 2)
         .write.parquet(t)

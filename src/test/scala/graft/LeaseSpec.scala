@@ -50,11 +50,9 @@ class LeaseSpec extends SparkTestBase {
   test("a stale lease (crashed maintainer) is taken over after the TTL") {
     val dd = tmp()
     DeltaLog.acquireLease(conf, dd, owner = "crashed")
-    // age the lease past the TTL (FS mtime is the staleness clock)
-    val lease = Paths.get(DeltaLog.leasePath(dd))
-    Files.setLastModifiedTime(lease,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 10000))
+    // age every staleness signal past the TTL (payload stamp governs
+    // since round 15; mtime is the legacy fallback)
+    DeltaLog.ageLease(conf, dd, 10000)
     DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "successor")
     // the takeover replaced the holder; the crashed owner's release
     // must NOT delete the successor's lease
@@ -62,6 +60,47 @@ class LeaseSpec extends SparkTestBase {
     intercept[ConcurrentMaintenanceException] {
       DeltaLog.acquireLease(conf, dd, owner = "third")
     }
+    DeltaLog.releaseLease(conf, dd, owner = "successor")
+  }
+
+  test("staleness is judged in the maintainer clock domain, not the FS's (skewed mtime)") {
+    // round-14 verdict #7: an NFS/object-store server stamps mtimes
+    // from ITS clock. A lease whose FILE looks ancient but whose
+    // payload stamp (holder clock) is fresh must be REFUSED — the
+    // mtime-only rule would steal a healthy hold under a
+    // backwards-skewed FS clock.
+    val dd = tmp()
+    DeltaLog.acquireLease(conf, dd, owner = "healthy-holder")
+    Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000)) // FS clock an hour behind
+    val e = intercept[ConcurrentMaintenanceException] {
+      DeltaLog.acquireLease(conf, dd, ttlMs = 60000, owner = "usurper")
+    }
+    assert(e.getMessage.contains("healthy-holder"))
+    DeltaLog.releaseLease(conf, dd, owner = "healthy-holder")
+
+    // and the converse: a FORWARD-skewed FS clock (file looks fresh)
+    // must not shield a crashed holder whose payload stamp is ancient.
+    DeltaLog.acquireLease(conf, dd, owner = "crashed-2")
+    DeltaLog.ageLease(conf, dd, 120000)
+    Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 3600000)) // FS clock an hour ahead
+    DeltaLog.acquireLease(conf, dd, ttlMs = 60000, owner = "recoverer")
+    DeltaLog.releaseLease(conf, dd, owner = "recoverer")
+  }
+
+  test("legacy lease without a payload stamp still expires by mtime") {
+    val dd = tmp()
+    // hand-land a pre-round-15 lease shape: bare owner id, no ts line
+    val lease = Paths.get(DeltaLog.leasePath(dd))
+    Files.createDirectories(lease.getParent)
+    Files.writeString(lease, "legacy-holder")
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "successor")
     DeltaLog.releaseLease(conf, dd, owner = "successor")
   }
 
@@ -81,6 +120,14 @@ class LeaseSpec extends SparkTestBase {
       val age = System.currentTimeMillis() -
         Files.getLastModifiedTime(Paths.get(DeltaLog.leasePath(dd))).toMillis
       assert(age < 3000, s"heartbeat never refreshed the lease (age ${age}ms)")
+      // the maintainer-domain signal too: the beat sidecar must carry
+      // a fresh holder-clock stamp (round-15: this is what the
+      // takeover branch prefers).
+      val beat = Paths.get(DeltaLog.leaseBeatPath(dd))
+      assert(Files.exists(beat), "heartbeat never wrote the beat sidecar")
+      val beatAge = System.currentTimeMillis() -
+        DeltaLog.leaseTs(Files.readString(beat)).getOrElse(0L)
+      assert(beatAge < 3000, s"beat stamp stale (${beatAge}ms)")
       intercept[ConcurrentMaintenanceException] {
         DeltaLog.acquireLease(conf, dd, ttlMs = 3000, owner = "successor")
       }
@@ -138,9 +185,7 @@ class LeaseSpec extends SparkTestBase {
     for (round <- 1 to 5) {
       val dd = tmp()
       DeltaLog.acquireLease(conf, dd, owner = "crashed")
-      Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3 * ttl))
+      DeltaLog.ageLease(conf, dd, 3 * ttl)
       val winners = new java.util.concurrent.atomic.AtomicInteger(0)
       val start = new java.util.concurrent.CountDownLatch(1)
       val threads = (1 to 8).map { i =>
@@ -159,9 +204,7 @@ class LeaseSpec extends SparkTestBase {
         s"round $round: expected exactly one takeover winner, got ${winners.get}")
       // the winning waiter holds a healthy lease; clean up via a
       // fresh takeover after aging it (owner ids are per-thread).
-      Files.setLastModifiedTime(Paths.get(DeltaLog.leasePath(dd)),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3 * ttl))
+      DeltaLog.ageLease(conf, dd, 3 * ttl)
       DeltaLog.acquireLease(conf, dd, ttlMs = ttl, owner = "cleanup")
       DeltaLog.releaseLease(conf, dd, owner = "cleanup")
     }
