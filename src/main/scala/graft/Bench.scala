@@ -112,7 +112,9 @@ object Bench {
     // first-touch); a third rep measurably tightens the minimum at
     // ~2 min extra wall on the full set.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val spark = GraftSession.local(cpus.toInt)
+    // SPARK_GRAFT_MASTER=spark://... benches against a real standalone
+    // cluster (ClusterDrill stands one up; pair with BENCH_ONLY).
+    val spark = GraftSession.fromEnv(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(f: => Unit): (Double, Option[String]) = {
@@ -165,14 +167,23 @@ object Bench {
     }
     val tArtifacts = artifactBuilds.map(_._2).filter(_ >= 0).sum
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set (flagship-family
+    // runs on a standalone cluster, dev iteration). A restricted run
+    // never overwrites the full artifact below — a partial map would
+    // poison the next round's regression gate.
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val ordered = SparkEntry.orderedQueries
+      .filter { case (n, _) => onlySet.forall(_(n)) }
     val runs = (1 to reps).map { _ =>
-      SparkEntry.orderedQueries.map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val (t, err) = timed { fn(spark, sfDir).count() }
         (name, t, err)
       }
     }
     // min over successful reps; error only if every rep failed.
-    val results = SparkEntry.orderedQueries.map { case (name, _) =>
+    val results = ordered.map { case (name, _) =>
       val mine = runs.map(_.find(_._1 == name).get)
       val ok = mine.map(_._2).filter(_ >= 0)
       if (ok.nonEmpty) (name, ok.min, None)
@@ -254,8 +265,10 @@ object Bench {
           parsePrior(java.nio.file.Files.readString(fullPath))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val (gateVerdict, gateFlags) = benchGate(prior, sfDir,
-      results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap, total)
+    val (gateVerdict, gateFlags) =
+      if (onlySet.isDefined) ("none", Seq("restricted run (BENCH_ONLY)"))
+      else benchGate(prior, sfDir,
+        results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap, total)
     val gate = s"""{"verdict":${jstr(gateVerdict)},"flags":[${
       gateFlags.map(jstr).mkString(",")}]}"""
     // totals LAST: the driver keeps only the tail of this line, so the
@@ -267,7 +280,7 @@ object Bench {
     // The FULL artifact, truncation-proof (round-13 verdict #2): the
     // judge diffs per-query mins across rounds from this file even
     // when the driver's kept tail cuts the stdout line.
-    try {
+    if (onlySet.isEmpty) try {
       java.nio.file.Files.createDirectories(fullPath.getParent)
       java.nio.file.Files.write(fullPath,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
