@@ -2,14 +2,20 @@
 """Local replica of the driver's correctness gate (dev iteration only;
 the driver runs its own copy). Usage:
 
-  python3 tools/compare.py <sfDir> <outDir> [query ...]
+  python3 tools/compare.py [--jobs N] <sfDir> <outDir> [query ...]
 
 Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each oracle in DuckDB against the
 parquet tables in <sfDir>, and compares rows / schema / value-hash
 with columns sorted by name (the driver's documented semantics).
+
+--jobs N shards the query list across N child processes of this same
+script (each with its own DuckDB): the search-family oracles re-derive
+the full tokenized index CTE per query, which is minutes each on the
+x10/x100 scaled lakes — serial compare there is hours, sharded is the
+same work in wall/N. Exit 0 iff every shard is green.
 """
-import os, sys, json, glob, hashlib
+import os, sys, json, glob, hashlib, subprocess
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -31,8 +37,20 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    jobs = 1
+    if args and args[0] == "--jobs":
+        jobs = int(args[1])
+        args = args[2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    if jobs > 1:
+        names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+        names = [n for n in names if not only or n in only]
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), sf_dir, out_dir]
+            + names[i::jobs]) for i in range(jobs) if names[i::jobs]]
+        sys.exit(max((p.wait() for p in procs), default=0))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     # dialect normalization, same class as the column-name sort: SQL
