@@ -265,8 +265,19 @@ object Bench {
           parsePrior(java.nio.file.Files.readString(fullPath))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
+    // A cluster run (SPARK_GRAFT_MASTER) is a different execution
+    // substrate — half the cores, process-boundary exchange; its
+    // timings are neither comparable to a local prior nor a valid
+    // prior for the next local run, so it neither gates nor
+    // overwrites the artifact (this round's own measurements put the
+    // small-corpus cluster/local ratio at 3-6x — every query would
+    // false-fail, and a poisoned artifact would mask real local
+    // regressions next round).
+    val onCluster = sys.env.get("SPARK_GRAFT_MASTER").exists(_.nonEmpty)
     val (gateVerdict, gateFlags) =
       if (onlySet.isDefined) ("none", Seq("restricted run (BENCH_ONLY)"))
+      else if (onCluster)
+        ("none", Seq("cluster run (SPARK_GRAFT_MASTER) — not comparable to local priors"))
       else benchGate(prior, sfDir,
         results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap, total)
     val gate = s"""{"verdict":${jstr(gateVerdict)},"flags":[${
@@ -280,7 +291,7 @@ object Bench {
     // The FULL artifact, truncation-proof (round-13 verdict #2): the
     // judge diffs per-query mins across rounds from this file even
     // when the driver's kept tail cuts the stdout line.
-    if (onlySet.isEmpty) try {
+    if (onlySet.isEmpty && !onCluster) try {
       java.nio.file.Files.createDirectories(fullPath.getParent)
       java.nio.file.Files.write(fullPath,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -413,11 +413,18 @@ object DeltaLog {
     // PURPOSE: it is the single-winner token for that lease
     // incarnation; deleting it early would let the identity be claimed
     // twice. Manifest resolution only matches `v=` names, so
-    // tombstones are invisible to readers.)
+    // tombstones are invisible to readers.) `.beat-tmp-*` strays ride
+    // along: a holder that crashes between creating a beat temp and
+    // renaming it onto the sidecar leaves one behind per crash —
+    // harmless to correctness (unique names, never read) but
+    // unbounded over enough crashes without this sweep.
     def gcTombstones(): Unit =
       try fs.listStatus(mdir).toIndexedSeq
-        .filter(s => s.getPath.getName.startsWith(".lease-tomb-") &&
-          System.currentTimeMillis() - s.getModificationTime > ttlMs)
+        .filter { s =>
+          val n = s.getPath.getName
+          (n.startsWith(".lease-tomb-") || n.startsWith(".beat-tmp-")) &&
+            System.currentTimeMillis() - s.getModificationTime > ttlMs
+        }
         .foreach(s => try fs.delete(s.getPath, false)
           catch { case _: java.io.IOException => () })
       catch { case _: java.io.FileNotFoundException => () }

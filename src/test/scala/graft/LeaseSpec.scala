@@ -47,6 +47,23 @@ class LeaseSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stale .beat-tmp-* strays (holder crashed mid-beat) are swept by the next acquire") {
+    val dd = tmp()
+    val mdir = DeltaLog.manifestDir(dd)
+    Files.createDirectories(Paths.get(mdir))
+    val stale = Paths.get(s"$mdir/.beat-tmp-crashed")
+    Files.writeString(stale, "crashed-holder\nts=0")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    val fresh = Paths.get(s"$mdir/.beat-tmp-live")
+    Files.writeString(fresh, "live-holder\nts=0")
+    DeltaLog.acquireLease(conf, dd, ttlMs = 1000, owner = "sweeper")
+    assert(!Files.exists(stale), "a TTL-stale beat temp must be swept")
+    assert(Files.exists(fresh), "a fresh beat temp (a live holder's in-flight rename) must survive")
+    DeltaLog.releaseLease(conf, dd, owner = "sweeper")
+  }
+
   test("a stale lease (crashed maintainer) is taken over after the TTL") {
     val dd = tmp()
     DeltaLog.acquireLease(conf, dd, owner = "crashed")
