@@ -332,6 +332,24 @@ class PlanGoldenSpec extends SparkTestBase {
     assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
   }
 
+  test("golden exchange counts: the round-15 fraction-capped search") {
+    // the deployment-default hot-key guard (cap = 5 % of total
+    // postings, round-14 verdict #4) must price its corpus-derived
+    // threshold in BROADCAST-SIZED pieces only: the per-key stats and
+    // the one-row total are aggregates of the thin key-stats lineage,
+    // cross-joined as broadcasts into the probe's semi-join — the
+    // cap derivation adds NO corpus-scale shuffle over the anchored
+    // search's own budget: vs the anchored search's Ex(9,4,3), the
+    // +1 shuffle is the ONE-ROW total-postings aggregate over the
+    // thin key-stats artifact, and the +2 broadcasts are that total
+    // and the allowed-keys list into the probe semi-join.
+    pin("search_dfcap_frac", Ex(10, 6, 3)) {
+      JoinSearch.searchTablesCappedFraction(
+        idx, Queries.ordersQuery(spark, dir), Queries.ordersCols)
+    }
+    assert(drift.isEmpty, s"plans drifted:\n${drift.mkString("\n")}")
+  }
+
   test("the guard sees a deliberately added exchange") {
     val base = exchanges {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)
