@@ -167,12 +167,20 @@ object Dedup {
     * delta's live-derived bands and the durable artifact's are
     * interchangeable.
     */
-  def bandsOf(docsDf: DataFrame, numSeeds: Int = 8): DataFrame = {
+  def bandsOf(docsDf: DataFrame, numSeeds: Int = 8): DataFrame =
+    bandsOfShingles(shinglesOf(docsDf), numSeeds)
+
+  /** Band lineage from an ALREADY-SHINGLED frame `(doc_id, s)` — the
+    * seam [[clustersCollapsed]] uses to band only the exact-group
+    * representatives' shingles instead of re-shingling a frame the
+    * caller has (and persisted) anyway.
+    */
+  private def bandsOfShingles(sh: DataFrame, numSeeds: Int = 8): DataFrame = {
     val bandStructs = (0 until numSeeds / 2).map(b =>
       struct(lit(b).as("band_id"),
         md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
           .cast("binary")).as("bh")))
-    minhashWideOf(shinglesOf(docsDf), numSeeds)
+    minhashWideOf(sh, numSeeds)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_id").cast("int").as("band_id"), col("bd.bh"))
   }
@@ -189,6 +197,17 @@ object Dedup {
         Seq(s"$dir/documents.parquet")) {
       sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     }
+    verifyJaccardOver(sh, sizes, cand, minJacBp)
+  }
+
+  /** [[verifyJaccard]] over an explicit shingle frame + per-doc size
+    * frame — the seam that lets [[clustersCollapsed]] verify against
+    * the representatives-only lineage (the corpus-wide one would
+    * shuffle every clone's shingles just to verify pairs that only
+    * ever reference representatives).
+    */
+  private def verifyJaccardOver(sh: DataFrame, sizes: DataFrame,
+      cand: DataFrame, minJacBp: Int): DataFrame = {
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_x"), col("s")), Seq("doc_x"))
       .join(sh.select(col("doc_id").as("doc_y"), col("s")), Seq("doc_y", "s"))
@@ -601,11 +620,20 @@ object Dedup {
     * once per corpus under the content-fingerprint gate — the
     * drop-list/keeper decisions a production dedup pays once per
     * crawl, exactly like the signatures they derive from.
+    *
+    * BUILDER (round 15): [[clustersCollapsed]] — exact-collapse first,
+    * LSH over representatives only, so the build stays linear in the
+    * corpus even at clone-regime duplication where the uncollapsed
+    * pair graph is quadratic (the ×1000 scale decade's enabling
+    * change). Result-identical to the previous
+    * star-over-[[minhashLsh]] build; `dedup_clusters_labelprop` keeps
+    * the UNCOLLAPSED live pipeline registered against the same
+    * oracle, so collapse exactness is re-proven on every surface.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.loadOrBuild(spark, docClustersPath(dir),
       Seq(s"$dir/documents.parquet"), semKey) { t =>
-      clustersFromPairsStar(minhashLsh(spark, dir).select("doc_x", "doc_y"))
+      clustersCollapsed(spark, dir)
         .write.mode("overwrite").parquet(t)
     }.orderBy("doc_id")
 
@@ -615,6 +643,107 @@ object Dedup {
     */
   def clustersLabelProp(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(minhashLsh(spark, dir).select("doc_x", "doc_y"))
+
+  /** Exact-collapse MinHash-LSH clustering — [[clusters]]' builder
+    * since round 15, result-identical to star/label-prop CC over the
+    * uncollapsed [[minhashLsh]] pairs (`dedup_clusters_labelprop`
+    * hash-shares the oracle, so the identity is re-proven on every
+    * correctness surface) but linear where verbatim duplication made
+    * the pair graph quadratic.
+    *
+    * Why: LSH candidate generation expands each band bucket's clone
+    * group of size g into g(g-1)/2 pairs. At web-crawl duplication —
+    * or the ×N replicated scale lakes, where EVERY base document has
+    * N exact clones — pairs grow as N² while the corpus grows as N
+    * (the ×100 trend row measured 27.31 M verified pairs from a
+    * 500 k-doc corpus; ×1000 would be ~2.5 G pairs). Production
+    * pipelines collapse exact duplicates BEFORE near-dup detection;
+    * this is that, kept provably exact.
+    *
+    * Shape: (1) one map-side-combinable aggregation keys every doc_id
+    * by the md5 of its SORTED SET of per-row text hashes — equal keys
+    * ⟹ equal shingle UNIONS (the degenerate lake's multi-row doc_ids
+    * contribute their rows' shingle union, `shinglesOf`'s
+    * dropDuplicates contract, so the collapse key must hash the text
+    * SET, not a single text); (2) the full shingle→minhash→band→
+    * verify pipeline runs over one REPRESENTATIVE (min doc_id) per
+    * group — clones are never shingled, never banded, never paired;
+    * (3) star-contraction CC labels the representative pair graph;
+    * (4) groups expand back: every member adopts its representative's
+    * component, and groups of ≥2 members whose shingle set is
+    * NONEMPTY form cliques even without external edges.
+    *
+    * Exactness argument (pinned adversarially by
+    * `DedupCollapseSpec`, and by the shared oracle on every surface):
+    * bands and Jaccard are pure functions of the shingle SET, and all
+    * members of a group share one set, so (a) a cross-group member
+    * pair is an LSH candidate iff the representative pair is, and
+    * verifies at exactly the representative pair's Jaccard — baseline
+    * cross-group edges are complete-bipartite iff the rep edge
+    * exists; (b) within a group with ≥1 shingle, members share
+    * identical bands and Jaccard 1 ≥ any threshold — a baseline
+    * clique; (c) a group with ZERO shingles (texts under 3 words)
+    * produces no minhash rows, hence no bands, hence NO baseline
+    * pairs — exact-equal short docs must NOT cluster, which is why
+    * the clique rule requires a nonempty set; (d) component minima
+    * coincide: each member's id ≥ its representative's (rep = group
+    * min), so the min doc_id of an expanded component IS the min
+    * representative id the contraction labeled it with. Baseline
+    * vertices (docs in ≥1 pair) = members of ≥2-member shingled
+    * groups ∪ members of groups whose rep has a verified edge — the
+    * expansion's exact inclusion rule.
+    *
+    * Cost: the collapse aggregation streams each doc's text hash once
+    * (partial-aggregated, one ~32-byte state per doc per map
+    * partition); everything downstream is sized by DISTINCT content,
+    * independent of duplication factor.
+    */
+  def clustersCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    // (doc_id, gh): gh = hash of the doc's set of row-text hashes.
+    // collect_set drops null texts — a null row adds no shingles, so
+    // {null, "A"} and {"A"} correctly share a key; all-null docs
+    // share md5("") and are excluded below by the empty-shingle rule.
+    val groups = DfCache.getOrPersist(spark, s"doc_exact_groups:$dir",
+        Seq(s"$dir/documents.parquet")) {
+      d.groupBy("doc_id")
+        .agg(md5(concat_ws("|",
+          sort_array(collect_set(md5(col("text").cast("binary")))))
+          .cast("binary")).as("gh"))
+    }
+    val reps = groups.groupBy("gh")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("g_n"))
+    val membership = groups.join(reps, Seq("gh"))
+      .select(col("doc_id"), col("rep_id"), col("g_n"))
+    val repDocs = d.join(reps.select(col("rep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // representatives-only shingle lineage: consumed by banding, both
+    // verification joins, the size frame, and the nonempty-set rule.
+    val repSh = DfCache.getOrPersist(spark, s"doc_shingles_reps:$dir",
+      Seq(s"$dir/documents.parquet"))(shinglesOf(repDocs))
+    val repSizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val b = DfCache.getOrPersist(spark, s"doc_bands_reps:$dir",
+      Seq(s"$dir/documents.parquet"))(bandsOfShingles(repSh))
+    val cand = b.select(col("doc_id").as("doc_x"), col("band_id"), col("bh"))
+      .join(b.select(col("doc_id").as("doc_y"), col("band_id"), col("bh")),
+        Seq("band_id", "bh"))
+      .where(col("doc_x") < col("doc_y"))
+      .select("doc_x", "doc_y").distinct()
+    val repPairs = verifyJaccardOver(repSh, repSizes, cand, 5000)
+      .select("doc_x", "doc_y")
+    val repLabels = starComponents(repPairs)._1
+      .select(col("v").as("rep_id"), col("lbl"))
+    val shingled = repSh.select(col("doc_id").as("rep_id")).distinct()
+      .withColumn("has_sh", lit(true))
+    val verts = membership
+      .join(repLabels, Seq("rep_id"), "left")
+      .join(shingled, Seq("rep_id"), "left")
+      .where(col("lbl").isNotNull ||
+        (col("g_n") >= 2 && col("has_sh") === true))
+      .select(col("doc_id").as("v"),
+        coalesce(col("lbl"), col("rep_id")).as("lbl"))
+    formatClusters(verts)
+  }
 
   /** The near-dup drop list: every non-keeper cluster member's
     * doc_id — THE definition of "dropped by dedup", shared by
