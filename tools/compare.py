@@ -59,6 +59,20 @@ def main():
     # opposite. Invisible on corpora without null sort keys (the
     # driver's sf0.01 gate); required for the degenerate-lake gate.
     con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
+    # Bounded memory + a spill dir: DuckDB's default limit (80% of
+    # RAM) is per PROCESS, so --jobs shards plus a ×1000-scale
+    # search-oracle CTE (the tokenized index materialized over ~600 M
+    # lineitem rows) ran the box out of physical memory before any
+    # operator chose to spill — the kernel OOM-killed the shard with
+    # no output line at all. A hard limit makes DuckDB's own
+    # spill-to-disk path take over instead. Override per run:
+    # GRAFT_DUCKDB_MEM=40GB (per shard; divide by --jobs), temp dir
+    # defaults beside the output.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP", f"{out_dir}/.duckspill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # a table may be a single parquet FILE (the driver's testdata)
         # or a Spark-written DIRECTORY (the degenerate lake, scaled
