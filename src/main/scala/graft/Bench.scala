@@ -77,6 +77,51 @@ object Bench {
         (if (flags.isEmpty) "ok" else "fail", flags)
     }
 
+  /** Resolve the regression-gate prior (round-15 verdict #2): prefer
+    * the COMMITTED per-round artifact `BENCH_FULL_r<N>.json` (highest
+    * N) in the repo root over the ephemeral `target/bench_full.json`.
+    * The target file is cleaned between rounds, so gating against it
+    * alone re-seeds the prior every round and the cross-round
+    * comparison never actually runs (r14->r15 was never machine-gated;
+    * a noisy 151 s sample then passed "ok" against a same-session
+    * prior). The committed file is written once per round at round
+    * close from the closing clean run. Returns the prior plus a label
+    * naming which source fed it, surfaced in the gate flags.
+    */
+  private[graft] def resolvePrior(
+      dir: java.nio.file.Path): (Option[(String, Map[String, Double], Double)], String) = {
+    import scala.jdk.CollectionConverters._
+    val Re = """BENCH_FULL_r(\d+)\.json""".r
+    val committed =
+      try {
+        java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case Re(n) => Some((n.toInt, p))
+              case _ => None
+            }
+          }.toSeq.sortBy(-_._1)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // newest parseable committed prior wins; a corrupt newer file
+    // degrades to the next round back, not all the way to target/.
+    val fromCommitted = committed.iterator.flatMap { case (n, p) =>
+      try parsePrior(java.nio.file.Files.readString(p)).map(_ -> s"BENCH_FULL_r$n.json")
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
+    fromCommitted match {
+      case Some((prior, label)) => (Some(prior), label)
+      case None =>
+        val fallback = dir.resolve("target/bench_full.json")
+        val p =
+          try {
+            if (java.nio.file.Files.exists(fallback))
+              parsePrior(java.nio.file.Files.readString(fallback))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        (p, "target/bench_full.json")
+    }
+  }
+
   /** Parse the prior full artifact's (sf, per-query mins, value).
     * Tolerant: any malformed/missing field means "no prior" — the
     * gate must never crash the bench that feeds the round.
@@ -257,14 +302,11 @@ object Bench {
     // write.
     val fullPath = java.nio.file.Paths.get(sys.props("user.dir"))
       .resolve("target/bench_full.json")
-    // The regression gate reads the PRIOR artifact before this run
-    // overwrites it (round-14 verdict #3).
-    val prior =
-      try {
-        if (java.nio.file.Files.exists(fullPath))
-          parsePrior(java.nio.file.Files.readString(fullPath))
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // The regression gate prefers the COMMITTED per-round prior
+    // (BENCH_FULL_r<N>.json, round-15 verdict #2) over the ephemeral
+    // target artifact, read before this run overwrites the latter.
+    val (prior, priorLabel) =
+      resolvePrior(java.nio.file.Paths.get(sys.props("user.dir")))
     // A cluster run (SPARK_GRAFT_MASTER) is a different execution
     // substrate — half the cores, process-boundary exchange; its
     // timings are neither comparable to a local prior nor a valid
@@ -280,7 +322,7 @@ object Bench {
         ("none", Seq("cluster run (SPARK_GRAFT_MASTER) — not comparable to local priors"))
       else benchGate(prior, sfDir,
         results.collect { case (n, t, _) if t >= 0 => n -> t }.toMap, total)
-    val gate = s"""{"verdict":${jstr(gateVerdict)},"flags":[${
+    val gate = s"""{"verdict":${jstr(gateVerdict)},"prior":${jstr(priorLabel)},"flags":[${
       gateFlags.map(jstr).mkString(",")}]}"""
     // totals LAST: the driver keeps only the tail of this line, so the
     // headline numbers (value = per-query-min composite + index_build;

@@ -27,23 +27,36 @@ import graft.sources.IndexBuilder
   * THAT DuckDB can verify exactly: ~1 k query keys, probed postings
   * ~1e6, one streaming pass over the tokenized-union CTE.
   *
-  * Usage: `runMain graft.ScaleOracle <scaledDir> [baseDir] [outDir]
-  * [families...]` then `python3 tools/compare.py <scaledDir> <outDir>`.
+  * Usage: `runMain graft.ScaleOracle <scaledDir> <baseDir> [outDir]
+  * [families...]` (baseDir may instead come from `GRAFT_BASEDIR`)
+  * then `python3 tools/compare.py <scaledDir> <outDir>`.
   * The emitted oracle SQL reads the BASE query table via
   * `read_parquet('<baseDir>/...')` — compare.py's views over
   * `<scaledDir>` keep serving the index side.
   */
 object ScaleOracle {
 
+  /** DuckDB `read_parquet` over a file-or-directory path, with single
+    * quotes escaped SQL-style — the path lands inside a string literal
+    * in the emitted oracle, so an unescaped quote in a directory name
+    * would otherwise break (or redirect) the oracle query
+    * (round-15 ADVICE).
+    */
   private def pq(path: String): String = {
     val pat = if (new java.io.File(path).isDirectory) s"$path/*.parquet"
       else path
-    s"read_parquet('$pat')"
+    s"read_parquet('${pat.replace("'", "''")}')"
   }
 
   def main(args: Array[String]): Unit = {
     val scaledDir = args(0)
-    val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // base corpus dir: positional arg, else GRAFT_BASEDIR — no
+    // machine-specific absolute path baked into source (round-15
+    // ADVICE).
+    val baseDir = args.lift(1)
+      .orElse(sys.env.get("GRAFT_BASEDIR"))
+      .getOrElse(sys.error(
+        "ScaleOracle needs a base corpus dir: pass it as arg 2 or set GRAFT_BASEDIR"))
     val outDir = args.lift(2).getOrElse("/tmp/scale_oracle")
     val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

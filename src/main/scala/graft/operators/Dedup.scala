@@ -185,6 +185,15 @@ object Dedup {
       .select(col("doc_id"), col("bd.band_id").cast("int").as("band_id"), col("bd.bh"))
   }
 
+  /** Default exact-Jaccard verification threshold in basis points
+    * (0.50), shared by [[minhashLsh]], [[ngramJaccard]],
+    * [[incremental]], and [[clustersCollapsed]] — the collapse's
+    * result-identity contract with the labelprop cross-check depends
+    * on all lineages verifying at the SAME threshold, so it lives in
+    * one named constant instead of four literals (round-15 ADVICE).
+    */
+  private[graft] val MinJacBp = 5000
+
   /** Exact Jaccard verification of candidate pairs `(doc_x, doc_y)`:
     * intersection/union over full shingle sets, keep jac >= minJacBp.
     */
@@ -232,7 +241,7 @@ object Dedup {
         Seq("band_id", "bh"))
       .where(col("doc_x") < col("doc_y"))
       .select("doc_x", "doc_y").distinct()
-    verifyJaccard(spark, dir, cand, 5000)
+    verifyJaccard(spark, dir, cand, MinJacBp)
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates share
@@ -241,7 +250,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       maxDf: Int = 100, minShared: Int = 3): DataFrame =
-    verifyJaccard(spark, dir, rareSharedCandidates(spark, dir, maxDf, minShared), 5000)
+    verifyJaccard(spark, dir, rareSharedCandidates(spark, dir, maxDf, minShared), MinJacBp)
 
   /** Candidate pairs sharing >= `minShared` rare shingles (document
     * frequency <= `maxDf`) in ONE shuffle: group postings by shingle
@@ -425,7 +434,7 @@ object Dedup {
       .where(col("doc_x") =!= col("doc_y"))
       .where((col("doc_x") % deltaMod =!= 0) || (col("doc_x") < col("doc_y")))
       .select("doc_x", "doc_y").distinct()
-    val flags = verifyJaccard(spark, dir, cand, 5000)
+    val flags = verifyJaccard(spark, dir, cand, MinJacBp)
       .groupBy(col("doc_y").as("doc_id"))
       .agg(count(lit(1)).as("dups"),
         sum(when(col("doc_x") % deltaMod =!= 0, 1L).otherwise(0L)).as("base_dups"),
@@ -729,7 +738,7 @@ object Dedup {
         Seq("band_id", "bh"))
       .where(col("doc_x") < col("doc_y"))
       .select("doc_x", "doc_y").distinct()
-    val repPairs = verifyJaccardOver(repSh, repSizes, cand, 5000)
+    val repPairs = verifyJaccardOver(repSh, repSizes, cand, MinJacBp)
       .select("doc_x", "doc_y")
     val repLabels = starComponents(repPairs)._1
       .select(col("v").as("rep_id"), col("lbl"))

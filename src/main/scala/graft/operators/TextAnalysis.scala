@@ -1599,37 +1599,64 @@ object TextAnalysis {
     * reaches that share of total token mass, in exact integer
     * arithmetic (`cum * 10000 >= pct_bp * total`).
     *
-    * Shuffle audit: ONE corpus-sized term aggregation (map-side
-    * partials) produces the |vocabulary|-row count table; the
-    * cumulative ranking window then runs over the VOCABULARY —
-    * bounded and zipfian (millions of rows at web scale, one
-    * executor's sort), never the corpus — the same
-    * vocabulary-not-corpus window argument as [[tfidfTop]]'s df
-    * side. The levels table is 3 literal rows, broadcast.
+    * Shuffle audit (round-15 verdict #3 — the counts-of-counts form):
+    * ONE corpus-sized term aggregation (map-side partials) produces
+    * the |vocabulary|-row count table; that table is then COLLAPSED
+    * to a frequency HISTOGRAM (one row per distinct count value — the
+    * zipfian tail's trillions of count-1 typo/id terms become a
+    * single row) and the cumulative window runs over HISTOGRAM rows
+    * only: |distinct counts| <= sqrt(2N) arithmetically (distinct
+    * positive integers summing to N), thousands in practice — the
+    * `text_quality_adaptive` pattern, "the form whose windows never
+    * see corpus rows" and now never see vocabulary rows either. The
+    * prior form's `Window.orderBy` over the full vocabulary moved the
+    * whole term table to one partition — correct, but one executor
+    * sorts the web-scale tail. Within an equal-count block the old
+    * per-term ranking is recovered arithmetically: the threshold
+    * term's in-block position is `ceil(stillNeeded / cnt)` in exact
+    * integer arithmetic (`div`, no doubles — pct_bp*total exceeds
+    * double's 53-bit mantissa at ~1e12 tokens), which is
+    * value-identical to the old min(rank)/min_by(cum) because every
+    * term in a block contributes exactly `cnt`. The levels table is
+    * 3 literal rows, broadcast; the oracle is unchanged.
     */
   def vocabCoverage(spark: SparkSession, dir: String,
       pctsBp: Seq[Int] = Seq(5000, 9000, 9900)): DataFrame = {
     import spark.implicits._
     val counts = tokenStream(spark, dir)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    // counts-of-counts: one row per distinct frequency value.
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("terms"))
+    val ord = Window.orderBy(col("cnt").desc)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts.select(
-      row_number().over(ord).cast("long").as("rank"),
-      sum(col("cnt")).over(cum).as("cum"))
+    val blocks = hist.select(
+      col("cnt"), col("terms"),
+      (sum(col("terms")).over(cum) - col("terms")).as("terms_before"),
+      (sum(col("cnt") * col("terms")).over(cum)
+        - col("cnt") * col("terms")).as("tokens_before"),
+      sum(col("cnt") * col("terms")).over(cum).as("tokens_through"))
     val tot = counts.agg(
       sum(col("cnt")).as("total"), count(lit(1)).as("vocab_total"))
     val levels = pctsBp.map(_.toLong).toDF("pct_bp")
-    ranked
+    val target = col("pct_bp") * col("total")
+    blocks
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(levels))
-      .where(col("cum") * 10000 >= col("pct_bp") * col("total"))
-      .groupBy("pct_bp")
-      .agg(
-        min(col("rank")).as("vocab_size"),
-        min_by(col("cum"), col("rank")).as("covered_tokens"),
-        max(col("total")).as("total_tokens"),
-        max(col("vocab_total")).as("vocab_total"))
+      // the level's threshold rank falls inside exactly one block:
+      // the first whose cumulative mass reaches the target.
+      .where(col("tokens_through") * 10000 >= target &&
+        col("tokens_before") * 10000 < target)
+      // in-block position of the threshold term (1-based): smallest j
+      // with (tokens_before + j*cnt)*10000 >= pct_bp*total, i.e.
+      // ceil((pct_bp*total - tokens_before*10000) / (cnt*10000)).
+      .withColumn("j", expr(
+        "(pct_bp * total - tokens_before * 10000 + cnt * 10000 - 1)" +
+          " div (cnt * 10000)"))
+      .select(col("pct_bp"),
+        (col("terms_before") + col("j")).as("vocab_size"),
+        (col("tokens_before") + col("j") * col("cnt")).as("covered_tokens"),
+        col("total").as("total_tokens"),
+        col("vocab_total"))
       .orderBy("pct_bp")
   }
 

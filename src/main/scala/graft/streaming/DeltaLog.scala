@@ -657,7 +657,14 @@ object DeltaLog {
               // legacy-fallback freshness for mtime-only observers.
               fs.setTimes(lease, System.currentTimeMillis(), -1)
             } else mine = false
-          } catch { case _: java.io.IOException => () } // transient; retry next beat
+          } catch { case _: java.io.IOException => () } // transient; retry
+          // next beat. One EXPECTED cause (round-15 ADVICE): a holder
+          // frozen longer than the lease TTL between creating
+          // .beat-tmp-* and renaming it has its temp swept by a
+          // waiter's gcTombstones — the rename then IOExceptions here
+          // and the next beat recreates the temp. Benign: that freeze
+          // already made the lease itself stealable, and the takeover
+          // path (not the beat) arbitrates ownership.
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$deltaDir")

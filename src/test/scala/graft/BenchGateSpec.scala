@@ -59,6 +59,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(v2 == "ok")
   }
 
+  test("resolvePrior prefers the highest committed BENCH_FULL_r<N>.json over target/") {
+    val dir = java.nio.file.Files.createTempDirectory("benchgate")
+    def write(rel: String, value: Double): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        s"""{"sf":"/d","queries":{"a":1.0},"value":$value}""")
+    }
+    write("target/bench_full.json", 10.0)
+    // no committed prior -> falls back to the ephemeral target artifact
+    val (p0, l0) = Bench.resolvePrior(dir)
+    assert(p0.exists(_._3 == 10.0) && l0 == "target/bench_full.json")
+    // committed priors win, highest round number wins among them
+    write("BENCH_FULL_r9.json", 9.0)
+    write("BENCH_FULL_r15.json", 15.0)
+    val (p1, l1) = Bench.resolvePrior(dir)
+    assert(p1.exists(_._3 == 15.0) && l1 == "BENCH_FULL_r15.json")
+    // a corrupt newest committed file degrades to the next round back
+    java.nio.file.Files.writeString(dir.resolve("BENCH_FULL_r16.json"), "{junk")
+    val (p2, l2) = Bench.resolvePrior(dir)
+    assert(p2.exists(_._3 == 15.0) && l2 == "BENCH_FULL_r15.json")
+  }
+
   test("parsePrior round-trips the bench line shape and rejects junk") {
     val line = """{"metric":"total","sf":"/d","queries":{"a":1.5,"b":2},"value":3.5}"""
     assert(Bench.parsePrior(line).contains(("/d", Map("a" -> 1.5, "b" -> 2.0), 3.5)))

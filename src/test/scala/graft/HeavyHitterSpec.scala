@@ -60,6 +60,31 @@ class HeavyHitterSpec extends SparkTestBase {
     }
   }
 
+  test("vocab coverage: the cumulative window runs over the count " +
+      "HISTOGRAM, never vocabulary(term) rows") {
+    // round-15 verdict #3: the old plan's Window.orderBy over the full
+    // term table moved the whole vocabulary to one partition. The
+    // counts-of-counts re-plan must feed every WindowExec from the
+    // histogram (columns cnt/terms) — a `term` string column reaching
+    // any window input means the collapse regressed.
+    // non-adaptive executed plan (the PlanGoldenSpec convention):
+    // under AQE the WindowExec hides inside stage leaves collect
+    // cannot descend.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try TextAnalysis.vocabCoverage(spark, sf0001).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the cumulative window in the plan")
+    windows.foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.contains("term"),
+        s"vocabulary-sized window input detected: $childCols")
+    }
+  }
+
   test("keep-best picks the longest member, min id on ties") {
     val clusters = Seq(
       (10L, 1L), (11L, 1L), (12L, 1L), // cluster 1

@@ -190,7 +190,13 @@ class PlanGoldenSpec extends SparkTestBase {
     pin("heavy_hitters", Ex(4, 4, 2)) {
       TextAnalysis.heavyHitters(spark, dir)
     }
-    pin("vocab_coverage", Ex(3, 2, 1)) {
+    // 3/2/1 -> 4/2/1 with the counts-of-counts re-plan (round-15
+    // verdict #3): the added shuffle is the vocabulary->histogram
+    // collapse (groupBy cnt), which is what takes the cumulative
+    // window's single-partition sort from |vocabulary| rows to
+    // |distinct counts| (<= sqrt(2N)) rows. The window's input being
+    // histogram-shaped is pinned structurally below.
+    pin("vocab_coverage", Ex(4, 2, 1)) {
       TextAnalysis.vocabCoverage(spark, dir)
     }
     // keep-best: clustering exchanges + ONE map-side-combinable

@@ -15,7 +15,7 @@ the full tokenized index CTE per query, which is minutes each on the
 x10/x100 scaled lakes — serial compare there is hours, sharded is the
 same work in wall/N. Exit 0 iff every shard is green.
 """
-import os, sys, json, glob, hashlib, subprocess
+import os, re, sys, json, glob, hashlib, subprocess
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -36,6 +36,25 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def shard_mem(jobs: int) -> str:
+    """Per-shard DuckDB memory limit. GRAFT_DUCKDB_MEM (if set) is
+    taken verbatim PER SHARD (the historical override contract);
+    otherwise GRAFT_DUCKDB_MEM_TOTAL (default 24GB) is an AGGREGATE
+    budget divided across --jobs shards with a 4GB floor — so the
+    default can never multiply into more physical RAM than one serial
+    run would have used (--jobs 6 at a naive per-shard 24GB default
+    budgets 144GB on a 125GB box: exactly the kernel-OOM mode the
+    memory limit exists to prevent)."""
+    explicit = os.environ.get("GRAFT_DUCKDB_MEM")
+    if explicit:
+        return explicit
+    total = os.environ.get("GRAFT_DUCKDB_MEM_TOTAL", "24GB")
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*GB", total.strip(), re.I)
+    if not m or jobs <= 1:
+        return total
+    return f"{max(4.0, float(m.group(1)) / jobs):g}GB"
+
+
 def main():
     args = sys.argv[1:]
     jobs = 1
@@ -47,9 +66,12 @@ def main():
     if jobs > 1:
         names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
         names = [n for n in names if not only or n in only]
+        # children get their slice of the aggregate budget explicitly,
+        # so the per-shard default cannot re-multiply downstream.
+        env = dict(os.environ, GRAFT_DUCKDB_MEM=shard_mem(jobs))
         procs = [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), sf_dir, out_dir]
-            + names[i::jobs]) for i in range(jobs) if names[i::jobs]]
+            + names[i::jobs], env=env) for i in range(jobs) if names[i::jobs]]
         sys.exit(max((p.wait() for p in procs), default=0))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
@@ -66,9 +88,10 @@ def main():
     # operator chose to spill — the kernel OOM-killed the shard with
     # no output line at all. A hard limit makes DuckDB's own
     # spill-to-disk path take over instead. Override per run:
-    # GRAFT_DUCKDB_MEM=40GB (per shard; divide by --jobs), temp dir
-    # defaults beside the output.
-    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    # GRAFT_DUCKDB_MEM=40GB (verbatim per shard) or
+    # GRAFT_DUCKDB_MEM_TOTAL=48GB (aggregate, auto-divided by --jobs);
+    # temp dir defaults beside the output.
+    mem = shard_mem(1)
     tmp = os.environ.get("GRAFT_DUCKDB_TMP", f"{out_dir}/.duckspill")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
