@@ -200,6 +200,7 @@ object Bench {
         ("bucket_sketch", () => { TextAnalysis.loadOrBuildBucketSketch(spark, sfDir); () }),
         ("bpe_tokenizer", () => { Bpe.loadOrTrain(spark, sfDir); () }),
         ("bpe_tokenizer_prod", () => { Bpe.loadOrTrainProd(spark, sfDir); () }),
+        ("mm_png_grids", () => { graft.operators.ImageCodec.loadOrBuildPngGrids(spark, sfDir); () }),
         ("emb_clusters", () => { Similarity.loadOrBuildEmbClusters(spark, sfDir); () }),
         ("ivf_codebook_cells", () => {
           Similarity.ivfCodebook(spark, sfDir); Similarity.ivfCells(spark, sfDir); () }),

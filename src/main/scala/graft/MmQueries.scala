@@ -45,6 +45,18 @@ object MmQueries {
     Q("mm_neardup",
       (s, dir) => Multimodal.neardupReencoded(s, dir),
       Some(MmOracle.neardupSql())),
+    // the REAL decoder behind the same seam (round-15 verdict #4):
+    // deterministic rendered PNGs, javax.imageio pixel decode into
+    // the durable grid artifact, dHash arithmetic over real pixels.
+    // The oracle reads the SAME persisted grids (the decode is not
+    // SQL-expressible; the spec pins the pixel read on crafted
+    // images).
+    Q("mm_phash_imageio",
+      (s, dir) => operators.ImageCodec.phashImageIo(s, dir),
+      None,
+      oracleOf = Some(dir => MmOracle.phashFromGridsSql(
+        sources.Artifacts.servedPathLocal(
+          operators.ImageCodec.gridsPath(dir))))),
     // raw-blob ingress roundtrip: a directory of loose doc_<id>.<ext>
     // files read through the binaryFile source and normalized into
     // the media schema — format-independent metadata must equal the

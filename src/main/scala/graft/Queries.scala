@@ -58,6 +58,25 @@ object Queries {
   def partQuery(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/part.parquet").where("p_partkey % 20 = 1")
 
+  // FIVE-attribute conjunction (round-15 verdict #7: the search is
+  // proven at N=2/3; the count-filter / top-N / anchor arithmetic is
+  // where an N>3 off-by-one would hide). No base table carries five
+  // text columns, so the query table joins part x orders on key
+  // equality — five attributes, scale-proportional rows (the
+  // synthetic orderkeys are dense, so every sampled part pairs).
+  val fiveCols = Seq("p_name", "p_brand", "p_type",
+    "o_orderstatus", "o_orderpriority")
+  val fiveSpec = QuerySpec(
+    "SELECT p_name, p_brand, p_type, o_orderstatus, o_orderpriority " +
+      "FROM part JOIN orders ON o_orderkey = p_partkey WHERE p_partkey % 40 = 1",
+    fiveCols)
+  def fiveQuery(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/part.parquet").where("p_partkey % 40 = 1")
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    p.join(o, p("p_partkey") === o("o_orderkey"))
+      .select("p_name", "p_brand", "p_type", "o_orderstatus", "o_orderpriority")
+  }
+
   // keys exist in the corpus but never co-occur in one row -> empty.
   val negativeCols = Seq("n_name", "r_name")
   val negativeSpec = QuerySpec(
@@ -322,6 +341,17 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_part_3attr",
       (s, dir) => JoinSearch.searchTables(index(s, dir), partQuery(s, dir), partCols),
       Some(SearchOracle.tableScores(partSpec))),
+    // N=5 conjunction over the joined query table (round-15 verdict
+    // #7): same anchored plan, five count-filter/top-N legs, on every
+    // oracle surface. Structurally EMPTY on this corpus — no base
+    // table carries five text columns, so no corpus row can match
+    // five distinct keys (the `search_negative_no_cooccur` class:
+    // emptiness is the asserted answer, hash-gated) — the NONEMPTY
+    // N=5 arithmetic is pinned by `JoinSearchPropertySpec`'s
+    // seven-strategy N=5 property over synthetic wide indexes.
+    Q("search_5attr_tables",
+      (s, dir) => JoinSearch.searchTables(index(s, dir), fiveQuery(s, dir), fiveCols),
+      Some(SearchOracle.tableScores(fiveSpec))),
     // Seq-parity scoring mode on the 3-attribute query — the one
     // place A3 (top-2 column sum, Object.py:76-80) genuinely diverges
     // from the par-mode A2∘W3 (top-N sum), plus seq's top-30 bound.

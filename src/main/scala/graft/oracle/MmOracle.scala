@@ -97,6 +97,31 @@ ORDER BY media_type, payload_md5"""
     * (`Multimodal.mediaReencoded`: one mid-text char spliced, id
     * shifted by 1000000) join the frame.
     */
+  /** One 32-bit dHash half over a luma list column `l` — the exact
+    * `Multimodal.dhashOf` gradient arithmetic in DuckDB list algebra
+    * (1-based list indexing matches Spark's element_at).
+    */
+  private def halfSql(from: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 32), j ->
+      CASE WHEN l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 2 AS INT)] >
+                l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 1 AS INT)]
+           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+  /** Mirrors `ImageCodec.phashImageIo`: dHashes recomputed in SQL from
+    * the PERSISTED real-codec grid artifact (the decode itself is not
+    * SQL-expressible; everything downstream of the pixel read is
+    * hash-gated — round-15 verdict #4).
+    */
+  def phashFromGridsSql(gridsDir: String): String =
+    s"""WITH luma AS (
+    SELECT doc_id, media_type, luma AS l
+    FROM read_parquet('${gridsDir.replace("'", "''")}/*.parquet')
+  )
+SELECT doc_id, media_type,
+  ${halfSql(0)} AS dhash_lo,
+  ${halfSql(32)} AS dhash_hi
+FROM luma ORDER BY doc_id"""
+
   private def phashCte(withTwins: Boolean): String = {
     val twins = if (withTwins) s"""
     UNION ALL
@@ -109,11 +134,7 @@ ORDER BY media_type, payload_md5"""
     else ""
     val slice = "substr(text, 1 + (i * length(text)) // 72, " +
       "((i + 1) * length(text)) // 72 - (i * length(text)) // 72)"
-    val half = (from: Int) =>
-      s"""CAST(list_sum(list_transform(range(0, 32), j ->
-      CASE WHEN l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 2 AS INT)] >
-                l[CAST(((j + $from) // 8) * 9 + ((j + $from) % 8) + 1 AS INT)]
-           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+    val half = halfSql _
     s"""mdocs AS (
     -- null payloads yield no frames/grids (the engine's decode-stage
     -- contract): a null-text doc has NO dhash row, not a (0,0) one

@@ -24,10 +24,13 @@ final class ConcurrentMaintenanceException(msg: String)
   * part set, so a racing write or fold can never half-appear.
   *
   * Layout: `<deltaDir>/_manifest/v=<version>` — newline-separated
-  * part NAMES (`batch=<id>`, `compacted=<id>`), highest version
-  * wins, published via temp-file + atomic rename (the rename is the
-  * commit point on local FS and HDFS; on object stores the copy is
-  * serve-complete before the name appears).
+  * part NAMES (`batch=<id>`, `compacted=<id>`) plus a `#committed`
+  * completeness trailer, highest trailered version wins, published
+  * through the [[graft.sources.Commit]] strategy seam (round-15
+  * verdict #1): temp-file + atomic no-overwrite rename on POSIX/HDFS;
+  * conditional create + read-back verify on object stores, where
+  * rename is a non-atomic overwriting copy+delete and could never
+  * arbitrate concurrent publishers.
   *
   * Protocol (single maintenance writer + at most one compactor per
   * delta dir — the streaming checkpoint already enforces the former;
@@ -64,10 +67,6 @@ object DeltaLog {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def fc(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileContext =
-    org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-
   /** `<prefix>=<long>` part-name id, None for strays (`batch=tmp`,
     * editor droppings) — strays are skipped everywhere, never thrown
     * on (round-10 ADVICE).
@@ -85,21 +84,54 @@ object DeltaLog {
       if (n.startsWith("v=")) idOf(n).map(_ -> s.getPath) else None
     }.sortBy(_._1)
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+  /** Completeness trailer (round-16, the [[graft.sources.Commit]]
+    * seam): manifests are committed as single objects under the cas
+    * strategy, where — unlike the rename commit — a non-object-store
+    * deployment could expose a file mid-create. The trailer makes
+    * completeness CHECKABLE: a reader that catches an in-flight
+    * manifest falls back to the newest trailered version instead of
+    * serving a torn part list. (Real object stores PUT atomically, so
+    * the trailer never actually gates there; it is belt-and-suspenders
+    * for cas-on-POSIX test rigs and misconfigured deployments.)
+    */
+  private val CommittedTrailer = "#committed"
+
+  private def readManifestRaw(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
   }
 
+  /** Part names of a raw manifest read (comment/trailer lines out). */
+  private def partsOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
   /** The current committed part names, or None when the dir carries
     * no manifest (legacy / fixture layout — callers fall back to the
-    * gated listing).
+    * gated listing). Prefers the newest version carrying the
+    * completeness trailer; a dir whose versions ALL lack it was
+    * written entirely by pre-trailer code (rename-committed, complete
+    * by construction) and its newest version is served as-is.
     */
   def currentParts(spark: SparkSession, deltaDir: String): Option[Seq[String]] = {
     val mdir = new Path(manifestDir(deltaDir))
     val fs = fsOf(spark, mdir)
-    versions(fs, mdir).lastOption.map { case (_, p) => readManifest(fs, p) }
+    // newest-first walk, skipping versions pruned (or still in
+    // flight) between the listing and the read; stops at the first
+    // trailered manifest — one read in the steady state.
+    val reads = versions(fs, mdir).reverse.iterator.flatMap { case (_, p) =>
+      try Some(readManifestRaw(fs, p))
+      catch { case _: java.io.IOException => None }
+    }
+    var first: Option[Seq[String]] = None
+    var committed: Option[Seq[String]] = None
+    while (reads.hasNext && committed.isEmpty) {
+      val lines = reads.next()
+      if (first.isEmpty) first = Some(lines)
+      if (lines.lastOption.contains(CommittedTrailer)) committed = Some(lines)
+    }
+    committed.orElse(first).map(partsOf)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -171,42 +203,25 @@ object DeltaLog {
     val fs = fsOf(spark, mdir)
     fs.mkdirs(mdir)
     val sorted = parts.distinct.sortBy(n => (idOf(n).getOrElse(Long.MaxValue), n))
+    // single-winner commit through the strategy seam (round-15 verdict
+    // #1, [[graft.sources.Commit]]): temp + no-overwrite rename on
+    // POSIX/HDFS (the pre-round-16 protocol, where a cross-JVM
+    // concurrent publisher surfaces as a lost rename — round-11
+    // ADVICE); conditional create + read-back verify on object stores,
+    // where rename is a non-atomic overwriting copy+delete and could
+    // never arbitrate. The content ends with the completeness trailer
+    // so a reader catching a non-atomically-created file falls back a
+    // version instead of serving a torn part list.
+    val content = (sorted.mkString("\n") + "\n" + CommittedTrailer + "\n")
+      .getBytes("UTF-8")
+    val conf = spark.sparkContext.hadoopConfiguration
     var attempt = 0
     var done = false
-    val fctx = fc(spark, mdir)
     while (!done) {
       val next = versions(fs, mdir).lastOption.map(_._1 + 1).getOrElse(0L)
-      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
-      // tmp written through the same FileContext that renames it, so
-      // the local checksum layer never leaves a stray .crc sidecar
-      // behind the rename.
-      val out = fctx.create(tmp, java.util.EnumSet.of(
-        org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write((sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      // no-overwrite rename (FileContext + Rename.NONE): plain
-      // FileSystem.rename OVERWRITES an existing destination on
-      // POSIX local FS, so a cross-JVM concurrent publisher would
-      // silently replace a committed version and this contention
-      // loop could never observe it (round-11 ADVICE). With NONE the
-      // collision surfaces as FileAlreadyExistsException -> re-read
-      // the version counter and retry; content atomicity is
-      // unchanged (readers still only ever see a fully-written,
-      // renamed file).
-      done =
-        try {
-          fctx.rename(tmp, new Path(mdir, s"v=$next"),
-            org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-              if e.getMessage != null && e.getMessage.contains("already exists") =>
-            false
-        }
+      done = graft.sources.Commit.createExclusive(
+        conf, new Path(mdir, s"v=$next"), content)
       if (!done) {
-        fctx.delete(tmp, true)
         attempt += 1
         require(attempt < 8, s"manifest publish contended 8x at $deltaDir")
       }
@@ -324,6 +339,17 @@ object DeltaLog {
   private def leasePayload(owner: String): String =
     s"$owner\nts=${System.currentTimeMillis()}"
 
+  /** Identity of ONE lease incarnation — content hash + file mtime.
+    * Both the stale-takeover branch and the cas release path claim the
+    * right to remove an incarnation through a no-overwrite create of
+    * `.lease-tomb-<ident>`: SHARING the ident is what serializes a
+    * release against a concurrent TTL takeover of the same lease
+    * (exactly one of them wins the tombstone and deletes).
+    */
+  private[graft] def incarnationIdent(content: String, mtime: Long): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(content)) + "-" + mtime
+
   /** Age of the lease incarnation `(content, mtime)` in the waiter's
     * clock, preferring maintainer-domain signals: the FRESHEST of the
     * payload stamp and a beat-sidecar stamp whose owner matches (a
@@ -386,25 +412,15 @@ object DeltaLog {
     val lease = new Path(leasePath(deltaDir))
     val mdir = lease.getParent
     val fs = mdir.getFileSystem(conf)
-    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(mdir.toUri, conf)
     fs.mkdirs(mdir)
-    def atomicCreate(target: Path, content: String): Boolean = {
-      val tmp = new Path(mdir, s".lease-tmp-${java.util.UUID.randomUUID}")
-      val out = fctx.create(tmp, java.util.EnumSet.of(
-        org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      try {
-        fctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          fctx.delete(tmp, false); false
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("already exists") =>
-          fctx.delete(tmp, false); false
-      }
-    }
+    // single-winner create through the strategy seam (round-15 verdict
+    // #1): temp + Rename.NONE on POSIX/HDFS; conditional create +
+    // read-back verify on object stores. Lease/tombstone payloads are
+    // caller-unique (owner id + holder-clock stamp), which is what the
+    // cas read-back discriminates on.
+    def atomicCreate(target: Path, content: String): Boolean =
+      graft.sources.Commit.createExclusive(conf, target,
+        content.getBytes("UTF-8"), tmpPrefix = ".lease-tmp-")
     // GC tombstones older than the TTL: a takeover winner that crashed
     // between claiming its tombstone and deleting the stale lease must
     // not freeze the dir forever — once the tombstone itself is stale,
@@ -476,9 +492,7 @@ object DeltaLog {
           // fresh lease appear between the winner's claim and delete;
           // the manifest's no-overwrite rename stays the last-line
           // collision detector.
-          val ident = java.lang.Integer.toHexString(
-            scala.util.hashing.MurmurHash3.stringHash(who)) + "-" + mtime
-          val tomb = new Path(mdir, s".lease-tomb-$ident")
+          val tomb = new Path(mdir, s".lease-tomb-${incarnationIdent(who, mtime)}")
           if (atomicCreate(tomb, s"takeover of ${leaseOwner(who)} by $owner")) {
             takeovers += 1
             require(takeovers <= 3,
@@ -541,6 +555,41 @@ object DeltaLog {
       precheck: Boolean = true): Unit = {
     val lease = new Path(leasePath(deltaDir))
     val fs = lease.getFileSystem(conf)
+    // cas strategy (object stores, [[graft.sources.Commit]]): there is
+    // no atomic claim-by-move, so the release claims the right to
+    // remove THIS incarnation the same way the TTL-takeover branch
+    // does — a conditional create of `.lease-tomb-<incarnationIdent>`.
+    // Sharing the ident serializes release against a concurrent
+    // takeover: exactly one wins the tombstone; the loser stands down
+    // (the winner removes the lease either way). The rename path's
+    // TOCTOU (`precheck` knob) does not exist here — the ownership
+    // read is load-bearing and the ident claim closes the gap behind
+    // it. Residual: the mtime read and the claim are two steps; a
+    // beat bumping the mtime between them would split idents — but a
+    // beating holder is by definition not stale, so no takeover
+    // contends then (the frozen-JVM caveat, unchanged).
+    if (graft.sources.Commit.strategyFor(conf, lease.toUri) ==
+        graft.sources.Commit.Cas) {
+      try {
+        val st = fs.getFileStatus(lease)
+        val in = fs.open(lease)
+        val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (leaseOwner(who) == owner) {
+          val tomb = new Path(lease.getParent,
+            s".lease-tomb-${incarnationIdent(who, st.getModificationTime)}")
+          if (graft.sources.Commit.createExclusive(conf, tomb,
+              s"release of $owner".getBytes("UTF-8"),
+              tmpPrefix = ".lease-tmp-")) {
+            try fs.delete(lease, false)
+            catch { case _: java.io.FileNotFoundException => () }
+            try fs.delete(new Path(leaseBeatPath(deltaDir)), false)
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+      return
+    }
     val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
       lease.getParent.toUri, conf)
     try {
@@ -631,8 +680,6 @@ object DeltaLog {
     val lease = new Path(leasePath(deltaDir))
     val fs = lease.getFileSystem(conf)
     val beatPath = new Path(leaseBeatPath(deltaDir))
-    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
-      lease.getParent.toUri, conf)
     val beat = new Thread(() => {
       try {
         var mine = true
@@ -643,19 +690,19 @@ object DeltaLog {
             val who = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
             if (leaseOwner(who) == OwnerId) {
-              // maintainer-domain freshness: atomic overwrite-rename of
-              // the sidecar (never the lease file itself).
-              val tmp = new Path(lease.getParent,
-                s".beat-tmp-${java.util.UUID.randomUUID}")
-              val out = fctx.create(tmp, java.util.EnumSet.of(
-                org.apache.hadoop.fs.CreateFlag.CREATE,
-                org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-              try out.write(leasePayload(OwnerId).getBytes("UTF-8"))
-              finally out.close()
-              fctx.rename(tmp, beatPath,
-                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-              // legacy-fallback freshness for mtime-only observers.
-              fs.setTimes(lease, System.currentTimeMillis(), -1)
+              // maintainer-domain freshness: atomic overwrite of the
+              // sidecar (never the lease file itself) — temp + rename
+              // on POSIX/HDFS, a plain overwrite PUT on object stores
+              // ([[graft.sources.Commit.overwriteSmall]]; a torn
+              // sidecar read merely defers to the lease payload stamp).
+              graft.sources.Commit.overwriteSmall(conf, beatPath,
+                leasePayload(OwnerId).getBytes("UTF-8"),
+                tmpPrefix = ".beat-tmp-")
+              // legacy-fallback freshness for mtime-only observers;
+              // stores without setTimes (object stores) just skip it —
+              // the beat sidecar is the signal there.
+              try fs.setTimes(lease, System.currentTimeMillis(), -1)
+              catch { case _: UnsupportedOperationException => () }
             } else mine = false
           } catch { case _: java.io.IOException => () } // transient; retry
           // next beat. One EXPECTED cause (round-15 ADVICE): a holder

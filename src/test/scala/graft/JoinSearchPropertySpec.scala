@@ -80,6 +80,41 @@ class JoinSearchPropertySpec extends SparkTestBase {
     }
   }
 
+  test("all seven strategies agree on random 5-column queries (seed 5)") {
+    // round-15 verdict #7: the conjunction arithmetic (count filters,
+    // rank top-N, anchor choice) is where an N>3 off-by-one would
+    // hide; N=5 with a tiny alphabet maximizes cross-column key
+    // collisions and duplicate-key query rows.
+    val cols5 = Seq("qa", "qb", "qc", "qd", "qe")
+    val rnd = new Random(5)
+    val alphabet = Vector("a", "b", "c", "d", "e f")
+    def key() = alphabet(rnd.nextInt(alphabet.size))
+    for (round <- 1 to 3) {
+      val index = Seq.fill(60 + rnd.nextInt(40))(
+        (key(), 1 + rnd.nextInt(4), 1 + rnd.nextInt(6), 1L + rnd.nextInt(4)))
+        .toDF("key", "table_id", "column_id", "row_id")
+      val query = Seq.fill(3 + rnd.nextInt(3)) {
+        val a = if (rnd.nextInt(10) == 0) null else key()
+        // duplicate-key rows across several column pairs
+        (a, if (rnd.nextInt(3) == 0) a else key(), key(),
+          if (rnd.nextInt(4) == 0) a else key(), key())
+      }.toDF("qa", "qb", "qc", "qd", "qe")
+      val ref = JoinSearch.searchTablesWindowed(index, query, cols5)
+        .as[(Int, Long)].collect().toSeq
+      val got = Map(
+        "anchored" -> JoinSearch.searchTables(index, query, cols5),
+        "groupBy" -> JoinSearch.searchTablesViaGroupBy(index, query, cols5),
+        "rowWise" -> JoinSearch.searchTablesRowWise(index, query, cols5),
+        "cellWise" -> JoinSearch.searchTablesCellWise(index, query, cols5),
+        "shuffled" -> JoinSearch.searchTablesShuffled(index, query, cols5),
+        "pruned" -> JoinSearch.searchTablesPruned(index, query, cols5))
+        .map { case (n, df) => n -> df.as[(Int, Long)].collect().toSeq }
+      got.foreach { case (name, scores) =>
+        assert(scores == ref, s"round $round: $name diverged from windowed at N=5")
+      }
+    }
+  }
+
   test("anchor statistic choice is result-invariant (supplied stats vs probe-derived)") {
     val rnd = new Random(7)
     val alphabet = Vector("a", "b", "c", "d")
