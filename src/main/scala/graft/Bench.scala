@@ -330,7 +330,16 @@ object Bench {
     // best_rep_total = fastest whole run; cold_total = rep 1; the
     // regression-gate verdict) must survive truncation — `queries` is
     // the big map and goes first.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"cold_queries":$cq,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"full":${jstr(fullPath.toString)},"bench_gate":$gate,"value":$total}"""
+    // 1-minute load average at run END (round-15 verdict #8: the
+    // driver's noisy 151 s sample was only diagnosable by re-running
+    // on an idle box — stamp the environmental load into the artifact
+    // so a drifted composite carries its own explanation).
+    val loadAvg = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) -1.0 else math.round(l * 100) / 100.0
+    }
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"cold_queries":$cq,"stages":$st,"artifact_build":$ab,"errors":$errs,"n_queries":${results.size},"loadavg":$loadAvg,"index_build":$tIndex,"artifact_build_total":$tArtifacts,"cold_total":$coldTotal,"best_rep_total":$bestRepTotal,"full":${jstr(fullPath.toString)},"bench_gate":$gate,"value":$total}"""
     // The FULL artifact, truncation-proof (round-13 verdict #2): the
     // judge diffs per-query mins across rounds from this file even
     // when the driver's kept tail cuts the stdout line.

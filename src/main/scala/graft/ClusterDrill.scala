@@ -336,9 +336,128 @@ object ClusterDrill {
     reports.toSeq
   }
 
+  // ---------------------------------------------------------------
+  // soak mode (round-15 verdict #6): sustained interleaved
+  // ingest/fold/serve under the standalone cluster
+  // ---------------------------------------------------------------
+
+  /** One JSON-line soak report; ok gates the exit code. */
+  final case class SoakReport(iterations: Int, folds: Int, rowsLanded: Long,
+      maxLiveParts: Int, maxManifestVersions: Int,
+      serveP50Ms: Long, serveP95Ms: Long, firstThirdP50Ms: Long,
+      lastThirdP50Ms: Long, leaseViolations: Int, strays: Int,
+      valueMismatches: Int, wallSec: Long) {
+    def latencyStable: Boolean =
+      firstThirdP50Ms <= 0 || lastThirdP50Ms <= 3 * firstThirdP50Ms
+    def ok: Boolean = iterations > 0 && folds > 0 && leaseViolations == 0 &&
+      strays == 0 && valueMismatches == 0 && latencyStable &&
+      maxManifestVersions <= 17 // Keep(16) + the in-flight newest
+    def json: String =
+      s"""{"case":"soak","ok":$ok,"iterations":$iterations,"folds":$folds,""" +
+        s""""rows_landed":$rowsLanded,"max_live_parts":$maxLiveParts,""" +
+        s""""max_manifest_versions":$maxManifestVersions,""" +
+        s""""serve_p50_ms":$serveP50Ms,"serve_p95_ms":$serveP95Ms,""" +
+        s""""first_third_p50_ms":$firstThirdP50Ms,""" +
+        s""""last_third_p50_ms":$lastThirdP50Ms,""" +
+        s""""lease_violations":$leaseViolations,"strays":$strays,""" +
+        s""""value_mismatches":$valueMismatches,"wall_sec":$wallSec}"""
+  }
+
+  /** Sustained land/fold/serve loop against a REAL cluster session:
+    * every iteration lands+commits one delta batch and serves the
+    * merged state (value-checked against the prefix oracle); every
+    * `foldEvery` iterations the maintenance fold runs under the lease
+    * (compaction cadence). Invariants gated at the end: live part
+    * count bounded by the cadence, manifest retention bounded, zero
+    * lease violations, zero stray accumulation, serve latency stable
+    * (last-third p50 within 3x of first-third — warm-up excluded by
+    * comparing thirds, not absolute bounds), and every served state
+    * equal to its oracle.
+    */
+  def soak(spark: SparkSession, scratch: String, minutes: Double,
+      foldEvery: Int = 5, minIters: Int = 1): SoakReport = {
+    val dd = s"$scratch/soak-delta"
+    val deadline = System.currentTimeMillis() +
+      (minutes * 60000).toLong
+    val t0 = System.currentTimeMillis()
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var iter = 0; var folds = 0; var leaseViolations = 0
+    var maxParts = 0; var maxVersions = 0; var mismatches = 0
+    var rows = 0L
+    // prefix oracle: expected multiset state maintained incrementally
+    // from the SAME batch generator the lands use.
+    var expected: (Long, Long) = (0L, 0L)
+    while (System.currentTimeMillis() < deadline || iter < minIters) {
+      val b = ServeDrill.batchA(spark, iter)
+      b.write.mode("overwrite").parquet(s"$dd/batch=$iter")
+      graft.streaming.DeltaLog.commit(spark, dd, s"batch=$iter")
+      // prefix oracle maintained incrementally (the state is additive
+      // over batches — O(1) per iteration, not O(n) re-derivation)
+      val bState = ServeDrill.state(ServeDrill.batchA(spark, iter))
+      rows += bState._1
+      expected = ServeDrill.addState(expected, bState)
+      if ((iter + 1) % foldEvery == 0) {
+        try {
+          graft.streaming.DeltaLog.compactLive(spark, dd)(_.distinct())
+          folds += 1
+        } catch {
+          case _: graft.streaming.ConcurrentMaintenanceException =>
+            leaseViolations += 1
+        }
+      }
+      val s0 = System.nanoTime()
+      val got = ServeDrill.state(spark.read.parquet(
+        graft.streaming.DeltaLog.liveParts(spark, dd, prefix = ""): _*))
+      lat += (System.nanoTime() - s0) / 1000000L
+      if (got != expected) mismatches += 1
+      val live = graft.streaming.DeltaLog.liveParts(spark, dd, prefix = "")
+      maxParts = math.max(maxParts, live.size)
+      val mdir = new java.io.File(
+        graft.streaming.DeltaLog.manifestDir(s"$scratch/soak-delta"))
+      maxVersions = math.max(maxVersions, Option(mdir.list()).toSeq.flatten
+        .count(_.startsWith("v=")))
+      iter += 1
+    }
+    // stray audit: no lease/tomb/tmp residue once the loop is done
+    val mdir = new java.io.File(graft.streaming.DeltaLog.manifestDir(dd))
+    val strays = Option(mdir.list()).toSeq.flatten.count(n =>
+      n.startsWith(".lease-tmp-") || n.startsWith(".beat-tmp-") ||
+        n.startsWith(".tmp-") || n == "_lease")
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
+    val third = math.max(1, lat.size / 3)
+    SoakReport(iter, folds, rows, maxParts, maxVersions,
+      pct(lat.toSeq, 0.5), pct(lat.toSeq, 0.95),
+      pct(lat.take(third).toSeq, 0.5), pct(lat.takeRight(third).toSeq, 0.5),
+      leaseViolations, strays, mismatches,
+      (System.currentTimeMillis() - t0) / 1000)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("hasher")) {
       hasherMain(args(1), args(2), args(3), args.drop(4).toSeq)
+      return
+    }
+    if (args.headOption.contains("soak")) {
+      // sustained-soak mode: `soak [minutes] [foldEvery] [minIters]`
+      // (default 30 min, fold every 5 lands) on a real standalone
+      // cluster; exit 0 iff every soak invariant held.
+      val minutes = args.lift(1).map(_.toDouble).getOrElse(30.0)
+      val foldEvery = args.lift(2).map(_.toInt).getOrElse(5)
+      val minIters = args.lift(3).map(_.toInt).getOrElse(1)
+      val base = sys.env.get("GRAFT_CLUSTERDRILL_BASE")
+        .getOrElse(Files.createTempDirectory("graft-clusterdrill").toString)
+      val cluster = standUp(base)
+      var ok = false
+      try {
+        val spark = session(cluster.url, base)
+        val report = soak(spark, base, minutes, foldEvery, minIters)
+        println(report.json)
+        ok = report.ok
+        spark.stop()
+      } finally cluster.tearDown()
+      if (!ok) sys.exit(1)
       return
     }
     val base = sys.env.get("GRAFT_CLUSTERDRILL_BASE")

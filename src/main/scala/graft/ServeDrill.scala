@@ -65,6 +65,10 @@ object ServeDrill {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1) % Prime)
   }
 
+  /** Additive state combine (the multiset union of two views). */
+  private[graft] def addState(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, (a._2 + b._2) % Prime)
+
   /** Prefix states 0..n (index = number of batches landed). */
   private[graft] def prefixStates(spark: SparkSession, n: Int,
       batch: Int => DataFrame): IndexedSeq[(Long, Long)] = {

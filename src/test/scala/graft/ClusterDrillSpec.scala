@@ -57,4 +57,39 @@ class ClusterDrillSpec extends AnyFunSuite {
       } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+
+  test("soak: sustained land/fold/serve on the cluster — bounded parts, " +
+      "stable latency, zero lease violations") {
+    // a scaled-down run of the round-15-verdict-#6 soak mode (the
+    // 30-60 min run is `runMain graft.ClusterDrill soak` — a SCALE.md
+    // row); exit-code-gated on ALL soak invariants: folds happened,
+    // live part count bounded by the cadence, manifest retention
+    // bounded, zero lease violations / strays / value mismatches,
+    // last-third serve latency within 3x of the first third.
+    val base = Files.createTempDirectory("graft-clusterdrill-soak").toString
+    val log = new java.io.File(s"$base/soak.log")
+    val p = JvmSpawn.spawn("graft.ClusterDrill",
+      Seq("soak", "0.4", "4", "9"), log, xmx = "4g",
+      env = Map(
+        "GRAFT_CLUSTERDRILL_BASE" -> s"$base/scratch",
+        "GRAFT_MASTER_PORT" -> "7204"))
+    var passed = false
+    try {
+      assert(p.waitFor(9, java.util.concurrent.TimeUnit.MINUTES),
+        s"soak timed out (see $log)")
+      val out = Files.readString(log.toPath)
+      val line = out.linesIterator.find(_.startsWith("""{"case":"soak"""))
+      assert(p.exitValue() == 0 && line.exists(_.contains(""""ok":true""")),
+        s"soak failed (exit ${p.exitValue()}): ${line.getOrElse("<no report>")} (see $log)")
+      passed = true
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+      if (passed) try {
+        val walk = Files.walk(Paths.get(base))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }
