@@ -346,14 +346,15 @@ object ClusterDrill {
       maxLiveParts: Int, maxManifestVersions: Int,
       serveP50Ms: Long, serveP95Ms: Long, firstThirdP50Ms: Long,
       lastThirdP50Ms: Long, leaseViolations: Int, strays: Int,
-      valueMismatches: Int, wallSec: Long) {
+      valueMismatches: Int, wallSec: Long, strategy: String = "rename") {
     def latencyStable: Boolean =
       firstThirdP50Ms <= 0 || lastThirdP50Ms <= 3 * firstThirdP50Ms
     def ok: Boolean = iterations > 0 && folds > 0 && leaseViolations == 0 &&
       strays == 0 && valueMismatches == 0 && latencyStable &&
       maxManifestVersions <= 17 // Keep(16) + the in-flight newest
     def json: String =
-      s"""{"case":"soak","ok":$ok,"iterations":$iterations,"folds":$folds,""" +
+      s"""{"case":"soak","ok":$ok,"strategy":"$strategy",""" +
+        s""""iterations":$iterations,"folds":$folds,""" +
         s""""rows_landed":$rowsLanded,"max_live_parts":$maxLiveParts,""" +
         s""""max_manifest_versions":$maxManifestVersions,""" +
         s""""serve_p50_ms":$serveP50Ms,"serve_p95_ms":$serveP95Ms,""" +
@@ -431,7 +432,9 @@ object ClusterDrill {
       pct(lat.toSeq, 0.5), pct(lat.toSeq, 0.95),
       pct(lat.take(third).toSeq, 0.5), pct(lat.takeRight(third).toSeq, 0.5),
       leaseViolations, strays, mismatches,
-      (System.currentTimeMillis() - t0) / 1000)
+      (System.currentTimeMillis() - t0) / 1000,
+      strategy = spark.sparkContext.hadoopConfiguration
+        .get("graft.commit.strategy.file", "rename"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -452,6 +455,16 @@ object ClusterDrill {
       var ok = false
       try {
         val spark = session(cluster.url, base)
+        // GRAFT_SOAK_COMMIT=cas runs the SAME sustained loop on the
+        // object-store commit path: manifest versions via conditional
+        // create + #committed trailer, fold dirs via claim+stamp-last,
+        // lease release via incarnation tombstones, heartbeat as an
+        // overwrite PUT. Every publish point in the loop is
+        // driver-side, so the driver's hadoopConfiguration governs.
+        sys.env.get("GRAFT_SOAK_COMMIT").foreach { s =>
+          spark.sparkContext.hadoopConfiguration
+            .set("graft.commit.strategy.file", s)
+        }
         val report = soak(spark, base, minutes, foldEvery, minIters)
         println(report.json)
         ok = report.ok
