@@ -92,10 +92,23 @@ def main():
     # GRAFT_DUCKDB_MEM_TOTAL=48GB (aggregate, auto-divided by --jobs);
     # temp dir defaults beside the output.
     mem = shard_mem(1)
-    tmp = os.environ.get("GRAFT_DUCKDB_TMP", f"{out_dir}/.duckspill")
+    # Per-PROCESS temp subdir: DuckDB names its spill files
+    # deterministically (duckdb_temp_storage-N.tmp), so --jobs shards
+    # sharing one temp_directory delete each other's live spill files —
+    # observed as a hard duckdb::IOException abort mid-compare at x100.
+    tmp = os.path.join(
+        os.environ.get("GRAFT_DUCKDB_TMP", f"{out_dir}/.duckspill"),
+        f"shard-{os.getpid()}")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{tmp}'")
+    # Same aggregate-budget story as memory: DuckDB defaults threads to
+    # ALL cores PER PROCESS, so --jobs shards multiply into jobs*cores
+    # runnable threads — which starves a Spark Verify sharing the box.
+    # GRAFT_DUCKDB_THREADS is per shard (the memory-override contract).
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         # a table may be a single parquet FILE (the driver's testdata)
         # or a Spark-written DIRECTORY (the degenerate lake, scaled
@@ -140,6 +153,9 @@ def main():
             merged = spark_df.compare(duck_df) if spark_df.shape == duck_df.shape else None
             if merged is not None and not merged.empty:
                 print(merged.head(5))
+    con.close()  # flushes + removes this shard's spill files
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     sys.exit(0 if ok else 1)
 
 
