@@ -222,9 +222,15 @@ object Bench {
       .filter(_.nonEmpty)
     val ordered = SparkEntry.orderedQueries
       .filter { case (n, _) => onlySet.forall(_(n)) }
-    val runs = (1 to reps).map { _ =>
+    // SPARK_GRAFT_BENCH_TRACE=1 prints every rep's time to stderr —
+    // the min hides rep-to-rep shape, and a cross-RUN bimodal query
+    // (r16 "What's wrong" #2) can only be diagnosed by seeing the
+    // distribution, not two mins.
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").exists(_ == "1")
+    val runs = (1 to reps).map { rep =>
       ordered.map { case (name, fn) =>
         val (t, err) = timed { fn(spark, sfDir).count() }
+        if (trace) System.err.println(f"[bench-trace] rep=$rep $name%-28s $t%8.3f s")
         (name, t, err)
       }
     }

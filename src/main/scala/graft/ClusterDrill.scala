@@ -352,8 +352,13 @@ object ClusterDrill {
     def ok: Boolean = iterations > 0 && folds > 0 && leaseViolations == 0 &&
       strays == 0 && valueMismatches == 0 && latencyStable &&
       maxManifestVersions <= 17 // Keep(16) + the in-flight newest
+    // whitelist the one string field: strategy values are validated
+    // upstream (strategyFor), but the report must stay well-formed
+    // JSON even if the value set ever widens to something quotable.
+    private def strategyJson: String = strategy.filter(c =>
+      c.isLetterOrDigit || c == '_' || c == '-')
     def json: String =
-      s"""{"case":"soak","ok":$ok,"strategy":"$strategy",""" +
+      s"""{"case":"soak","ok":$ok,"strategy":"$strategyJson",""" +
         s""""iterations":$iterations,"folds":$folds,""" +
         s""""rows_landed":$rowsLanded,"max_live_parts":$maxLiveParts,""" +
         s""""max_manifest_versions":$maxManifestVersions,""" +

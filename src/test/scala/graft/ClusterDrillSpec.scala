@@ -59,19 +59,24 @@ class ClusterDrillSpec extends AnyFunSuite {
   }
 
   test("soak: sustained land/fold/serve on the cluster — bounded parts, " +
-      "stable latency, zero lease violations") {
+      "stable latency, zero lease violations (cas commit path)") {
     // a scaled-down run of the round-15-verdict-#6 soak mode (the
     // 30-60 min run is `runMain graft.ClusterDrill soak` — a SCALE.md
     // row); exit-code-gated on ALL soak invariants: folds happened,
     // live part count bounded by the cadence, manifest retention
     // bounded, zero lease violations / strays / value mismatches,
     // last-third serve latency within 3x of the first third.
+    // GRAFT_SOAK_COMMIT=cas runs it on the object-store commit
+    // protocol (conditional-create manifests, claim+stamp-last fold
+    // dirs, tombstone lease release) so BOTH strategies sit in the
+    // gate: rename via the 4-case drill above, cas here.
     val base = Files.createTempDirectory("graft-clusterdrill-soak").toString
     val log = new java.io.File(s"$base/soak.log")
     val p = JvmSpawn.spawn("graft.ClusterDrill",
       Seq("soak", "0.4", "4", "9"), log, xmx = "4g",
       env = Map(
         "GRAFT_CLUSTERDRILL_BASE" -> s"$base/scratch",
+        "GRAFT_SOAK_COMMIT" -> "cas",
         "GRAFT_MASTER_PORT" -> "7204"))
     var passed = false
     try {
@@ -81,6 +86,8 @@ class ClusterDrillSpec extends AnyFunSuite {
       val line = out.linesIterator.find(_.startsWith("""{"case":"soak"""))
       assert(p.exitValue() == 0 && line.exists(_.contains(""""ok":true""")),
         s"soak failed (exit ${p.exitValue()}): ${line.getOrElse("<no report>")} (see $log)")
+      assert(line.exists(_.contains(""""strategy":"cas"""")),
+        s"soak did not run the cas commit path: ${line.getOrElse("<no report>")}")
       passed = true
     } finally {
       if (p.isAlive) p.destroyForcibly()
