@@ -159,7 +159,10 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // SPARK_GRAFT_MASTER=spark://... benches against a real standalone
     // cluster (ClusterDrill stands one up; pair with BENCH_ONLY).
-    val spark = GraftSession.fromEnv(cpus.toInt)
+    // corpus-aware scan clamp: factor->=100 lakes degenerate to
+    // file-count scan parallelism without it (GraftSession scaladoc).
+    val spark = GraftSession.fromEnv(cpus.toInt,
+      GraftSession.scanGeometry(sfDir, cpus.toInt))
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(f: => Unit): (Double, Option[String]) = {

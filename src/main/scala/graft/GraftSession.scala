@@ -25,6 +25,75 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Corpus-aware scan-split clamp (round-16 verdict: the x100 run
+    * proved `sim_pq_topk`'s ADC scan degenerates to file-count
+    * parallelism unless `maxPartitionBytes` is hand-lowered — an
+    * accepted geometry rule nothing machine-enforced). This computes
+    * the conf overrides a corpus NEEDS so a Verify/Bench at factor
+    * >= 100 runs clean without the hand-set knob.
+    *
+    * Rule: estimate the partition count Spark's own split formula
+    * (`maxSplit = min(128m, max(4m, (bytes + files*openCost)/
+    * parallelism))`) yields for each top-level table; if the largest
+    * table is big enough to matter (>= 32 MiB — sf0.1's whole corpus
+    * sits below this, so committed bench geometry is untouched) and
+    * ANY such table lands under 2x the core count, clamp
+    * `maxPartitionBytes`/`openCostInBytes` to the FINEST need
+    * (`bytes / 2*cores`, floored at 1 MiB). The finest-need table is
+    * exactly the degenerate case: few compressed bytes, heavy CPU
+    * per row (a 52 MB x100 embeddings table hiding a 36-minute
+    * 2-task ADC scan). Over-splitting the big tables in exchange is
+    * cheap: scan tasks are short and AQE coalesces after shuffles.
+    *
+    * An explicit `-Dspark.sql.files.maxPartitionBytes=...` (the
+    * documented deployment knob) wins: the clamp backs off entirely.
+    */
+  def scanGeometry(sfDir: String, cores: Int): Map[String, String] = {
+    if (sys.props.contains("spark.sql.files.maxPartitionBytes"))
+      return Map.empty
+    val tables = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        if (f.isDirectory) {
+          val parts = Option(f.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+          (f.getName, parts.map(_.length()).sum, parts.size.toLong)
+        } else (f.getName, f.length(), 1L)
+      }
+      .filter(_._2 > 0)
+    val clamps = tables.flatMap { case (name, bytes, files) =>
+      scanClamp(bytes, files, cores).map(name -> _)
+    }
+    if (clamps.isEmpty) Map.empty
+    else {
+      val (who, v) = clamps.minBy(_._2)
+      System.err.println(
+        s"[graft] scan-geometry clamp: $who in $sfDir would scan with " +
+          s"sub-CPU parallelism at default splits; setting " +
+          s"maxPartitionBytes/openCostInBytes=$v (override with " +
+          s"-Dspark.sql.files.maxPartitionBytes=...)")
+      Map("spark.sql.files.maxPartitionBytes" -> v.toString,
+        "spark.sql.files.openCostInBytes" -> v.toString)
+    }
+  }
+
+  /** The pure rule behind [[scanGeometry]]: Some(clampBytes) iff a
+    * table of `bytes` over `files` parquet files would scan with
+    * fewer than 2x`cores` partitions under Spark's default split
+    * sizing AND is big enough (>= 32 MiB) for that to matter.
+    */
+  private[graft] def scanClamp(bytes: Long, files: Long, cores: Int): Option[Long] = {
+    val defMax = 128L << 20
+    val defOpen = 4L << 20
+    val target = 2L * math.max(1, cores)
+    val costed = bytes + files * defOpen
+    val maxSplit = math.min(defMax, math.max(defOpen, costed / math.max(1, cores)))
+    val estParts = math.max(1L, costed / maxSplit)
+    if (bytes >= (32L << 20) && estParts < target)
+      Some(math.max(1L << 20, bytes / target))
+    else None
+  }
+
   def local(cores: Int, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")

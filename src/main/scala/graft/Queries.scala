@@ -77,6 +77,67 @@ object Queries {
       .select("p_name", "p_brand", "p_type", "o_orderstatus", "o_orderpriority")
   }
 
+  // NONEMPTY N=5 conjunction (round-16 verdict #4): search_5attr_
+  // tables pins the N=5 PLAN but is structurally empty here — no
+  // catalog table carries five text columns, so no corpus row can
+  // match five distinct keys. The DENORMALIZED WIDE VIEW — each
+  // order joined to its customer's market segment, nation and
+  // region — IS a corpus row with five text cells (the star-schema
+  // flattening a warehouse search would index), so the same
+  // conjunction / top-N / seq-parity arithmetic runs NONEMPTY and
+  // oracle-gated end to end on every surface (sf gates, scaled
+  // lakes, degenerate lake). The derived index shares the posting
+  // semantics verbatim via IndexBuilder.unpivotRows/postingsFromRaw
+  // (an ad-hoc catalog row, id 10 — NOT added to Corpus.tables, so
+  // main-index snapshots and every existing oracle are untouched);
+  // the oracle shares the cleaning chain via
+  // SearchOracle.indexCtesOver.
+  val wideCols = Seq("o_orderstatus", "o_orderpriority", "c_mktsegment",
+    "n_name", "r_name")
+  private val wideJoinSql =
+    "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey"
+  val wideTable = graft.sources.Corpus.Table(
+    "orders_wide", 10, wideCols, "cast(o_orderkey as bigint)")
+  // % 401 = 7: scale-proportional sample, ~0.25% of orders — wide
+  // tuples are categorical (status x priority x segment x nation),
+  // so each query row matches many wide rows: genuinely nonzero
+  // count-filter/top-N legs at N=5.
+  val wideSpec = QuerySpec(
+    s"SELECT ${wideCols.mkString(", ")} $wideJoinSql WHERE o_orderkey % 401 = 7",
+    wideCols)
+  val wideIdxCtes: String = SearchOracle.indexCtesOver(
+    wideCols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT cast("$c" as varchar) AS raw, ${wideTable.id} AS table_id, ${i + 1} AS column_id, cast(o_orderkey as bigint) AS row_id $wideJoinSql"""
+    }.mkString("\n    UNION ALL "))
+
+  def wideView(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+    val r = s.read.parquet(s"$dir/region.parquet")
+    // nation/region broadcast (tiny dims); orders |X| customer is the
+    // one real shuffle join — exactly how the flattening runs at
+    // scale.
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select((col("o_orderkey") +: wideCols.map(col)): _*)
+  }
+
+  def wideQuery(s: SparkSession, dir: String): DataFrame =
+    wideView(s, dir).where("o_orderkey % 401 = 7")
+      .select(wideCols.map(col): _*)
+
+  /** Live derived index over the wide view — session-cached like the
+    * other live index surfaces (rebuilt per corpus, never snapshot).
+    */
+  private def wideIndex(s: SparkSession, dir: String): DataFrame =
+    sources.DfCache.getOrPersist(s, s"wideidx:$dir")(
+      IndexBuilder.postingsFromRaw(
+        IndexBuilder.unpivotRows(wideView(s, dir), wideTable)))
+
   // keys exist in the corpus but never co-occur in one row -> empty.
   val negativeCols = Seq("n_name", "r_name")
   val negativeSpec = QuerySpec(
@@ -361,6 +422,21 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_negative_no_cooccur",
       (s, dir) => JoinSearch.searchTables(index(s, dir), negativeQuery(s, dir), negativeCols),
       Some(SearchOracle.tableScores(negativeSpec))),
+    // NONEMPTY N=5 (round-16 verdict #4): the denormalized wide view
+    // (see wideView above) makes the five-leg conjunction arithmetic
+    // produce real nonzero scores, oracle-gated — complementing
+    // search_5attr_tables' hash-gated emptiness and the randomized
+    // N=5 property.
+    Q("search_wide5_tables",
+      (s, dir) => JoinSearch.searchTables(wideIndex(s, dir), wideQuery(s, dir), wideCols),
+      Some(SearchOracle.tableScoresOver(wideIdxCtes, wideSpec))),
+    // Seq-parity (A3 top-2 column sum) at N=5 NONEMPTY: with five
+    // populated column scores the top-2 selection actually discards
+    // three legs — the arithmetic search_part_seqparity (N=3) can't
+    // reach.
+    Q("search_wide5_seqparity",
+      (s, dir) => JoinSearch.searchTablesSeqParity(wideIndex(s, dir), wideQuery(s, dir), wideCols),
+      Some(SearchOracle.tableScoresSeqParityOver(wideIdxCtes, wideSpec))),
     // Batched search service: three heterogeneous queries (2/2/3
     // attributes) answered in ONE index pass — the oracle runs them
     // one at a time, proving the shared-scan batching exact.

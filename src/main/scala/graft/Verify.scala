@@ -10,7 +10,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=spark://... runs the same battery against a
     // real standalone cluster (ClusterDrill stands one up).
-    val spark = GraftSession.fromEnv(cpus.toInt)
+    // corpus-aware scan clamp: factor->=100 lakes degenerate to
+    // file-count scan parallelism without it (GraftSession scaladoc).
+    val spark = GraftSession.fromEnv(cpus.toInt,
+      GraftSession.scanGeometry(sfDir, cpus.toInt))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.orderedQueries

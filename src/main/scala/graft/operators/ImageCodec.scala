@@ -124,17 +124,40 @@ object ImageCodec {
       }
   }
 
-  /** The rendered-PNG media table: real PNG payloads, image modality.
-    * Null-text docs are excluded (the media-table contract: nothing to
-    * render, as nothing decodes).
+  /** Deterministic doc-id slices whose payloads are PLANTED
+    * undecodable (round-16 verdict #8: the zero-frames bad-blob
+    * contract must ride a registered query's fixture, not just a
+    * spec): `% 97 == 13` ships a TRUNCATED PNG (valid signature, the
+    * stream cut mid-header — the reader engages, then fails), and
+    * `% 97 == 29` ships bytes that are not an image at all (no
+    * reader engages). Both must decode to zero frames / an all-zero
+    * grid instead of throwing — one corrupt object can never abort a
+    * 100 TB partition.
+    */
+  private[graft] val TruncatedMod = 13L
+  private[graft] val NotImageMod = 29L
+  private[graft] def plantCorruption(docId: Long, text: String,
+      png: Array[Byte]): Array[Byte] =
+    if (docId % 97 == TruncatedMod) java.util.Arrays.copyOf(png, math.min(12, png.length))
+    else if (docId % 97 == NotImageMod)
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    else png
+
+  /** The rendered-PNG media table: real PNG payloads, image modality,
+    * with the planted-corrupt slices above. Null-text docs are
+    * excluded (the media-table contract: nothing to render, as
+    * nothing decodes).
     */
   def pngMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .where(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-      .map { r: Row => (r.getAs[Long]("doc_id"), "image",
-        renderPng(r.getAs[String]("text"))) }
+      .map { r: Row =>
+        val id = r.getAs[Long]("doc_id")
+        val text = r.getAs[String]("text")
+        (id, "image", plantCorruption(id, text, renderPng(text)))
+      }
       .toDF("doc_id", "media_type", "payload")
   }
 

@@ -22,16 +22,24 @@ object SearchOracle {
         s"""SELECT cast("$c" as varchar) AS raw, ${t.id} AS table_id, ${i + 1} AS column_id, cast(${t.rowIdExpr} as bigint) AS row_id FROM ${t.name}"""
       }
     }
-    val union = branches.mkString("\n    UNION ALL ")
+    indexCtesOver(branches.mkString("\n    UNION ALL "))
+  }
+
+  /** Index CTEs over an ARBITRARY `raw_idx` body (any SQL yielding
+    * `(raw, table_id, column_id, row_id)`) — the seam that lets a
+    * DERIVED corpus (e.g. the denormalized wide view behind the
+    * nonempty N=5 search) share the exact cleaning/posting semantics
+    * of the catalog index.
+    */
+  def indexCtesOver(rawIdxSql: String): String =
     s"""raw_idx AS (
-    ${union}
+    ${rawIdxSql}
   ),
   idx AS (
     SELECT ${Tokenize.cleanSql("raw")} AS key, table_id, column_id, row_id
     FROM raw_idx WHERE raw IS NOT NULL
   ),
   idxf AS (SELECT * FROM idx WHERE key <> '')"""
-  }
 
   /** A search query table: `fromSql` must yield the raw (uncleaned)
     * columns `cols`.
@@ -127,11 +135,22 @@ object SearchOracle {
 
   /** Full oracle statement selecting one stage, totally ordered. */
   def stage(q: QuerySpec, finalSelect: String): String =
-    s"WITH ${indexCtes},\n  ${searchCtes(q)}\n$finalSelect"
+    stageOver(indexCtes, q, finalSelect)
+
+  /** [[stage]] over a caller-supplied index CTE block
+    * ([[indexCtesOver]]) — derived-corpus searches.
+    */
+  def stageOver(idxCtes: String, q: QuerySpec, finalSelect: String): String =
+    s"WITH ${idxCtes},\n  ${searchCtes(q)}\n$finalSelect"
 
   /** Oracle for the end-to-end table-score search. */
   def tableScores(q: QuerySpec, maxTables: Int = 20): String =
     stage(q,
+      s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables")
+
+  /** [[tableScores]] over a derived index ([[indexCtesOver]]). */
+  def tableScoresOver(idxCtes: String, q: QuerySpec, maxTables: Int = 20): String =
+    stageOver(idxCtes, q,
       s"SELECT table_id, join_score FROM tbl_scores ORDER BY join_score DESC, table_id ASC LIMIT $maxTables")
 
   /** Oracle for the df-capped table-score search. */
@@ -155,7 +174,16 @@ object SearchOracle {
     * — and seq's top-30 table bound (`Seq_Search.py:10`).
     */
   def tableScoresSeqParity(q: QuerySpec, maxTables: Int = 30): String =
-    stage(q,
+    tableScoresSeqParityOver(indexCtes, q, maxTables)
+
+  /** [[tableScoresSeqParity]] over a derived index
+    * ([[indexCtesOver]]) — the A3 top-2 arithmetic at N>3 is only
+    * NONEMPTY over a corpus row carrying >3 text cells, which the
+    * catalog corpus structurally lacks.
+    */
+  def tableScoresSeqParityOver(idxCtes: String, q: QuerySpec,
+      maxTables: Int = 30): String =
+    stageOver(idxCtes, q,
       s"""SELECT table_id, join_score FROM (
   SELECT table_id, cast(sum(join_score) AS bigint) AS join_score FROM (
     SELECT cs.*, row_number() OVER (

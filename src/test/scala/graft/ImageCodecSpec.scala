@@ -117,4 +117,40 @@ class ImageCodecSpec extends SparkTestBase {
     val again = ImageCodec.phashImageIo(spark, sf0001).collect()
     assert(again.map(_.toString).sorted.toSeq === out.map(_.toString).sorted.toSeq)
   }
+
+  test("bad-blob contract rides the registered query: the fixture provably " +
+      "contains undecodable payloads and their rows survive as zero-hash") {
+    // (round-16 verdict #8) the planted slices must actually be
+    // undecodable in the fixture the query consumes...
+    val media = ImageCodec.pngMedia(spark, sf0001).collect()
+    val corrupt = media.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      id % 97 == ImageCodec.TruncatedMod || id % 97 == ImageCodec.NotImageMod
+    }
+    assert(corrupt.nonEmpty, "fixture must carry planted corrupt slices")
+    corrupt.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(ImageIoCodec.decode(payload) === ((Seq.empty, 0L, 0L)),
+        s"doc ${r.getAs[Long]("doc_id")} payload unexpectedly decoded")
+      assert(ImageIoCodec.lumaGrid(payload) === Seq.fill(72)(0))
+    }
+    // ...and both corruption shapes are present: a truncated PNG
+    // (reader engages then fails) and a not-an-image payload.
+    assert(corrupt.exists(_.getAs[Long]("doc_id") % 97 == ImageCodec.TruncatedMod))
+    assert(corrupt.exists(_.getAs[Long]("doc_id") % 97 == ImageCodec.NotImageMod))
+    // the query output still carries one row per doc — a corrupt blob
+    // yields the all-zero grid's dhash (0, 0), never a dropped row or
+    // a thrown task.
+    val out = ImageCodec.phashImageIo(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi"))).toMap
+    corrupt.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(out(id) === ((0L, 0L)), s"corrupt doc $id should hash as all-zero")
+    }
+    // and decodable neighbors don't collapse to zero (the planted
+    // slices are the exception, not the rule)
+    val zeroes = out.values.count(_ == ((0L, 0L)))
+    assert(zeroes < out.size / 2, s"$zeroes of ${out.size} rows zero-hashed")
+  }
 }
