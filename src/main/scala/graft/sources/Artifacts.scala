@@ -247,13 +247,33 @@ object Artifacts {
     if (!name.startsWith("v=")) None
     else scala.util.Try(name.substring(2).toLong).toOption
 
+  /** LIST for the floor, then PROBE FORWARD by key (round-17
+    * visibility-lag finding, same rule as `DeltaLog.versions`): an
+    * eventually-consistent LIST can hide the newest `v=` dir, which
+    * would make a reader resolve stale and a colliding publisher
+    * re-derive the SAME contended id. Version ids are contiguous at
+    * the top (deferred cleanup keeps the newest two), so probing
+    * `max+1, …` until the first point-read miss recovers anything
+    * the listing hides, at one extra probe steady-state.
+    */
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[(Long, Path)] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toIndexedSeq
-      .filter(_.isDirectory)
-      .flatMap(s => idOf(s.getPath.getName).map(_ -> s.getPath))
-      .sortBy(_._1)
+      root: Path): Seq[(Long, Path)] = {
+    val listed =
+      if (!fs.exists(root)) Seq.empty[(Long, Path)]
+      else fs.listStatus(root).toIndexedSeq
+        .filter(_.isDirectory)
+        .flatMap(s => idOf(s.getPath.getName).map(_ -> s.getPath))
+        .sortBy(_._1)
+    var v = listed.lastOption.map(_._1 + 1).getOrElse(0L)
+    val probed = Seq.newBuilder[(Long, Path)]
+    var p = new Path(root, s"v=$v")
+    while (fs.exists(p)) {
+      probed += (v -> p)
+      v += 1
+      p = new Path(root, s"v=$v")
+    }
+    listed ++ probed.result()
+  }
 
   private def readStamp(fs: org.apache.hadoop.fs.FileSystem,
       vdir: Path): Option[String] = {
@@ -337,12 +357,38 @@ object Artifacts {
         readStamp(fs, p).contains(currentFp)
       }
       fresh match {
-        case Some((_, p)) => read(p.toString)
+        case Some((_, p)) => readSettled(spark, read, p.toString)
         case None =>
-          read(publishLocked(spark, root, fs, upstreamPaths, semantics,
-            dedupeOnCollision = true)(build))
+          readSettled(spark, read,
+            publishLocked(spark, root, fs, upstreamPaths, semantics,
+              dedupeOnCollision = true)(build))
       }
     }
+
+  /** Read-after-publish settle (round-17 visibility-lag drill): on an
+    * eventually-consistent store, a version committed milliseconds
+    * ago can expose an EMPTY file listing to the very reader that
+    * published it — schema inference then fails on a dataset that is
+    * durably complete. Bounded retry with the session listing cache
+    * dropped between attempts; on a strongly-consistent store the
+    * first attempt succeeds and this is zero-cost.
+    */
+  private def readSettled(spark: SparkSession,
+      read: String => DataFrame, path: String): DataFrame = {
+    var attempt = 0
+    while (true) {
+      try return read(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if attempt < 20 &&
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          attempt += 1
+          org.apache.spark.sql.graftx.Bridge.invalidateFileListingCache(spark)
+          Thread.sleep(100)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Publish externally-produced content as the NEXT served version
     * of a versioned artifact (the streaming-compaction / swap path,

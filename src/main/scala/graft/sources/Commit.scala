@@ -231,16 +231,58 @@ object Commit {
             java.util.UUID.randomUUID.toString.getBytes("UTF-8")))
           false
         else {
+          // Settled listing (round-17 visibility-lag drill): on a
+          // store serving stale LISTs, a single listing of the build
+          // dir can miss the whole just-renamed file burst — the
+          // commit would then stamp an EMPTY version, silent loss.
+          // Re-list until two consecutive listings spaced
+          // `GRAFT_COMMIT_SETTLE_MS` apart agree; the spacing must
+          // exceed the store's staleness bound (two stale listings
+          // closer together than the lag can agree on the same wrong
+          // view). Default 0 = one listing, zero-cost — today's S3/
+          // GCS/ABFS LIST is strongly consistent; the knob exists for
+          // legacy-semantics stores. Never-stabilizing listings fail
+          // LOUDLY (bounded attempts): loud beats a silent empty
+          // commit.
+          val settleMs = sys.props.get("graft.commit.settle.ms")
+            .orElse(sys.env.get("GRAFT_COMMIT_SETTLE_MS"))
+            .map(_.toLong).getOrElse(0L)
+          def settledList(from: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+            var cur = fs.listStatus(from)
+            if (settleMs <= 0L) return cur
+            var attempts = 0
+            while (attempts < 100) {
+              Thread.sleep(settleMs)
+              val next = fs.listStatus(from)
+              if (next.map(_.getPath.getName).sorted
+                  .sameElements(cur.map(_.getPath.getName).sorted))
+                return next
+              cur = next
+              attempts += 1
+            }
+            sys.error(s"cas commit: listing of $from never stabilized " +
+              s"across $settleMs ms windows")
+          }
           // recursive move of everything except the stamp (written
           // fresh at the end) and any rename-path stamp already in tmp.
+          // An eventually-consistent LIST can serve entries already
+          // deleted (round-17 visibility-lag drill: the Spark job
+          // committer's swept `_temporary` staging dir appears as a
+          // phantom in the build dir's listing) — a vanished entry is
+          // skipped, never a crash: the stamp-last contract means
+          // nothing is committed until every LIVE object moved.
           def moveTree(from: Path, to: Path): Unit = {
             fs.mkdirs(to)
-            fs.listStatus(from).foreach { s =>
+            settledList(from).foreach { s =>
               val dst = new Path(to, s.getPath.getName)
-              if (s.isDirectory) moveTree(s.getPath, dst)
-              else if (s.getPath.getName != stampName)
-                require(fs.rename(s.getPath, dst),
-                  s"cas commit: move ${s.getPath} -> $dst failed")
+              try {
+                if (s.isDirectory) moveTree(s.getPath, dst)
+                else if (s.getPath.getName != stampName)
+                  require(fs.rename(s.getPath, dst) || !fs.exists(s.getPath),
+                    s"cas commit: move ${s.getPath} -> $dst failed")
+              } catch {
+                case _: java.io.FileNotFoundException => // phantom listing entry
+              }
             }
           }
           moveTree(tmp, target)

@@ -77,12 +77,39 @@ object DeltaLog {
     else scala.util.Try(name.substring(i + 1).toLong).toOption
   }
 
-  private def versions(fs: FileSystem, mdir: Path): Seq[(Long, Path)] =
-    if (!fs.exists(mdir)) Seq.empty
-    else fs.listStatus(mdir).toIndexedSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("v=")) idOf(n).map(_ -> s.getPath) else None
-    }.sortBy(_._1)
+  /** Versions = LIST for the floor, then PROBE FORWARD by key
+    * (round-17, the visibility-lag finding): an eventually-consistent
+    * store may serve a stale LIST that hides the newest
+    * conditionally-created manifest — a reader trusting the listing
+    * would serve stale state, and (worse) a committer would UNION
+    * AGAINST A STALE PART SET and silently drop a just-committed
+    * part. Point reads of known keys are the strong primitive, and
+    * version names are dense (`v=0..max`, conditional create assigns
+    * max+1, retention prunes only the oldest), so probing `v=max+1,
+    * max+2, …` until the first miss recovers everything a lagged
+    * LIST hides — at ONE extra point read per resolution in the
+    * steady state. (A 404-caching store can still hide a probed
+    * version for its cache window — bounded staleness for readers;
+    * WRITERS stay correct because [[publish]] advances past create
+    * conflicts without re-probing.)
+    */
+  private def versions(fs: FileSystem, mdir: Path): Seq[(Long, Path)] = {
+    val listed =
+      if (!fs.exists(mdir)) Seq.empty[(Long, Path)]
+      else fs.listStatus(mdir).toIndexedSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v=")) idOf(n).map(_ -> s.getPath) else None
+      }.sortBy(_._1)
+    var v = listed.lastOption.map(_._1 + 1).getOrElse(0L)
+    val probed = Seq.newBuilder[(Long, Path)]
+    var p = new Path(mdir, s"v=$v")
+    while (fs.exists(p)) {
+      probed += (v -> p)
+      v += 1
+      p = new Path(mdir, s"v=$v")
+    }
+    listed ++ probed.result()
+  }
 
   /** Completeness trailer (round-16, the [[graft.sources.Commit]]
     * seam): manifests are committed as single objects under the cas
@@ -217,11 +244,19 @@ object DeltaLog {
     val conf = spark.sparkContext.hadoopConfiguration
     var attempt = 0
     var done = false
+    // On conflict, ADVANCE monotonically instead of re-resolving: the
+    // failed conditional create PROVES v=next exists, which a stale
+    // LIST (or a 404-caching probe) might keep denying — re-deriving
+    // `next` from such a view spins on the same number until the
+    // attempt bound trips (round-17 visibility-lag finding). Every
+    // retry now makes global progress, so the bound only trips under
+    // true sustained contention.
+    var next = versions(fs, mdir).lastOption.map(_._1 + 1).getOrElse(0L)
     while (!done) {
-      val next = versions(fs, mdir).lastOption.map(_._1 + 1).getOrElse(0L)
       done = graft.sources.Commit.createExclusive(
         conf, new Path(mdir, s"v=$next"), content)
       if (!done) {
+        next += 1
         attempt += 1
         require(attempt < 8, s"manifest publish contended 8x at $deltaDir")
       }

@@ -17,4 +17,16 @@ object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop the session's shared file-listing cache. On an
+    * eventually-consistent store a scan can cache a stale (empty or
+    * partial) directory listing — and the cache's default TTL is
+    * infinite, so the staleness never heals within the session. A
+    * deployment sets `spark.sql.metadataCacheTTLSeconds` (static
+    * conf); this hook gives tests and long-lived serving loops the
+    * same freshness without a session rebuild.
+    */
+  def invalidateFileListingCache(spark: SparkSession): Unit =
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .getOrCreate(spark).invalidateAll()
 }

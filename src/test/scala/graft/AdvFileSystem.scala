@@ -3,7 +3,7 @@ package graft
 import java.net.URI
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{DelegateToFileSystem, FileStatus, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
@@ -94,11 +94,132 @@ class AdvFileSystem extends RawLocalFileSystem {
     AdvFileSystem.copyThenDelete(s, d)
     true
   }
+
+  /** LIST-after-write visibility lag (round-16 verdict #5): when
+    * `GRAFT_ADVFS_LAG_MS` (env or `graft.advfs.lag.ms` sysprop) is
+    * positive, a listing is served AS OF `lag` ms ago — objects PUT
+    * inside the window are hidden, objects DELETED inside it still
+    * appear (both directions of a stale LIST on an eventually-
+    * consistent store). Point reads (`getFileStatus`/`open`) stay
+    * strongly consistent, matching real stores' read-after-write on
+    * known keys — a protocol may resolve by KEY, never by LIST
+    * freshness.
+    */
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val all = super.listStatus(f)
+    val lag = AdvFileSystem.lagMs
+    // `_temporary` is the Hadoop committer's staging namespace —
+    // lagging ITS listings models the data-plane committer, not the
+    // engine: the default FileOutputCommitter discovers task files by
+    // LIST and silently commits an EMPTY dir under lag (observed:
+    // `_SUCCESS` and no parquet — the precise loss mode that made
+    // S3A grow its magic committer, which tracks uploads directly
+    // instead of listing). The drills assume a store-safe data-plane
+    // committer and point the adversary at what the ENGINE lists.
+    if (lag <= 0L || f.toString.contains("_temporary")) all
+    else {
+      val cutoff = System.currentTimeMillis() - lag
+      val visible = all.filter(_.getModificationTime <= cutoff)
+      val names = visible.map(_.getPath.getName).toSet
+      val phantoms = AdvFileSystem
+        .phantomsFor(pathToFile(f).getAbsolutePath, cutoff)
+        .filterNot(st => names.contains(st.getPath.getName))
+      visible ++ phantoms
+    }
+  }
+
+  /** Record a pre-delete snapshot so a lagged LIST can keep serving
+    * the entry (the stale-listing delete direction).
+    */
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    if (AdvFileSystem.lagMs > 0L) {
+      try {
+        val st = super.getFileStatus(f)
+        AdvFileSystem.recordDelete(
+          pathToFile(f).getParentFile.getAbsolutePath, st)
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
+    super.delete(f, recursive)
+  }
+
+  /** Negative-result caching (round-16 verdict #5): when
+    * `GRAFT_ADVFS_NEG_MS` is positive, a HEAD that 404s poisons that
+    * key for the window — a later `getFileStatus` of the SAME key
+    * keeps 404ing even after the object lands (the classic S3
+    * GET-before-PUT read-after-write loss). Conditional create is
+    * NOT consulted (the store's write path is authoritative), so a
+    * protocol holding a successful conditional PUT must trust it —
+    * or retry its read-back past the cache window.
+    */
+  override def getFileStatus(f: Path): FileStatus = {
+    val neg = AdvFileSystem.negMs
+    if (neg <= 0L) return super.getFileStatus(f)
+    val key = pathToFile(f).getAbsolutePath
+    val until = AdvFileSystem.negCache.get(key)
+    if (until != null) {
+      if (System.currentTimeMillis() < until)
+        throw new java.io.FileNotFoundException(
+          s"advfs negative-cached 404: $f")
+      AdvFileSystem.negCache.remove(key, until)
+    }
+    try super.getFileStatus(f)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        AdvFileSystem.negCache.put(key, System.currentTimeMillis() + neg)
+        throw e
+    }
+  }
 }
 
 object AdvFileSystem {
 
   private[graft] val AdvUri = URI.create("advfs:///")
+
+  /** Adversary knobs, read per call (env for spawned drill JVMs,
+    * sysprop for in-JVM toggling). Zero = mode off (the round-16
+    * behavior, unchanged).
+    */
+  private[graft] def lagMs: Long =
+    sys.props.get("graft.advfs.lag.ms")
+      .orElse(sys.env.get("GRAFT_ADVFS_LAG_MS")).map(_.toLong).getOrElse(0L)
+  private[graft] def negMs: Long =
+    sys.props.get("graft.advfs.neg.ms")
+      .orElse(sys.env.get("GRAFT_ADVFS_NEG_MS")).map(_.toLong).getOrElse(0L)
+
+  /** key -> poisoned-until epoch ms. */
+  private[graft] val negCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** parent abs path -> recent pre-delete snapshots (status, delete
+    * time). Bounded by expiry sweep on record.
+    */
+  private val recentDeletes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[(FileStatus, Long)]]()
+
+  private[graft] def recordDelete(parentAbs: String, st: FileStatus): Unit = {
+    val q = recentDeletes.computeIfAbsent(parentAbs,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[(FileStatus, Long)]())
+    q.add((st, System.currentTimeMillis()))
+    // sweep long-expired entries so the map stays bounded
+    val floor = System.currentTimeMillis() - 10 * math.max(1000L, lagMs)
+    val it = q.iterator()
+    while (it.hasNext) if (it.next()._2 < floor) it.remove()
+  }
+
+  /** Entries deleted AFTER `cutoff` (still visible to a lagged LIST). */
+  private[graft] def phantomsFor(parentAbs: String, cutoff: Long): Array[FileStatus] = {
+    val q = recentDeletes.get(parentAbs)
+    if (q == null) Array.empty
+    else {
+      val b = Array.newBuilder[FileStatus]
+      val it = q.iterator()
+      while (it.hasNext) {
+        val (st, t) = it.next()
+        if (t > cutoff) b += st
+      }
+      b.result()
+    }
+  }
 
   /** Non-atomic copy+delete with deliberate scheduling yields between
     * chunks — wide enough windows that a protocol reading mid-"rename"

@@ -249,6 +249,144 @@ class ObjectStoreDrillSpec extends SparkTestBase {
     }
   }
 
+  test("visibility-lag + negative-cache adversary: commits never lose parts, " +
+      "serves converge, the two-JVM race stays single-winner-clean") {
+    // (round-16 verdict #5) the extended adversary: LISTs are served
+    // 150ms STALE (new objects hidden, deleted ones still shown) and
+    // a HEAD 404 poisons its key for 150ms (the GET-before-PUT
+    // read-after-write loss). The protocol answer under drill here:
+    // version resolution probes FORWARD by key past the stale
+    // listing, and publish advances past create conflicts without
+    // re-probing — so a committer can never union against a hidden
+    // manifest and drop a just-committed part.
+    sys.props("graft.advfs.lag.ms") = "150"
+    sys.props("graft.advfs.neg.ms") = "150"
+    // the cas mover's settled-listing spacing must EXCEED the store's
+    // staleness bound (Commit.scala scaladoc) — 200 > 150 here.
+    sys.props("graft.commit.settle.ms") = "200"
+    try {
+      val (adv, _) = advTmp("graft-osd-vislag")
+      val dd = s"$adv/delta"
+      def served(): Seq[Long] =
+        spark.read.parquet(DeltaLog.liveParts(spark, dd, prefix = ""): _*)
+          .select("id").as[Long].collect().sorted.toSeq
+      // DATA-file visibility is the documented residual: a part dir
+      // committed < lag ago can expose a partial (or empty) file
+      // listing to a scan — bounded staleness, converging within one
+      // lag window. The MANIFEST layer must be exact immediately; the
+      // SERVE must converge. `settle` waits out one lag window before
+      // scans/folds, as a deployment on a legacy-consistency store
+      // must (modern S3/GCS LIST is strong and needs none of this).
+      def settle(): Unit = Thread.sleep(300)
+      def servedConverges(expect: Seq[Long], what: String): Unit = {
+        // inside the lag window a fresh part dir can list EMPTY —
+        // Spark then can't even infer a schema; that's the same
+        // bounded-staleness state as a short read, so retry it too.
+        def attempt(): Option[Seq[Long]] = {
+          // Spark's shared file-listing cache would pin the stale
+          // listing FOREVER (infinite default TTL) — the deployment
+          // answer is spark.sql.metadataCacheTTLSeconds; the drill
+          // applies the same freshness through the bridge hook.
+          org.apache.spark.sql.graftx.Bridge.invalidateFileListingCache(spark)
+          try Some(served())
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            info(s"attempt failed: ${e.toString.take(300)}"); None }
+        }
+        val deadline = System.currentTimeMillis() + 10000
+        var got = attempt()
+        while (!got.contains(expect) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100); got = attempt()
+        }
+        assert(got === Some(expect), what)
+      }
+      // land batches BACK TO BACK — each commit resolves the set the
+      // previous one published milliseconds ago, i.e. inside the lag
+      // window every time. Any LIST-trusting union loses a part here.
+      for (b <- 0 until 6) {
+        ((b * 10L) until (b * 10L + 10L)).toDF("id")
+          .write.parquet(s"$dd/batch=$b")
+        DeltaLog.commit(spark, dd, s"batch=$b")
+      }
+      // the manifest is the protocol's own ledger: exact IMMEDIATELY,
+      // no convergence allowance (the forward probe at work).
+      assert(DeltaLog.currentParts(spark, dd).get.sorted ===
+        (0 until 6).map(b => s"batch=$b"),
+        "a commit unioned against a stale manifest and dropped parts")
+      servedConverges((0L until 60L).toSeq, "serve never converged")
+      // fold under the adversary (after one settle window — the fold
+      // reads data files through the store's listing), then land a
+      // late batch immediately
+      settle()
+      assert(DeltaLog.compactLive(spark, dd)(_.distinct()) === 6)
+      (60L until 70L).toDF("id").write.parquet(s"$dd/batch=6")
+      DeltaLog.commit(spark, dd, s"batch=6")
+      servedConverges((0L until 70L).toSeq, "late batch lost after fold")
+      settle()
+      assert(DeltaLog.compactLive(spark, dd)(_.distinct()) === 2)
+      servedConverges((0L until 70L).toSeq, "second fold value-unstable")
+    } finally {
+      sys.props -= "graft.advfs.lag.ms"
+      sys.props -= "graft.advfs.neg.ms"
+      sys.props -= "graft.commit.settle.ms"
+    }
+
+    // the two-JVM artifact race with the adversary active in the
+    // RACING processes (sysProps reach the children; this JVM's
+    // assertions read strong-consistent). Same invariants as the
+    // plain race: both serve correct content, <=2 stamped versions,
+    // zero strays, every stamped version complete.
+    val (adv2, local2) = advTmp("graft-osd-visrace")
+    val upstream = s"$local2/upstream.parquet"
+    val root = s"$adv2/artifact"
+    (1L to 500L).toDF("id").repartition(3).write.parquet(upstream)
+    val expected = (1L to 500L).map(i => s"$i:${i * 2}").sorted
+    val expectedHash =
+      scala.util.hashing.MurmurHash3.orderedHash(expected).toHexString
+    val advProps = Map("graft.advfs.lag.ms" -> "150",
+      "graft.advfs.neg.ms" -> "150",
+      "graft.commit.settle.ms" -> "200")
+    val outA = s"$local2/a.out"; val outB = s"$local2/b.out"
+    val pA = JvmSpawn.spawn("graft.ArtifactRaceMain",
+      Seq(root, upstream, outA),
+      new java.io.File(s"$local2/a.log"), sysProps = advProps)
+    val pB = JvmSpawn.spawn("graft.ArtifactRaceMain",
+      Seq(root, upstream, outB),
+      new java.io.File(s"$local2/b.log"), sysProps = advProps)
+    val deadline = System.currentTimeMillis() + 120000
+    while (!(Files.exists(Paths.get(s"$outA.ready")) &&
+             Files.exists(Paths.get(s"$outB.ready")))) {
+      assert(System.currentTimeMillis() < deadline, "racers never became ready")
+      Thread.sleep(50)
+    }
+    Files.writeString(Paths.get(s"$local2/go"), "go")
+    assert(pA.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "racer A hung")
+    assert(pB.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "racer B hung")
+    assert(pA.exitValue() === 0, s"racer A failed under lag (see $local2/a.log)")
+    assert(pB.exitValue() === 0, s"racer B failed under lag (see $local2/b.log)")
+    for (out <- Seq(outA, outB)) {
+      val Array(_, n, h, built) = Files.readString(Paths.get(out)).trim.split("\n")
+      assert(n.toInt === 500, s"racer served wrong row count from $out")
+      assert(h === expectedHash, s"racer served wrong content from $out")
+      assert(built === "true", s"racer from $out never entered its build")
+    }
+    val children = Option(new java.io.File(s"$local2/artifact").listFiles())
+      .toSeq.flatten
+    val strays = children.filter(_.getName.startsWith(".build-"))
+    assert(strays.isEmpty, s"temp build dirs leaked under lag: ${strays.map(_.getName)}")
+    val stamped = children.filter(f => f.isDirectory &&
+      f.getName.startsWith("v=") && new java.io.File(f, "_graft_fp").isFile)
+    assert(stamped.nonEmpty && stamped.length <= 2,
+      s"expected 1-2 stamped versions under lag, got ${children.map(_.getName).sorted}")
+    for (v <- stamped) {
+      val rows = spark.read.parquet(s"advfs://$v")
+        .select(col("id"), col("doubled")).collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").sorted.toSeq
+      assert(rows.length === 500, s"${v.getName} torn under lag: ${rows.length} rows")
+      assert(scala.util.hashing.MurmurHash3.orderedHash(rows).toHexString
+        === expectedHash, s"${v.getName} content corrupted under lag")
+    }
+  }
+
   test("heartbeat on an object store keeps a long hold from being stolen as stale") {
     val (adv, local) = advTmp("graft-osd-beat")
     val dd = s"$adv/delta"
