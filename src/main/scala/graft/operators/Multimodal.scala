@@ -379,6 +379,11 @@ object Multimodal {
         expr("bit_count(lo_x ^ lo_y) + bit_count(hi_x ^ hi_y)").cast("long"))
       .where(col("hamming") <= maxHam)
       .select("doc_x", "doc_y", "hamming")
-      .orderBy("doc_x", "doc_y")
+      // hamming is part of the order: a doc carrying BOTH an original
+      // and a re-encode hash under one doc_id makes (doc_x, doc_y)
+      // non-unique across replica pairs (x100 gate finding — engine-
+      // dependent tie order, hash mismatch), so the pair alone is not
+      // a total key.
+      .orderBy("doc_x", "doc_y", "hamming")
   }
 }

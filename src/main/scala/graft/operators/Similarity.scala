@@ -1111,23 +1111,72 @@ object Similarity {
         col("cq")))
       .select(col("qid"), col("m"), col("cent_id").as("code"), col("pdot")))
 
+  /** Per-vector codes packed to one `array<int>` ordered by subspace
+    * — the ADC SCAN form. The long `(vec_id, m, code)` artifact is
+    * the durable layout; packing is one cheap aggregation whose
+    * shuffle ALSO re-partitions the scan to the session parallelism
+    * (the codes parquet is a few MB however big the corpus — 64x
+    * compression is the point — so its FILE geometry must never
+    * dictate ADC parallelism; round-17 x100 finding: a single-file
+    * codes artifact fed the whole ADC to ONE task).
+    */
+  private def pqCodesPacked(spark: SparkSession, dir: String,
+      numCents: Int): DataFrame =
+    pqCodes(spark, dir, numCents)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
+
+  /** Per-probe LUT packed to one `array<long>` indexed by
+    * `m * numCents + code` (dense by construction — the LUT is the
+    * probes x full-book cross join). M x numCents longs per probe:
+    * tiny, broadcast.
+    */
+  private def pqLutPacked(probes: DataFrame, book: DataFrame): DataFrame =
+    pqLut(probes, book)
+      .groupBy("qid")
+      .agg(array_sort(collect_list(
+        struct(col("m"), col("code"), col("pdot")))).as("mcp"))
+      .select(col("qid"), expr("transform(mcp, x -> x.pdot)").as("lut"))
+
+  /** Compressed-domain top-k. Scale shape (round-17, the x100 fix):
+    * the previous form joined the LONG codes table to the LONG LUT
+    * and hash-aggregated |probes| x |corpus| groups — clone-scaled
+    * probe sets made that aggregation the x100 run's unbounded
+    * spiller. Now the ADC sum is ONE codegen'd expression over the
+    * packed arrays (zero joins, zero groups at pair granularity) and
+    * pool selection streams through the bounded [[TopK]] aggregator
+    * exactly like the exact-cosine default — O(rerank) state per
+    * probe, values and tie-breaks bit-identical to the window
+    * formulation (same oracle).
+    */
   def pqTopK(spark: SparkSession, dir: String,
       k: Int = 10, probeMod: Int = 50, numCents: Int = PqCents): DataFrame = {
+    import spark.implicits._
     val rerank = PqRerankFactor * k
     val base = quantized(spark, dir)
     val book = pqCodebook(spark, dir, numCents)
     val probes = base.where(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("pq"), col("nq").as("pnq"))
-    val lut = pqLut(probes, book)
-    val adc = pqCodes(spark, dir, numCents)
-      .join(lut, Seq("m", "code"))
+    val lutp = pqLutPacked(probes, book)
+    val adcScored = pqCodesPacked(spark, dir, numCents)
+      .crossJoin(broadcast(lutp))
       .where(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pdot")).as("adc_dot"))
-    val aw = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("vec_id").asc)
-    val pool = adc.withColumn("arn", row_number().over(aw))
-      .where(col("arn") <= rerank)
-      .select("qid", "vec_id", "adc_dot")
+      .withColumn("adc_dot", expr(
+        s"aggregate(transform(codes, (c, i) -> " +
+          s"element_at(lut, cast(i * $numCents + c + 1 as int))), " +
+          "0L, (a, v) -> a + v)"))
+      .select(col("qid"), col("adc_dot"), col("vec_id"))
+      .as[(Long, Long, Long)]
+      // adc_dot fits a Double exactly (quantized sub-dots, << 2^53),
+      // so the aggregator's (score desc, id asc) order IS the window
+      // order.
+      .map { case (qid, adc, vid) => TopK.Scored(qid, adc.toDouble, vid, adc) }
+    val pool = adcScored.groupByKey(_.qid)
+      .agg(new TopK.TopKAggregator(rerank).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.iterator.map(s => (qid, s.id, s.payload)) }
+      .toDF("qid", "vec_id", "adc_dot")
     val rw = Window.partitionBy("qid").orderBy(col("cosd").desc, col("vec_id").asc)
     pool
       .join(base, Seq("vec_id"))

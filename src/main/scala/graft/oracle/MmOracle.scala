@@ -182,5 +182,5 @@ SELECT doc_x, doc_y,
   CAST(bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(lo_x, lo_y)) + bit_count(xor(hi_x, hi_y)) <= $maxHam
-ORDER BY doc_x, doc_y"""
+ORDER BY doc_x, doc_y, hamming"""
 }

@@ -57,10 +57,32 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * deployment) falls back to the previous committed version instead
   * of serving a torn part list.
   *
+  * == Consistency model (round-17: the visibility-lag adversary) ==
+  *
+  * The protocol additionally survives EVENTUALLY-CONSISTENT listings
+  * and 404-caching HEADs (legacy S3 semantics; modern S3/GCS/ABFS
+  * are strongly consistent and none of this costs anything there):
+  *
+  * | Staleness mode | Hazard | Protocol answer |
+  * |---|---|---|
+  * | LIST hides new PUTs | committer unions against a stale manifest set and DROPS a landed part; reader serves stale | version resolution LISTs for a floor then PROBES FORWARD by key (`v=max+1, …` — point reads are strong); publish advances past create conflicts monotonically (the failed conditional create proves existence) |
+  * | LIST of a freshly-built dir misses the file burst | cas dir commit stamps an EMPTY version — silent loss | settled listing: two consecutive agreeing LISTs spaced `GRAFT_COMMIT_SETTLE_MS` apart (spacing must exceed the store's staleness bound; default 0 = single list) before moving parts |
+  * | LIST still serves deleted entries | mover crashes on a phantom `_temporary` entry | phantom entries are skipped (FileNotFound on a listed entry = already gone), stamp-last still gates completeness |
+  * | HEAD 404 negative-cached | forward probe misses a just-landed version for the cache window | bounded read staleness for readers; writers never re-probe after a conflict (above), so they cannot be poisoned |
+  * | own fresh publish lists empty to its publisher | schema inference fails on a durably complete dataset | bounded read-after-publish retry with the session listing cache dropped (`Artifacts.readSettled`; deployment analogue `spark.sql.metadataCacheTTLSeconds`) |
+  *
+  * Out of scope (documented, not ours): the DATA-PLANE task committer.
+  * Hadoop's default FileOutputCommitter discovers task files by
+  * LISTing its `_temporary` staging and silently commits an empty
+  * dir under lag — deploy a store-native committer (S3A magic /
+  * staging) exactly as every Spark-on-S3 deployment must.
+  *
   * The adversarial `AdvFileSystem` (test sources) models the
   * object-store contract — FileContext renames silently overwrite and
-  * are non-atomic copy+delete; conditional create is honored — and the
-  * process drills (artifact race, crash drills, maintain, lease) run
+  * are non-atomic copy+delete; conditional create is honored; LIST
+  * lag and HEAD-404 caching switch on via `GRAFT_ADVFS_LAG_MS` /
+  * `GRAFT_ADVFS_NEG_MS` — and the process drills (artifact race,
+  * crash drills, maintain, lease, back-to-back commit storm) run
   * green under it with the cas strategy (`ObjectStoreDrillSpec`).
   */
 object Commit {
