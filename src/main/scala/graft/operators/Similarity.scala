@@ -1127,17 +1127,26 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
       .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
 
-  /** Per-probe LUT packed to one `array<long>` indexed by
-    * `m * numCents + code` (dense by construction — the LUT is the
-    * probes x full-book cross join). M x numCents longs per probe:
-    * tiny, broadcast.
+  /** Per-probe LUT packed to one `map<string, long>` keyed by
+    * `"m:code"`. A MAP KEYED BY THE PAIR, not a positionally-indexed
+    * array or an `m * numCents + code` offset (the round-16
+    * mid-build forms): centroid ids are SEED VEC_IDS, dense
+    * `0..numCents-1` only on a dense-id corpus — a degenerate corpus
+    * (hash-derived, negative, duplicate ids; collapsed k-means
+    * cells) makes them arbitrary longs, so positional indexing read
+    * past the array end and the offset arithmetic collided across
+    * subspaces (`sim_pq_topk`/`sim_pq_recall` crashed on both forms
+    * on the degenerate lake — round-17 green-gate finding). Every
+    * code emitted by [[pqCodes]] is an argmin over the book's own
+    * centroids, so the keyed lookup is total by construction.
+    * M x numCents entries per probe: tiny, broadcast.
     */
   private def pqLutPacked(probes: DataFrame, book: DataFrame): DataFrame =
     pqLut(probes, book)
       .groupBy("qid")
-      .agg(array_sort(collect_list(
-        struct(col("m"), col("code"), col("pdot")))).as("mcp"))
-      .select(col("qid"), expr("transform(mcp, x -> x.pdot)").as("lut"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("m"), col("code")).as("k"),
+        col("pdot")))).as("lut"))
 
   /** Compressed-domain top-k. Scale shape (round-17, the x100 fix):
     * the previous form joined the LONG codes table to the LONG LUT
@@ -1163,8 +1172,8 @@ object Similarity {
       .crossJoin(broadcast(lutp))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc_dot", expr(
-        s"aggregate(transform(codes, (c, i) -> " +
-          s"element_at(lut, cast(i * $numCents + c + 1 as int))), " +
+        "aggregate(transform(codes, (c, i) -> " +
+          "element_at(lut, concat_ws(':', i, c))), " +
           "0L, (a, v) -> a + v)"))
       .select(col("qid"), col("adc_dot"), col("vec_id"))
       .as[(Long, Long, Long)]

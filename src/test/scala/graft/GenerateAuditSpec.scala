@@ -107,6 +107,17 @@ class GenerateAuditSpec extends SparkTestBase {
     * make the generate outer + null-filter (the winnowOf convention).
     */
   private val audited: Set[String] = Set(
+    // round-17 green-gate addition, audited: CAST(<col> AS STRING)
+    // x5 — the wide-view unpivot stack (search_wide5_*, registered
+    // mid-build in round 16 without this re-pin): total scalar casts
+    // over joined scan columns, the unpivot-cast class already
+    // audited as project-expression(<col>) for the main-index
+    // mappings.
+    "inline-expression(CAST(c_mktsegment AS STRING))",
+    "inline-expression(CAST(n_name AS STRING))",
+    "inline-expression(CAST(o_orderpriority AS STRING))",
+    "inline-expression(CAST(o_orderstatus AS STRING))",
+    "inline-expression(CAST(r_name AS STRING))",
     "inline-expression(CASE WHEN (size(t) >= 2) THEN transform(sequence(1, (size(t))",
     "inline-expression(CASE WHEN (size(t) >= 3) THEN transform(sequence(1, (size(t))",
     "inline-expression(CASE WHEN (size(t) >= 4) THEN transform(sequence(1, (size(t))",
