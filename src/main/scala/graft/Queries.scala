@@ -112,19 +112,30 @@ object Queries {
       s"""SELECT cast("$c" as varchar) AS raw, ${wideTable.id} AS table_id, ${i + 1} AS column_id, cast(o_orderkey as bigint) AS row_id $wideJoinSql"""
     }.mkString("\n    UNION ALL "))
 
-  def wideView(s: SparkSession, dir: String): DataFrame = {
-    val o = s.read.parquet(s"$dir/orders.parquet")
-    val c = s.read.parquet(s"$dir/customer.parquet")
-    val n = s.read.parquet(s"$dir/nation.parquet")
-    val r = s.read.parquet(s"$dir/region.parquet")
-    // nation/region broadcast (tiny dims); orders |X| customer is the
-    // one real shuffle join — exactly how the flattening runs at
-    // scale.
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .select((col("o_orderkey") +: wideCols.map(col)): _*)
-  }
+  def wideView(s: SparkSession, dir: String): DataFrame =
+    // session-persisted (round-17 optimization): THREE registered
+    // consumers share this flattening — the derived wide index build
+    // and both wide5 queries' query-table derivations — and without
+    // the persist each search re-ran the orders |X| customer shuffle
+    // join (the dominant cost of both wide5 queries: ~3 s each at
+    // sf0.1) once per broadcast subtree per invocation. Same pattern
+    // as the shingle/band lineages; first touch pays the join once
+    // per session.
+    sources.DfCache.getOrPersist(s, s"wideview:$dir",
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet",
+        s"$dir/nation.parquet", s"$dir/region.parquet")) {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      // nation/region broadcast (tiny dims); orders |X| customer is
+      // the one real shuffle join — exactly how the flattening runs
+      // at scale.
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select((col("o_orderkey") +: wideCols.map(col)): _*)
+    }
 
   def wideQuery(s: SparkSession, dir: String): DataFrame =
     wideView(s, dir).where("o_orderkey % 401 = 7")
@@ -134,9 +145,12 @@ object Queries {
     * other live index surfaces (rebuilt per corpus, never snapshot).
     */
   private def wideIndex(s: SparkSession, dir: String): DataFrame =
+    // clustered by (table_id, row_id) like IndexBuilder.cached
+    // (round-17): the conjunction aggregates in place, exchange-free.
     sources.DfCache.getOrPersist(s, s"wideidx:$dir")(
       IndexBuilder.postingsFromRaw(
-        IndexBuilder.unpivotRows(wideView(s, dir), wideTable)))
+        IndexBuilder.unpivotRows(wideView(s, dir), wideTable))
+        .repartition(col("table_id"), col("row_id")))
 
   // keys exist in the corpus but never co-occur in one row -> empty.
   val negativeCols = Seq("n_name", "r_name")

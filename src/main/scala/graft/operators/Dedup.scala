@@ -266,6 +266,18 @@ object Dedup {
     * the verification denominator differs.
     */
   private def rareSharedCandidates(spark: SparkSession, dir: String,
+      maxDf: Int, minShared: Int): DataFrame =
+    // session-persisted (round-17): candidate generation is shared
+    // verbatim by TWO registered near-dup views (`ngramJaccard` and
+    // `containment` — symmetric candidates, different verification
+    // denominators), and the flatMapGroups pair expansion is the
+    // single most expensive leg of both; the persisted pair frame is
+    // bounded by the df cap (<= maxDf^2/2 pairs per rare shingle).
+    DfCache.getOrPersist(spark, s"rare_cands:$dir:$maxDf:$minShared",
+      Seq(s"$dir/documents.parquet"))(
+      rareSharedCandidatesUncached(spark, dir, maxDf, minShared))
+
+  private def rareSharedCandidatesUncached(spark: SparkSession, dir: String,
       maxDf: Int, minShared: Int): DataFrame = {
     import spark.implicits._
     shingles(spark, dir)

@@ -46,7 +46,15 @@ object JoinSearch {
     * mirrored in the oracle's `qclean` DISTINCT.
     */
   def prepareInput(query: DataFrame, cols: Seq[String]): DataFrame = {
-    val projected = query.select(cols.map(col): _*).dropDuplicates().na.drop()
+    // ONE distinct, post-clean (round-17 optimization): the raw-side
+    // dropDuplicates the reference mirrors is subsumed by the
+    // post-clean one \u2014 distinct(clean(distinct(x))) = distinct(clean(x))
+    // \u2014 so it only added a second exchange of the query table (and at
+    // the shuffled-strategy's huge-query posture, a second shuffle of
+    // raw-width rows; cleaning is row-local and cheaper than the
+    // exchange it saved). Result set is unchanged; the oracle's
+    // `qclean` DISTINCT pins it.
+    val projected = query.select(cols.map(col): _*).na.drop()
     projected.select(cols.map(c =>
       Tokenize.clean(regexp_replace(col(c), "\u00A0", "")).as(c)): _*)
       .dropDuplicates()
@@ -221,15 +229,29 @@ object JoinSearch {
     * (`Par_Search.py:244-250`).
     */
   def reduce(postings: DataFrame, colCount: Int): DataFrame = {
-    val dedup = postings
-      .groupBy("table_id", "row_id", "key")
-      .agg(min("column_id").as("column_id"))
-    val w = Window.partitionBy("table_id", "row_id")
-    dedup
-      .withColumn("cnt", count(lit(1)).over(w))
-      .where(col("cnt") >= colCount)
-      .drop("cnt")
-      .select("key", "table_id", "column_id", "row_id")
+    // ONE exchange (round-17 optimization): the original
+    // groupBy(t,r,key).min + whole-partition window pair shuffled the
+    // probed postings twice (and the window added a sort). Collecting
+    // each row's postings in one (t,r)-keyed aggregation, deduping
+    // (key, min column) row-locally (sort_array orders by key then
+    // column_id, so the first entry of each key run is that key's min
+    // column), filtering on the distinct-key count, and exploding
+    // back produces the identical row set — groups are bounded by the
+    // corpus table's column count, so the collected list is never
+    // larger than the row's own postings. The whole-partition-count
+    // window cross-check of W1 survives in [[searchTablesRowWise]]'s
+    // post-join floor and [[matches]]' W2 window.
+    postings
+      .groupBy("table_id", "row_id")
+      .agg(sort_array(collect_list(struct(col("key"), col("column_id"))))
+        .as("kraw"))
+      .select(col("table_id"), col("row_id"),
+        expr("filter(kraw, (x, i) -> i = 0 OR kraw[i-1].key != x.key)")
+          .as("kcs"))
+      .where(size(col("kcs")) >= colCount)
+      .select(col("table_id"), col("row_id"), explode(col("kcs")).as("kc"))
+      .select(col("kc.key").as("key"), col("table_id"),
+        col("kc.column_id").as("column_id"), col("row_id"))
   }
 
   /** J1: attach each surviving posting to every query row (map_key)
@@ -313,40 +335,76 @@ object JoinSearch {
     * the session-cached one removes the second index scan.
     */
   def conjunctionAnchored(postings: DataFrame, maps: DataFrame,
-      colCount: Int, stats: Option[DataFrame]): DataFrame = {
+      colCount: Int, stats: Option[DataFrame]): DataFrame =
     // corpus df per matched key: the supplied build-time statistic,
     // or (self-contained fallback) one pass over the probe output.
-    val keyDf = stats.getOrElse(
-      postings.groupBy("key").agg(count(lit(1)).as("kdf")))
+    conjunctionFromRowKeys(rowKeysOf(postings),
+      stats.getOrElse(postings.groupBy("key").agg(count(lit(1)).as("kdf"))),
+      maps, colCount)
+
+  /** The conjunction's corpus-side aggregation, exposed so the batch
+    * forms can compute it ONCE and share it across query branches
+    * (round-17: with the aggregation now exchange-free over the
+    * (t,r)-clustered cache there is no Exchange node left for
+    * Catalyst's ReuseExchange to share — the session persist plays
+    * that role, materializing the one per-(table,row) key-set frame
+    * every branch consumes). `kmap` is built HERE, once per corpus
+    * row, not per anchor candidate — a hot-anchor query (every key
+    * of a categorical wide row) fans each row out to many map_keys,
+    * and the old post-join placement rebuilt the map per fanned row.
+    */
+  private[graft] def rowKeysOf(postings: DataFrame): DataFrame =
+    postings
+      .groupBy("table_id", "row_id")
+      .agg(sort_array(collect_list(struct(col("key"), col("column_id"))))
+        .as("kraw"))
+      .select(col("table_id"), col("row_id"),
+        expr("filter(kraw, (x, i) -> i = 0 OR kraw[i-1].key != x.key)")
+          .as("kcs"))
+      .withColumn("kmap", map_from_entries(col("kcs")))
+
+  private def conjunctionFromRowKeys(rowKeys: DataFrame, keyDf: DataFrame,
+      maps: DataFrame, colCount: Int): DataFrame = {
     // narrow the statistic to the query's keys FIRST (broadcast
     // semi-join: the stats table is vocabulary-sized at scale and
     // must never itself be the broadcast side).
     val queryKeyDf = keyDf.join(
       broadcast(maps.select("key").distinct()), Seq("key"), "left_semi")
-    // per query row: its full entry list (multiplicity kept) and the
-    // rarest postings-bearing key as the join anchor (deterministic
-    // tie-break). Query-side: tiny, broadcast below.
-    val req = maps.groupBy("map_key").agg(collect_list("key").as("req"))
-    val aw = Window.partitionBy("map_key")
-      .orderBy(col("kdf").asc, col("key").asc)
-    val anchors = maps.select("key", "map_key").distinct()
-      .join(broadcast(queryKeyDf), Seq("key"))
-      .withColumn("rn", row_number().over(aw))
-      .where(col("rn") === 1)
-      .select(col("map_key"), col("key").as("anchor_key"))
-      .join(req, Seq("map_key"))
-    // per corpus row: matched keys with min-column attribution —
-    // the single materialization of the posting lineage.
-    val rowKeys = postings
-      .groupBy("table_id", "row_id", "key")
-      .agg(min("column_id").as("column_id"))
-      .groupBy("table_id", "row_id")
-      .agg(collect_list(struct(col("key"), col("column_id"))).as("kcs"))
+    // per query row, in ONE aggregation (round-17 optimization —
+    // previously a distinct + per-map_key window + separate req
+    // groupBy + join, three query-side exchanges and five stages for
+    // the same tiny frame): its full entry list (multiplicity kept)
+    // and the rarest postings-bearing key as the join anchor. The
+    // struct min over (kdf, key) IS the old window's
+    // orderBy(kdf asc, key asc) rn=1 — struct ordering is
+    // field-lexicographic — and `min` skips the null kdf of keys
+    // without postings (the left join keeps them so `req` stays
+    // complete; a map_key with NO postings-bearing key gets a null
+    // anchor and drops, exactly the old inner join's behavior).
+    // Query-side: tiny, broadcast below.
+    val anchors = maps
+      .join(broadcast(queryKeyDf), Seq("key"), "left_outer")
+      .groupBy("map_key")
+      .agg(collect_list(col("key")).as("req"),
+        min(when(col("kdf").isNotNull,
+          struct(col("kdf"), col("key")))).as("a"))
+      .where(col("a").isNotNull)
+      .select(col("map_key"), col("a.key").as("anchor_key"), col("req"))
+    // per corpus row: matched keys with min-column attribution
+    // ([[rowKeysOf]] — the single materialization of the posting
+    // lineage, in ONE exchange; round-17 optimization: the old
+    // groupBy(t,r,key).min + groupBy(t,r).collect_list pair shuffled
+    // the probe output twice; the (key, min column) dedup is
+    // row-local over the collected group — sort_array orders by
+    // (key asc, column_id asc), so the first entry of each key run
+    // carries that key's min column_id, and the indexed filter keeps
+    // exactly those. Groups are bounded by the corpus table's column
+    // count (x duplicate-id multiplicity), so the pre-dedup list is
+    // never larger than the row's postings).
     rowKeys
-      .select(col("table_id"), col("row_id"), col("kcs"),
+      .select(col("table_id"), col("row_id"), col("kcs"), col("kmap"),
         explode(col("kcs")).as("kc"))
       .join(broadcast(anchors), col("kc.key") === col("anchor_key"))
-      .withColumn("kmap", map_from_entries(col("kcs")))
       .where(size(col("kcs")) >= colCount &&
         expr("forall(req, k -> map_contains_key(kmap, k))"))
       .select(col("table_id"), col("row_id"), col("map_key"), col("kmap"),
@@ -436,10 +494,18 @@ object JoinSearch {
     val allKeys = prepared.map(_._2.select("key")).reduce(_ unionByName _)
       .distinct()
     val probed = index.join(broadcast(allKeys), Seq("key"), "left_semi")
-    val stats = Some(indexKeyStats(index))
+    // ONE shared per-(table,row) key-set materialization for every
+    // query branch (round-17: this sharing used to ride Catalyst's
+    // ReuseExchange over the aggregation's shuffle; the aggregation
+    // is now exchange-free over the clustered cache, so the persist
+    // carries the sharing — semantically keyed like the other
+    // session lineages, one cached copy per distinct batch probe).
+    val rk = graft.sources.DfCache.getOrPersist(index.sparkSession,
+      s"batch-rowkeys:${probed.semanticHash()}")(rowKeysOf(probed))
+    val stats = indexKeyStats(index)
     prepared.map { case (qid, m, cols) =>
       tableScores(topColumns(
-          columnScores(conjunctionAnchored(probed, m, cols.size, stats)),
+          columnScores(conjunctionFromRowKeys(rk, stats, m, cols.size)),
           cols.size))
         .orderBy(col("join_score").desc, col("table_id").asc)
         .limit(maxTables)
@@ -900,6 +966,13 @@ object JoinSearch {
       .distinct()
     val probed = partIndex.where(col("table_id").isin(allowed: _*))
       .join(broadcast(allKeys), Seq("key"), "left_semi")
+    // sharing here still rides Catalyst's ReuseExchange: the probe is
+    // a parquet scan (unknown partitioning), so the key-set
+    // aggregation keeps its exchange and every branch consumes the
+    // one shuffle — unlike [[searchTablesBatch]], whose clustered
+    // in-memory probe needs the explicit persist. Keeping the scan in
+    // the OUTER plan also keeps the PartitionFilters evidence
+    // assertable (BatchSearchSpec pins both).
     val st = Some(stats)
     prepared.map { case (qid, m, cols) =>
       tableScores(topColumns(

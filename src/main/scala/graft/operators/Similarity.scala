@@ -1122,10 +1122,20 @@ object Similarity {
     */
   private def pqCodesPacked(spark: SparkSession, dir: String,
       numCents: Int): DataFrame =
-    pqCodes(spark, dir, numCents)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
-      .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
+    // session-persisted (round-17): the packing aggregation ran once
+    // per ADC invocation — sim_pq_topk AND sim_pq_recall (which
+    // re-runs the whole pqTopK pipeline as its `got` side) each paid
+    // the codes read + (vec_id) shuffle per call. Keyed by corpus +
+    // book size, gated on the embeddings source like the other ANN
+    // lineages.
+    graft.sources.DfCache.getOrPersist(spark,
+      s"pq_codes_packed:$dir:$numCents",
+      Seq(s"$dir/embeddings.parquet")) {
+      pqCodes(spark, dir, numCents)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+        .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
+    }
 
   /** Per-probe LUT packed to one `map<string, long>` keyed by
     * `"m:code"`. A MAP KEYED BY THE PAIR, not a positionally-indexed

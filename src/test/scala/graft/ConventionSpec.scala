@@ -91,7 +91,11 @@ class ConventionSpec extends AnyFunSuite {
     "streaming/IndexStream.scala" -> 1,
     "operators/Similarity.scala" -> 2,
     "operators/TextAnalysis.scala" -> 2,
-    "operators/JoinSearch.scala" -> 2)
+    // 2 -> 3 (round 17): reduce()'s one-exchange rewrite explodes the
+    // aggregate-derived kcs — same safe class as conjunctionAnchored's
+    // two audited sites (pushdown cannot substitute below the
+    // aggregate; the filter-dedup lambda is index-guarded total).
+    "operators/JoinSearch.scala" -> 3)
 
   test("non-outer attribute-child generates match the audited allowlist") {
     val attrGen = "(?<![A-Za-z_])(?:pos)?explode\\(col\\(".r

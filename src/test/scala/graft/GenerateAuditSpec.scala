@@ -118,6 +118,13 @@ class GenerateAuditSpec extends SparkTestBase {
     "inline-expression(CAST(o_orderpriority AS STRING))",
     "inline-expression(CAST(o_orderstatus AS STRING))",
     "inline-expression(CAST(r_name AS STRING))",
+    // round-17 optimization, audited: reduce()/conjunctionAnchored's
+    // row-local (key, min column) dedup explodes `filter(kraw, ..)`
+    // over an AGGREGATE output. The inferred `size(kcs) > 0` cannot
+    // be substituted below the aggregate boundary, the lambda is
+    // index-guarded total (`i = 0 OR kraw[i-1]..`), and the double
+    // evaluation is one array filter over a <= column-count list.
+    "project-expression(kcs)",
     "inline-expression(CASE WHEN (size(t) >= 2) THEN transform(sequence(1, (size(t))",
     "inline-expression(CASE WHEN (size(t) >= 3) THEN transform(sequence(1, (size(t))",
     "inline-expression(CASE WHEN (size(t) >= 4) THEN transform(sequence(1, (size(t))",

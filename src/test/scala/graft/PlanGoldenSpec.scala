@@ -65,10 +65,25 @@ class PlanGoldenSpec extends SparkTestBase {
   private def partQ = Queries.partQuery(spark, dir)
 
   test("golden exchange counts: the five flagship plans") {
-    pin("search", Ex(9, 4, 3)) {
+    // 9/4/3 -> 5/3/2 (round-17 optimization): one query-side distinct
+    // dropped from prepareInput; the anchor/req derivation collapsed
+    // to ONE aggregation (was distinct + window + groupBy + join);
+    // the conjunction's posting aggregation collapsed from the
+    // (t,r,key)+(t,r) exchange pair to ONE (t,r) exchange with
+    // row-local key dedup — and the session-cached index is now
+    // hash-clustered on exactly (table_id, row_id), so that one
+    // exchange vanishes too (the InMemoryRelation reports its
+    // partitioning; the aggregation runs in place).
+    pin("search", Ex(5, 3, 2)) {
       JoinSearch.searchTables(idx, custQ, Queries.customerCols)
     }
-    pin("batch_search", Ex(17, 9, 7)) {
+    // 17/9/7 -> 10/6/2: the same three cuts, once per query branch
+    // where query-side and once in the shared posting lineage — and
+    // the shared per-(table,row) key-set aggregation moved into a
+    // session persist (its exchange, and the ReusedExchange nodes
+    // that shared it, left the outer plan; the InMemoryRelation is
+    // the sharing now).
+    pin("batch_search", Ex(10, 6, 2)) {
       JoinSearch.searchTablesBatch(idx, Seq(
         ("customer", custQ, Queries.customerCols),
         ("part", partQ, Queries.partCols)))
@@ -349,7 +364,9 @@ class PlanGoldenSpec extends SparkTestBase {
     // +1 shuffle is the ONE-ROW total-postings aggregate over the
     // thin key-stats artifact, and the +2 broadcasts are that total
     // and the allowed-keys list into the probe semi-join.
-    pin("search_dfcap_frac", Ex(10, 6, 3)) {
+    // 10/6/3 -> 6/5/2 (round-17): the same prepareInput / anchors /
+    // one-exchange-conjunction cuts as the `search` pin.
+    pin("search_dfcap_frac", Ex(6, 5, 2)) {
       JoinSearch.searchTablesCappedFraction(
         idx, Queries.ordersQuery(spark, dir), Queries.ordersCols)
     }
