@@ -299,7 +299,7 @@ FROM pl GROUP BY table_id ORDER BY table_id"""
     // straight per-key aggregation — proving the persisted statistic
     // IS the statistic the in-memory path computes.
     Q("idx_key_stats_artifact",
-      (s, dir) => IndexBuilder.loadOrBuildKeyStats(s, dir).orderBy("key"),
+      (s, dir) => IndexBuilder.cachedKeyStats(s, dir).orderBy("key"),
       Some(SearchOracle.indexOnly(
         "SELECT key, count(*) AS kdf FROM idxf GROUP BY key ORDER BY key"))),
     // Batch twin of IndexStream.keyStatsWithDeltas: genuinely-new
@@ -528,15 +528,15 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_pruned_tables",
       (s, dir) => JoinSearch.searchTablesPartitionPruned(
         IndexBuilder.loadOrSnapshotPartitioned(s, dir),
-        IndexBuilder.loadOrBuildTableSketch(s, dir),
-        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        IndexBuilder.cachedTableSketch(s, dir),
+        IndexBuilder.cachedKeyStats(s, dir),
         customerQuery(s, dir), customerCols),
       Some(SearchOracle.tableScores(customerSpec))),
     Q("search_part_pruned",
       (s, dir) => JoinSearch.searchTablesPartitionPruned(
         IndexBuilder.loadOrSnapshotPartitioned(s, dir),
-        IndexBuilder.loadOrBuildTableSketch(s, dir),
-        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        IndexBuilder.cachedTableSketch(s, dir),
+        IndexBuilder.cachedKeyStats(s, dir),
         partQuery(s, dir), partCols),
       Some(SearchOracle.tableScores(partSpec))),
     // the merged-snapshot semi-join form stays registered as the
@@ -552,8 +552,8 @@ SELECT key, count(*) AS kdf FROM live GROUP BY key ORDER BY key"""))),
     Q("search_batch_pruned",
       (s, dir) => JoinSearch.searchTablesBatchPartitionPruned(
         IndexBuilder.loadOrSnapshotPartitioned(s, dir),
-        IndexBuilder.loadOrBuildTableSketch(s, dir),
-        IndexBuilder.loadOrBuildKeyStats(s, dir),
+        IndexBuilder.cachedTableSketch(s, dir),
+        IndexBuilder.cachedKeyStats(s, dir),
         Seq(
           ("customer", customerQuery(s, dir), customerCols),
           ("orders", ordersQuery(s, dir), ordersCols),

@@ -113,16 +113,28 @@ object Hybrid {
     * (round-8 ADVICE: the per-tower call fired the same driver job
     * two or three times per fused query).
     */
-  private def queryDocId(spark: SparkSession, dir: String): Long = {
-    val r = spark.read.parquet(s"$dir/documents.parquet")
-      .agg(min(col("doc_id"))).head()
-    // EMPTY corpus: there is no query document — use a sentinel id no
-    // corpus row carries, so both towers run their normal (empty)
-    // plans and the fusion is an empty frame with the right schema.
-    // The raw getLong was a ROW_VALUE_IS_NULL crash on day-one/empty
-    // deployments (found by DegenerateLakeSpec).
-    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-  }
+  // session-memoized (round-17 optimization): all three registered
+  // hybrid queries fire this footer-stats driver job per invocation;
+  // the id is a pure function of the documents dataset, so one
+  // lookup per (session, corpus) suffices. Weak session keys like
+  // [[graft.sources.DfCache]].
+  private val qidMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Long]]())
+
+  private def queryDocId(spark: SparkSession, dir: String): Long =
+    qidMemo.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, {
+        val r = spark.read.parquet(s"$dir/documents.parquet")
+          .agg(min(col("doc_id"))).head()
+        // EMPTY corpus: there is no query document — use a sentinel id
+        // no corpus row carries, so both towers run their normal
+        // (empty) plans and the fusion is an empty frame with the
+        // right schema. The raw getLong was a ROW_VALUE_IS_NULL crash
+        // on day-one/empty deployments (found by DegenerateLakeSpec).
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      })
 
   /** The vector tower: bounded cosine top-`kCand` for the single
     * probe = the query document's embedding; the TopK aggregator

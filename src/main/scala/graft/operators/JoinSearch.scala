@@ -786,26 +786,15 @@ object JoinSearch {
     * on the survivors. Both sides of every join here are
     * sketch/query-sized — nothing touches the postings.
     */
-  def prunedTables(sketch: DataFrame, maps: DataFrame, colCount: Int): DataFrame = {
-    val keyBit = pmod(hash(col("key")), lit(SketchBits))
-    // all distinct query keys' bits, one row (the breadth side).
-    val qbits = maps.select("key").distinct()
-      .agg(collect_set(keyBit).as("qbits"))
-    // per query row: its distinct keys' bits (the coverage side).
-    val reqs = maps.select("key", "map_key").distinct()
-      .withColumn("bit", keyBit)
-      .groupBy("map_key").agg(collect_set("bit").as("rbits"))
-    val tableAgg = sketch.crossJoin(broadcast(qbits))
-      .withColumn("col_hit",
-        expr("exists(bits, b -> array_contains(qbits, b))"))
-      .groupBy("table_id")
-      .agg(sum(when(col("col_hit"), 1).otherwise(0)).as("cols_hit"),
-        array_distinct(flatten(collect_list("bits"))).as("tbits"))
-    tableAgg.crossJoin(broadcast(reqs))
-      .where(col("cols_hit") >= colCount &&
-        expr("forall(rbits, b -> array_contains(tbits, b))"))
-      .select("table_id").distinct()
-  }
+  def prunedTables(sketch: DataFrame, maps: DataFrame, colCount: Int): DataFrame =
+    // the single-query verdict IS the grouped evaluation at batch
+    // size 1 (round-17 unification — `PrunedSearchSpec` has tied the
+    // two row-for-row since round 9): one code path, and the single
+    // form inherits the grouped one's query-INDEPENDENT, now
+    // session-cached per-table bit union instead of re-flattening
+    // the sketch per query.
+    prunedTablesGrouped(sketch, Seq(("q", maps, colCount)))
+      .select("table_id")
 
   /** [[prunedTables]] for a BATCH of queries in ONE grouped
     * evaluation (round-9 verdict #6): the per-query breadth/coverage
@@ -850,9 +839,14 @@ object JoinSearch {
     // the table's full bit union is query-INDEPENDENT: aggregate it
     // once per table, not once per (query, table) — at a Q-query
     // batch the per-pair form shuffles and dedups Q copies of every
-    // table's concatenated bit arrays (round-9 review).
-    val tableBits = sketch.groupBy("table_id")
-      .agg(array_distinct(flatten(collect_list("bits"))).as("tbits"))
+    // table's concatenated bit arrays (round-9 review). Session-
+    // persisted per sketch (round-17): every pruned search re-ran
+    // this flatten+distinct over the whole sketch; it is a pure
+    // function of the sketch frame, metadata-sized.
+    val tableBits = graft.sources.DfCache.getOrPersist(
+      sketch.sparkSession, s"tablebits:${sketch.semanticHash()}")(
+      sketch.groupBy("table_id")
+        .agg(array_distinct(flatten(collect_list("bits"))).as("tbits")))
     colsHit
       .join(broadcast(tableBits), Seq("table_id"))
       .join(broadcast(reqs), Seq("query_id"))
